@@ -1,13 +1,456 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.functions.{DomainFunctions => DF, Hashing, TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Classifier, Dedup, Similarity}
+
+/** Driver contract (SURVEY.md §7). Every entry is a Spark-first analog of a
+  * reference operator family (SURVEY §2 ids cited per query), running on
+  * the shared parquet fixtures; the Clash-Royale-exact semantics (sha1 deck
+  * hash, match hash, classifier cascade, snapshot rollups) are exercised
+  * end-to-end by [[graft.operators.SnapshotPipeline]] and its specs.
+  *
+  * Determinism rules for the DuckDB oracle compare: aggregate doubles are
+  * summed as DECIMAL(18,2) (exact) and divisions are single IEEE ops
+  * (bit-identical in any engine); every LIMIT is fully tie-broken.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact cross-engine sum of a 2-decimal money column. */
+  private def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)"))
+
+  /** Flagship on sf0.001: the win-rate-by-archetype rollup (reference
+    * queries/top_deck_types.sql intent per SURVEY §2.12.1) — J4+A1+A11+T1. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q01TopDeckTypes(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  /** q01 — flagship: fact⋈dim, conditional-sum win rate, top-k.
+    * SURVEY J4, A1, A11, T1. part is a small dim → broadcast hash join;
+    * groupBy(p_brand) partial-aggregates map-side (6-ish brands → the
+    * shuffle moves a handful of rows per partition). */
+  def q01TopDeckTypes(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val wins = sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("deck_type"))
+      .agg(count(lit(1)).as("uses"), wins.as("wins"))
+      .withColumn("win_rate",
+        lit(100.0) * col("wins") / nullif(col("uses").cast("double"), lit(0.0)))
+      .orderBy(col("uses").desc, col("deck_type"))
+      .limit(30)
+  }
+
+  /** q02 — filter + projection + result derivation. SURVEY P1, P2, P4, F6.
+    * Both predicates reach the parquet scan (PushedFilters). */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 30 && col("l_returnflag").isin("R", "A"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        DF.battleResult(col("l_quantity").cast("int"), lit(40)).as("result"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
+  /** q03 — LEFT JOIN + count-non-null (player_summary.sql shape). SURVEY J6,
+    * A12, T1. Orders are pre-aggregated to per-customer counts BEFORE the
+    * join, so the wide side shuffles once on the join key and the join
+    * itself is dim-sized. */
+  def q03CustomerSummary(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    t(s, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        coalesce(col("cnt"), lit(0L)).as("orders_seen"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(50)
+  }
+
+  /** q04 — TopN head + left-semi restriction (TopN membership). SURVEY P10,
+    * P12, J9, T6. The top-100 id set is broadcast into the semi join. */
+  def q04SemiTopN(s: SparkSession, dir: String): DataFrame = {
+    val topC = t(s, dir, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(100)
+      .select(col("c_custkey"))
+    t(s, dir, "orders")
+      .join(broadcast(topC), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("uses"), moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q05 — union-of-perspectives → directional matchup matrix. SURVEY U1,
+    * A5, J4. Each order row contributes one row per direction (customer
+    * nation vs order-clerk segment analog: customer-nation vs market
+    * segment), with the win flag flipped — the reference's load-bearing
+    * trick (etl:296-308). Nation dim broadcast. */
+  def q05MatchupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val base = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("side_a"), col("c_mktsegment").as("side_b"),
+        (col("o_totalprice") > 150000.0).as("a_won"))
+    val dirA = base.select(col("side_a").as("deck_type"),
+      col("side_b").as("opp_deck_type"), col("a_won").as("won"))
+    val dirB = base.select(col("side_b").as("deck_type"),
+      col("side_a").as("opp_deck_type"), (!col("a_won")).as("won"))
+    dirA.unionByName(dirB)
+      .groupBy(col("deck_type"), col("opp_deck_type"))
+      .agg(count(lit(1)).as("uses"),
+        sum(when(col("won"), 1).otherwise(0)).cast("long").as("wins"))
+  }
+
+  /** q06 — rank / TopN-per-group window. SURVEY W1 (+T1 extension). One
+    * shuffle on the partition key; no global sort. */
+  def q06TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** q07 — exact dedup by content hash (keep lowest id). SURVEY A13, F2;
+    * LLM-pipeline exact dedup over `documents`. */
+  def q07DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByContent(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  /** q08 — explode-then-aggregate (token frequencies). SURVEY A3 shape, U2;
+    * text-analysis token stats. */
+  def q08WordFrequencies(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) >= 4)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("uses"), countDistinct(col("doc_id")).as("docs"))
+      .orderBy(col("uses").desc, col("word"))
+      .limit(50)
+
+  /** q09 — priority rule cascade (the classifier shape, §2.9) over `part`:
+    * first-match-wins CASE chain + per-segment aggregates. */
+  def q09ArchetypeCascade(s: SparkSession, dir: String): DataFrame = {
+    val label = Classifier.cascade(Seq(
+      (col("p_type").contains("COPPER"), Classifier.Siege),
+      (col("p_size") <= 10, Classifier.Bait),
+      (col("p_retailprice") < 1200.0, Classifier.Cycle),
+      (col("p_type").contains("BRASS"), Classifier.BridgeSpam),
+      (col("p_size") >= 40, Classifier.Beatdown)), Classifier.Hybrid)
+    t(s, dir, "part")
+      .withColumn("deck_type", label)
+      .groupBy(col("deck_type"))
+      .agg(count(lit(1)).as("uses"), moneySum(col("p_retailprice")).as("total_price"))
+      .orderBy(col("deck_type"))
+  }
+
+  /** q10 — tag normalization projection. SURVEY P6, F4. */
+  def q10TagNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), DF.normalizeTag(col("c_name")).as("player_tag"))
+
+  /** q11 — bridge⋈dim + top-k appearances (top_cards_overall.sql). SURVEY
+    * J5, T1. */
+  def q11TopParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_name").as("card_name"))
+      .agg(count(lit(1)).as("appearances"))
+      .orderBy(col("appearances").desc, col("card_name"))
+      .limit(50)
+
+  /** q12 — scalar totals with COALESCE(SUM,0) guards. SURVEY A12, F10. */
+  def q12ScalarTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      count(lit(1)).as("total_orders"),
+      coalesce(sum(when(col("o_orderstatus") === "O", 1).otherwise(0)), lit(0))
+        .cast("long").as("open_orders"),
+      coalesce(moneySum(col("o_totalprice")), lit(0).cast("decimal(18,2)"))
+        .as("total_price"))
+
+  /** q13 — groupBy + HAVING + win-rate leaderboard (quick-check shape,
+    * etl:534-538). SURVEY A10, A11, T2. */
+  def q13HavingLeaderboard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("uses"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long").as("wins"))
+      .filter(col("uses") >= 5)
+      .withColumn("win_rate", col("wins").cast("double") / col("uses").cast("double"))
+      .orderBy(col("win_rate").desc, col("l_partkey"))
+      .limit(10)
+
+  /** q14 — label dimension: distinct + order. SURVEY A9. */
+  def q14DistinctLabels(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderpriority").as("label"))
+      .distinct().orderBy(col("label"))
+
+  /** q15 — canonical sorted signature + hash (deck-hash shape: sort members,
+    * join with '|', hash). SURVEY F1, F2, T4 — md5 here so the oracle can
+    * reproduce it; the reference-exact sha1 path is unit-tested. */
+  def q15SignatureHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), "|").as("signature"))
+      .select(col("r_name"), col("signature"),
+        Hashing.contentHash(col("signature")).as("sig_hash"))
+      .orderBy(col("r_name"))
+
+  /** q16 — anti-join (FK orphan check shape). SURVEY J10. */
+  def q16AntiOrphans(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** q17 — token-count statistics per language (LLM text analysis). */
+  def q17TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TF.tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("docs").cast("double"))
+      .orderBy(col("lang"))
+
+  /** q18 — per-document quality features (punct ratio, token stats,
+    * stopword ratio) — all single-row IEEE arithmetic, no accumulation. */
+  def q18DocQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.regexTokenCount(col("text")).as("n_subtokens"),
+        TF.punctRatio(col("text")).as("punct_ratio"),
+        TF.stopwordRatio(col("text"), TF.DefaultLangMarkers("en")).as("stopword_ratio"))
+
+  /** q19 — MinHash document fingerprint (k=8 over 3-token shingles);
+    * hex-string minima are engine-portable. LLM-pipeline fingerprinting. */
+  def q19MinhashFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 200 && trim(col("text")) =!= "")
+      .select(col("doc_id"), TF.fingerprint(col("text"), 8).as("fingerprint"))
+
+  /** q20 — brute-force cosine top-10 per query vector (exact ANN baseline).
+    * Query set broadcast; ranking windowed per query. */
+  def q20KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 10)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** q21 — tumbling-window event aggregation (batch form of the streaming
+    * path; SURVEY §2.11 extension): per (hour, event_type) counts +
+    * distinct users. */
+  def q21EventWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("events"), countDistinct(col("user_id")).as("users"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** q22 — exact dedup cardinality over a composite key (events replay
+    * guard; A13 shape). */
+  def q22EventDedupCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(
+      count(lit(1)).as("total"),
+      countDistinct(col("user_id"), col("event_type")).as("distinct_user_type"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_top_deck_types" -> (q01TopDeckTypes _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_customer_summary" -> (q03CustomerSummary _),
+    "q04_semi_topn" -> (q04SemiTopN _),
+    "q05_matchup_matrix" -> (q05MatchupMatrix _),
+    "q06_top_orders_per_customer" -> (q06TopOrdersPerCustomer _),
+    "q07_dedup_exact" -> (q07DedupExact _),
+    "q08_word_frequencies" -> (q08WordFrequencies _),
+    "q09_archetype_cascade" -> (q09ArchetypeCascade _),
+    "q10_tag_normalize" -> (q10TagNormalize _),
+    "q11_top_parts" -> (q11TopParts _),
+    "q12_scalar_totals" -> (q12ScalarTotals _),
+    "q13_having_leaderboard" -> (q13HavingLeaderboard _),
+    "q14_distinct_labels" -> (q14DistinctLabels _),
+    "q15_signature_hash" -> (q15SignatureHash _),
+    "q16_anti_orphans" -> (q16AntiOrphans _),
+    "q17_token_stats" -> (q17TokenStats _),
+    "q18_doc_quality" -> (q18DocQuality _),
+    "q19_minhash_fingerprint" -> (q19MinhashFingerprint _),
+    "q20_knn_bruteforce" -> (q20KnnBruteForce _),
+    "q21_event_windows" -> (q21EventWindows _),
+    "q22_event_dedup_count" -> (q22EventDedupCount _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_top_deck_types" ->
+      """SELECT p.p_brand AS deck_type, COUNT(*) AS uses,
+        |  CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+        |  100.0 * SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) / NULLIF(CAST(COUNT(*) AS DOUBLE), 0) AS win_rate
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |GROUP BY 1 ORDER BY uses DESC, deck_type LIMIT 30""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN CAST(l_quantity AS INTEGER) > 40 THEN 'win'
+        |       WHEN CAST(l_quantity AS INTEGER) < 40 THEN 'loss' ELSE 'draw' END AS result,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem WHERE l_quantity >= 30 AND l_returnflag IN ('R','A')""".stripMargin,
+    "q03_customer_summary" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal,
+        |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS orders_seen
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1,2,3 ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 50""".stripMargin,
+    "q04_semi_topn" ->
+      """WITH top_c AS (SELECT c_custkey FROM customer
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 100)
+        |SELECT o_orderpriority, COUNT(*) AS uses,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |FROM orders WHERE o_custkey IN (SELECT c_custkey FROM top_c)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q05_matchup_matrix" ->
+      """WITH base AS (
+        |  SELECT n.n_name AS side_a, c.c_mktsegment AS side_b,
+        |         o.o_totalprice > 150000.0 AS a_won
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |both_dirs AS (
+        |  SELECT side_a AS deck_type, side_b AS opp_deck_type, a_won AS won FROM base
+        |  UNION ALL
+        |  SELECT side_b, side_a, NOT a_won FROM base)
+        |SELECT deck_type, opp_deck_type, COUNT(*) AS uses,
+        |  CAST(SUM(CASE WHEN won THEN 1 ELSE 0 END) AS BIGINT) AS wins
+        |FROM both_dirs GROUP BY 1,2""".stripMargin,
+    "q06_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q07_dedup_exact" ->
+      """SELECT md5(CAST(text AS VARCHAR)) AS content_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q08_word_frequencies" ->
+      """SELECT w AS word, COUNT(*) AS uses,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |      FROM documents WHERE trim(text) <> '')
+        |WHERE length(w) >= 4
+        |GROUP BY 1 ORDER BY uses DESC, word LIMIT 50""".stripMargin,
+    "q09_archetype_cascade" ->
+      """SELECT CASE
+        |    WHEN p_type LIKE '%COPPER%' THEN 'Siege'
+        |    WHEN p_size <= 10 THEN 'Bait'
+        |    WHEN p_retailprice < 1200.0 THEN 'Cycle'
+        |    WHEN p_type LIKE '%BRASS%' THEN 'Bridge Spam'
+        |    WHEN p_size >= 40 THEN 'Beatdown'
+        |    ELSE 'Hybrid' END AS deck_type,
+        |  COUNT(*) AS uses, SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS total_price
+        |FROM part GROUP BY 1 ORDER BY deck_type""".stripMargin,
+    "q10_tag_normalize" ->
+      """SELECT c_custkey, CASE WHEN UPPER(TRIM(c_name)) = '' THEN ''
+        |  WHEN UPPER(TRIM(c_name)) LIKE '#%' THEN UPPER(TRIM(c_name))
+        |  ELSE '#' || UPPER(TRIM(c_name)) END AS player_tag
+        |FROM customer""".stripMargin,
+    "q11_top_parts" ->
+      """SELECT p.p_name AS card_name, COUNT(*) AS appearances
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |GROUP BY 1 ORDER BY appearances DESC, card_name LIMIT 50""".stripMargin,
+    "q12_scalar_totals" ->
+      """SELECT COUNT(*) AS total_orders,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS open_orders,
+        |  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total_price
+        |FROM orders""".stripMargin,
+    "q13_having_leaderboard" ->
+      """SELECT l_partkey, COUNT(*) AS uses,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS win_rate
+        |FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 5
+        |ORDER BY win_rate DESC, l_partkey LIMIT 10""".stripMargin,
+    "q14_distinct_labels" ->
+      "SELECT DISTINCT o_orderpriority AS label FROM orders ORDER BY label",
+    "q15_signature_hash" ->
+      """SELECT r_name, signature, md5(signature) AS sig_hash FROM (
+        |  SELECT r.r_name,
+        |    array_to_string(list_sort(list(n.n_name)), '|') AS signature
+        |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name) ORDER BY r_name""".stripMargin,
+    "q16_anti_orphans" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "q17_token_stats" ->
+      """SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+        |  CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+        |FROM (SELECT lang, CASE WHEN trim(text) = '' THEN 0
+        |        ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q18_doc_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_subtokens,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |  CASE WHEN trim(text) = '' THEN 0.0 ELSE
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','and','of','to','a','in','is','it','you','that'], x))) AS DOUBLE)
+        |    / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stopword_ratio
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q19_minhash_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id < 200 AND trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 1)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |  FROM toks),
+        |mh AS (
+        |  SELECT s.doc_id, r.seed,
+        |    MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |  FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |  GROUP BY s.doc_id, r.seed)
+        |SELECT doc_id,
+        |  md5(array_to_string(list(m ORDER BY seed), '|')) AS fingerprint
+        |FROM mh GROUP BY doc_id""".stripMargin,
+    "q20_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
+    "q21_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS events, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1,2 ORDER BY hour, event_type""".stripMargin,
+    "q22_event_dedup_count" ->
+      """SELECT COUNT(*) AS total,
+        |  CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT) AS distinct_user_type
+        |FROM events""".stripMargin
+  )
 }

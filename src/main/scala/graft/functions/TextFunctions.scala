@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, quality features, language-ID scoring, shingling and
+  * fingerprint hashes. Pure codegen'd column expressions — per-row, no
+  * shuffle, no UDFs — so they fuse into the document scan at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty/null text → empty array. */
+  def tokens(text: Column): Column = {
+    val t = trim(coalesce(text, lit("")))
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Word-count on whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word token count: runs of word chars OR single non-space
+    * symbols — a cheap deterministic proxy for subword tokenizer counts. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Punctuation ratio: non-alphanumeric-non-space chars / all chars. */
+  def punctRatio(text: Column): Column = {
+    val len = length(coalesce(text, lit("")))
+    when(len === 0, 0.0).otherwise(
+      length(regexp_replace(coalesce(text, lit("")), "[A-Za-z0-9\\s]", ""))
+        .cast("double") / len.cast("double"))
+  }
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    when(n === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+        / n.cast("double"))
+  }
+
+  /** Average token length (characters per whitespace token). */
+  def avgTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Heuristic document quality score in [0,1]: rewards mid-length docs
+    * and stopword presence, penalizes punctuation noise. Deterministic
+    * arithmetic only (no floating accumulation across rows). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 64.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    round((lenScore + stopScore + punctPenalty) / 3.0, 6)
+  }
+
+  /** N-gram token shingles: array of space-joined n-token windows; docs
+    * shorter than n yield the whole doc as one shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), count),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** One MinHash value: the minimum md5 hex over the shingle set, salted by
+    * `seed`. Hex-string min is a total order identical in every engine, so
+    * signatures are engine-portable (DuckDB-oracle-checkable). */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(seed + ":"), s))))
+
+  /** k-wide MinHash signature as array<string>. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(minhash(shingleCol, _)): _*)
+
+  /** LSH band keys: hash `rowsPerBand` consecutive signature entries per
+    * band → array<string> of band bucket keys (band index is baked into
+    * the key so buckets never collide across bands). */
+  def bandKeys(signature: Column, rowsPerBand: Int): Column = {
+    transform(sequence(lit(0), size(signature) / rowsPerBand - 1),
+      b => md5(concat(b.cast("string"), lit("|"),
+        array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
+  }
+
+  /** 32-bit SimHash over whitespace tokens: per-token 32-bit hash from the
+    * md5 hex prefix; each bit position accumulates +1/-1; the sign vector
+    * is the fingerprint. Returned as a non-negative long (< 2^32). */
+  def simhash(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val zero = array_repeat(lit(0), 32)
+    // bit i of h via pow-division (functions.shiftright only takes a
+    // literal shift, not a per-element Column; h < 2^32 so double is exact)
+    def bitAt(h: Column, i: Column): Column =
+      (h / pow(lit(2.0), i.cast("double"))).cast("long").bitwiseAND(1)
+    val counts = aggregate(toks, zero, (acc, t) => {
+      val h = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+      zip_with(acc, sequence(lit(0), lit(31)),
+        (a, i) => a + when(bitAt(h, i) === 1, 1).otherwise(-1))
+    })
+    aggregate(zip_with(counts, sequence(lit(0), lit(31)),
+      (c, i) => when(c > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+  }
+
+  /** Hamming distance between two simhash longs (≤ 64 bits). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Rolling-hash document fingerprint: md5 of the MinHash signature —
+    * a single stable id for near-identical content. */
+  def fingerprint(text: Column, k: Int = 8): Column =
+    md5(array_join(minhashSignature(shingles(text, 3), k), "|"))
+
+  /** Language-ID by stopword-hit scoring: the language whose marker list
+    * hits the most tokens wins; ties break to the lexicographically last
+    * language code; no hits → "und". Marker lists are literal arrays →
+    * fully codegen'd. */
+  def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val toks = tokens(lower(text))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isInCollection(words))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Default marker lists (tiny, public common-word sets). */
+  val DefaultLangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "je", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "es", "no", "un", "una", "yo", "en"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "他", "这", "中"))
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, as codegen'd
+  * higher-order-function expressions (no UDFs, no linear-algebra deps).
+  * Accumulation order is the array's element order (a sequential fold), so
+  * results are bit-deterministic across engines and runs.
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = c.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ (sequential left fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Squared Euclidean distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Normalize to unit length (zero vector stays zero). */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, d(a)).otherwise(transform(d(a), x => x / n))
+  }
+
+  /** Sign-random-projection LSH bucket: `planes` deterministic pseudo-random
+    * hyperplanes (seeded, generated driver-side), each contributing one sign
+    * bit; returns the bucket id as a long. nBits planes ⇒ 2^nBits buckets.
+    * At 100 TB this turns brute-force O(N·Q) scoring into a bucket-join:
+    * shuffle both sides on bucket id, score only within buckets. */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) >= 0.0, math.pow(2.0, i).toLong).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Deterministic pseudo-random hyperplanes (xorshift-free: splitmix-ish
+    * integer mix of (seed, plane, dim) → uniform in [-1, 1]). */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { j =>
+        var z = seed + p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        (z.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextFunctions => T, VectorFunctions => V}
+
+/** Deduplication operators for training-data pipelines, exact and
+  * approximate. Scale design notes per operator inline — the common theme:
+  * every variant reduces to (narrow per-row hashing) → (one shuffle on a
+  * uniform hash key) → (bounded within-bucket work), which is the only
+  * shape that survives 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keeps the lowest-id row per distinct
+    * content. GroupBy on md5 — uniform key, perfectly balanced shuffle;
+    * map-side combine collapses each partition to its distinct hashes
+    * before the exchange. */
+  def exactByContent(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.select(Hashing.contentHash(content).as("content_hash"), id.as("keep_id"))
+      .groupBy("content_hash")
+      .agg(min("keep_id").as("keep_id"), count(lit(1)).as("copies"))
+
+  /** MinHash + LSH near-duplicate candidate pairs over a text column.
+    *
+    * shingle(n) → k MinHashes → bands of r rows → explode band keys →
+    * self-join on band key → distinct (a < b) pairs → exact n-gram Jaccard
+    * verification ≥ `threshold`.
+    *
+    * Scale: the self-join shuffles on band-key md5 (uniform); candidate
+    * volume is bounded by bucket sizes — degenerate giant buckets (empty /
+    * boilerplate docs) are the classic skew source, so callers should
+    * pre-filter trivial docs. Verification cost is per-candidate-pair only,
+    * never all-pairs.
+    */
+  def minhashNearDupPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(id.as("doc_id"), T.shingles(text, shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = docs
+      .withColumn("band", explode(T.bandKeys(T.minhashSignature(col("sh"), k), rowsPerBand)))
+    val a = banded.select(col("band"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup: 32-bit fingerprints; pairs within `maxHamming`.
+    * Blocking: 4 × 8-bit chunks — two docs within Hamming ≤ 3 of each
+    * other share at least one exact chunk (pigeonhole), so the self-join
+    * keys on (chunk_index, chunk_value) instead of all-pairs. */
+  def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = 4
+    val withSig = df.select(id.as("doc_id"), T.simhash(text).as("sig"))
+    val blocked = withSig.select(col("doc_id"), col("sig"),
+      explode(array((0 until chunks).map(i =>
+        struct(lit(i).as("chunk_i"),
+          shiftright(col("sig"), i * 8).bitwiseAND(0xFF).as("chunk_v"))): _*)).as("chunk"))
+      .select(col("doc_id"), col("sig"), col("chunk.chunk_i"), col("chunk.chunk_v"))
+    val a = blocked.select(col("chunk_i"), col("chunk_v"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("chunk_i"), col("chunk_v"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_i", "chunk_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        T.hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold pairs, SRP-LSH-blocked so the
+    * self-join is within-bucket only (near-identical vectors land in the
+    * same sign-projection bucket with high probability). */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
+      threshold: Double = 0.95, nBits: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = V.randomPlanes(nBits, dim, seed)
+    val bucketed = df.select(id.as("vid"), vec.as("v"),
+      V.srpBucket(vec, planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), V.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Loaders for the shared parquet fixtures (see /root/repo/TESTDATA.md) and
+  * the explicit ingest schema for the reference's battle-log documents
+  * (shape consumed at reference scripts/etl_snapshot_topn.py:251-302 and
+  * src/api/battles.py:20-44).
+  *
+  * Scale notes (100 TB design): every loader is a plain parquet scan, so
+  * Catalyst predicate pushdown / column pruning / partition pruning apply
+  * unchanged on a partitioned table layout. Nothing here materializes on
+  * the driver.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Participant struct: reference test_grab_player.py:63-79 probes this shape;
+    * consumed defensively at etl_snapshot_topn.py:77-137. */
+  val participantSchema: StructType = StructType(Seq(
+    StructField("tag", StringType),
+    StructField("crowns", IntegerType),
+    StructField("cards", ArrayType(StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("evolutionLevel", IntegerType)
+    ))))
+  ))
+
+  /** Battle-log entry: reference src/analysist/battle_filters.py:10-97. */
+  val battleSchema: StructType = StructType(Seq(
+    StructField("battleTime", StringType),
+    StructField("type", StringType),
+    StructField("gameMode", StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType)
+    ))),
+    StructField("team", ArrayType(participantSchema)),
+    StructField("opponent", ArrayType(participantSchema))
+  ))
+
+  /** Leaderboard player: reference src/api/players.py:6-23, etl:203-216. */
+  val leaderboardSchema: StructType = StructType(Seq(
+    StructField("tag", StringType),
+    StructField("name", StringType),
+    StructField("rank", IntegerType),
+    StructField("trophies", IntegerType),
+    StructField("eloRating", IntegerType)
+  ))
+
+  /** Schema-on-read ingest of battle-log JSON (one battle object per line).
+    * With an explicit schema the JSON scan is a single pass, no inference
+    * job — at 100 TB the inference pass alone would double the read. */
+  def readBattlesJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(battleSchema).json(path)
+}
