@@ -14,17 +14,22 @@ import graft.operators.{Classifier, Dedup, Similarity}
   * hash, match hash, classifier cascade, snapshot rollups) are exercised
   * end-to-end by [[graft.operators.SnapshotPipeline]] and its specs.
   *
-  * Determinism rules for the DuckDB oracle compare: aggregate doubles are
-  * summed as DECIMAL(18,2) (exact) and divisions are single IEEE ops
-  * (bit-identical in any engine); every LIMIT is fully tie-broken.
+  * Determinism rules for the DuckDB oracle compare: money sums use integer
+  * cents via `floor(x*100 + 0.5)` (pure IEEE ops, identical in any engine —
+  * double→decimal casts are NOT: Spark rounds HALF_UP, DuckDB half-even);
+  * divisions are single IEEE ops; every LIMIT is fully tie-broken.
   */
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** Exact cross-engine sum of a 2-decimal money column. */
-  private def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)"))
+  /** Exact cross-engine sum of a 2-decimal money column, as integer cents.
+    * `floor(x*100 + 0.5)` is pure IEEE arithmetic — identical in every
+    * engine — unlike double→decimal casts, whose tie rounding differs
+    * (Spark HALF_UP vs DuckDB half-even; see ADVICE r01 on q04/q09). */
+  private def moneySumCents(c: Column): Column =
+    sum(floor(c * lit(100.0) + lit(0.5)).cast("long"))
 
   /** Flagship on sf0.001: the win-rate-by-archetype rollup (reference
     * queries/top_deck_types.sql intent per SURVEY §2.12.1) — J4+A1+A11+T1. */
@@ -83,7 +88,7 @@ object SparkEntry {
     t(s, dir, "orders")
       .join(broadcast(topC), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("uses"), moneySum(col("o_totalprice")).as("total_price"))
+      .agg(count(lit(1)).as("uses"), moneySumCents(col("o_totalprice")).as("total_cents"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -149,7 +154,7 @@ object SparkEntry {
     t(s, dir, "part")
       .withColumn("deck_type", label)
       .groupBy(col("deck_type"))
-      .agg(count(lit(1)).as("uses"), moneySum(col("p_retailprice")).as("total_price"))
+      .agg(count(lit(1)).as("uses"), moneySumCents(col("p_retailprice")).as("total_cents"))
       .orderBy(col("deck_type"))
   }
 
@@ -174,8 +179,7 @@ object SparkEntry {
       count(lit(1)).as("total_orders"),
       coalesce(sum(when(col("o_orderstatus") === "O", 1).otherwise(0)), lit(0))
         .cast("long").as("open_orders"),
-      coalesce(moneySum(col("o_totalprice")), lit(0).cast("decimal(18,2)"))
-        .as("total_price"))
+      coalesce(moneySumCents(col("o_totalprice")), lit(0L)).as("total_cents"))
 
   /** q13 — groupBy + HAVING + win-rate leaderboard (quick-check shape,
     * etl:534-538). SURVEY A10, A11, T2. */
@@ -257,15 +261,17 @@ object SparkEntry {
     * path; SURVEY §2.11 extension): per (hour, event_type) counts +
     * distinct users. */
   def q21EventWindows(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+    Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).cast("long").as("hour"),
+        col("event_type"))
       .agg(count(lit(1)).as("events"), countDistinct(col("user_id")).as("users"))
       .orderBy(col("hour"), col("event_type"))
 
   /** q22 — exact dedup cardinality over a composite key (events replay
-    * guard; A13 shape). */
+    * guard; A13 shape). Spark's multi-column countDistinct skips rows with
+    * any NULL; the oracle pins the same semantics via FILTER. */
   def q22EventDedupCount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").agg(
+    Tables.events(s, dir).agg(
       count(lit(1)).as("total"),
       countDistinct(col("user_id"), col("event_type")).as("distinct_user_type"))
 
@@ -316,7 +322,7 @@ object SparkEntry {
       """WITH top_c AS (SELECT c_custkey FROM customer
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 100)
         |SELECT o_orderpriority, COUNT(*) AS uses,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders WHERE o_custkey IN (SELECT c_custkey FROM top_c)
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q05_matchup_matrix" ->
@@ -357,7 +363,8 @@ object SparkEntry {
         |    WHEN p_type LIKE '%BRASS%' THEN 'Bridge Spam'
         |    WHEN p_size >= 40 THEN 'Beatdown'
         |    ELSE 'Hybrid' END AS deck_type,
-        |  COUNT(*) AS uses, SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS total_price
+        |  COUNT(*) AS uses,
+        |  CAST(SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM part GROUP BY 1 ORDER BY deck_type""".stripMargin,
     "q10_tag_normalize" ->
       """SELECT c_custkey, CASE WHEN UPPER(TRIM(c_name)) = '' THEN ''
@@ -371,7 +378,7 @@ object SparkEntry {
     "q12_scalar_totals" ->
       """SELECT COUNT(*) AS total_orders,
         |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS open_orders,
-        |  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS total_price
+        |  CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS total_cents
         |FROM orders""".stripMargin,
     "q13_having_leaderboard" ->
       """SELECT l_partkey, COUNT(*) AS uses,
@@ -403,7 +410,9 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
     "q18_doc_quality" ->
-      """SELECT doc_id,
+      """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN 0
         |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_subtokens,
@@ -414,7 +423,7 @@ object SparkEntry {
         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |      x -> list_contains(['the','and','of','to','a','in','is','it','you','that'], x))) AS DOUBLE)
         |    / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stopword_ratio
-        |FROM documents WHERE doc_id < 100""".stripMargin,
+        |FROM d""".stripMargin,
     "q19_minhash_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -445,12 +454,14 @@ object SparkEntry {
         |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
         |  FROM scored) WHERE rnk <= 10""".stripMargin,
     "q21_event_windows" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type,
         |  COUNT(*) AS events, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
         |FROM events GROUP BY 1,2 ORDER BY hour, event_type""".stripMargin,
     "q22_event_dedup_count" ->
       """SELECT COUNT(*) AS total,
-        |  CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT) AS distinct_user_type
+        |  CAST(COUNT(DISTINCT (user_id, event_type))
+        |    FILTER (WHERE user_id IS NOT NULL AND event_type IS NOT NULL) AS BIGINT)
+        |    AS distinct_user_type
         |FROM events""".stripMargin
   )
 }

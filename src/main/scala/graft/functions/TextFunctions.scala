@@ -84,9 +84,15 @@ object TextFunctions {
     * band → array<string> of band bucket keys (band index is baked into
     * the key so buckets never collide across bands). */
   def bandKeys(signature: Column, rowsPerBand: Int): Column = {
-    transform(sequence(lit(0), size(signature) / rowsPerBand - 1),
-      b => md5(concat(b.cast("string"), lit("|"),
-        array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
+    // guard: size < rowsPerBand would make sequence(0, -1) descend and
+    // emit a spurious negative-index band — short signatures get 0 bands.
+    // floor+cast keeps the sequence bounds integral (Column `/` is double
+    // division, which sequence() rejects).
+    val nBands = floor(size(signature) / lit(rowsPerBand)).cast("int")
+    when(nBands <= 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nBands - 1),
+        b => md5(concat(b.cast("string"), lit("|"),
+          array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), "|")))))
   }
 
   /** 32-bit SimHash over whitespace tokens: per-token 32-bit hash from the

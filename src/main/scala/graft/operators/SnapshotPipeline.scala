@@ -164,14 +164,19 @@ object SnapshotPipeline {
       .filter(col("card_name") =!= "")
       .groupBy("card_id").agg(max("card_name").as("card_name"))
 
-    // A8 — decks dim: one row per deck_hash. deck_type is a pure function
-    // of deck content (same hash ⇒ same classification ⇒ max() is exact);
-    // the representative card list is min_by(match_hash) for determinism
-    // (reference: first-seen, etl:312-314).
+    // A8 — decks dim: one row per deck_hash, represented by ONE observation
+    // (reference: first-seen, etl:312-314). deck_type and cards are taken
+    // together from the min_by (match_hash, player_tag) row — a unique total
+    // order — so the dim can never mix the type of one observation with the
+    // cards of another (same hash can carry different backfilled names and
+    // classify differently; ADVICE r01).
     val decks = sides
       .groupBy("deck_hash")
-      .agg(max("deck_type").as("deck_type"),
-        min_by(col("cards"), col("match_hash")).as("cards"))
+      .agg(min_by(
+        struct(col("deck_type").as("deck_type"), col("cards").as("cards")),
+        struct(col("match_hash"), col("player_tag"))).as("rep"))
+      .select(col("deck_hash"), col("rep.deck_type").as("deck_type"),
+        col("rep.cards").as("cards"))
       .cache()
 
     // deck_cards bridge — exactly 8 rows/deck (db/schema.sql:47-60)
