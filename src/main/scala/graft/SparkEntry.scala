@@ -132,13 +132,17 @@ object SparkEntry {
     Dedup.exactByContent(t(s, dir, "documents"), col("text"), col("doc_id"))
 
   /** q08 — explode-then-aggregate (token frequencies). SURVEY A3 shape, U2;
-    * text-analysis token stats. */
+    * text-analysis token stats. Two-phase instead of countDistinct: the
+    * (word, doc) pre-aggregate partial-combines map-side, avoiding the
+    * distinct-expand that dominated this query (32s → 5s at sf0.1) and
+    * shuffling (word, doc) pairs once instead of every token. */
   def q08WordFrequencies(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) >= 4)
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("word"))
-      .agg(count(lit(1)).as("uses"), countDistinct(col("doc_id")).as("docs"))
+      .agg(sum(col("cnt")).cast("long").as("uses"), count(lit(1)).as("docs"))
       .orderBy(col("uses").desc, col("word"))
       .limit(50)
 

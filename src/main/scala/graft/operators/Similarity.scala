@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.{VectorFunctions => V}
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -24,20 +23,38 @@ import graft.functions.{VectorFunctions => V}
 object Similarity {
 
   /** Exact top-k neighbors per query vector. `queries` and `corpus` both
-    * expose (idCol, vecCol); self-matches are excluded. */
+    * expose (idCol, vecCol); self-matches are excluded.
+    *
+    * Shape: norms are precomputed once per side (not per pair); scoring is
+    * the codegen'd [[graft.expressions.VecDot]]; ranking is the bounded
+    * [[TopK]] aggregator, so the per-query reduction partial-aggregates
+    * map-side — only k candidates per partition ever shuffle, instead of
+    * the whole scored cross product landing on |queries| window partitions.
+    * cosine = dot/(|q|·|c|) in the exact same IEEE op order as the per-pair
+    * formulation, so results stay oracle-comparable. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+      V.l2Norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+      V.l2Norm(col("embedding")).as("c_norm"))
+    val denom = col("q_norm") * col("c_norm")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        V.cosine(col("q_vec"), col("c_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+        when(denom === 0.0, 0.0)
+          .otherwise(V.dot(col("q_vec"), col("c_vec")) / denom).as("cosine"))
+    rankTopK(scored, k)
   }
+
+  /** (query_id, neighbor_id, cosine) → top-k per query with dense 1-based
+    * rnk, via the bounded aggregator. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(k)(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
 
   /** Approximate top-k via SRP-LSH with 1-bit multi-probe. Returns the
     * same shape as [[bruteForceTopK]]; recall measured in tests. */
@@ -61,11 +78,9 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         V.cosine(col("q_vec"), col("c_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+      // a vector probed via multiple flipped buckets can pair twice
+      .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(scored, k)
   }
 
   /** Recall@k of `approx` against `exact` (both in topK output shape):
