@@ -77,6 +77,35 @@ object Hashing {
     sha1(to_json(payload))
   }
 
+  /** Orientation-insensitive match hash — the dedup key the reference
+    * *documents* but does not implement: hash_utils.py:29-33 claims the
+    * hash is "stable across both players' battlelogs", yet renders team
+    * and opponent under distinct JSON keys, so the same match seen from
+    * the two players' logs hashes differently and never dedups. We keep
+    * [[matchHash]] byte-compatible with the reference and give the
+    * pipeline this symmetric variant: each side renders to its canonical
+    * JSON and the two strings are ordered lexicographically before
+    * hashing, so either perspective produces identical bytes. */
+  def symmetricMatchHash(battleTime: Column, modeId: Column, modeName: Column,
+                         battleType: Column, team: Column, opponent: Column): Column = {
+    def sideJson(side: Column): Column = {
+      val sorted = array_sort(transform(coalesce(side, array()), p =>
+        struct(upper(coalesce(p.getField("tag"), lit(""))).as("tag"),
+               coalesce(p.getField("crowns").cast("int"), lit(0)).as("crowns"))))
+      to_json(transform(sorted, p =>
+        struct(p.getField("crowns").as("crowns"), p.getField("tag").as("tag"))))
+    }
+    val modeKey = coalesce(
+      nullif(modeId.cast("string"), lit("0")),
+      nullif(coalesce(modeName, lit("")), lit("")),
+      nullif(coalesce(battleType, lit("")), lit("")),
+      lit(""))
+    val a = sideJson(team)
+    val b = sideJson(opponent)
+    sha1(concat_ws("|", coalesce(battleTime, lit("")), modeKey,
+      least(a, b), greatest(a, b)))
+  }
+
   /** Content hash for generic exact dedup (md5 hex — cheap, codegen'd,
     * and reproducible in any SQL engine for oracle checks). */
   def contentHash(c: Column): Column = md5(c.cast("string"))

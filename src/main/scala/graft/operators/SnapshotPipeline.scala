@@ -67,11 +67,15 @@ object SnapshotPipeline {
       overrides: Map[String, String]): DataFrame = {
     val deduped = battles
       .filter(BattleOps.isRanked1v1(col("team"), col("opponent"), col("gameMode.id")))
-      .withColumn("match_hash", Hashing.matchHash(col("battleTime"),
-        col("gameMode.id"), col("gameMode.name"), col("type"),
-        col("team"), col("opponent")))
       // A13 — global exact dedup on the match hash (etl:257-261). Shuffle
       // key = sha1 hex → uniformly distributed, no skew at any scale.
+      // Symmetric variant so the same match fetched from BOTH players'
+      // battlelogs collapses — the reference's documented intent
+      // (hash_utils.py:31-33), which its orientation-sensitive JSON
+      // never achieves. Divergence documented in Hashing.symmetricMatchHash.
+      .withColumn("match_hash", Hashing.symmetricMatchHash(col("battleTime"),
+        col("gameMode.id"), col("gameMode.name"), col("type"),
+        col("team"), col("opponent")))
       .dropDuplicates("match_hash")
 
     val overrideMap =

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.BattleOps
+import graft.sources.Tables
+
+/** P1/P2/P4/P9/P10 row-level battle operators (battle_filters.py,
+  * etl_snapshot_topn.py:50-137,203-216). */
+class BattleOpsSpec extends SparkSpecBase {
+
+  private def battleDF(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Tables.battleSchema)
+
+  private def part(tag: String, crowns: Int, cards: Seq[(Long, String, Int)]): Row =
+    Row(tag, crowns, cards.map { case (id, n, ev) => Row(id, n, ev) })
+
+  private val eightCards: Seq[(Long, String, Int)] =
+    (1L to 8L).map(i => (i, s"Card$i", 0))
+
+  test("isRanked1v1 keeps only 1v1 whitelisted modes; malformed fails closed") {
+    val rows = Seq(
+      Row("t1", "x", Row(72000006L, "Ranked"), Seq(part("#A", 1, eightCards)), Seq(part("#B", 0, eightCards))),
+      Row("t2", "x", Row(99L, "Casual"), Seq(part("#A", 1, eightCards)), Seq(part("#B", 0, eightCards))),
+      Row("t3", "x", Row(72000464L, "Ranked"), Seq(part("#A", 1, eightCards), part("#C", 1, eightCards)), Seq(part("#B", 0, eightCards))),
+      Row("t4", "x", Row(72000006L, "Ranked"), null, Seq(part("#B", 0, eightCards)))
+    )
+    val kept = battleDF(rows)
+      .filter(BattleOps.isRanked1v1(col("team"), col("opponent"), col("gameMode.id")))
+      .select("battleTime").collect().map(_.getString(0)).toSeq
+    kept shouldBe Seq("t1")
+  }
+
+  test("filterAndNormalize: result derivation and card-name projection") {
+    val rows = Seq(
+      Row("t1", "x", Row(72000006L, "Ranked"), Seq(part("#A", 3, eightCards)), Seq(part("#B", 1, eightCards))),
+      Row("t2", "x", Row(72000006L, null), Seq(part("#A", 0, eightCards)), Seq(part("#B", 0, eightCards)))
+    )
+    val out = BattleOps.filterAndNormalize(battleDF(rows))
+      .orderBy("battle_time").collect()
+    out(0).getAs[String]("result") shouldBe "win"
+    out(0).getAs[scala.collection.Seq[String]]("my_cards") shouldBe (1 to 8).map(i => s"Card$i")
+    out(0).getAs[String]("mode_name") shouldBe "Ranked"
+    out(1).getAs[String]("result") shouldBe "draw"
+    out(1).getAs[String]("mode_name") shouldBe "x" // null mode name → type
+  }
+
+  test("deckObs: valid 8-card deck extracts with slots 1..8 and variants") {
+    val cards = Seq((3L, "C3", 1), (1L, "C1", 0), (2L, "", 2)) ++
+      (4L to 8L).map(i => (i, s"C$i", 0))
+    val df = battleDF(Seq(Row("t", "x", Row(72000006L, "m"),
+      Seq(part("#A", 1, cards)), Seq(part("#B", 0, eightCards)))))
+    val obs = df.select(BattleOps.deckObs(
+      element_at(col("team"), 1).getField("cards"), Map(2L -> "Backfilled")).as("o"))
+      .head().getAs[scala.collection.Seq[Row]]("o")
+    obs.map(_.getAs[Int]("slot")) shouldBe (1 to 8)
+    obs.head.getAs[String]("card_variant") shouldBe "evo"   // evolutionLevel 1
+    obs(2).getAs[String]("card_variant") shouldBe "hero"    // evolutionLevel 2
+    obs(2).getAs[String]("card_name") shouldBe "Backfilled" // empty name → metadata
+    obs(1).getAs[String]("card_variant") shouldBe "normal"
+  }
+
+  test("deckObs rejects short decks and duplicate (id, variant) pairs") {
+    val dup = Seq((1L, "A", 0), (1L, "A2", 0)) ++ (2L to 7L).map(i => (i, s"C$i", 0))
+    val short = (1L to 7L).map(i => (i, s"C$i", 0))
+    val df = battleDF(Seq(
+      Row("dup", "x", Row(72000006L, "m"), Seq(part("#A", 1, dup)), Seq(part("#B", 0, eightCards))),
+      Row("short", "x", Row(72000006L, "m"), Seq(part("#A", 1, short)), Seq(part("#B", 0, eightCards)))
+    ))
+    val out = df.select(col("battleTime"),
+      BattleOps.deckObs(element_at(col("team"), 1).getField("cards"), Map.empty).as("o"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    out("dup") shouldBe true
+    out("short") shouldBe true
+  }
+
+  test("deckObs accepts same id with different variants (evo + normal)") {
+    val cards = Seq((1L, "A", 1), (1L, "A", 0)) ++ (2L to 7L).map(i => (i, s"C$i", 0))
+    val df = battleDF(Seq(Row("t", "x", Row(72000006L, "m"),
+      Seq(part("#A", 1, cards)), Seq(part("#B", 0, eightCards)))))
+    df.select(BattleOps.deckObs(element_at(col("team"), 1).getField("cards"), Map.empty).as("o"))
+      .head().isNullAt(0) shouldBe false
+  }
+
+  test("topPlayers: api rank preferred, positional fallback, ladder coalesce") {
+    import spark.implicits._
+    val lb = Seq(
+      ("#a", "Alice", 0, 0, 3200),        // rank 0 → fallback; trophies 0 → eloRating
+      ("#B", "Bob", 2, 3100, 0),
+      ("c", "Cara", 1, 3300, 0)           // tag gets '#' prefix + uppercase
+    ).toDF("tag", "name", "rank", "trophies", "eloRating")
+    val out = BattleOps.topPlayers(lb, 3).collect()
+      .map(r => r.getAs[String]("player_tag") ->
+        (r.getAs[Int]("trophies"), r.getAs[Int]("rank_global"))).toMap
+    out.keySet shouldBe Set("#A", "#B", "#C")
+    out("#A")._1 shouldBe 3200 // trophies 0 → eloRating coalesce
+    out("#B") shouldBe ((3100, 2)) // api rank kept
+    out("#C") shouldBe ((3300, 1))
+    // #a's api rank 0 → positional fallback in trophy order (C 3300 > A
+    // 3200 > B 3100 ⇒ 2); the reference keeps API ranks as-is, so the
+    // fallback may duplicate an existing rank — exactly like arrival order
+    out("#A")._2 shouldBe 2
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exactByContent: one row per distinct content, lowest id kept") {
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactByContent(df, col("text"), col("doc_id"))
+      .orderBy("keep_id").select("keep_id", "copies").as[(Long, Long)].collect().toSeq
+    out shouldBe Seq((1L, 2L), (2L, 1L))
+  }
+
+  test("minhashNearDupPairs: exact duplicates pair with jaccard 1.0; distinct docs don't") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words about spark catalyst execution plans"
+    val df = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, col("doc_id"), col("text"))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    pairs shouldBe Seq((1L, 2L, 1.0))
+  }
+
+  test("minhashNearDupPairs: jaccard threshold filters weak overlaps") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 zz yy"   // high overlap
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // rowsPerBand=1 → candidate if ANY of the k minhashes agree, so the
+    // LSH recall probability doesn't decide the test; the exact jaccard
+    // verification is what's under test
+    val loose = Dedup.minhashNearDupPairs(df, col("doc_id"), col("text"),
+      rowsPerBand = 1, threshold = 0.3)
+    val strict = Dedup.minhashNearDupPairs(df, col("doc_id"), col("text"),
+      rowsPerBand = 1, threshold = 0.99)
+    loose.count() shouldBe 1L
+    strict.count() shouldBe 0L
+  }
+
+  test("simhashNearDupPairs: identical docs at hamming 0; unrelated docs filtered") {
+    val text = "spark sql catalyst tungsten codegen shuffle partition broadcast"
+    val other = "entirely unrelated tokens q w e r t y u i"
+    val df = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, col("doc_id"), col("text"), maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    pairs shouldBe Seq((1L, 2L))
+  }
+}

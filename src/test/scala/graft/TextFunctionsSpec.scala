@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions.{size => asize, _}
+import graft.functions.{TextFunctions => TF}
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(Tuple1(text)).toDF("t").select(c.as("v")).head().getAs[T]("v")
+
+  test("tokens: null/empty/whitespace-only → empty array") {
+    val df = Seq(Tuple1(null: String), Tuple1(""), Tuple1("  "), Tuple1("a b  c"))
+      .toDF("t").select(asize(TF.tokens(col("t"))).as("n"))
+    df.as[Int].collect().toSeq shouldBe Seq(0, 0, 0, 3)
+  }
+
+  test("regexTokenCount: words + single symbols") {
+    one[Int](TF.regexTokenCount(col("t")), "hi, world!") shouldBe 4 // hi , world !
+  }
+
+  test("punctRatio and stopwordRatio") {
+    one[Double](TF.punctRatio(col("t")), "ab!!") shouldBe 0.5
+    one[Double](TF.punctRatio(col("t")), "") shouldBe 0.0
+    one[Double](TF.stopwordRatio(col("t"), Seq("the", "a")), "the big a cat") shouldBe 0.5
+  }
+
+  test("shingles: n-token windows, distinct, short docs → whole doc") {
+    one[Seq[String]](TF.shingles(col("t"), 3), "a b c d") shouldBe Seq("a b c", "b c d")
+    one[Seq[String]](TF.shingles(col("t"), 3), "a b") shouldBe Seq("a b")
+    one[Seq[String]](TF.shingles(col("t"), 3), "") shouldBe Seq.empty
+  }
+
+  test("minhash signature: k wide, deterministic, order-insensitive on shingle sets") {
+    val sig1 = one[scala.collection.Seq[String]](TF.minhashSignature(TF.shingles(col("t"), 2), 4), "x y z w")
+    val sig2 = one[scala.collection.Seq[String]](TF.minhashSignature(TF.shingles(col("t"), 2), 4), "x y z w")
+    sig1.length shouldBe 4
+    sig1 shouldBe sig2
+  }
+
+  test("bandKeys: bands of r rows; short signature → zero bands") {
+    val df = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("sig")
+    df.select(asize(TF.bandKeys(col("sig"), 2)).as("n")).head().getInt(0) shouldBe 2
+    df.select(asize(TF.bandKeys(col("sig"), 8)).as("n")).head().getInt(0) shouldBe 0
+  }
+
+  test("simhash: deterministic, 32-bit range, identical docs → distance 0") {
+    val h1 = one[Long](TF.simhash(col("t")), "the quick brown fox")
+    val h2 = one[Long](TF.simhash(col("t")), "the quick brown fox")
+    h1 shouldBe h2
+    h1 should be >= 0L
+    h1 should be < (1L << 32)
+    val df = Seq(("the quick brown fox", "the quick brown fox")).toDF("a", "b")
+    df.select(TF.hammingDistance(TF.simhash(col("a")), TF.simhash(col("b"))).as("d"))
+      .head().getAs[Number]("d").intValue() shouldBe 0
+  }
+
+  test("langId: stopword-hit majority, no hits → und") {
+    val markers = TF.DefaultLangMarkers
+    one[String](TF.langId(col("t"), markers), "the cat is in the house") shouldBe "en"
+    one[String](TF.langId(col("t"), markers), "das ist nicht ein hund und") shouldBe "de"
+    one[String](TF.langId(col("t"), markers), "zzz qqq") shouldBe "und"
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val scores = Seq("", "the of and to a in is it", "!!!!....;;;;", "plain words only here")
+      .map(t => one[Double](TF.qualityScore(col("t"), TF.DefaultLangMarkers("en")), t))
+    all(scores) should (be >= 0.0 and be <= 1.0)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.{Dedup, Similarity, TopK}
+
+class VectorAndSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecDF(vs: Seq[(Long, Seq[Float])]) =
+    vs.toDF("vec_id", "embedding")
+
+  test("native dot is bit-identical to the HOF fold on random vectors") {
+    val rnd = new Random(7)
+    val vs = (0L until 50L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecDF(vs)
+    val pairs = df.crossJoin(df.select(col("embedding").as("e2")).limit(10))
+    pairs.select((VF.dot(col("embedding"), col("e2")) =!=
+      VF.dotHof(col("embedding"), col("e2"))).as("neq"))
+      .filter(col("neq")).count() shouldBe 0L
+  }
+
+  test("dot/cosine/l2 basics") {
+    val df = Seq(
+      (1L, Seq(1f, 0f), Seq(1f, 0f)),
+      (2L, Seq(1f, 0f), Seq(0f, 1f)),
+      (3L, Seq(0f, 0f), Seq(1f, 1f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), VF.cosine(col("a"), col("b")).as("c"))
+      .orderBy("id").as[(Long, Double)].collect().map(_._2)
+    out(0) shouldBe 1.0 +- 1e-12
+    out(1) shouldBe 0.0 +- 1e-12
+    out(2) shouldBe 0.0 // zero-norm guard
+  }
+
+  test("normalize produces unit vectors; zero vector unchanged") {
+    val df = Seq(Tuple1(Seq(3f, 4f)), Tuple1(Seq(0f, 0f))).toDF("v")
+    val norms = df.select(VF.l2Norm(VF.normalize(col("v"))).as("n")).as[Double].collect()
+    norms(0) shouldBe 1.0 +- 1e-12
+    norms(1) shouldBe 0.0
+  }
+
+  test("srpBucket: deterministic, bounded, similar vectors collide") {
+    val planes = VF.randomPlanes(6, 4, seed = 42L)
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, Seq(1.001f, 2.001f, 3.001f, 4.001f)),
+      (3L, Seq(-1f, -2f, -3f, -4f))
+    ).toDF("vec_id", "embedding")
+    val buckets = df.select(col("vec_id"), VF.srpBucket(col("embedding"), planes).as("b"))
+      .orderBy("vec_id").as[(Long, Long)].collect().map(_._2)
+    all(buckets.toSeq) should (be >= 0L and be < 64L)
+    buckets(0) shouldBe buckets(1)     // near-identical → same bucket
+    buckets(0) should not be buckets(2) // opposite vector → all bits flip
+  }
+
+  test("bruteForceTopK matches window ranking exactly") {
+    val rnd = new Random(11)
+    val vs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = vecDF(vs)
+    val queries = vecDF(vs.take(3))
+    val agg = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("query_id", "neighbor_id", "rnk")
+    // independent window formulation
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val win = c.crossJoin(q).filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), VF.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk")
+    agg.exceptAll(win).count() shouldBe 0L
+    win.exceptAll(agg).count() shouldBe 0L
+  }
+
+  test("TopK aggregator: bounded, deterministic ties by id asc") {
+    val df = Seq((1L, 10L, 1.0), (1L, 11L, 1.0), (1L, 12L, 0.5), (1L, 13L, 2.0))
+      .toDF("g", "id", "score")
+    val top = df.groupBy("g").agg(TopK.topK(2)(col("id"), col("score")).as("t"))
+      .select(explode(col("t")).as("s")).select("s.id").as[Long].collect().toSeq
+    top shouldBe Seq(13L, 10L) // 2.0 first, then tie 1.0 broken by lower id
+  }
+
+  test("srpTopK recall on clustered data ≥ 0.6 and exact on same-bucket neighbors") {
+    val rnd = new Random(5)
+    // two tight clusters far apart — every true neighbor shares the query's cluster
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val corpus = vecDF(cluster(1f, 50, 0L) ++ cluster(-1f, 50, 100L))
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+    val approx = Similarity.srpTopK(queries, corpus, 5, nBits = 4, dim = 8)
+    Similarity.recallAtK(exact, approx) should be >= 0.6
+  }
+
+  test("embedding near-dup pairs: identical vectors found, opposites not") {
+    val df = Seq(
+      (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)), (3L, Seq.fill(8)(-0.5f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, col("vec_id"), col("embedding"),
+      threshold = 0.99, nBits = 4, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    pairs shouldBe Seq((1L, 2L))
+  }
+}
