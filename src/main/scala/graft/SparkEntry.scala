@@ -279,6 +279,99 @@ object SparkEntry {
       count(lit(1)).as("total"),
       countDistinct(col("user_id"), col("event_type")).as("distinct_user_type"))
 
+  /** q23 — MinHash+LSH near-duplicate pairs with exact Jaccard
+    * verification (LLM-pipeline near-dup; Dedup operator). rowsPerBand=1
+    * keeps candidate generation deterministic for the oracle (candidate ⇔
+    * any of the k MinHashes agree). */
+  def q23NearDupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 300 && trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
+      threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q24 — SimHash near-dup pairs (Hamming-blocked self-join). Fingerprint
+    * bit math isn't expressible in portable SQL → rows-only oracle; exact
+    * semantics unit-tested in DedupSpec. */
+  def q24NearDupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(
+      t(s, dir, "documents").filter(trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q25 — embedding near-duplicate pairs: exact cosine ≥ threshold over
+    * all pairs via the native VecDot expression (the brute-force baseline
+    * of Dedup.embeddingNearDupPairs; the SRP-blocked variant is the scale
+    * path, unit-tested for recall). */
+  def q25NearDupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+      VF.l2Norm(col("embedding")).as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+      VF.l2Norm(col("embedding")).as("n_b"))
+    val denom = col("n_a") * col("n_b")
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(denom === 0.0, 0.0)
+          .otherwise(VF.dot(col("v_a"), col("v_b")) / denom).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q26 — language identification by stopword-hit scoring over the marker
+    * lists (text analysis; TF.langId), rolled up per (predicted, labeled). */
+  def q26LanguageId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TF.langId(col("text"), TF.DefaultLangMarkers).as("lang_pred"),
+        col("lang"))
+      .groupBy(col("lang_pred"), col("lang"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("lang_pred"), col("lang"))
+
+  /** q27 — per-document quality score (length/stopword/punctuation mix,
+    * floor-truncated so the arithmetic is engine-identical). */
+  def q27QualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.qualityScore(col("text"), TF.DefaultLangMarkers("en")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** q28 — SRP-LSH approximate nearest neighbors (the 100 TB ANN path:
+    * corpus bucketed once, queries multi-probe their neighbor buckets).
+    * Plane literals live in Scala → rows-only oracle; recall vs the exact
+    * path is asserted in VectorAndSimilaritySpec. */
+  def q28AnnSrp(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.srpTopK(e.filter(col("vec_id") < 5), e, 10, nBits = 6, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** q29 — Structured Streaming tumbling-window aggregation over the events
+    * table run to completion (SURVEY §2.11): must equal the equivalent
+    * batch GROUP BY, which is exactly what the oracle checks. */
+  def q29StreamingWindows(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.runToCompletion(s, s"$dir/events.parquet",
+      s"q29_stream_${System.nanoTime()}",
+      graft.streaming.EventStreams.hourlyTypeCounts)
+      .orderBy(col("hour"), col("event_type"))
+
+  /** q30 — multimodal blob pipeline: text → opaque binary payload + typed
+    * metadata, then per-partition decode/feature-extract via mapPartitions
+    * (the Scala analog of mapInPandas; decode itself is a deterministic
+    * stub — no codecs in this environment — so every feature is
+    * byte-arithmetic the oracle can reproduce). */
+  def q30MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val blobs = operators.MultimodalOps.asBlobTable(
+      t(s, dir, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", "text/plain")
+    operators.MultimodalOps.extractFeatures(
+      blobs.select(col("doc_id"), col("payload")), "doc_id", "payload")
+      // header_byte isn't expressible in portable SQL (code point ≠ byte
+      // for non-ASCII); the oracle checks the byte-arithmetic features
+      .drop("header_byte")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -301,7 +394,15 @@ object SparkEntry {
     "q19_minhash_fingerprint" -> (q19MinhashFingerprint _),
     "q20_knn_bruteforce" -> (q20KnnBruteForce _),
     "q21_event_windows" -> (q21EventWindows _),
-    "q22_event_dedup_count" -> (q22EventDedupCount _)
+    "q22_event_dedup_count" -> (q22EventDedupCount _),
+    "q23_neardup_minhash" -> (q23NearDupMinhash _),
+    "q24_neardup_simhash" -> (q24NearDupSimhash _),
+    "q25_neardup_embedding" -> (q25NearDupEmbedding _),
+    "q26_language_id" -> (q26LanguageId _),
+    "q27_quality_score" -> (q27QualityScore _),
+    "q28_ann_srp" -> (q28AnnSrp _),
+    "q29_streaming_windows" -> (q29StreamingWindows _),
+    "q30_multimodal_features" -> (q30MultimodalFeatures _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -466,6 +567,86 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT (user_id, event_type))
         |    FILTER (WHERE user_id IS NOT NULL AND event_type IS NOT NULL) AS BIGINT)
         |    AS distinct_user_type
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "q23_neardup_minhash" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE doc_id < 300 AND trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |mh AS (SELECT s.doc_id, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, r.seed),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM mh a JOIN mh b
+        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+        |j AS (SELECT c.id_a, c.id_b,
+        |        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+        |          AS jaccard
+        |      FROM cand c
+        |      JOIN sh sa ON sa.doc_id = c.id_a
+        |      JOIN sh sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q25_neardup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_inner_product(a.v, b.v) AS dp,
+        |        sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)) AS denom
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END AS cosine
+        |FROM p WHERE CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q26_language_id" ->
+      """WITH d AS (SELECT lang, trim(COALESCE(text, '')) = '' AS empty,
+        |             string_split_regex(lower(trim(COALESCE(text, ''))), '\s+') AS toks
+        |           FROM documents),
+        |h AS (SELECT lang,
+        |  CASE WHEN empty THEN 0 ELSE len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','you','that'], x))) END AS h_en,
+        |  CASE WHEN empty THEN 0 ELSE len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','ich','zu','mit'], x))) END AS h_de,
+        |  CASE WHEN empty THEN 0 ELSE len(list_filter(toks, x -> list_contains(['le','la','les','et','est','pas','un','une','je','dans'], x))) END AS h_fr,
+        |  CASE WHEN empty THEN 0 ELSE len(list_filter(toks, x -> list_contains(['el','la','los','las','es','no','un','una','yo','en'], x))) END AS h_es,
+        |  CASE WHEN empty THEN 0 ELSE len(list_filter(toks, x -> list_contains(['的','是','不','了','在','我','有','他','这','中'], x))) END AS h_zh
+        |FROM d),
+        |g AS (SELECT lang, h_en, h_de, h_fr, h_es, h_zh,
+        |        greatest(h_en, h_de, h_fr, h_es, h_zh) AS best FROM h)
+        |SELECT CASE WHEN best = 0 THEN 'und'
+        |            WHEN h_zh = best THEN 'zh' WHEN h_fr = best THEN 'fr'
+        |            WHEN h_es = best THEN 'es' WHEN h_en = best THEN 'en'
+        |            ELSE 'de' END AS lang_pred,
+        |  lang, COUNT(*) AS docs
+        |FROM g GROUP BY 1, 2 ORDER BY lang_pred, lang""".stripMargin,
+    "q27_quality_score" ->
+      """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS punct,
+        |  CASE WHEN trim(text) = '' THEN 0.0 ELSE
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','and','of','to','a','in','is','it','you','that'], x))) AS DOUBLE)
+        |    / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stopratio
+        |FROM d)
+        |SELECT doc_id,
+        |  floor((least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
+        |       + least(stopratio * 4.0, 1.0)
+        |       + greatest(1.0 - punct * 4.0, 0.0)) / 3.0 * 1e6) / 1e6 AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q29_streaming_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type,
+        |  COUNT(*) AS events,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q30_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+        |  CAST(64 + COALESCE(octet_length(encode(text)), 0) % 64 AS INTEGER) AS width,
+        |  CAST(64 + (COALESCE(octet_length(encode(text)), 0) // 64) % 64 AS INTEGER) AS height
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
   )
 }

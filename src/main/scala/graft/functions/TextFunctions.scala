@@ -56,7 +56,9 @@ object TextFunctions {
     val lenScore = least(tokenCount(text).cast("double") / 64.0, lit(1.0))
     val stopScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
     val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
-    round((lenScore + stopScore + punctPenalty) / 3.0, 6)
+    // floor-truncate to 6 dp instead of round(): round ties differ across
+    // engines (Spark HALF_UP vs DuckDB half-even); floor is pure IEEE.
+    floor((lenScore + stopScore + punctPenalty) / 3.0 * 1e6) / 1e6
   }
 
   /** N-gram token shingles: array of space-joined n-token windows; docs

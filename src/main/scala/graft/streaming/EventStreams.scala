@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension of the snapshot pipeline (SURVEY §2.11):
+  * the batch engine's event aggregations re-expressed as an incremental
+  * stream — file source → watermark → tumbling window → stateful agg.
+  *
+  * At scale this is the continuous-refresh replacement for the reference's
+  * TRUNCATE+reload snapshot: the same groupBy keys, but maintained
+  * incrementally with bounded state (watermark evicts closed windows).
+  * `dropDuplicates` on a match/event key before aggregation gives the
+  * streaming analog of the batch match-dedup (state also watermark-bounded).
+  */
+object EventStreams {
+
+  /** events.parquet physical schema (ts stored as raw nanos — see
+    * [[graft.sources.Tables.events]]). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Open the events table as a file stream (a directory of parquet files —
+    * at scale, the landing zone a collector keeps appending to). A single
+    * parquet FILE is staged into a temp landing dir first: Spark's file
+    * stream source only lists directories. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val f = new java.io.File(path)
+    val dir =
+      if (f.isFile) {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+        d.toFile.deleteOnExit()
+        d.toString
+      } else path
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windows per event_type: event counts + value sums
+    * (as integer cents — double sums depend on accumulation order, which
+    * differs between incremental state updates and any batch engine).
+    * Watermark bounds state; exact distinct-user counts are not available
+    * incrementally (use approx_count_distinct in production). */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).cast("long").as("hour"),
+        col("event_type"), col("events"), col("value_cents"))
+
+  /** Run a streaming aggregation over a static directory to completion and
+    * return the final result — the batch-equivalence harness used by the
+    * driver queries and specs (every micro-batch path is exercised; the
+    * result must equal the batch groupBy). */
+  def runToCompletion(spark: SparkSession, dir: String, name: String,
+      agg: DataFrame => DataFrame): DataFrame = {
+    val q = agg(readEventStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
