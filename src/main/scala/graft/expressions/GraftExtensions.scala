@@ -1,0 +1,54 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+
+/** Wires the engine's native expressions into the SQL function registry,
+  * so `spark.sql("SELECT vec_dot(a, b)")` plans the codegen'd [[VecDot]]
+  * directly.
+  *
+  * Two entry points sharing one function table:
+  *  - `.withExtensions(new GraftExtensions)` / `spark.sql.extensions`
+  *    config at session build time (the cluster deployment path);
+  *  - [[GraftExtensions.register]] on a live session (notebooks, tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[VecDot].getCanonicalName, null, name, usage, "")
+
+  private def binary(name: String)(build: (Expression, Expression) => Expression)
+      : FunctionRegistry.FunctionBuilder = {
+    case Seq(a, b) => build(a, b)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 2 arguments, got ${args.length}")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      binary("vec_dot")(VecDot(_, _))),
+    (FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
+      binary("vec_cosine") { (a, b) =>
+        // composed from VecDot so SQL and the Column API share one
+        // arithmetic definition (bit-identical results)
+        val denom = Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b)))
+        CaseWhen(Seq((EqualTo(denom, Literal(0.0)), Literal(0.0))),
+          Some(Divide(VecDot(a, b), denom)))
+      })
+  )
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

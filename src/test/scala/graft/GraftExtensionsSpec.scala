@@ -1,0 +1,35 @@
+package graft
+
+import graft.expressions.GraftExtensions
+
+/** SQL surface of the native expressions (FunctionRegistry wiring). */
+class GraftExtensionsSpec extends SparkSpecBase {
+
+  test("vec_dot / vec_cosine callable from SQL and plan the native expression") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+    dot.head().getDouble(0) shouldBe 11.0
+    // planned expression is VecDot, not a UDF
+    dot.queryExecution.analyzed.toString should include("vecdot")
+    spark.sql("SELECT vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0) shouldBe 1.0 +- 1e-12
+    spark.sql("SELECT vec_cosine(array(0.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0) shouldBe 0.0
+  }
+
+  test("vec_dot arity error is informative") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D))").collect()
+    }
+    e.getMessage.toLowerCase should include("argument")
+  }
+
+  test("vec_dot rejects non-array inputs with a type-check error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(1.0D, 2.0D)").collect()
+    }
+    e.getMessage should include("vec_dot requires array")
+  }
+}
