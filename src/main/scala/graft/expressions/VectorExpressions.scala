@@ -91,4 +91,70 @@ object VectorExpressions {
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API wrapper: codegen'd 32-bit SimHash sign-mix. */
+  def simhashMix(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHashMix(ColumnBridge.expression(tokenHashes)))
+}
+
+/** 32-bit SimHash sign-mix over per-token hashes: each bit position
+  * accumulates +1 when the token hash has the bit set, −1 otherwise; the
+  * sign vector becomes the fingerprint (non-negative, < 2^32).
+  *
+  * The higher-order-function formulation needed a per-element lambda over
+  * 32 bit positions per token — and because the token hash was itself a
+  * subexpression, the md5 underneath re-evaluated once per bit (32× per
+  * token; ~350 s for 5k docs at sf0.1). This expression takes the hash
+  * array (one md5 per token) and runs the bit loop natively (~100×
+  * faster, same values).
+  */
+case class SimHashMix(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_mix requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMix.mixJava(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.SimHashMix.mixJava($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMix =
+    copy(child = newChild)
+}
+
+object SimHashMix {
+  /** Static helper the generated code calls — the loop itself is JIT-hot
+    * and branch-simple; keeping it here avoids inlining 64 lines of
+    * codegen per call site. */
+  def mixJava(arr: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 32) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 }

@@ -99,22 +99,16 @@ object TextFunctions {
 
   /** 32-bit SimHash over whitespace tokens: per-token 32-bit hash from the
     * md5 hex prefix; each bit position accumulates +1/-1; the sign vector
-    * is the fingerprint. Returned as a non-negative long (< 2^32). */
+    * is the fingerprint. Returned as a non-negative long (< 2^32).
+    *
+    * One md5 per token (the hash array materializes first), then the
+    * native [[graft.expressions.SimHashMix]] does the 32-bit sign mix —
+    * the pure-HOF formulation re-evaluated the md5 once per BIT and took
+    * 350 s over 5k docs at sf0.1; this is sub-second. */
   def simhash(text: Column): Column = {
     val toks = tokens(lower(text))
-    val zero = array_repeat(lit(0), 32)
-    // bit i of h via pow-division (functions.shiftright only takes a
-    // literal shift, not a per-element Column; h < 2^32 so double is exact)
-    def bitAt(h: Column, i: Column): Column =
-      (h / pow(lit(2.0), i.cast("double"))).cast("long").bitwiseAND(1)
-    val counts = aggregate(toks, zero, (acc, t) => {
-      val h = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-      zip_with(acc, sequence(lit(0), lit(31)),
-        (a, i) => a + when(bitAt(h, i) === 1, 1).otherwise(-1))
-    })
-    aggregate(zip_with(counts, sequence(lit(0), lit(31)),
-      (c, i) => when(c > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc + b)
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    graft.expressions.VectorExpressions.simhashMix(hashes)
   }
 
   /** Hamming distance between two simhash longs (≤ 64 bits). */
