@@ -38,16 +38,24 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val docs = df.select(id.as("doc_id"), T.shingles(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+    // the band self-join moves only (band, id) — candidate generation never
+    // shuffles shingle payloads. At corpus scale the band index is a tiny
+    // fraction of the documents' bytes, and the heavy arrays are attached
+    // afterwards for the (much smaller) surviving candidate set only.
     val banded = docs
       .withColumn("band", explode(T.bandKeys(T.minhashSignature(col("sh"), k), rowsPerBand)))
-    val a = banded.select(col("band"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+      .select(col("band"), col("doc_id"))
+    val cand = banded.select(col("band"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
