@@ -372,6 +372,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q31 — sessionization over the event stream: 30-minute-gap sessions
+    * via lag + running conditional sum (the canonical event-pipeline
+    * windowed computation; rank/lag/running-agg coverage beyond W1).
+    * Epoch seconds via truncation on both engines (unix_timestamp /
+    * floor(epoch)) — DuckDB's CAST would round-half-even on fractional
+    * seconds. */
+  def q31Sessionization(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val secs = unix_timestamp(col("ts"))
+    val gap = secs - unix_timestamp(lag(col("ts"), 1).over(w))
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("new_s", when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(run).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(secs).cast("long").as("start_ts"),
+        max(secs).cast("long").as("end_ts"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q32 — multi-dimensional ROLLUP aggregation (grouping-set coverage):
+    * per (priority, status), per priority, and grand total in one pass. */
+  def q32RollupTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("orders"), moneySumCents(col("o_totalprice")).as("total_cents"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("orders"), col("total_cents"))
+      .orderBy(col("priority"), col("status"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -402,7 +435,9 @@ object SparkEntry {
     "q27_quality_score" -> (q27QualityScore _),
     "q28_ann_srp" -> (q28AnnSrp _),
     "q29_streaming_windows" -> (q29StreamingWindows _),
-    "q30_multimodal_features" -> (q30MultimodalFeatures _)
+    "q30_multimodal_features" -> (q30MultimodalFeatures _),
+    "q31_sessionization" -> (q31Sessionization _),
+    "q32_rollup_totals" -> (q32RollupTotals _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -647,6 +682,29 @@ object SparkEntry {
         |  CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
         |  CAST(64 + COALESCE(octet_length(encode(text)), 0) % 64 AS INTEGER) AS width,
         |  CAST(64 + (COALESCE(octet_length(encode(text)), 0) // 64) % 64 AS INTEGER) AS height
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q31_sessionization" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |           FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT user_id, event_id, ts, secs,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR secs - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, secs,
+        |        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(secs) AS start_ts, MAX(secs) AS end_ts
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "q32_rollup_totals" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin
   )
 }
