@@ -405,6 +405,16 @@ object SparkEntry {
         col("orders"), col("total_cents"))
       .orderBy(col("priority"), col("status"))
 
+  /** q33 — IVF approximate ANN: KMeans coarse quantizer over the corpus,
+    * queries probe their 2 nearest of 8 cells (the at-ingest-indexed scale
+    * path alongside q28's LSH). Model training isn't SQL-expressible →
+    * rows-only oracle; recall asserted in VectorAndSimilaritySpec. */
+  def q33AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, 10, nLists = 8, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -437,7 +447,8 @@ object SparkEntry {
     "q29_streaming_windows" -> (q29StreamingWindows _),
     "q30_multimodal_features" -> (q30MultimodalFeatures _),
     "q31_sessionization" -> (q31Sessionization _),
-    "q32_rollup_totals" -> (q32RollupTotals _)
+    "q32_rollup_totals" -> (q32RollupTotals _),
+    "q33_ann_ivf" -> (q33AnnIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -83,6 +83,44 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Approximate top-k via IVF (inverted-file) search: a seeded KMeans
+    * coarse quantizer partitions the corpus into `nLists` cells once (the
+    * index build — at 100 TB this happens at ingest and the cell id is a
+    * partition column); each query probes its `nProbe` nearest cells and
+    * scores only those, cutting cost to ~nProbe/nLists of brute force.
+    * Cell assignment uses Euclidean distance (KMeans' objective); final
+    * scoring is exact cosine on the probed subset. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c0 = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_vec"),
+      array_to_vector(col("embedding")).as("feat"))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("feat").setPredictionCol("list_id").fit(c0)
+    val c = model.transform(c0).select(col("neighbor_id"), col("c_vec"),
+      col("list_id"), V.l2Norm(col("c_vec")).as("c_norm"))
+    // query-side probe list: distance to every centroid as a literal
+    // array, keep the nProbe nearest cells
+    val cells = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+      struct(V.l2Sq(col("q_vec"), array(ctr.toArray.map(lit): _*)).as("d"),
+        lit(i).as("list_id"))
+    }
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+      V.l2Norm(col("embedding")).as("q_norm"))
+      .withColumn("probe", slice(array_sort(array(cells: _*)), 1, nProbe))
+      .withColumn("list_id", explode(col("probe").getField("list_id")))
+      .drop("probe")
+    val denom = col("q_norm") * col("c_norm")
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(denom === 0.0, 0.0)
+          .otherwise(V.dot(col("q_vec"), col("c_vec")) / denom).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** Recall@k of `approx` against `exact` (both in topK output shape):
     * |approx ∩ exact| / |exact| per query, averaged. */
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {

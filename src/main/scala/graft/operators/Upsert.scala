@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Upsert semantics for a parquet warehouse — the reference's
+  * `ON CONFLICT (pk) DO UPDATE` sinks (etl_snapshot_topn.py:374-453,
+  * SURVEY S8). After a full TRUNCATE those degrade to plain inserts, but
+  * an *incremental* refresh (the snapshot pipeline run on only new
+  * battlelogs) needs real merge: new rows win, unmatched old rows survive.
+  *
+  * On a transactional table format this is `MERGE INTO`; on plain parquet
+  * it is read → anti-join → union → rewrite. The rewrite is full-table —
+  * correct at any scale but O(table); partition the table and merge only
+  * affected partitions when update keys are partition-aligned.
+  */
+object Upsert {
+
+  /** Merge `updates` into `current` by `keys`: every update row replaces
+    * its match; unmatched current rows pass through. Pure plan — one
+    * anti-join (broadcast when updates are small) + union. */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(current.join(updates, keys, "left_anti"))
+
+  /** Upsert against a parquet path with a staged write: merge into
+    * `<path>__staged`, then swap directories. The swap is atomic on a
+    * POSIX filesystem; on object stores use a manifest/table format
+    * instead — this is the local-warehouse shape of the idea. */
+  def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
+    val target = new java.io.File(path)
+    val staged = new java.io.File(path + "__staged")
+    val old = new java.io.File(path + "__old")
+    val merged =
+      if (target.exists()) upsert(spark.read.parquet(path), updates, keys)
+      else updates
+    merged.write.mode(SaveMode.Overwrite).parquet(staged.getPath)
+    if (target.exists()) {
+      if (!target.renameTo(old))
+        throw new java.io.IOException(s"could not stage out $path")
+    }
+    if (!staged.renameTo(target)) {
+      // roll back: put the old table back before failing
+      if (old.exists()) old.renameTo(target)
+      throw new java.io.IOException(s"could not swap $path")
+    }
+    if (old.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(old)
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** S8 upsert semantics + the bucketing answer to the reference's
+  * secondary indexes (SURVEY §4): bucketed tables co-locate join keys so
+  * the join plans without a shuffle exchange. */
+class UpsertAndBucketingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("upsert: updates win, unmatched current rows survive") {
+    val current = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v")
+    val updates = Seq((2L, "B2", 99), (4L, "d", 40)).toDF("id", "name", "v")
+    val out = Upsert.upsert(current, updates, Seq("id"))
+      .orderBy("id").as[(Long, String, Int)].collect().toSeq
+    out shouldBe Seq((1L, "a", 10), (2L, "B2", 99), (3L, "c", 30), (4L, "d", 40))
+  }
+
+  test("upsertParquet: staged write-swap round-trips and is idempotent") {
+    val dir = Files.createTempDirectory("graft_upsert_").toString
+    val path = s"$dir/t"
+    Upsert.upsertParquet(spark, path,
+      Seq((1L, 10), (2L, 20)).toDF("id", "v"), Seq("id"))
+    Upsert.upsertParquet(spark, path,
+      Seq((2L, 99), (3L, 30)).toDF("id", "v"), Seq("id"))
+    // applying the same update twice changes nothing
+    Upsert.upsertParquet(spark, path,
+      Seq((2L, 99), (3L, 30)).toDF("id", "v"), Seq("id"))
+    spark.read.parquet(path).orderBy("id").as[(Long, Int)].collect().toSeq shouldBe
+      Seq((1L, 10), (2L, 99), (3L, 30))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    val o = (1L to 1000L).map(i => (i, i % 100, i * 10.0)).toDF("o_id", "custkey", "price")
+    val c = (0L until 100L).map(i => (i, s"cust$i")).toDF("custkey", "name")
+    o.write.bucketBy(8, "custkey").sortBy("custkey").saveAsTable("b_orders")
+    c.write.bucketBy(8, "custkey").saveAsTable("b_customer")
+    val joined = spark.table("b_orders").join(spark.table("b_customer"), "custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: SortMergeJoin directly over the bucketed scans — the
+    // exchange that a plain parquet join needs is gone (disable the
+    // broadcast fallback so the bucket path is what's planned)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = spark.table("b_orders").join(spark.table("b_customer"), "custkey")
+        .queryExecution.executedPlan.toString
+      p should not include "Exchange hashpartitioning"
+    }
+    joined.count() shouldBe 1000L
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

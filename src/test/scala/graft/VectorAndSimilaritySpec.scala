@@ -96,6 +96,20 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     Similarity.recallAtK(exact, approx) should be >= 0.6
   }
 
+  test("ivfTopK: KMeans-cell probing recovers cluster neighbors") {
+    val rnd = new Random(13)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val corpus = vecDF(cluster(1f, 50, 0L) ++ cluster(-1f, 50, 100L) ++ cluster(0.3f, 50, 200L))
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+    // nProbe=2: KMeans may split a tight cluster across two cells
+    // (observed with this seed) — probing the second-nearest cell is
+    // exactly the IVF answer to that
+    val approx = Similarity.ivfTopK(queries, corpus, 5, nLists = 4, nProbe = 2)
+    Similarity.recallAtK(exact, approx) should be >= 0.8
+  }
+
   test("embedding near-dup pairs: identical vectors found, opposites not") {
     val df = Seq(
       (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)), (3L, Seq.fill(8)(-0.5f))
