@@ -415,6 +415,19 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** q34 — schema-on-read JSON extraction from the events `props` column
+    * (the reference's defensive nested-JSON consumption, F-family):
+    * parse, project a typed field, aggregate. */
+  def q34JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("with_k"),
+        coalesce(sum(col("k")), lit(0L)).as("k_total"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -448,7 +461,8 @@ object SparkEntry {
     "q30_multimodal_features" -> (q30MultimodalFeatures _),
     "q31_sessionization" -> (q31Sessionization _),
     "q32_rollup_totals" -> (q32RollupTotals _),
-    "q33_ann_ivf" -> (q33AnnIvf _)
+    "q33_ann_ivf" -> (q33AnnIvf _),
+    "q34_json_extract" -> (q34JsonExtract _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -716,6 +730,13 @@ object SparkEntry {
         |  COUNT(*) AS orders,
         |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-        |ORDER BY priority, status""".stripMargin
+        |ORDER BY priority, status""".stripMargin,
+    "q34_json_extract" ->
+      """SELECT event_type,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS with_k,
+        |  CAST(COALESCE(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS k_total,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -61,6 +61,16 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).cast("long").as("hour"),
         col("event_type"), col("events"), col("value_cents"))
 
+  /** Streaming exact dedup — the incremental form of the batch
+    * match-hash dedup (SURVEY A13/§2.11): duplicates arriving within the
+    * watermark horizon are dropped with bounded state; late duplicates
+    * beyond it age out of the state store (the explicit correctness/state
+    * trade of streaming dedup). */
+  def dedupedEvents(events: DataFrame, gap: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", gap)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming aggregation over a static directory to completion and
     * return the final result — the batch-equivalence harness used by the
     * driver queries and specs (every micro-batch path is exercised; the
