@@ -11,24 +11,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup at the smallest SF: exercises every query's plan end-to-end so
-    // codegen compilation + JIT + parquet footer caching don't bill the
-    // first timed queries (fresh-JVM warmup dominated round-1 numbers).
+    // Warmup at the smallest sibling SF (fall back to the bench dir
+    // itself): exercises every query's plan end-to-end so codegen
+    // compilation + JIT + parquet footer caching don't bill the first
+    // timed queries (fresh-JVM warmup dominated round-1 numbers).
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $name: ${e.getMessage}") }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -351,8 +351,7 @@ object SparkEntry {
     * batch GROUP BY, which is exactly what the oracle checks. */
   def q29StreamingWindows(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.runToCompletion(s, s"$dir/events.parquet",
-      s"q29_stream_${System.nanoTime()}",
-      graft.streaming.EventStreams.hourlyTypeCounts)
+      "q29_stream", graft.streaming.EventStreams.hourlyTypeCounts)
       .orderBy(col("hour"), col("event_type"))
 
   /** q30 — multimodal blob pipeline: text → opaque binary payload + typed

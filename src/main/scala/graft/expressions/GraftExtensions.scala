@@ -21,8 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[VecDot].getCanonicalName, null, name, usage, "")
+  private def info(implClass: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(implClass.getCanonicalName, null, name, usage, "")
 
   private def binary(name: String)(build: (Expression, Expression) => Expression)
       : FunctionRegistry.FunctionBuilder = {
@@ -33,10 +33,11 @@ object GraftExtensions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
     (FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      info(classOf[VecDot], "vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
       binary("vec_dot")(VecDot(_, _))),
     (FunctionIdentifier("vec_cosine"),
-      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
+      info(classOf[GraftExtensions], "vec_cosine",
+        "vec_cosine(a, b) - cosine similarity of two float/double arrays (composed from vec_dot)"),
       binary("vec_cosine") { (a, b) =>
         // composed from VecDot so SQL and the Column API share one
         // arithmetic definition (bit-identical results)

@@ -44,12 +44,14 @@ case class VecDot(left: Expression, right: Expression)
         s"vec_dot requires array<float|double> inputs, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
+  // element types are fixed per plan — resolve once, not per row
+  @transient private lazy val lf = elemType(left).contains(FloatType)
+  @transient private lazy val rf = elemType(right).contains(FloatType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left).contains(FloatType)
-    val rf = elemType(right).contains(FloatType)
     var s = 0.0
     var i = 0
     while (i < n) {

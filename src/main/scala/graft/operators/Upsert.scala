@@ -30,6 +30,20 @@ object Upsert {
     val target = new java.io.File(path)
     val staged = new java.io.File(path + "__staged")
     val old = new java.io.File(path + "__old")
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    // crash recovery BEFORE reading: a previous run may have died
+    // mid-swap. target missing + __old present = died between the two
+    // renames → the old table is the only copy; restore it. target
+    // present + __old present = died after the swap → __old is garbage.
+    if (!target.exists() && old.exists()) {
+      if (!old.renameTo(target))
+        throw new java.io.IOException(s"could not recover $path from ${old.getPath}")
+    }
+    rm(old)
+    rm(staged)
     val merged =
       if (target.exists()) upsert(spark.read.parquet(path), updates, keys)
       else updates
@@ -43,12 +57,6 @@ object Upsert {
       if (old.exists()) old.renameTo(target)
       throw new java.io.IOException(s"could not swap $path")
     }
-    if (old.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(old)
-    }
+    rm(old)
   }
 }

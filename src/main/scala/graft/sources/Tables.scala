@@ -28,7 +28,13 @@ object Tables {
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw long nanos
     * (legacy conf) and rebuild a proper timestamp via integer µs division —
     * `ts div 1000` stays in long arithmetic (a double division would lose
-    * precision above 2^53 ns). */
+    * precision above 2^53 ns).
+    *
+    * NOTE: the legacy conf is session-wide and stays set — after the first
+    * call, any OTHER nanos-timestamp parquet in this session reads as
+    * LongType instead of erroring. Deliberate: the conf cannot be unset
+    * before the (lazy) scan executes, and every nanos table this engine
+    * touches must go through an explicit converting loader like this one. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn("ts",

@@ -31,6 +31,11 @@ object EventStreams {
     * at scale, the landing zone a collector keeps appending to). A single
     * parquet FILE is staged into a temp landing dir first: Spark's file
     * stream source only lists directories. */
+  /** Staged single-file landing dirs by source path, so
+    * [[runToCompletion]] can clean up after the stream finishes. */
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.io.File]
+
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val f = new java.io.File(path)
@@ -38,7 +43,7 @@ object EventStreams {
       if (f.isFile) {
         val d = java.nio.file.Files.createTempDirectory("graft_stream_")
         java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
-        d.toFile.deleteOnExit()
+        stagedDirs.put(path, d.toFile)
         d.toString
       } else path
     spark.readStream
@@ -74,10 +79,14 @@ object EventStreams {
   /** Run a streaming aggregation over a static directory to completion and
     * return the final result — the batch-equivalence harness used by the
     * driver queries and specs (every micro-batch path is exercised; the
-    * result must equal the batch groupBy). */
-  def runToCompletion(spark: SparkSession, dir: String, name: String,
+    * result must equal the batch groupBy). The memory-sink view and any
+    * staged landing dir are torn down before returning (repeated calls in
+    * one session must not accumulate driver state or /tmp copies), so the
+    * result is materialized into a local DataFrame first — aggregated
+    * output is bounded by (windows × keys), never raw-event-sized. */
+  def runToCompletion(spark: SparkSession, path: String, name: String,
       agg: DataFrame => DataFrame): DataFrame = {
-    val q = agg(readEventStream(spark, dir))
+    val q = agg(readEventStream(spark, path))
       .writeStream
       .format("memory")
       .queryName(name)
@@ -85,6 +94,18 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    val view = spark.table(name)
+    val rows = view.collect().toIndexedSeq
+    val schema = view.schema
+    spark.catalog.dropTempView(name)
+    stagedDirs.remove(path).foreach { d =>
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 1000 + 1)), schema)
   }
 }

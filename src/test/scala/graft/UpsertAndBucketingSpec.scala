@@ -33,6 +33,19 @@ class UpsertAndBucketingSpec extends SparkSpecBase {
       Seq((1L, 10), (2L, 99), (3L, 30))
   }
 
+  test("upsertParquet recovers a table stranded mid-swap (crash window)") {
+    val dir = Files.createTempDirectory("graft_upsert_crash_").toString
+    val path = s"$dir/t"
+    Upsert.upsertParquet(spark, path, Seq((1L, 10), (2L, 20)).toDF("id", "v"), Seq("id"))
+    // simulate a crash between the two swap renames: target moved to
+    // __old, replacement never landed
+    new java.io.File(path).renameTo(new java.io.File(path + "__old")) shouldBe true
+    Upsert.upsertParquet(spark, path, Seq((3L, 30)).toDF("id", "v"), Seq("id"))
+    // the old rows were recovered before merging — not lost
+    spark.read.parquet(path).orderBy("id").as[(Long, Int)].collect().toSeq shouldBe
+      Seq((1L, 10), (2L, 20), (3L, 30))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
