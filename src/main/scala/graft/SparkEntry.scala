@@ -214,10 +214,14 @@ object SparkEntry {
         Hashing.contentHash(col("signature")).as("sig_hash"))
       .orderBy(col("r_name"))
 
-  /** q16 — anti-join (FK orphan check shape). SURVEY J10. */
+  /** q16 — anti-join (FK orphan check shape). SURVEY J10. The anti side
+    * only needs the distinct key set, so orders pre-aggregates to its
+    * custkeys before the join — the exchange then moves |keys| rows
+    * instead of |orders|, and the shrunken side is AQE-broadcastable. */
   def q16AntiOrphans(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, dir, "orders").select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_nationkey"))
