@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{DomainFunctions => F, Hashing}
@@ -93,6 +93,25 @@ object BattleOps {
     * (etl_snapshot_topn.py:287-288). */
   def classifierNames(obs: Column): Column =
     filter(transform(obs, o => o.getField("card_name")), n => n =!= "")
+
+  /** Typed view of a normalized battle (the reference's normalized dict,
+    * battle_filters.py:52-97) — for pipeline steps where compile-time
+    * field safety helps; the DataFrame path stays the hot path (typed
+    * lambdas opt out of codegen). */
+  final case class NormalizedBattle(
+      battle_time: String,
+      result: String,
+      my_cards: Seq[String],
+      opp_cards: Seq[String],
+      mode_name: String)
+
+  /** [[filterAndNormalize]] as a typed Dataset — same plan, case-class
+    * encoder on top. */
+  def filterAndNormalizeTyped(battles: DataFrame): Dataset[NormalizedBattle] = {
+    val spark = battles.sparkSession
+    import spark.implicits._
+    filterAndNormalize(battles).as[NormalizedBattle]
+  }
 
   /** P10/W1 — TopN leaderboard head: normalize tags, coalesce ladder value,
     * rank from the API with a positional fallback

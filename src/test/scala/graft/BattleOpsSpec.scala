@@ -46,6 +46,16 @@ class BattleOpsSpec extends SparkSpecBase {
     out(1).getAs[String]("mode_name") shouldBe "x" // null mode name → type
   }
 
+  test("filterAndNormalizeTyped: case-class encoder over the same plan") {
+    val rows = Seq(
+      Row("t1", "x", Row(72000006L, "Ranked"), Seq(part("#A", 2, eightCards)), Seq(part("#B", 0, eightCards))))
+    val ds = BattleOps.filterAndNormalizeTyped(battleDF(rows))
+    val b = ds.head()
+    b.result shouldBe "win"
+    b.my_cards shouldBe (1 to 8).map(i => s"Card$i")
+    b.mode_name shouldBe "Ranked"
+  }
+
   test("deckObs: valid 8-card deck extracts with slots 1..8 and variants") {
     val cards = Seq((3L, "C3", 1), (1L, "C1", 0), (2L, "", 2)) ++
       (4L to 8L).map(i => (i, s"C$i", 0))

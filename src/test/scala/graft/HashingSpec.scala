@@ -115,6 +115,20 @@ class HashingSpec extends SparkSpecBase {
     symHash(Seq(("#A", 2)), Seq(("#B", 1))) should not be fromA
   }
 
+  test("deck hash is invariant under pair permutation (randomized)") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 10) {
+      val pairs = (1 to 8).map(_ =>
+        (rnd.nextInt(30000).toString, Seq("normal", "evo", "hero")(rnd.nextInt(3))))
+      val shuffled = rnd.shuffle(pairs)
+      val df = Seq((pairs, shuffled)).toDF("a", "b")
+      val Array(h1, h2) = df.select(
+        Hashing.deckHash(col("a")).as("h1"), Hashing.deckHash(col("b")).as("h2"))
+        .head().toSeq.map(_.asInstanceOf[String]).toArray
+      h1 shouldBe h2
+    }
+  }
+
   test("content hash is md5 hex") {
     val df = Seq(Tuple1("hello")).toDF("c")
     df.select(Hashing.contentHash(col("c")).as("h")).head().getString(0) shouldBe
