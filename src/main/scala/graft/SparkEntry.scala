@@ -431,6 +431,29 @@ object SparkEntry {
         min(col("k")).as("k_min"), max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
 
+  /** q35 — rank/dense_rank with genuine ties (window family beyond
+    * row_number): distinct quantity levels ranked within return flag. */
+  def q35RankTies(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cnt").desc, col("l_quantity"))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("l_quantity"), col("cnt"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .orderBy(col("l_returnflag"), col("rnk"), col("l_quantity"))
+  }
+
+  /** q36 — CUBE over (priority, status): all four grouping combinations in
+    * one pass (grouping-sets family beyond q32's ROLLUP). */
+  def q36CubeTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("orders"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("orders"))
+      .orderBy(col("priority"), col("status"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -465,7 +488,9 @@ object SparkEntry {
     "q31_sessionization" -> (q31Sessionization _),
     "q32_rollup_totals" -> (q32RollupTotals _),
     "q33_ann_ivf" -> (q33AnnIvf _),
-    "q34_json_extract" -> (q34JsonExtract _)
+    "q34_json_extract" -> (q34JsonExtract _),
+    "q35_rank_ties" -> (q35RankTies _),
+    "q36_cube_totals" -> (q36CubeTotals _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -740,6 +765,19 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS k_total,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q35_rank_ties" ->
+      """WITH g AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_quantity, cnt,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        |FROM g WINDOW w AS (PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity)
+        |ORDER BY l_returnflag, rnk, l_quantity""".stripMargin,
+    "q36_cube_totals" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS orders
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin
   )
 }
