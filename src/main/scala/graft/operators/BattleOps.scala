@@ -94,6 +94,35 @@ object BattleOps {
   def classifierNames(obs: Column): Column =
     filter(transform(obs, o => o.getField("card_name")), n => n =!= "")
 
+  /** A14/A15 — per-archetype W/L/D summary over normalized battles
+    * (reference deck_type.py:192-274): classify each side (only decks of
+    * exactly 8 cards count), aggregate my-perspective stats as-is and
+    * opponent-perspective stats with win↔loss flipped (my win IS the
+    * opponent's loss), win_rate = wins/games guarded to 0, ordered by
+    * (win_rate, games) desc — deck_type tiebreak added for determinism
+    * (the reference relies on dict order).
+    *
+    * Returns (my_deck_types, opp_deck_types). */
+  def summarizeDeckTypes(normalized: DataFrame, meta: CardMetadata.Meta)
+      : (DataFrame, DataFrame) = {
+    def side(cards: Column, winLabel: String, lossLabel: String): DataFrame =
+      normalized
+        .filter(size(cards) === 8)
+        .select(Classifier.classifyDeck(cards, meta).as("deck_type"), col("result"))
+        .groupBy("deck_type")
+        .agg(count(lit(1)).as("games"),
+          sum(when(col("result") === winLabel, 1).otherwise(0)).cast("long").as("wins"),
+          sum(when(col("result") === lossLabel, 1).otherwise(0)).cast("long").as("losses"),
+          sum(when(col("result") =!= winLabel && col("result") =!= lossLabel, 1)
+            .otherwise(0)).cast("long").as("draws"))
+        .withColumn("win_rate",
+          when(col("games") > 0, col("wins").cast("double") / col("games").cast("double"))
+            .otherwise(0.0))
+        .orderBy(col("win_rate").desc, col("games").desc, col("deck_type"))
+    // my side counts "win" as a win; the opponent's win is my "loss"
+    (side(col("my_cards"), "win", "loss"), side(col("opp_cards"), "loss", "win"))
+  }
+
   /** Typed view of a normalized battle (the reference's normalized dict,
     * battle_filters.py:52-97) — for pipeline steps where compile-time
     * field safety helps; the DataFrame path stays the hot path (typed

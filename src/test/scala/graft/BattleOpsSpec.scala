@@ -93,6 +93,33 @@ class BattleOpsSpec extends SparkSpecBase {
       .head().isNullAt(0) shouldBe false
   }
 
+  test("summarizeDeckTypes: perspective flip, draws, and 8-card skip") {
+    import spark.implicits._
+    import graft.sources.CardMetadata
+    import graft.sources.CardMetadata.Card
+    val meta = CardMetadata.Meta(
+      Card(1, "X-Bow", None, Some(6), false, false, false) +:
+        (2L to 16L).map(i => Card(i, s"C$i", None, Some(4), false, false, false)))
+    val siege = (1 to 8).map(i => if (i == 1) "X-Bow" else s"C$i")
+    val hybrid = (9 to 16).map(i => s"C$i")
+    val normalized = Seq(
+      ("t1", "win", siege, hybrid, "m"),   // my Siege beats their Hybrid
+      ("t2", "loss", siege, hybrid, "m"),  // my Siege loses to their Hybrid
+      ("t3", "draw", siege, hybrid, "m"),
+      ("t4", "win", siege, hybrid.take(7), "m") // 7-card opp deck → opp side skipped
+    ).toDF("battle_time", "result", "my_cards", "opp_cards", "mode_name")
+    val (my, opp) = BattleOps.summarizeDeckTypes(normalized, meta)
+    val m = my.collect().map(r => r.getAs[String]("deck_type") ->
+      (r.getAs[Long]("games"), r.getAs[Long]("wins"), r.getAs[Long]("losses"),
+        r.getAs[Long]("draws"), r.getAs[Double]("win_rate"))).toMap
+    m("Siege") shouldBe ((4L, 2L, 1L, 1L, 0.5))
+    val o = opp.collect().map(r => r.getAs[String]("deck_type") ->
+      (r.getAs[Long]("games"), r.getAs[Long]("wins"), r.getAs[Long]("losses"),
+        r.getAs[Long]("draws"))).toMap
+    // flip: my win = opp loss; the 7-card battle doesn't count for opp
+    o("Hybrid") shouldBe ((3L, 1L, 1L, 1L))
+  }
+
   test("topPlayers: api rank preferred, positional fallback, ladder coalesce") {
     import spark.implicits._
     val lb = Seq(
