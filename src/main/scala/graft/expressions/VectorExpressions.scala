@@ -17,13 +17,17 @@ import org.apache.spark.sql.types._
   * expression emits a tight primitive loop inside whole-stage codegen:
   * no lambda dispatch, no boxing, no intermediate arrays.
   *
-  * Semantics: Σ aᵢ·bᵢ as a sequential left fold in double precision —
-  * bit-identical to the HOF version and to DuckDB's list arithmetic, so
-  * oracle comparisons hold. Null elements contribute 0 (embeddings never
-  * contain them; documented for safety). Lengths may differ — the fold
-  * stops at the shorter array, matching `zip_with`'s null-padding + `+`
-  * null-absorption only when trailing elements are ignored, which is the
-  * behavior similarity search wants.
+  * Semantics: Σ aᵢ·bᵢ as a sequential left fold in double precision. On
+  * well-formed inputs (equal lengths, no null elements — every embedding
+  * column here) the result is bit-identical to the HOF formulation
+  * (`aggregate(zip_with(...))`) and to DuckDB's `list_inner_product`, so
+  * oracle comparisons hold. On malformed inputs the two DELIBERATELY
+  * diverge: the HOF version returns NULL (null absorbs through the fold —
+  * zip_with pads the shorter array with nulls), while VecDot stays total —
+  * null elements contribute 0 and the fold stops at the shorter array —
+  * because a 100 TB scoring pass should skip a corrupt row, not poison a
+  * partition with NULL scores. Covered explicitly in
+  * VectorAndSimilaritySpec ("VecDot vs HOF on malformed input").
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {

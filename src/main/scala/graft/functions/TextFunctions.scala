@@ -97,17 +97,20 @@ object TextFunctions {
           array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), "|")))))
   }
 
-  /** 32-bit SimHash over whitespace tokens: per-token 32-bit hash from the
-    * md5 hex prefix; each bit position accumulates +1/-1; the sign vector
-    * is the fingerprint. Returned as a non-negative long (< 2^32).
+  /** 32-bit SimHash over whitespace tokens: per-token 32-bit hash; each bit
+    * position accumulates +1/-1; the sign vector is the fingerprint.
+    * Returned as a non-negative long (< 2^32).
     *
-    * One md5 per token (the hash array materializes first), then the
-    * native [[graft.expressions.SimHashMix]] does the 32-bit sign mix —
-    * the pure-HOF formulation re-evaluated the md5 once per BIT and took
-    * 350 s over 5k docs at sf0.1; this is sub-second. */
+    * Per-token hash is Murmur3 (`hash()` — codegen'd, no digest allocation;
+    * the earlier md5+conv+substring chain cost ~3 string allocations and a
+    * MessageDigest per token). [[graft.expressions.SimHashMix]] then does
+    * the 32-bit sign mix natively — the pure-HOF formulation re-evaluated
+    * the hash once per BIT and took 350 s over 5k docs at sf0.1. SimHashMix
+    * reads bits 0..31 only, so the sign-extending int→long cast is
+    * harmless. */
   def simhash(text: Column): Column = {
     val toks = tokens(lower(text))
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val hashes = transform(toks, t => hash(t).cast("long"))
     graft.expressions.VectorExpressions.simhashMix(hashes)
   }
 

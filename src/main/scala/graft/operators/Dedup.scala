@@ -36,8 +36,13 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // shingling is the per-doc heavy pass and this frame is referenced
+    // three times (band index + both verification joins) — cache it so the
+    // pass runs once. Keyed on the canonical plan: repeated calls share
+    // one entry. MEMORY_AND_DISK because shingle arrays are payload-sized.
     val docs = df.select(id.as("doc_id"), T.shingles(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the band self-join moves only (band, id) — candidate generation never
     // shuffles shingle payloads. At corpus scale the band index is a tiny
     // fraction of the documents' bytes, and the heavy arrays are attached
@@ -66,7 +71,12 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3): DataFrame = {
     val chunks = 4
+    // (id, sig) is 16 bytes/doc — cache it so the self-join's two sides
+    // tokenize+hash each document once, not twice (the fingerprint pass IS
+    // the dominant cost; the cache is keyed on the canonical plan, so
+    // repeated calls reuse one entry rather than accumulating).
     val withSig = df.select(id.as("doc_id"), T.simhash(text).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until chunks).map(i =>
         struct(lit(i).as("chunk_i"),
@@ -80,8 +90,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         T.hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: almost every candidate pair fails the
+      // Hamming bound, so the dedup shuffle moves only survivors (a pair
+      // can match on up to `chunks` blocks → duplicates are possible but
+      // few) instead of the full candidate set.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup: cosine ≥ threshold pairs, SRP-LSH-blocked so the

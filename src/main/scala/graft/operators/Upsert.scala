@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** Upsert semantics for a parquet warehouse — the reference's
   * `ON CONFLICT (pk) DO UPDATE` sinks (etl_snapshot_topn.py:374-453,
@@ -17,9 +19,25 @@ object Upsert {
 
   /** Merge `updates` into `current` by `keys`: every update row replaces
     * its match; unmatched current rows pass through. Pure plan — one
-    * anti-join (broadcast when updates are small) + union. */
-  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
-    updates.unionByName(current.join(updates, keys, "left_anti"))
+    * anti-join (broadcast when updates are small) + union.
+    *
+    * `ON CONFLICT (pk) DO UPDATE` requires the merged table to stay
+    * key-unique, so duplicate keys WITHIN the updates batch are collapsed
+    * first: when `version` is given the row with the highest version wins
+    * (deterministic last-wins); without it an arbitrary representative per
+    * key is kept (`dropDuplicates`) — fine only when batch duplicates are
+    * exact copies. */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
+      version: Option[Column] = None): DataFrame = {
+    val deduped = version match {
+      case Some(v) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(v.desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => updates.dropDuplicates(keys)
+    }
+    deduped.unionByName(current.join(deduped, keys, "left_anti"))
+  }
 
   /** Upsert against a parquet path with a staged write: merge into
     * `<path>__staged`, then swap directories. The swap is atomic on a

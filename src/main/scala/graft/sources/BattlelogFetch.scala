@@ -29,9 +29,15 @@ object BattlelogFetch {
     /** Real transport: bearer-token GET, #-encoded tag path, bounded
       * retries — mirrors the reference client's contract
       * (cr_client.py:15-46: auth header, 10 s timeout, non-200 → error;
-      * battles.py:35: `#` → `%23`). */
+      * battles.py:35: `#` → `%23`).
+      *
+      * Retry policy: only 5xx and 429 are retryable — a 4xx (403 bad
+      * token, 404 unknown tag) can never succeed on replay and fails
+      * immediately. Retries back off (baseBackoffMs·2^attempt), and a 429
+      * honors the server's `Retry-After` seconds when present, so the
+      * fan-out never amplifies the throttling it just triggered. */
     def http(baseUrl: String, token: String, timeoutMs: Int = 10000,
-        maxRetries: Int = 2): Fetcher = new Fetcher {
+        maxRetries: Int = 2, baseBackoffMs: Long = 500L): Fetcher = new Fetcher {
       @transient private lazy val client = java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
       def fetch(tag: String): Option[String] = {
@@ -39,15 +45,29 @@ object BattlelogFetch {
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
           .timeout(java.time.Duration.ofMillis(timeoutMs))
           .header("Authorization", s"Bearer $token").GET().build()
+        def backoff(attempt: Int, retryAfterSec: Option[Long]): Unit = {
+          val ms = retryAfterSec.map(_ * 1000L)
+            .getOrElse(baseBackoffMs << (maxRetries - attempt))
+          try Thread.sleep(ms) catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt() }
+        }
         def attempt(left: Int): Option[String] =
           try {
             val resp = client.send(req,
               java.net.http.HttpResponse.BodyHandlers.ofString())
-            if (resp.statusCode() == 200) Some(resp.body())
-            else if (left > 0) attempt(left - 1)
-            else None
+            resp.statusCode() match {
+              case 200 => Some(resp.body())
+              case 429 if left > 0 =>
+                backoff(left, resp.headers().firstValue("Retry-After")
+                  .map[Option[Long]](v => v.toLongOption).orElse(None))
+                attempt(left - 1)
+              case s if s >= 500 && left > 0 =>
+                backoff(left, None); attempt(left - 1)
+              case _ => None // 4xx (and exhausted retries): terminal
+            }
           } catch {
-            case _: java.io.IOException if left > 0 => attempt(left - 1)
+            case _: java.io.IOException if left > 0 =>
+              backoff(left, None); attempt(left - 1)
             case _: java.io.IOException => None
           }
         attempt(maxRetries)

@@ -30,11 +30,14 @@ object Tables {
     * `ts div 1000` stays in long arithmetic (a double division would lose
     * precision above 2^53 ns).
     *
-    * NOTE: the legacy conf is session-wide and stays set — after the first
-    * call, any OTHER nanos-timestamp parquet in this session reads as
-    * LongType instead of erroring. Deliberate: the conf cannot be unset
-    * before the (lazy) scan executes, and every nanos table this engine
-    * touches must go through an explicit converting loader like this one. */
+    * NOTE: the legacy conf is session-wide. Every session entry point
+    * (Bench, Verify, SnapshotRunner, the test base) sets it at build time
+    * so behavior never depends on loader call order; the set here is a
+    * belt-and-braces for ad-hoc sessions. It cannot be unset before the
+    * (lazy) scan executes, so any OTHER nanos-timestamp parquet in the
+    * session reads as LongType instead of erroring — every nanos table
+    * this engine touches must go through an explicit converting loader
+    * like this one. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn("ts",

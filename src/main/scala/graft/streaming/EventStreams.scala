@@ -55,8 +55,12 @@ object EventStreams {
   /** Tumbling 1-hour windows per event_type: event counts + value sums
     * (as integer cents — double sums depend on accumulation order, which
     * differs between incremental state updates and any batch engine).
-    * Watermark bounds state; exact distinct-user counts are not available
-    * incrementally (use approx_count_distinct in production). */
+    * The watermark bounds state only in append/update output mode (closed
+    * windows evict once the watermark passes); in complete mode — which
+    * [[runToCompletion]] uses for batch equivalence — Spark retains every
+    * window's state for re-emission, so the bound does not apply there.
+    * Exact distinct-user counts are not available incrementally (use
+    * approx_count_distinct in production). */
   def hourlyTypeCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
@@ -86,14 +90,26 @@ object EventStreams {
     * output is bounded by (windows × keys), never raw-event-sized. */
   def runToCompletion(spark: SparkSession, path: String, name: String,
       agg: DataFrame => DataFrame): DataFrame = {
-    val q = agg(readEventStream(spark, path))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // State-store partition count is fixed from spark.sql.shuffle.partitions
+    // at query start, and every micro-batch commits one state + checkpoint
+    // file PER partition — pure fixed overhead for a bounded replay whose
+    // aggregated state is (windows × keys)-sized. Run the stream with a
+    // handful of state partitions and restore the session conf after. (A
+    // real continuous deployment sizes this to key cardinality instead.)
+    val shufflePartitionsKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shufflePartitionsKey)
+    try {
+      spark.conf.set(shufflePartitionsKey,
+        math.min(4, prevShuffle.toInt).toString)
+      val q = agg(readEventStream(spark, path))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(shufflePartitionsKey, prevShuffle)
     val view = spark.table(name)
     val rows = view.collect().toIndexedSeq
     val schema = view.schema

@@ -19,6 +19,19 @@ class UpsertAndBucketingSpec extends SparkSpecBase {
     out shouldBe Seq((1L, "a", 10), (2L, "B2", 99), (3L, "c", 30), (4L, "d", 40))
   }
 
+  test("upsert: duplicate keys within the updates batch collapse to one row") {
+    val current = Seq((1L, 10)).toDF("id", "v")
+    val dupes = Seq((1L, 11), (1L, 12), (2L, 21), (2L, 22)).toDF("id", "v")
+    // ON CONFLICT (pk) DO UPDATE contract: the merged table stays
+    // key-unique even when the batch itself repeats a key
+    val merged = Upsert.upsert(current, dupes, Seq("id"))
+    merged.groupBy("id").count().filter(col("count") > 1).count() shouldBe 0L
+    // deterministic last-wins when a version column orders the batch
+    val versioned = Upsert.upsert(current, dupes, Seq("id"), version = Some(col("v")))
+      .orderBy("id").as[(Long, Int)].collect().toSeq
+    versioned shouldBe Seq((1L, 12), (2L, 22))
+  }
+
   test("upsertParquet: staged write-swap round-trips and is idempotent") {
     val dir = Files.createTempDirectory("graft_upsert_").toString
     val path = s"$dir/t"

@@ -23,6 +23,22 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
       .filter(col("neq")).count() shouldBe 0L
   }
 
+  test("VecDot vs HOF on malformed input: VecDot stays total, HOF nulls") {
+    // deliberate divergence, documented on VecDot: a corrupt row must not
+    // poison a 100 TB scoring pass with NULLs.
+    val uneven = Seq((Seq(1f, 2f, 3f), Seq(10f, 20f))).toDF("a", "b")
+    uneven.select(VF.dot(col("a"), col("b")).as("d"))
+      .as[Double].head() shouldBe 50.0 // fold stops at the shorter array
+    uneven.select(VF.dotHof(col("a"), col("b")).as("d"))
+      .select(col("d").isNull).as[Boolean].head() shouldBe true
+    val withNull = Seq((Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](4f, 5f, 6f)))
+      .toDF("a", "b")
+    withNull.select(VF.dot(col("a"), col("b")).as("d"))
+      .as[Double].head() shouldBe 22.0 // null element contributes 0
+    withNull.select(VF.dotHof(col("a"), col("b")).as("d"))
+      .select(col("d").isNull).as[Boolean].head() shouldBe true
+  }
+
   test("dot/cosine/l2 basics") {
     val df = Seq(
       (1L, Seq(1f, 0f), Seq(1f, 0f)),
