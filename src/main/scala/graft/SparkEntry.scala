@@ -326,7 +326,10 @@ object SparkEntry {
     * lists (text analysis; TF.langId), rolled up per (predicted, labeled). */
   def q26LanguageId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(TF.langId(col("text"), TF.DefaultLangMarkers).as("lang_pred"),
+      // tokenize in its own projection: the five marker filters reference
+      // the array, so the split chain runs once per row, not five times
+      .select(TF.tokens(lower(col("text"))).as("toks"), col("lang"))
+      .select(TF.langIdFromTokens(col("toks"), TF.DefaultLangMarkers).as("lang_pred"),
         col("lang"))
       .groupBy(col("lang_pred"), col("lang"))
       .agg(count(lit(1)).as("docs"))
@@ -454,6 +457,34 @@ object SparkEntry {
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("orders"))
       .orderBy(col("priority"), col("status"))
 
+  /** q37 — exact n-gram (bigram) Jaccard near-dup pairs: the verification
+    * measure standalone (Dedup.ngramJaccardPairs; q23's MinHash banding is
+    * the candidate-generation path that feeds it at scale). */
+  def q37NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 150 && trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), n = 2, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q38 — gap-based sessions via the native `session_window` aggregation
+    * (one shuffle on user_id; state bounded by the gap in streaming mode —
+    * the aggregation form of q31's lag+running-sum formulation, and the
+    * built-in counterpart of EventStreams.sessionize's custom state).
+    * Sessions split on a ≥30-minute event-time silence: session_window
+    * merges an event iff it lands strictly inside the open window, so the
+    * oracle's new-session predicate is `diff >= gap` at micros precision. */
+  def q38SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val secs = unix_timestamp(col("ts"))
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(secs).cast("long").as("start_ts"),
+        max(secs).cast("long").as("end_ts"))
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"))
+      .orderBy(col("user_id"), col("start_ts"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -490,7 +521,9 @@ object SparkEntry {
     "q33_ann_ivf" -> (q33AnnIvf _),
     "q34_json_extract" -> (q34JsonExtract _),
     "q35_rank_ties" -> (q35RankTies _),
-    "q36_cube_totals" -> (q36CubeTotals _)
+    "q36_cube_totals" -> (q36CubeTotals _),
+    "q37_ngram_jaccard" -> (q37NgramJaccard _),
+    "q38_session_window" -> (q38SessionWindow _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -125,10 +125,14 @@ object TextFunctions {
 
   /** Language-ID by stopword-hit scoring: the language whose marker list
     * hits the most tokens wins; ties break to the lexicographically last
-    * language code; no hits → "und". Marker lists are literal arrays →
-    * fully codegen'd. */
-  def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
-    val toks = tokens(lower(text))
+    * language code; no hits → "und". Marker lists are literal arrays.
+    *
+    * Callers should tokenize in a SEPARATE projection and pass the token
+    * array here (see q26): higher-order functions are interpreted, so the
+    * five per-language filters would otherwise each re-run the
+    * trim+lower+split chain per row — the optimizer keeps the projection
+    * boundary because the token array is referenced multiple times. */
+  def langIdFromTokens(toks: Column, markers: Map[String, Seq[String]]): Column = {
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(size(filter(toks, t => t.isInCollection(words))).as("hits"),
         lit(lang).as("lang"))
@@ -136,6 +140,10 @@ object TextFunctions {
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
+
+  /** [[langIdFromTokens]] over whitespace tokens of `text`. */
+  def langId(text: Column, markers: Map[String, Seq[String]]): Column =
+    langIdFromTokens(tokens(lower(text)), markers)
 
   /** Default marker lists (tiny, public common-word sets). */
   val DefaultLangMarkers: Map[String, Seq[String]] = Map(

@@ -64,6 +64,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard near-dup pairs — the verification measure the
+    * LSH paths reduce to ([[minhashNearDupPairs]] verifies its candidates
+    * with exactly this), exposed standalone: |A∩B| / |A∪B| over the
+    * distinct n-gram shingle sets, keeping pairs ≥ `threshold`.
+    *
+    * All-pairs comparison is O(N²) — correct for bounded corpora slices or
+    * pre-blocked candidate sets; at corpus scale generate candidates with
+    * MinHash banding first and verify with this measure. */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 2, threshold: Double = 0.3): DataFrame = {
+    val docs = df.select(id.as("doc_id"), T.shingles(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup: 32-bit fingerprints; pairs within `maxHamming`.
     * Blocking: 4 × 8-bit chunks — two docs within Hamming ≤ 3 of each
     * other share at least one exact chunk (pigeonhole), so the self-join

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming extension of the snapshot pipeline (SURVEY §2.11):
@@ -79,6 +80,81 @@ object EventStreams {
     events
       .withWatermark("ts", gap)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Open session carried between micro-batches by [[sessionize]]
+    * (timestamps in epoch micros). */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  /** Closed session emitted by [[sessionize]] (epoch seconds, truncated —
+    * the engine-portable output convention). */
+  final case class SessionRow(user_id: Long, start_ts: Long, end_ts: Long,
+      n_events: Long)
+
+  /** Custom-state streaming sessionization via `flatMapGroupsWithState` —
+    * the arbitrary-state API the built-in `session_window` aggregation
+    * (q38) doesn't need but bespoke session payloads do (SURVEY §2.11
+    * extension). Sessions close on a ≥ `gap` event-time silence, matching
+    * `session_window`'s merge rule (merge iff diff < gap).
+    *
+    * State per user is ONE OpenSession (24 bytes); data-closed sessions
+    * emit in the batch that observes the gap; the trailing open session
+    * emits when the event-time timeout fires (watermark passes lastTs +
+    * gap) — which for a bounded replay means sessions inside the final
+    * watermark horizon stay unemitted: the deliberate streaming trade,
+    * asserted in EventStreamsSpec. Within-batch events are sorted per
+    * group; cross-batch ordering relies on the watermark bounding
+    * disorder (a production pipeline buffering later-than-open-session
+    * events would hold them in state until the watermark passes). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def usOf(t: java.sql.Timestamp): Long =
+      java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.filter(col("user_id").isNotNull)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, evs: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[OpenSession]) => {
+          def toRow(o: OpenSession) =
+            SessionRow(user, o.startUs / 1000000L, o.lastUs / 1000000L, o.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toRow).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = evs.map { case (_, ts, id) => (usOf(ts), id) }
+              .toIndexedSeq.sortBy(identity)
+            val closed = Seq.newBuilder[SessionRow]
+            var open = state.getOption
+            sorted.foreach { case (us, _) =>
+              open match {
+                case Some(o) if us - o.lastUs >= gapUs =>
+                  closed += toRow(o)
+                  open = Some(OpenSession(us, us, 1L))
+                case Some(o) =>
+                  open = Some(o.copy(lastUs = us, n = o.n + 1L))
+                case None =>
+                  open = Some(OpenSession(us, us, 1L))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // fire once the watermark passes the session's close point;
+              // clamp above the current watermark (setTimeoutTimestamp
+              // rejects timestamps the watermark already passed)
+              state.setTimeoutTimestamp(math.max(
+                o.lastUs / 1000L + gapMinutes * 60L * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.result().iterator
+          }
+        })
+  }
 
   /** Run a streaming aggregation over a static directory to completion and
     * return the final result — the batch-equivalence harness used by the
