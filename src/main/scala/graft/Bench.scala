@@ -33,6 +33,12 @@ object Bench {
           System.err.println(s"[bench-warmup] $name: ${e.getMessage}") }
       }
     }
+    // Drop every cached frame the warmup left behind (the near-dup
+    // operators persist their shingle/fingerprint inputs — see Dedup's
+    // lifecycle note). Warmup is for JIT + page cache only; the timed pass
+    // must pay each operator's real compute, including the dominant
+    // fingerprint/shingle passes.
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>

@@ -383,7 +383,13 @@ object SparkEntry {
     * windowed computation; rank/lag/running-agg coverage beyond W1).
     * Epoch seconds via truncation on both engines (unix_timestamp /
     * floor(epoch)) — DuckDB's CAST would round-half-even on fractional
-    * seconds. */
+    * seconds.
+    *
+    * Boundary convention: new session iff gap > 1800 at SECONDS precision
+    * — this deliberately differs from q38's `session_window`, which splits
+    * on `diff >= gap` at MICROS precision; events exactly 30 minutes apart
+    * (or with sub-second gap differences) sessionize differently between
+    * the two queries. Each oracle mirrors its own convention. */
   def q31Sessionization(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -811,6 +817,36 @@ object SparkEntry {
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
         |  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS orders
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-        |ORDER BY priority, status""".stripMargin
+        |ORDER BY priority, status""".stripMargin,
+    "q37_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE doc_id < 150 AND trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 1, 1)),
+        |         i -> array_to_string(t[i:i+1], ' '))) AS shingles FROM d),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+        |          AS jaccard
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q38_session_window" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             epoch_ns(ts) // 1000 AS us,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |           FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT user_id, secs, us, event_id,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, secs,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM g)
+        |SELECT user_id, MIN(secs) AS start_ts, MAX(secs) AS end_ts,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_ts""".stripMargin
   )
 }

@@ -9,6 +9,17 @@ import graft.functions.{Hashing, TextFunctions => T, VectorFunctions => V}
   * every variant reduces to (narrow per-row hashing) → (one shuffle on a
   * uniform hash key) → (bounded within-bucket work), which is the only
   * shape that survives 100 TB.
+  *
+  * Cache lifecycle: the MinHash and SimHash operators `persist()` their
+  * shingle/fingerprint frames (each is referenced by several joins of the
+  * returned plan, and the per-document hashing pass is the dominant cost —
+  * recomputing it per reference would double-to-triple the work). These
+  * are pure plan-building APIs, so they cannot know when the caller's last
+  * action over the returned plan has run; the cache entries live until the
+  * caller drops them. Callers owning the session should
+  * `spark.catalog.clearCache()` (or `unpersist` the inputs) once the
+  * result has been consumed — Bench does exactly that between its warmup
+  * and timed passes so the timed numbers include the hashing pass.
   */
 object Dedup {
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, row_number}
+import org.apache.spark.sql.functions.{col, row_number, xxhash64}
 
 /** Upsert semantics for a parquet warehouse — the reference's
   * `ON CONFLICT (pk) DO UPDATE` sinks (etl_snapshot_topn.py:374-453,
@@ -24,16 +24,23 @@ object Upsert {
     * `ON CONFLICT (pk) DO UPDATE` requires the merged table to stay
     * key-unique, so duplicate keys WITHIN the updates batch are collapsed
     * first: when `version` is given the row with the highest version wins
-    * (deterministic last-wins); without it an arbitrary representative per
-    * key is kept (`dropDuplicates`) — fine only when batch duplicates are
-    * exact copies. */
+    * (last-wins); rows TYING on the highest version are broken by a stable
+    * content hash over all columns, so the winner is deterministic across
+    * runs and partitionings (exact-copy ties hash identically — any
+    * representative is the same row). Without `version` an arbitrary
+    * representative per key is kept (`dropDuplicates`) — fine only when
+    * batch duplicates are exact copies. */
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
       version: Option[Column] = None): DataFrame = {
     val deduped = version match {
       case Some(v) =>
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(v.desc)
-        updates.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        // temp-column name guaranteed absent from the updates schema
+        val rn = Iterator.iterate("__rn")(_ + "_")
+          .dropWhile(updates.columns.contains).next()
+        val tieBreak = xxhash64(updates.columns.map(col).toSeq: _*)
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(v.desc, tieBreak.asc)
+        updates.withColumn(rn, row_number().over(w))
+          .filter(col(rn) === 1).drop(rn)
       case None => updates.dropDuplicates(keys)
     }
     deduped.unionByName(current.join(deduped, keys, "left_anti"))

@@ -28,6 +28,71 @@ class EventStreamsSpec extends SparkSpecBase {
     deduped shouldBe total / 2
   }
 
+  test("sessionize emits data-closed and timed-out sessions; trailing session stays open") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z
+    def ns(offsetMin: Long): Long = (t0 + offsetMin * 60) * 1000000000L
+    // user 1: two events 10 min apart (one session), then a 50-min gap
+    //         (closes it mid-stream), opening a second session;
+    // user 2: a single event (no later data for that user);
+    // user 3: a single far-future event that drives the final watermark to
+    //         t0+8h — past user 1's and user 2's session close points (so
+    //         those emit via event-time timeout) but NOT past its own.
+    val batchA = Seq((1L, ns(0), 1L), (2L, ns(10), 1L), (10L, ns(5), 2L))
+    val batchB = Seq((3L, ns(60), 1L), (20L, ns(600), 3L))
+    val landing = Files.createTempDirectory("graft_sess_")
+    def writeFile(rows: Seq[(Long, Long, Long)], name: String, modTime: Long): Unit = {
+      val df = spark.createDataFrame(
+          rows.map { case (id, ts, u) => (id, ts, u, "click", 1.0, "{}") })
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val stage = Files.createTempDirectory("graft_sess_stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = landing.resolve(name)
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(modTime)
+      ()
+    }
+    writeFile(batchA, "a.parquet", 1000000L)
+    writeFile(batchB, "b.parquet", 2000000L)
+
+    // one file per micro-batch (mod-time ordered) → the gap-close and the
+    // open-session carry both cross a batch boundary
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.sessionize(stream).writeStream
+      .format("memory").queryName("sess_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_test")
+      .select("user_id", "start_ts", "end_ts", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // batch truth: q38's session_window over the same events; a session is
+    // emitted iff closed by data (a later event for that user exists) or
+    // its close point (end + gap) is inside the final watermark
+    val static = spark.read.parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val sessions = static
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_ts"),
+        max(unix_timestamp(col("ts"))).as("end_ts"))
+    val watermark = t0 + 600 * 60 - 2 * 3600
+    val wLast = Window.partitionBy("user_id")
+    val expected = sessions
+      .withColumn("is_last", col("start_ts") === max(col("start_ts")).over(wLast))
+      .filter(!col("is_last") || col("end_ts") + 30 * 60 <= lit(watermark))
+      .select("user_id", "start_ts", "end_ts", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    got shouldBe expected
+    got.exists(_._1 == 3L) shouldBe false // trailing session inside the horizon stays open
+    spark.catalog.dropTempView("sess_test")
+  }
+
   test("hourlyTypeCounts run to completion equals the batch aggregation") {
     val streamed = EventStreams.runToCompletion(spark,
       "/root/testdata/sf0.001/events.parquet", "es_spec",
