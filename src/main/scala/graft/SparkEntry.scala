@@ -491,6 +491,71 @@ object SparkEntry {
       .orderBy(col("user_id"), col("start_ts"))
   }
 
+  /** q39 — backward as-of join (AsOfJoin operator): each event picks up
+    * its user's most recent order-day total at-or-before the event time.
+    * Union + ordered window — one shuffle on the key, no row explosion
+    * (see AsOfJoin scaladoc); DuckDB's native ASOF JOIN is the oracle.
+    * The right side is pre-aggregated to (custkey, day) so the match is
+    * unique — the operator's determinism precondition. */
+  def q39AsOfOrders(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(moneySumCents(col("o_totalprice")).as("day_cents"))
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // o_orderdate is TIMESTAMP_NTZ in the parquet; the session runs UTC,
+    // so the cast to TIMESTAMP preserves the instant (unix_micros only
+    // accepts the tz-aware type)
+    operators.AsOfJoin.backward(ev, daily,
+        col("user_id"), unix_micros(col("ts")),
+        col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("asof.o_orderdate").cast("timestamp")).as("order_secs"),
+        col("asof.day_cents").as("day_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q40 — exact nearest-rank quantiles per group (Quantiles operator):
+    * the percentile family the reference lacks, in its exact
+    * oracle-checkable form (see Quantiles scaladoc for the
+    * approx_percentile trade at scale). */
+  def q40Quantiles(s: SparkSession, dir: String): DataFrame =
+    operators.Quantiles.nearestRank(
+      t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_quantity"),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+      .orderBy(col("l_returnflag"))
+
+  /** q41 — deterministic hash sampling + stable train/val/test split
+    * (Sampling operator): ~50% keyed sample of the corpus, split 60/20/20
+    * within it, rolled up per (lang, split). Membership is a pure
+    * function of doc_id — identical across engines, runs, partitionings. */
+  def q41SampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val sampled = operators.Sampling.deterministicSample(
+      t(s, dir, "documents"), col("doc_id"), "8000")
+    sampled
+      .withColumn("split",
+        operators.Sampling.splitLabel(col("doc_id"), "4ccc", "6666"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** q42 — pivot: the matchup-matrix family in wide form (one column per
+    * order status). Pivot values are pinned so Spark skips the extra
+    * distinct-scan job and the output schema is static — the only way a
+    * pivot stays a single-pass aggregation at scale. */
+  def q42PivotStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("priority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("priority"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -529,7 +594,11 @@ object SparkEntry {
     "q35_rank_ties" -> (q35RankTies _),
     "q36_cube_totals" -> (q36CubeTotals _),
     "q37_ngram_jaccard" -> (q37NgramJaccard _),
-    "q38_session_window" -> (q38SessionWindow _)
+    "q38_session_window" -> (q38SessionWindow _),
+    "q39_asof_orders" -> (q39AsOfOrders _),
+    "q40_quantiles" -> (q40Quantiles _),
+    "q41_sample_split" -> (q41SampleSplit _),
+    "q42_pivot_status" -> (q42PivotStatus _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -847,6 +916,46 @@ object SparkEntry {
         |      FROM g)
         |SELECT user_id, MIN(secs) AS start_ts, MAX(secs) AS end_ts,
         |  COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_ts""".stripMargin
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_ts""".stripMargin,
+    "q39_asof_orders" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, ts FROM events WHERE user_id IS NOT NULL)
+        |SELECT e.event_id, e.user_id,
+        |  CAST(floor(epoch(d.o_orderdate)) AS BIGINT) AS order_secs,
+        |  d.day_cents
+        |FROM e ASOF LEFT JOIN daily d
+        |  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q40_quantiles" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q41_sample_split" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+        |SELECT lang,
+        |  CASE WHEN h < '4ccc' THEN 'train'
+        |       WHEN h < '6666' THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q42_pivot_status" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
   )
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantiles, Sampling}
+
+/** Nearest-rank quantile values on known data; hash-sampling determinism
+  * and split-label partitioning. */
+class QuantilesAndSamplingSpec extends SparkSpecBase {
+
+  test("nearestRank returns the rank-ceil(p*n) value per group") {
+    import spark.implicits._
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) :+ ("b", 42.0))
+      .toDF("g", "v")
+    val out = Quantiles.nearestRank(df, Seq("g"), col("v"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    // n=10: ranks ceil(2.5)=3, ceil(5)=5, ceil(7.5)=8, ceil(9)=9
+    out("a") shouldBe ((3.0, 5.0, 8.0, 9.0, 10L))
+    out("b") shouldBe ((42.0, 42.0, 42.0, 42.0, 1L))
+  }
+
+  test("deterministicSample is stable and splitLabel partitions the sample") {
+    import spark.implicits._
+    val keys = (0L until 10000L).toDF("k")
+    val once = Sampling.deterministicSample(keys, col("k"), "8000")
+    val twice = Sampling.deterministicSample(keys, col("k"), "8000")
+    once.exceptAll(twice).count() shouldBe 0L
+    val n = once.count()
+    // md5 buckets are uniform: "8000"/"10000" of 10k keys ± a loose band
+    n should be > 4600L
+    n should be < 5400L
+    // bounds must lie inside the sampled hash range (h < "8000" here) —
+    // the full-range defaults would label the whole sample "train"
+    val labeled = once.withColumn("s", Sampling.splitLabel(col("k"), "4ccc", "6666"))
+    labeled.groupBy("s").count().count() shouldBe 3L // all three labels present
+    labeled.filter(!col("s").isin("train", "val", "test")).count() shouldBe 0L
+    labeled.count() shouldBe n // labeling never drops or duplicates rows
+  }
+}
