@@ -556,6 +556,22 @@ object SparkEntry {
         coalesce(col("P"), lit(0L)).as("P"))
       .orderBy(col("priority"))
 
+  /** q43 — dedup clustering: q23's near-dup pairs collapsed into connected
+    * components (Dedup.connectedComponents — iterative min-label
+    * propagation over the pair graph; the step that turns pairwise matches
+    * into keep-one-per-cluster decisions). Only docs appearing in ≥1 pair
+    * are labeled; the DuckDB oracle computes the same fixpoint with a
+    * recursive CTE (transitive closure + MIN — fine at oracle scale; the
+    * iterative form is the one that scales). */
+  def q43DedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 300 && trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
+      threshold = 0.4)
+    Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .orderBy(col("id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -598,7 +614,8 @@ object SparkEntry {
     "q39_asof_orders" -> (q39AsOfOrders _),
     "q40_quantiles" -> (q40Quantiles _),
     "q41_sample_split" -> (q41SampleSplit _),
-    "q42_pivot_status" -> (q42PivotStatus _)
+    "q42_pivot_status" -> (q42PivotStatus _),
+    "q43_dedup_components" -> (q43DedupComponents _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -956,6 +973,34 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
-        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+    "q43_dedup_components" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |      FROM documents WHERE doc_id < 300 AND trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |mh AS (SELECT s.doc_id, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, r.seed),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM mh a JOIN mh b
+        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.id_a, c.id_b
+        |      FROM cand c
+        |      JOIN sh sa ON sa.doc_id = c.id_a
+        |      JOIN sh sb ON sb.doc_id = c.id_b
+        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+        |              >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+        |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
   )
 }

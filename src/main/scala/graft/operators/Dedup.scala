@@ -130,6 +130,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into dedup CLUSTERS (keep one representative per
+    * component; the component id is its minimum member id, so the output
+    * is deterministic).
+    *
+    * Iterative min-label propagation: every node adopts the smallest label
+    * among itself and its neighbors until a fixpoint. Each round is one
+    * join + one aggregation on the pair graph — which is candidate-pair
+    * sized, orders of magnitude smaller than the corpus — and
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * does not replay rounds 1..N-1. Converges in O(component diameter)
+    * rounds; near-dup clusters are shallow (diameter a handful), so the
+    * loop is short. For power-law graphs with giant components, switch to
+    * the large-star/small-star formulation (same join primitive, fewer
+    * rounds); this direct form is the right tool for dedup graphs.
+    *
+    * Driver-side per round: ONE count (the convergence check) — the label
+    * frame itself never leaves the cluster. */
+  def connectedComponents(pairs: DataFrame, idA: Column, idB: Column,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(idA.as("src"), idB.as("dst"))
+      .unionByName(pairs.select(idB.as("src"), idA.as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("ncomp") < col("comp")).as("changed"))
+        .localCheckpoint()
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.select(col("id"), col("comp")).localCheckpoint()
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs, SRP-LSH-blocked so the
     * self-join is within-bucket only (near-identical vectors land in the
     * same sign-projection bucket with high probability). */

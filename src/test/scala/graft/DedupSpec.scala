@@ -45,4 +45,20 @@ class DedupSpec extends SparkSpecBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     pairs shouldBe Seq((1L, 2L))
   }
+
+  test("connectedComponents: chain, isolated pair, and triangle collapse to min ids") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // triangle 20-21-22 — labels resolve to each component's min id
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    out shouldBe Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
+  test("connectedComponents: empty pair list yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Dedup.connectedComponents(empty, col("id_a"), col("id_b")).count() shouldBe 0L
+  }
 }
