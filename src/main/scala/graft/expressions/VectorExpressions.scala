@@ -101,6 +101,10 @@ object VectorExpressions {
   /** Column-API wrapper: codegen'd 32-bit SimHash sign-mix. */
   def simhashMix(tokenHashes: Column): Column =
     ColumnBridge.column(SimHashMix(ColumnBridge.expression(tokenHashes)))
+
+  /** Column-API wrapper: codegen'd k-wide MinHash signature. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
 }
 
 /** 32-bit SimHash sign-mix over per-token hashes: each bit position
@@ -134,6 +138,97 @@ case class SimHashMix(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHashMix =
     copy(child = newChild)
+}
+
+/** k-wide MinHash signature over a shingle set in ONE native pass.
+  *
+  * Byte-identical to the HOF formulation
+  * `array((0 until k).map(seed => array_min(transform(shingles, s =>
+  * md5(concat(lit(seed + ":"), s))))))` — same seed-prefixed md5, same
+  * lexicographic-hex minimum — but evaluated as a single generated call:
+  * the HOF version dispatches k interpreted lambdas per document, each
+  * allocating a MessageDigest, a concat buffer, and a 32-char hex string
+  * PER SHINGLE, then materializes k transformed arrays just to take their
+  * minima. Here one reused digest streams (prefix, shingle) pairs, minima
+  * are tracked as 16-byte digests compared unsigned (== hex order), and
+  * only the k winners are hex-encoded. Engine-portable like the original:
+  * the DuckDB oracles reproduce it with `MIN(md5(seed || ':' || shingle))`.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string> and k > 0, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sigJava(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MinHashSig.sigJava($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** a < b over equal-length byte arrays compared unsigned — identical to
+    * comparing their lowercase-hex renderings lexicographically. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xFF
+      val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  def sigJava(arr: ArrayData, k: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(k)(seed =>
+      (seed.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val mins = new Array[Array[Byte]](k)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var seed = 0
+        while (seed < k) {
+          md.reset()
+          md.update(prefixes(seed))
+          md.update(bytes)
+          val d = md.digest()
+          if (mins(seed) == null || unsignedLess(d, mins(seed))) mins(seed) = d
+          seed += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(d => if (d == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(hex(d))))
+  }
 }
 
 object SimHashMix {

@@ -74,13 +74,18 @@ object TextFunctions {
 
   /** One MinHash value: the minimum md5 hex over the shingle set, salted by
     * `seed`. Hex-string min is a total order identical in every engine, so
-    * signatures are engine-portable (DuckDB-oracle-checkable). */
+    * signatures are engine-portable (DuckDB-oracle-checkable). This HOF
+    * form is the readable reference; the hot path uses the native
+    * [[graft.expressions.MinHashSig]] (byte-identical, asserted in
+    * VectorAndSimilaritySpec). */
   def minhash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(seed + ":"), s))))
 
-  /** k-wide MinHash signature as array<string>. */
+  /** k-wide MinHash signature as array<string> — native single-pass
+    * expression (one reused digest, no per-shingle lambda dispatch or
+    * intermediate arrays; see MinHashSig scaladoc). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(minhash(shingleCol, _)): _*)
+    graft.expressions.VectorExpressions.minhashSig(shingleCol, k)
 
   /** LSH band keys: hash `rowsPerBand` consecutive signature entries per
     * band → array<string> of band bucket keys (band index is baked into

@@ -135,4 +135,21 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     pairs shouldBe Seq((1L, 2L))
   }
+
+  test("native MinHashSig is byte-identical to the HOF formulation on real docs") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+    val k = 8
+    val hof = array((0 until k).map(TF.minhash(col("sh"), _)): _*)
+    val native = graft.expressions.VectorExpressions.minhashSig(col("sh"), k)
+    docs.filter(!(native <=> hof)).count() shouldBe 0L
+    // empty shingle set → k nulls, matching array_min-over-empty semantics
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("sh")
+    val sig = empty.select(
+        graft.expressions.VectorExpressions.minhashSig(col("sh"), 4).as("s"))
+      .head.getSeq[String](0)
+    sig shouldBe Seq(null, null, null, null)
+  }
 }
