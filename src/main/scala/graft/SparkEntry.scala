@@ -423,7 +423,10 @@ object SparkEntry {
     * rows-only oracle; recall asserted in VectorAndSimilaritySpec. */
   def q33AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, 10, nLists = 8, nProbe = 2)
+    // quantizer trained on a ~25% hash-sample (the index-build cost knob;
+    // assignment still covers the full corpus)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, 10, nLists = 8, nProbe = 2,
+      trainBound = Some("4000"))
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 

@@ -91,7 +91,8 @@ object Similarity {
     * Cell assignment uses Euclidean distance (KMeans' objective); final
     * scoring is exact cosine on the probed subset. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L,
+      trainBound: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c0 = corpus.select(col("vec_id").as("neighbor_id"),
@@ -100,9 +101,18 @@ object Similarity {
     // A coarse quantizer only needs roughly-balanced cells, not converged
     // centroids — recall comes from nProbe, not KMeans quality. 5 rounds
     // (vs the default 20) cuts the index-build 4× with no measured recall
-    // loss (VectorAndSimilaritySpec pins the floor).
+    // loss (VectorAndSimilaritySpec pins the floor). `trainBound` shrinks
+    // the TRAINING set further via a deterministic hash-sample of ids
+    // (e.g. "4000" ≈ 25% — every KMeans round then scans a quarter of the
+    // corpus); cell ASSIGNMENT always covers every vector. Callers must
+    // leave it None for corpora small enough that the sample could
+    // undercut nLists points.
+    val train = trainBound match {
+      case Some(bound) => Sampling.deterministicSample(c0, col("neighbor_id"), bound)
+      case None => c0
+    }
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("feat").setPredictionCol("list_id").fit(c0)
+      .setFeaturesCol("feat").setPredictionCol("list_id").fit(train)
     val c = model.transform(c0).select(col("neighbor_id"), col("c_vec"),
       col("list_id"), V.l2Norm(col("c_vec")).as("c_norm"))
     // query-side probe list: distance to every centroid as a literal
