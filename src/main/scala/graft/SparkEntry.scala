@@ -575,6 +575,19 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q44 — stratified deterministic sampling (Sampling.stratifiedSample):
+    * corpus rebalancing with a different keep-rate per language — the
+    * dominant stratum downsampled hard, mid strata at 75%, the tail at
+    * 37.5% — all as one literal CASE predicate fused into the scan. */
+  def q44StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.stratifiedSample(
+      t(s, dir, "documents"), col("doc_id"), col("lang"),
+      Map("en" -> "2000", "de" -> "c000", "fr" -> "c000"),
+      defaultBound = "6000")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -618,7 +631,8 @@ object SparkEntry {
     "q40_quantiles" -> (q40Quantiles _),
     "q41_sample_split" -> (q41SampleSplit _),
     "q42_pivot_status" -> (q42PivotStatus _),
-    "q43_dedup_components" -> (q43DedupComponents _)
+    "q43_dedup_components" -> (q43DedupComponents _),
+    "q44_stratified_sample" -> (q44StratifiedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1004,6 +1018,13 @@ object SparkEntry {
         |  SELECT src, src FROM edges
         |  UNION
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
-        |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
+        |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q44_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '2000' WHEN 'de' THEN 'c000'
+        |            WHEN 'fr' THEN 'c000' ELSE '6000' END
+        |GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

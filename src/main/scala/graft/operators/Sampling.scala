@@ -37,4 +37,21 @@ object Sampling {
     val h = hexBucket(key)
     when(h < trainBound, "train").when(h < valBound, "val").otherwise("test")
   }
+
+  /** Stratified deterministic sample: a different keep-fraction per value
+    * of `stratum` (hex bound per stratum; `defaultBound` for unlisted
+    * strata, "0000" = drop them). The standard corpus-rebalancing move —
+    * e.g. downsample the dominant language while keeping the tail whole.
+    * Still a pure per-row predicate: the bounds map compiles into a
+    * literal CASE chain, so there is no join, no shuffle, and membership
+    * stays a pure function of (key, stratum) — stable under reloads and
+    * engine changes like [[deterministicSample]]. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      bounds: Map[String, String], defaultBound: String = "0000"): DataFrame = {
+    val bound = bounds.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBound)) { case (acc, (s, b)) =>
+        when(stratum === s, lit(b)).otherwise(acc)
+      }
+    df.filter(hexBucket(key) < bound)
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, row_number, xxhash64}
+import org.apache.spark.sql.functions.{col, row_number, sum, xxhash64}
 
 /** Upsert semantics for a parquet warehouse — the reference's
   * `ON CONFLICT (pk) DO UPDATE` sinks (etl_snapshot_topn.py:374-453,
@@ -44,6 +44,24 @@ object Upsert {
       case None => updates.dropDuplicates(keys)
     }
     deduped.unionByName(current.join(deduped, keys, "left_anti"))
+  }
+
+  /** Additive rollup merge: combine two aggregates of DISJOINT inputs by
+    * summing their metric columns per key — the incremental-refresh form
+    * of the reference's recomputed rollup tables (meta_deck_types etc.,
+    * SURVEY A1-A6). Where [[upsert]] REPLACES a matched row (dimension
+    * semantics), count/sum rollups must ADD: `rollup(A ∪ B) ==
+    * additiveMerge(rollup(A), rollup(B))` for any associative metrics —
+    * the property that lets a 100 TB pipeline aggregate only the new
+    * partition and fold it into the standing rollup instead of rescanning
+    * history. One union + one partial-aggregating groupBy; inputs must be
+    * aggregates of disjoint row sets or overlapping rows double-count. */
+  def additiveMerge(current: DataFrame, updates: DataFrame,
+      keys: Seq[String], metrics: Seq[String]): DataFrame = {
+    val aggs = metrics.map(m => sum(col(m)).as(m))
+    current.unionByName(updates)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Upsert against a parquet path with a staged write: merge into

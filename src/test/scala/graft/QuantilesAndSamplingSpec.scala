@@ -39,4 +39,22 @@ class QuantilesAndSamplingSpec extends SparkSpecBase {
     labeled.filter(!col("s").isin("train", "val", "test")).count() shouldBe 0L
     labeled.count() shouldBe n // labeling never drops or duplicates rows
   }
+
+  test("stratifiedSample applies per-stratum rates and the default bound") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(k => (k, Seq("big", "mid", "odd")((k % 3).toInt)))
+      .toDF("k", "s")
+    val out = Sampling.stratifiedSample(df, col("k"), col("s"),
+      Map("big" -> "1000", "mid" -> "8000")) // default "0000" drops "odd"
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.contains("odd") shouldBe false
+    // "1000"/0x10000 = 6.25% of 1000 keys; "8000" = 50% — loose bands
+    counts("big").toDouble should (be > 30.0 and be < 100.0)
+    counts("mid").toDouble should (be > 420.0 and be < 580.0)
+    // sampling is per-(key, stratum) deterministic: rerun is identical
+    val again = Sampling.stratifiedSample(df, col("k"), col("s"),
+      Map("big" -> "1000", "mid" -> "8000"))
+    out.exceptAll(again).count() shouldBe 0L
+  }
 }

@@ -144,4 +144,24 @@ class SnapshotPipelineSpec extends SparkSpecBase {
     val ptcUses = snap.playerTypeCards.agg(sum("uses")).head().getLong(0)
     ptcUses shouldBe 8L * 3L
   }
+
+  test("incremental refresh: additiveMerge of per-batch rollups equals full recompute") {
+    // batch boundary chosen so match dedup stays WITHIN a batch (both
+    // copies of match1 land in batch A) — additiveMerge's disjointness
+    // precondition; a production incremental pipeline dedups new battles
+    // against the persisted match-hash set before aggregating
+    val all = battles.collect().toSeq
+    def df(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), Tables.battleSchema)
+    val batchA = df(all.take(2)) // match1 from both players' logs
+    val batchB = df(all.drop(2)) // match2 + the rejected shapes
+    val snapA = SnapshotPipeline.build(spark, batchA, leaderboard, meta, topN = 2)
+    val snapB = SnapshotPipeline.build(spark, batchB, leaderboard, meta, topN = 2)
+    val merged = graft.operators.Upsert.additiveMerge(
+      snapA.metaDeckTypes, snapB.metaDeckTypes,
+      keys = Seq("deck_type"), metrics = Seq("uses", "wins"))
+    val full = snap.metaDeckTypes
+    merged.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(merged).count() shouldBe 0L
+  }
 }
