@@ -588,6 +588,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
 
+  /** q45 — interval (range) join via time-bucket blocking
+    * (IntervalJoin.followWithin): clicks following a view by the same
+    * user within 10 minutes, rolled up per user. The equi-join on
+    * (user, bucket) replaces the per-key cross product Spark would plan
+    * for the raw range condition (see IntervalJoin scaladoc); the oracle
+    * computes the same pairs with a plain inequality join. */
+  def q45IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cus"))
+    operators.IntervalJoin.followWithin(views, clicks,
+        col("user_id"), col("us"), col("cu"), col("cus"), 600000000L)
+      .select(col("user_id"), col("view_id"), col("matched.click_id").as("click_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("view_id") + col("click_id")).cast("long").as("id_sum"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -632,7 +655,8 @@ object SparkEntry {
     "q41_sample_split" -> (q41SampleSplit _),
     "q42_pivot_status" -> (q42PivotStatus _),
     "q43_dedup_components" -> (q43DedupComponents _),
-    "q44_stratified_sample" -> (q44StratifiedSample _)
+    "q44_stratified_sample" -> (q44StratifiedSample _),
+    "q45_interval_join" -> (q45IntervalJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1025,6 +1049,17 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE lang WHEN 'en' THEN '2000' WHEN 'de' THEN 'c000'
         |            WHEN 'fr' THEN 'c000' ELSE '6000' END
-        |GROUP BY 1 ORDER BY lang""".stripMargin
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q45_interval_join" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |p AS (SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |      FROM v JOIN c ON v.user_id = c.user_id
+        |        AND c.us >= v.us AND c.us <= v.us + 600000000)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(view_id + click_id) AS BIGINT) AS id_sum
+        |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

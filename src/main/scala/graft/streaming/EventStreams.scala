@@ -156,6 +156,32 @@ object EventStreams {
         })
   }
 
+  /** Stream-stream interval self-join: pairs each `firstType` event with
+    * the same user's `thenType` events arriving within `withinMinutes`
+    * after it — the streaming form of [[graft.operators.IntervalJoin]]
+    * (q45 is the batch/oracle-checked counterpart; the spec asserts the
+    * two agree on a bounded replay). Inner stream-stream join: results
+    * emit as soon as both sides arrive; the watermarks + the time-range
+    * condition bound both join-state buffers (Spark derives the state
+    * eviction horizon from them — an unconstrained stream-stream join
+    * would buffer forever). */
+  def followedWithin(events: DataFrame, firstType: String, thenType: String,
+      withinMinutes: Int = 10, watermark: String = "2 hours"): DataFrame = {
+    val a = events.filter(col("event_type") === firstType && col("user_id").isNotNull)
+      .select(col("user_id").as("a_user"), col("event_id").as("first_id"),
+        col("ts").as("first_ts"))
+      .withWatermark("first_ts", watermark)
+    val b = events.filter(col("event_type") === thenType && col("user_id").isNotNull)
+      .select(col("user_id").as("b_user"), col("event_id").as("then_id"),
+        col("ts").as("then_ts"))
+      .withWatermark("then_ts", watermark)
+    a.join(b, col("a_user") === col("b_user") &&
+        col("then_ts") >= col("first_ts") &&
+        col("then_ts") <= col("first_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+      "inner")
+      .select(col("a_user").as("user_id"), col("first_id"), col("then_id"))
+  }
+
   /** Run a streaming aggregation over a static directory to completion and
     * return the final result — the batch-equivalence harness used by the
     * driver queries and specs (every micro-batch path is exercised; the

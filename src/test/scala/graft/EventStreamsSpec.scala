@@ -93,6 +93,35 @@ class EventStreamsSpec extends SparkSpecBase {
     spark.catalog.dropTempView("sess_test")
   }
 
+  test("stream-stream interval self-join equals the batch IntervalJoin") {
+    import org.apache.spark.sql.functions._
+    val q = EventStreams.followedWithin(
+        EventStreams.readEventStream(spark, "/root/testdata/sf0.001/events.parquet"),
+        "view", "click", withinMinutes = 10)
+      .writeStream.format("memory").queryName("follow_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("follow_test")
+      .select("user_id", "first_id", "then_id")
+
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id").isNotNull)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("first_id"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("then_id"),
+        unix_micros(col("ts")).as("cus"))
+    val batch = graft.operators.IntervalJoin.followWithin(views, clicks,
+        col("user_id"), col("us"), col("cu"), col("cus"), 600000000L)
+      .select(col("user_id"), col("first_id"), col("matched.then_id").as("then_id"))
+
+    streamed.exceptAll(batch).count() shouldBe 0L
+    batch.exceptAll(streamed).count() shouldBe 0L
+    spark.catalog.dropTempView("follow_test")
+  }
+
   test("hourlyTypeCounts run to completion equals the batch aggregation") {
     val streamed = EventStreams.runToCompletion(spark,
       "/root/testdata/sf0.001/events.parquet", "es_spec",
