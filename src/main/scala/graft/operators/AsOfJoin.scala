@@ -31,17 +31,21 @@ object AsOfJoin {
     *
     * Returns every `left` row (its columns flattened) plus an `asof`
     * struct holding the matched `right` row, or NULL when the key has no
-    * right row at-or-before the left time.
+    * right row at-or-before the left time. With `tolerance` set, a match
+    * older than `leftTime - tolerance` is nulled out instead of carried —
+    * bounded staleness, the guard a feature-lookup pipeline needs so a
+    * years-old dimension row doesn't silently serve as "current".
     *
     * Determinism: `right` must be unique per (key, time) — pre-aggregate
     * it otherwise (two right rows at the same instant would make the
     * carried payload order-dependent). Times are compared with the column
     * ordering of `leftTime`/`rightTime` (use the same unit/type on both
-    * sides, e.g. epoch micros).
+    * sides, e.g. epoch micros; `tolerance` is in those same units).
     */
   def backward(left: DataFrame, right: DataFrame,
       leftKey: Column, leftTime: Column,
-      rightKey: Column, rightTime: Column): DataFrame = {
+      rightKey: Column, rightTime: Column,
+      tolerance: Option[Long] = None): DataFrame = {
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
     val lSide = left.select(leftKey.as("__asof_k"), leftTime.as("__asof_t"),
@@ -52,14 +56,23 @@ object AsOfJoin {
       lit(0).as("__asof_side"),
       lit(null).cast(lType).as("__asof_l"),
       struct(right.columns.map(col).toSeq: _*).as("__asof_r"))
-    // right (side=0) sorts before left (side=1) at equal time → inclusive
+    // right (side=0) sorts before left (side=1) at equal time → inclusive;
+    // the match time rides along in the carried struct so tolerance can
+    // compare against it after the window
     val w = Window.partitionBy(col("__asof_k"))
       .orderBy(col("__asof_t").asc, col("__asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lSide.unionByName(rSide)
-      .withColumn("__asof_m", last(col("__asof_r"), ignoreNulls = true).over(w))
+    val carried = struct(col("__asof_t").as("t"), col("__asof_r").as("r"))
+    val matched = lSide.unionByName(rSide)
+      .withColumn("__asof_m",
+        last(when(col("__asof_side") === 0, carried), ignoreNulls = true).over(w))
       .filter(col("__asof_side") === 1)
-      .select(left.columns.map(c => col(s"__asof_l.$c").as(c)).toSeq
-        :+ col("__asof_m").as("asof"): _*)
+    val m = tolerance match {
+      case Some(tol) =>
+        when(col("__asof_t") - col("__asof_m.t") <= tol, col("__asof_m.r"))
+      case None => col("__asof_m.r")
+    }
+    matched.select(left.columns.map(c => col(s"__asof_l.$c").as(c)).toSeq
+      :+ m.as("asof"): _*)
   }
 }

@@ -28,6 +28,21 @@ class AsOfJoinSpec extends SparkSpecBase {
       "y" -> None)         // key absent from right
   }
 
+  test("backward with tolerance nulls out stale matches") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale"), (2L, 50L, "none"))
+      .toDF("k", "t", "eid")
+    val right = Seq((1L, 90L, "r90")).toDF("k", "t", "rv")
+    val out = AsOfJoin.backward(left, right,
+        col("k"), col("t"), col("k"), col("t"), tolerance = Some(50L))
+      .select(col("eid"), col("asof.rv").as("rv"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    out shouldBe Map(
+      "fresh" -> Some("r90"), // 10 units old, within tolerance 50
+      "stale" -> None,        // 410 units old — nulled, not carried
+      "none" -> None)
+  }
+
   test("backward equals the naive join-filter-max formulation") {
     import spark.implicits._
     // deterministic pseudo-random frames (no Math.random in specs)

@@ -40,6 +40,23 @@ class QuantilesAndSamplingSpec extends SparkSpecBase {
     labeled.count() shouldBe n // labeling never drops or duplicates rows
   }
 
+  test("sketch aggregates track exact values (the no-sort monitoring path)") {
+    // exact distinct counts and quantiles need a shuffle-wide sort or
+    // distinct-expand; HLL / t-digest sketches are the 100 TB
+    // monitoring-grade alternative — assert their error stays in band on
+    // real data so the trade is quantified, not assumed
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val row = docs.agg(
+      countDistinct(col("doc_id")).as("exact_d"),
+      approx_count_distinct(col("doc_id"), 0.02).as("approx_d"),
+      expr("percentile(n_chars, 0.5)").as("exact_p50"),
+      expr("approx_percentile(n_chars, 0.5, 1000)").as("approx_p50")).head
+    val (exactD, approxD) = (row.getLong(0), row.getLong(1))
+    math.abs(approxD - exactD).toDouble / exactD should be < 0.05
+    val (exactP, approxP) = (row.getDouble(2), row.getLong(3).toDouble)
+    math.abs(approxP - exactP) / math.max(exactP, 1.0) should be < 0.1
+  }
+
   test("stratifiedSample applies per-stratum rates and the default bound") {
     import spark.implicits._
     val df = (0L until 3000L).map(k => (k, Seq("big", "mid", "odd")((k % 3).toInt)))
