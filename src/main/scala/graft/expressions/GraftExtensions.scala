@@ -44,6 +44,17 @@ object GraftExtensions {
         val denom = Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b)))
         CaseWhen(Seq((EqualTo(denom, Literal(0.0)), Literal(0.0))),
           Some(Divide(VecDot(a, b), denom)))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      info(classOf[MinHashSig], "minhash_sig",
+        "minhash_sig(shingles, k) - k-wide MinHash signature (array of min seed-salted md5 hex) over an array<string>"),
+      binary("minhash_sig") { (shingles, k) =>
+        k match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+            MinHashSig(shingles, v)
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: k must be an integer literal, got $other")
+        }
       })
   )
 

@@ -43,6 +43,17 @@ class AsOfJoinSpec extends SparkSpecBase {
       "none" -> None)
   }
 
+  test("backward plans union + one window — no join operator at all") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L)).toDF("k", "t")
+    val plan = AsOfJoin.backward(left, right,
+        col("k"), col("t"), col("k"), col("t"))
+      .queryExecution.executedPlan.toString
+    plan should include("Window")
+    plan should not include "Join"
+  }
+
   test("backward equals the naive join-filter-max formulation") {
     import spark.implicits._
     // deterministic pseudo-random frames (no Math.random in specs)

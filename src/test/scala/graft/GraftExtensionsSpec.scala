@@ -17,6 +17,19 @@ class GraftExtensionsSpec extends SparkSpecBase {
       .head().getDouble(0) shouldBe 0.0
   }
 
+  test("minhash_sig callable from SQL, identical to the Column API") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array('a b c', 'b c d'), 4) AS s").head.getSeq[String](0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaCol = Seq(Tuple1(Seq("a b c", "b c d"))).toDF("sh")
+      .select(graft.expressions.VectorExpressions.minhashSig(col("sh"), 4).as("s"))
+      .head.getSeq[String](0)
+    viaSql shouldBe viaCol
+    viaSql.foreach(_ should fullyMatch regex "[0-9a-f]{32}")
+  }
+
   test("vec_dot arity error is informative") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

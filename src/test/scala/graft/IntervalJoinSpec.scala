@@ -29,6 +29,17 @@ class IntervalJoinSpec extends SparkSpecBase {
       "v2" -> "same-instant", "v2" -> "before")
   }
 
+  test("followWithin plans an equi-join, never a nested-loop/cartesian") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 20L)).toDF("k", "t")
+    val plan = IntervalJoin.followWithin(left, right,
+        col("k"), col("t"), col("k"), col("t"), 100L)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("followWithin equals the naive inequality join") {
     import spark.implicits._
     val left = (0 until 300).map(i => ((i % 7).toLong, (i * 37 % 1000).toLong, i.toLong))
