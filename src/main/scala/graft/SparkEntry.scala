@@ -611,6 +611,44 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** q46 — five-table star join (TPC-H Q5 shape): revenue by nation where
+    * the customer and the line's supplier share a nation. Facts join on
+    * their keys; nation broadcasts; the c_nationkey = s_nationkey filter
+    * runs post-join (it correlates the two dim FKs, so it can't push to
+    * either scan). Revenue as per-row floored cents → exact cross-engine
+    * sums. */
+  def q46NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rowCents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * lit(100.0) + lit(0.5)).cast("long")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"), sum(rowCents).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  /** q47 — correlated-aggregate decorrelation (TPC-H Q17 shape): lines
+    * with quantity below 20% of their part's average quantity. The
+    * correlated scalar subquery becomes a per-part aggregate joined back
+    * to the fact (AQE can broadcast the |parts|-sized aggregate). The
+    * average divides an exact integer sum by an exact count — one IEEE
+    * division, identical in any engine. */
+  def q47BelowAvgQuantity(s: SparkSession, dir: String): DataFrame = {
+    val perPart = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity").cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_q"))
+    t(s, dir, "lineitem")
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+      .agg(count(lit(1)).as("n_lines"),
+        moneySumCents(col("l_extendedprice")).as("total_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -656,7 +694,9 @@ object SparkEntry {
     "q42_pivot_status" -> (q42PivotStatus _),
     "q43_dedup_components" -> (q43DedupComponents _),
     "q44_stratified_sample" -> (q44StratifiedSample _),
-    "q45_interval_join" -> (q45IntervalJoin _)
+    "q45_interval_join" -> (q45IntervalJoin _),
+    "q46_nation_revenue" -> (q46NationRevenue _),
+    "q47_below_avg_quantity" -> (q47BelowAvgQuantity _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1060,6 +1100,28 @@ object SparkEntry {
         |        AND c.us >= v.us AND c.us <= v.us + 600000000)
         |SELECT user_id, COUNT(*) AS n_pairs,
         |  CAST(SUM(view_id + click_id) AS BIGINT) AS id_sum
-        |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q46_nation_revenue" ->
+      """SELECT n.n_name, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE c.c_nationkey = s.s_nationkey
+        |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q47_below_avg_quantity" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avg_q
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM lineitem l JOIN pa ON l.l_partkey = pa.pk
+        |WHERE l.l_quantity < 0.2 * pa.avg_q""".stripMargin
   )
 }
