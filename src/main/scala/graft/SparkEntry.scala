@@ -649,6 +649,23 @@ object SparkEntry {
         moneySumCents(col("l_extendedprice")).as("total_cents"))
   }
 
+  /** q48 — the full corpus-cleaning composition (CorpusPipeline.clean):
+    * quality gate → exact dedup → MinHash near-dup clusters (keep each
+    * cluster's min id) → stratified downsample of the dominant language,
+    * rolled up per lang. Every stage is deterministic, so the oracle
+    * replays the identical chain in SQL (quality fragment from q27,
+    * dedup from q07, candidates+closure from q43, sample from q44). */
+  def q48CorpusClean(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusPipeline.clean(
+      t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
+      stopwords = TF.DefaultLangMarkers("en"),
+      qualityThreshold = 0.5, jaccardThreshold = 0.5,
+      sampleBounds = Map("en" -> "8000"), defaultBound = "g")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -696,7 +713,8 @@ object SparkEntry {
     "q44_stratified_sample" -> (q44StratifiedSample _),
     "q45_interval_join" -> (q45IntervalJoin _),
     "q46_nation_revenue" -> (q46NationRevenue _),
-    "q47_below_avg_quantity" -> (q47BelowAvgQuantity _)
+    "q47_below_avg_quantity" -> (q47BelowAvgQuantity _),
+    "q48_corpus_clean" -> (q48CorpusClean _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1122,6 +1140,59 @@ object SparkEntry {
         |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM lineitem l JOIN pa ON l.l_partkey = pa.pk
-        |WHERE l.l_quantity < 0.2 * pa.avg_q""".stripMargin
+        |WHERE l.l_quantity < 0.2 * pa.avg_q""".stripMargin,
+    "q48_corpus_clean" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, lang, n_chars, COALESCE(text, '') AS text
+        |       FROM documents WHERE doc_id < 1000),
+        |f AS (SELECT doc_id, lang, n_chars, text,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS punct,
+        |  CASE WHEN trim(text) = '' THEN 0.0 ELSE
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','and','of','to','a','in','is','it','you','that'], x))) AS DOUBLE)
+        |    / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stopratio
+        |  FROM d0),
+        |qual AS (SELECT doc_id, lang, n_chars, text FROM f
+        |  WHERE floor((least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
+        |             + least(stopratio * 4.0, 1.0)
+        |             + greatest(1.0 - punct * 4.0, 0.0)) / 3.0 * 1e6) / 1e6 >= 0.5),
+        |ex AS (SELECT doc_id, lang, n_chars, text FROM qual
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |t1 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |       FROM ex WHERE trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
+        |mh AS (SELECT s.doc_id, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, r.seed),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM mh a JOIN mh b
+        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.id_a, c.id_b FROM cand c
+        |      JOIN sh sa ON sa.doc_id = c.id_a
+        |      JOIN sh sb ON sb.doc_id = c.id_b
+        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+        |              >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |surv AS (SELECT e.doc_id, e.lang, e.n_chars FROM ex e
+        |         LEFT JOIN comp c ON e.doc_id = c.id
+        |         WHERE c.id IS NULL OR c.comp = e.doc_id),
+        |samp AS (SELECT * FROM surv
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |    CASE lang WHEN 'en' THEN '8000' ELSE 'g' END)
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM samp GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** End-to-end training-corpus cleaning — the composition every LLM data
+  * pipeline runs, built from this engine's verified operators:
+  *
+  *   1. quality gate ([[graft.functions.TextFunctions.qualityScore]] ≥
+  *      threshold) — per-row expression, fuses into the scan;
+  *   2. exact dedup ([[Dedup.exactByContent]] keep-lowest-id) — one
+  *      uniform-hash shuffle;
+  *   3. near-dup cluster dedup: MinHash+LSH candidate pairs
+  *      ([[Dedup.minhashNearDupPairs]]) → connected components
+  *      ([[Dedup.connectedComponents]]) → keep each cluster's minimum id;
+  *   4. stratified downsample ([[Sampling.stratifiedSample]]) — per-row
+  *      predicate, deterministic in (doc_id, stratum).
+  *
+  * Every stage is deterministic, so the whole composition is
+  * oracle-checkable (q48). Stage order matters at scale: the cheap
+  * per-row gates run FIRST so the shuffling stages (dedup, LSH) see the
+  * smallest possible corpus, and the near-dup stage — the only
+  * super-linear one — runs after exact dedup has already collapsed
+  * identical payloads.
+  */
+object CorpusPipeline {
+
+  /** Clean `docs` (must have doc_id, lang, text columns; text may be
+    * null). Returns the surviving rows with an added `quality` column.
+    * `sampleBounds`/`defaultBound` are [[Sampling.stratifiedSample]] hex
+    * bounds per lang ("g" compares above every hex bucket = keep all). */
+  def clean(docs: DataFrame, stopwords: Seq[String],
+      qualityThreshold: Double = 0.5,
+      shingleN: Int = 3, minhashK: Int = 8, jaccardThreshold: Double = 0.5,
+      sampleBounds: Map[String, String] = Map.empty,
+      defaultBound: String = "g"): DataFrame = {
+    val base = docs.withColumn("text", coalesce(col("text"), lit("")))
+    val qual = base
+      .withColumn("quality", T.qualityScore(col("text"), stopwords))
+      .filter(col("quality") >= qualityThreshold)
+    // exact dedup: keep the lowest doc_id per identical payload
+    val exact = qual.join(
+      Dedup.exactByContent(qual, col("text"), col("doc_id")).select("keep_id"),
+      col("doc_id") === col("keep_id"), "left_semi")
+    // near-dup clusters over the exact-deduped survivors; empty docs have
+    // no shingles and skip this stage (they survive unless exact-dup'd)
+    val pairs = Dedup.minhashNearDupPairs(
+      exact.filter(trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), shingleN, minhashK,
+      rowsPerBand = 1, threshold = jaccardThreshold)
+    val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+    val surv = exact
+      .join(comps, col("doc_id") === col("id"), "left")
+      .filter(col("id").isNull || col("comp") === col("doc_id"))
+      .drop("id", "comp")
+    Sampling.stratifiedSample(surv, col("doc_id"), col("lang"),
+      sampleBounds, defaultBound)
+  }
+}

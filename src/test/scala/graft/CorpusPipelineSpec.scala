@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusPipeline
+
+/** Stage invariants of the corpus-cleaning composition on a corpus built
+  * to trip every stage. */
+class CorpusPipelineSpec extends SparkSpecBase {
+
+  test("clean drops low-quality, exact-dup, and near-dup docs; keeps cluster minima") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and it is a fine day in town you know that"
+    val nearDup = good + " indeed"
+    val unrelated = "completely different prose about catalyst plans and shuffle exchanges in the engine it is"
+    val docs = Seq(
+      (1L, "en", good),            // cluster min — survives
+      (2L, "en", good),            // exact dup of 1 — dropped at stage 2
+      (3L, "en", nearDup),         // near-dup of 1 — dropped at stage 3
+      (4L, "en", unrelated),       // distinct — survives
+      (5L, "en", "#$%! @@ ^^ &*")  // punctuation junk — dropped at stage 1
+    ).map { case (id, l, t) => (id, l, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val out = CorpusPipeline.clean(docs,
+        stopwords = graft.functions.TextFunctions.DefaultLangMarkers("en"),
+        qualityThreshold = 0.5, jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    out shouldBe Set(1L, 4L)
+  }
+}
