@@ -654,13 +654,21 @@ object SparkEntry {
     * cluster's min id) → stratified downsample of the dominant language,
     * rolled up per lang. Every stage is deterministic, so the oracle
     * replays the identical chain in SQL (quality fragment from q27,
-    * dedup from q07, candidates+closure from q43, sample from q44). */
+    * dedup from q07, closure from q43, sample from q44).
+    *
+    * rowsPerBand=2 (unlike q23's single-hash bands): requiring two
+    * consecutive signature agreements per band collapses the false
+    * candidates that dominated verification cost (3242 → 25 candidates
+    * for the same true pairs at sf0.1) — the banding precision/recall
+    * knob doing its actual job; the oracle mirrors it by pairing seeds
+    * with an ordered string_agg per band. */
   def q48CorpusClean(s: SparkSession, dir: String): DataFrame =
     operators.CorpusPipeline.clean(
       t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
       stopwords = TF.DefaultLangMarkers("en"),
       qualityThreshold = 0.5, jaccardThreshold = 0.5,
+      rowsPerBand = 2,
       sampleBounds = Map("en" -> "8000"), defaultBound = "g")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
@@ -1171,9 +1179,13 @@ object SparkEntry {
         |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
         |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
         |       GROUP BY s.doc_id, r.seed),
+        |bk AS (SELECT doc_id, seed // 2 AS band,
+        |         string_agg(m, '|' ORDER BY seed) AS bkey
+        |       FROM mh GROUP BY doc_id, seed // 2),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM mh a JOIN mh b
-        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+        |         FROM bk a JOIN bk b
+        |           ON a.band = b.band AND a.bkey = b.bkey
+        |           AND a.doc_id < b.doc_id),
         |p AS (SELECT c.id_a, c.id_b FROM cand c
         |      JOIN sh sa ON sa.doc_id = c.id_a
         |      JOIN sh sb ON sb.doc_id = c.id_b

@@ -33,6 +33,7 @@ object CorpusPipeline {
   def clean(docs: DataFrame, stopwords: Seq[String],
       qualityThreshold: Double = 0.5,
       shingleN: Int = 3, minhashK: Int = 8, jaccardThreshold: Double = 0.5,
+      rowsPerBand: Int = 2,
       sampleBounds: Map[String, String] = Map.empty,
       defaultBound: String = "g"): DataFrame = {
     val base = docs.withColumn("text", coalesce(col("text"), lit("")))
@@ -48,7 +49,7 @@ object CorpusPipeline {
     val pairs = Dedup.minhashNearDupPairs(
       exact.filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN, minhashK,
-      rowsPerBand = 1, threshold = jaccardThreshold)
+      rowsPerBand = rowsPerBand, threshold = jaccardThreshold)
     val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
     val surv = exact
       .join(comps, col("doc_id") === col("id"), "left")
