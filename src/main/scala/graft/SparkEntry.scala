@@ -345,8 +345,12 @@ object SparkEntry {
 
   /** q28 — SRP-LSH approximate nearest neighbors (the 100 TB ANN path:
     * corpus bucketed once, queries multi-probe their neighbor buckets).
-    * Plane literals live in Scala → rows-only oracle; recall vs the exact
-    * path is asserted in VectorAndSimilaritySpec. */
+    * The projection planes are seeded-deterministic, so the oracle SQL is
+    * GENERATED with the plane values interpolated as array literals
+    * (Double.toString round-trips exactly; list_inner_product is the same
+    * sequential fold as VecDot) — the whole approximate path hash-checks
+    * against DuckDB. Recall vs the exact path is additionally asserted in
+    * VectorAndSimilaritySpec. */
   def q28AnnSrp(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.srpTopK(e.filter(col("vec_id") < 5), e, 10, nBits = 6, dim = 64)
@@ -725,7 +729,34 @@ object SparkEntry {
     "q48_corpus_clean" -> (q48CorpusClean _)
   )
 
+  /** q28's oracle, generated: the SRP planes are a pure function of the
+    * seed, so they embed in the SQL as double-array literals and DuckDB
+    * replays bucketing, multi-probe, and ranking exactly. */
+  private def q28OracleSql: String = {
+    val planes = VF.randomPlanes(6, 64, 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+       |pr AS (SELECT query_id, qv,
+       |  unnest([qb, xor(qb,1), xor(qb,2), xor(qb,4), xor(qb,8), xor(qb,16), xor(qb,32)]) AS bucket
+       |  FROM q),
+       |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
+       |      THEN 0.0
+       |      ELSE list_inner_product(p.qv, c.v) /
+       |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
+       |  FROM pr p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, rnk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+       |  FROM cand) WHERE rnk <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q28_ann_srp" -> q28OracleSql,
     "q01_top_deck_types" ->
       """SELECT p.p_brand AS deck_type, COUNT(*) AS uses,
         |  CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
