@@ -294,9 +294,11 @@ object SparkEntry {
       threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** q24 — SimHash near-dup pairs (Hamming-blocked self-join). Fingerprint
-    * bit math isn't expressible in portable SQL → rows-only oracle; exact
-    * semantics unit-tested in DedupSpec. */
+  /** q24 — SimHash near-dup pairs (Hamming-blocked self-join). The token
+    * hash is the portable Md5Hash32, so the oracle recomputes the
+    * fingerprints in SQL and compares ALL pairs — equivalent output to the
+    * engine's chunk-blocked join, which is lossless by pigeonhole (Hamming
+    * ≤ 3 over 4 chunks forces one exact chunk match). */
   def q24NearDupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(
       t(s, dir, "documents").filter(trim(col("text")) =!= ""),
@@ -757,6 +759,23 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
+    "q24_neardup_simhash" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 8))::UBIGINT AS h
+        |       FROM d, UNNEST(d.toks) AS t(tok)),
+        |bits AS (SELECT doc_id, b.b AS bit,
+        |           SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |         FROM th, range(32) AS b(b)
+        |         GROUP BY doc_id, b.b),
+        |sig AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN c > 0 THEN 1::UBIGINT << bit ELSE 0 END) AS BIGINT) AS s
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q01_top_deck_types" ->
       """SELECT p.p_brand AS deck_type, COUNT(*) AS uses,
         |  CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS wins,

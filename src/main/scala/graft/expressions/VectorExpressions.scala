@@ -105,6 +105,10 @@ object VectorExpressions {
   /** Column-API wrapper: codegen'd k-wide MinHash signature. */
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+
+  /** Column-API wrapper: codegen'd portable per-token 32-bit md5 hash. */
+  def md5Hash32(tokens: Column): Column =
+    ColumnBridge.column(Md5Hash32(ColumnBridge.expression(tokens)))
 }
 
 /** 32-bit SimHash sign-mix over per-token hashes: each bit position
@@ -228,6 +232,55 @@ object MinHashSig {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       mins.map(d => if (d == null) null
         else org.apache.spark.unsafe.types.UTF8String.fromString(hex(d))))
+  }
+}
+
+/** Per-token 32-bit hash for SimHash: the first 4 bytes of md5(token) as
+  * an unsigned big-endian int — chosen over Spark's internal Murmur3
+  * because it is ENGINE-PORTABLE: any SQL engine reproduces it as
+  * `('0x' || substr(md5(t), 1, 8))::UBIGINT`, which is what upgraded q24
+  * from a rows-only check to a full DuckDB hash compare. One reused
+  * digest per call, no hex-string round-trip (the interpreted
+  * md5+conv+substring column chain this replaces allocated three strings
+  * and a MessageDigest per token). */
+case class Md5Hash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_hash32 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash32.hashJava(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Md5Hash32.hashJava($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash32 =
+    copy(child = newChild)
+}
+
+object Md5Hash32 {
+  def hashJava(arr: ArrayData): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        out(i) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

@@ -106,17 +106,17 @@ object TextFunctions {
     * position accumulates +1/-1; the sign vector is the fingerprint.
     * Returned as a non-negative long (< 2^32).
     *
-    * Per-token hash is Murmur3 (`hash()` — codegen'd, no digest allocation;
-    * the earlier md5+conv+substring chain cost ~3 string allocations and a
-    * MessageDigest per token). [[graft.expressions.SimHashMix]] then does
-    * the 32-bit sign mix natively — the pure-HOF formulation re-evaluated
-    * the hash once per BIT and took 350 s over 5k docs at sf0.1. SimHashMix
-    * reads bits 0..31 only, so the sign-extending int→long cast is
-    * harmless. */
+    * Per-token hash is [[graft.expressions.Md5Hash32]] — the first 4 md5
+    * bytes as an unsigned int, native and ENGINE-PORTABLE (any SQL engine:
+    * `('0x' || substr(md5(t), 1, 8))::UBIGINT`), so the whole SimHash path
+    * is DuckDB-oracle-checkable (q24). [[graft.expressions.SimHashMix]]
+    * then does the 32-bit sign mix natively — the pure-HOF formulation
+    * re-evaluated the hash once per BIT and took 350 s over 5k docs at
+    * sf0.1. */
   def simhash(text: Column): Column = {
     val toks = tokens(lower(text))
-    val hashes = transform(toks, t => hash(t).cast("long"))
-    graft.expressions.VectorExpressions.simhashMix(hashes)
+    graft.expressions.VectorExpressions.simhashMix(
+      graft.expressions.VectorExpressions.md5Hash32(toks))
   }
 
   /** Hamming distance between two simhash longs (≤ 64 bits). */

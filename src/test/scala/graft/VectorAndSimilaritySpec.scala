@@ -136,6 +136,16 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     pairs shouldBe Seq((1L, 2L))
   }
 
+  test("native Md5Hash32 equals the portable conv(md5) formulation on real docs") {
+    import graft.functions.{TextFunctions => TF}
+    val toks = TF.tokens(lower(col("text")))
+    val hof = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val native = graft.expressions.VectorExpressions.md5Hash32(toks)
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    docs.filter(!(native <=> hof)).count() shouldBe 0L
+  }
+
   test("native MinHashSig is byte-identical to the HOF formulation on real docs") {
     import graft.functions.{TextFunctions => TF}
     val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
