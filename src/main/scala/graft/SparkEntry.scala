@@ -680,6 +680,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
 
+  /** q49 — training-free IVF ANN (Similarity.ivfFlatTopK): centroids are
+    * the 8 corpus vectors with the smallest md5(id) — a deterministic
+    * index build the ORACLE derives itself in SQL, so unlike q33's KMeans
+    * quantizer the whole approximate path hash-checks. Distances are
+    * composed of native dot products only (see operator scaladoc). */
+  def q49AnnIvfFlat(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = Similarity.hashCentroids(e, 8)
+    Similarity.ivfFlatTopK(e.filter(col("vec_id") < 5), e, 10, centroids, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -728,7 +740,8 @@ object SparkEntry {
     "q45_interval_join" -> (q45IntervalJoin _),
     "q46_nation_revenue" -> (q46NationRevenue _),
     "q47_below_avg_quantity" -> (q47BelowAvgQuantity _),
-    "q48_corpus_clean" -> (q48CorpusClean _)
+    "q48_corpus_clean" -> (q48CorpusClean _),
+    "q49_ann_ivf_flat" -> (q49AnnIvfFlat _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -759,6 +772,32 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
+    "q49_ann_ivf_flat" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ctr AS (SELECT v AS cv,
+        |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+        |        FROM e
+        |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |asg AS (SELECT e.vec_id, e.v, c.idx,
+        |          list_inner_product(e.v, e.v)
+        |            - 2.0 * list_inner_product(e.v, c.cv)
+        |            + list_inner_product(c.cv, c.cv) AS d
+        |        FROM e CROSS JOIN ctr c),
+        |cell AS (SELECT vec_id, v, idx AS cell FROM asg
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+        |pr AS (SELECT vec_id AS query_id, v AS qv, idx AS cell FROM asg
+        |       WHERE vec_id < 5
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
+        |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
+        |      THEN 0.0
+        |      ELSE list_inner_product(p.qv, c.v) /
+        |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
+        |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM cand) WHERE rnk <= 10""".stripMargin,
     "q24_neardup_simhash" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
         |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),

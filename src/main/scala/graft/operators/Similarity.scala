@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => V}
 
@@ -132,6 +132,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         when(denom === 0.0, 0.0)
           .otherwise(V.dot(col("q_vec"), col("c_vec")) / denom).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Hash-chosen centroids for [[ivfFlatTopK]]: the `n` corpus vectors
+    * with the smallest md5(id) — a deterministic, training-free centroid
+    * pick (stable across runs/engines, unlike KMeans means which depend
+    * on float accumulation order). Driver-side collect of n vectors: the
+    * index "build" ships with the plan. */
+  def hashCentroids(corpus: DataFrame, n: Int): Seq[Seq[Double]] =
+    corpus.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(n)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** IVF with FIXED centroids (no training): every vector is assigned to
+    * its nearest centroid by squared L2; queries probe their `nProbe`
+    * nearest cells. The deterministic, oracle-checkable counterpart of
+    * [[ivfTopK]]'s KMeans quantizer — same probe/score shape, zero
+    * training passes. Distances use `ip(v,v) - 2·ip(v,c) + ip(c,c)` so
+    * every term is a native dot product (engine-portable: the identical
+    * expression over `list_inner_product` reproduces it bit-for-bit);
+    * argmin ties break to the lower cell index. */
+  def ivfFlatTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
+    def cellStructs(vec: Column): Column = array(centroids.zipWithIndex.map {
+      case (ctr, i) =>
+        val c = array(ctr.map(lit): _*)
+        struct((V.dot(vec, vec) - lit(2.0) * V.dot(vec, c) + V.dot(c, c)).as("d"),
+          lit(i).as("idx"))
+    }: _*)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_vec"), V.l2Norm(col("embedding")).as("c_norm"))
+      .withColumn("cell", array_min(cellStructs(col("c_vec"))).getField("idx"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
+      .withColumn("probe", slice(array_sort(cellStructs(col("q_vec"))), 1, nProbe))
+      .withColumn("cell", explode(col("probe").getField("idx")))
+      .drop("probe")
+    val denom = col("q_norm") * col("c_norm")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(denom === 0.0, 0.0)
+          .otherwise(V.dot(col("q_vec"), col("c_vec")) / denom).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
 

@@ -136,6 +136,19 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     pairs shouldBe Seq((1L, 2L))
   }
 
+  test("ivfFlatTopK: hash-chosen centroids give useful recall vs brute force") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, e, 10)
+    val approx = Similarity.ivfFlatTopK(queries, e, 10,
+      Similarity.hashCentroids(e, 8), nProbe = 2)
+    Similarity.recallAtK(exact, approx) should be >= 0.3 // 2 of 8 cells probed
+    // determinism: a second build+search returns the identical result
+    val again = Similarity.ivfFlatTopK(queries, e, 10,
+      Similarity.hashCentroids(e, 8), nProbe = 2)
+    approx.exceptAll(again).count() shouldBe 0L
+  }
+
   test("native Md5Hash32 equals the portable conv(md5) formulation on real docs") {
     import graft.functions.{TextFunctions => TF}
     val toks = TF.tokens(lower(col("text")))
