@@ -69,7 +69,15 @@ object Upsert {
     * POSIX filesystem; on object stores use a manifest/table format
     * instead — this is the local-warehouse shape of the idea. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String]): Unit =
+    mergeParquet(spark, path, updates)(upsert(_, _, keys))
+
+  /** Merge `updates` into the parquet table at `path` with `combine`
+    * (e.g. [[upsert]] for replace semantics, [[additiveMerge]] for
+    * rollups), via the staged write-swap with crash recovery. `combine`
+    * is skipped when no table exists yet — `updates` becomes the table. */
+  def mergeParquet(spark: SparkSession, path: String, updates: DataFrame)(
+      combine: (DataFrame, DataFrame) => DataFrame): Unit = {
     val target = new java.io.File(path)
     val staged = new java.io.File(path + "__staged")
     val old = new java.io.File(path + "__old")
@@ -88,7 +96,7 @@ object Upsert {
     rm(old)
     rm(staged)
     val merged =
-      if (target.exists()) upsert(spark.read.parquet(path), updates, keys)
+      if (target.exists()) combine(spark.read.parquet(path), updates)
       else updates
     merged.write.mode(SaveMode.Overwrite).parquet(staged.getPath)
     if (target.exists()) {

@@ -122,6 +122,29 @@ class EventStreamsSpec extends SparkSpecBase {
     spark.catalog.dropTempView("follow_test")
   }
 
+  test("incrementalRollup via foreachBatch equals the batch rollup across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // two landing files forced into separate micro-batches → the additive
+    // merge path runs at least twice (create, then fold)
+    val src = Paths.get("/root/testdata/sf0.001/events.parquet")
+    val landing = Files.createTempDirectory("graft_rollup_")
+    Files.copy(src, landing.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, landing.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val target = Files.createTempDirectory("graft_rollup_out_").resolve("rollup").toString
+
+    EventStreams.incrementalRollup(spark, landing.toString, target,
+      maxFilesPerTrigger = Some(1))
+
+    val got = spark.read.parquet(target)
+    val expected = spark.read.parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("value_cents"))
+    got.exceptAll(expected).count() shouldBe 0L
+    expected.exceptAll(got).count() shouldBe 0L
+  }
+
   test("hourlyTypeCounts run to completion equals the batch aggregation") {
     val streamed = EventStreams.runToCompletion(spark,
       "/root/testdata/sf0.001/events.parquet", "es_spec",
