@@ -692,6 +692,24 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** q50 — disjunctive predicate pushdown (TPC-H Q19 shape): an
+    * OR-of-ANDs over fact and dim columns. Catalyst factors the common
+    * fact-only conjuncts out of the disjunction so they reach the
+    * lineitem scan (PushedFilters) even though the full predicate
+    * straddles the join — the optimizer surface this query pins. */
+  def q50DisjunctiveFilter(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val joined = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val cond =
+      (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size") <= 5) ||
+      (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size") <= 10) ||
+      (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size") <= 15)
+    joined.filter(cond && col("l_returnflag").isin("R", "A"))
+      .agg(count(lit(1)).as("n_lines"),
+        moneySumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -741,7 +759,8 @@ object SparkEntry {
     "q46_nation_revenue" -> (q46NationRevenue _),
     "q47_below_avg_quantity" -> (q47BelowAvgQuantity _),
     "q48_corpus_clean" -> (q48CorpusClean _),
-    "q49_ann_ivf_flat" -> (q49AnnIvfFlat _)
+    "q49_ann_ivf_flat" -> (q49AnnIvfFlat _),
+    "q50_disjunctive_filter" -> (q50DisjunctiveFilter _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1238,6 +1257,15 @@ object SparkEntry {
         |    AS total_cents
         |FROM lineitem l JOIN pa ON l.l_partkey = pa.pk
         |WHERE l.l_quantity < 0.2 * pa.avg_q""".stripMargin,
+    "q50_disjunctive_filter" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE ((p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 5)
+        |    OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 10)
+        |    OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size <= 15))
+        |  AND l.l_returnflag IN ('R', 'A')""".stripMargin,
     "q48_corpus_clean" ->
       """WITH RECURSIVE
         |d0 AS (SELECT doc_id, lang, n_chars, COALESCE(text, '') AS text
