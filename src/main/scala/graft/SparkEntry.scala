@@ -305,24 +305,17 @@ object SparkEntry {
       col("doc_id"), col("text"), maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** q25 — embedding near-duplicate pairs: exact cosine ≥ threshold over
-    * all pairs via the native VecDot expression (the brute-force baseline
-    * of Dedup.embeddingNearDupPairs; the SRP-blocked variant is the scale
-    * path, unit-tested for recall). */
-  def q25NearDupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
-      VF.l2Norm(col("embedding")).as("n_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
-      VF.l2Norm(col("embedding")).as("n_b"))
-    val denom = col("n_a") * col("n_b")
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        when(denom === 0.0, 0.0)
-          .otherwise(VF.dot(col("v_a"), col("v_b")) / denom).as("cosine"))
-      .filter(col("cosine") >= 0.35)
+  /** q25 — embedding near-duplicate pairs, SRP-LSH-blocked
+    * (Dedup.embeddingNearDupPairs — the 100 TB path: the self-join keys on
+    * the sign-projection bucket, so candidate volume is within-bucket
+    * only; the O(N²) crossJoin is demoted to the recall baseline in
+    * VectorAndSimilaritySpec). The projection planes are a pure function
+    * of the seed, so the oracle SQL is GENERATED with them interpolated
+    * (q28's pattern) and the whole approximate path hash-checks. */
+  def q25NearDupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), threshold = 0.35, nBits = 8, dim = 64)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** q26 — language identification by stopword-hit scoring over the marker
     * lists (text analysis; TF.langId), rolled up per (predicted, labeled). */
@@ -423,16 +416,17 @@ object SparkEntry {
         col("orders"), col("total_cents"))
       .orderBy(col("priority"), col("status"))
 
-  /** q33 — IVF approximate ANN: KMeans coarse quantizer over the corpus,
-    * queries probe their 2 nearest of 8 cells (the at-ingest-indexed scale
-    * path alongside q28's LSH). Model training isn't SQL-expressible →
-    * rows-only oracle; recall asserted in VectorAndSimilaritySpec. */
+  /** q33 — IVF ANN with a TRAINED-BUT-DETERMINISTIC quantizer: hash-chosen
+    * seeds (q49's pick) refined by one quantized Lloyd round
+    * (Similarity.lloydRefine — integer-scaled means, so the refined
+    * centroids are bit-reproducible and the ORACLE derives them itself in
+    * SQL; closes the hash-check gap the float-order-dependent KMeans
+    * quantizer couldn't). Queries probe their 2 nearest of 8 cells.
+    * The KMeans variant (Similarity.ivfTopK) stays the bench/spec path. */
   def q33AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // quantizer trained on a ~25% hash-sample (the index-build cost knob;
-    // assignment still covers the full corpus)
-    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, 10, nLists = 8, nProbe = 2,
-      trainBound = Some("4000"))
+    val refined = Similarity.lloydRefine(e, Similarity.hashCentroids(e, 8))
+    Similarity.ivfFlatTopK(e.filter(col("vec_id") < 5), e, 10, refined, nProbe = 2)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
@@ -472,13 +466,17 @@ object SparkEntry {
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("orders"))
       .orderBy(col("priority"), col("status"))
 
-  /** q37 — exact n-gram (bigram) Jaccard near-dup pairs: the verification
-    * measure standalone (Dedup.ngramJaccardPairs; q23's MinHash banding is
-    * the candidate-generation path that feeds it at scale). */
+  /** q37 — exact bigram-Jaccard near-dup pairs at the composed scale
+    * shape (Dedup.bandedNgramJaccardPairs): MinHash-band candidates over
+    * trigram shingles (q23's blocking), verified by the exact bigram
+    * measure — the whole corpus, no slice bound, because candidate
+    * generation is banded instead of all-pairs (the standalone all-pairs
+    * Dedup.ngramJaccardPairs stays the bounded baseline in DedupSpec). */
   def q37NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(
-      t(s, dir, "documents").filter(col("doc_id") < 150 && trim(col("text")) =!= ""),
-      col("doc_id"), col("text"), n = 2, threshold = 0.3)
+    Dedup.bandedNgramJaccardPairs(
+      t(s, dir, "documents").filter(trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), candShingleN = 3, k = 8, rowsPerBand = 1,
+      n = 2, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** q38 — gap-based sessions via the native `session_window` aggregation
@@ -789,8 +787,71 @@ object SparkEntry {
        |  FROM cand) WHERE rnk <= 10""".stripMargin
   }
 
+  /** q25's oracle, generated the same way as [[q28OracleSql]]: the SRP
+    * planes embed as double-array literals, DuckDB replays the bucketed
+    * self-join and the exact cosine gate. */
+  private def q25OracleSql: String = {
+    val planes = VF.randomPlanes(8, 64, 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |        list_inner_product(a.v, b2.v) AS dp,
+       |        sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b2.v, b2.v)) AS denom
+       |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT id_a, id_b,
+       |  CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END AS cosine
+       |FROM p WHERE CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
+    "q25_neardup_embedding" -> q25OracleSql,
+    "q33_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ctr0 AS (SELECT v AS cv,
+        |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+        |         FROM e
+        |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |asg0 AS (SELECT e.vec_id, e.v, c.idx,
+        |           list_inner_product(e.v, e.v)
+        |             - 2.0 * list_inner_product(e.v, c.cv)
+        |             + list_inner_product(c.cv, c.cv) AS d
+        |         FROM e CROSS JOIN ctr0 c),
+        |cell0 AS (SELECT vec_id, v, idx AS cell FROM asg0
+        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+        |sums AS (SELECT cell, r.i AS dim,
+        |           SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
+        |           COUNT(*) AS n
+        |         FROM cell0, range(64) AS r(i) GROUP BY cell, r.i),
+        |mean AS (SELECT cell AS idx,
+        |           list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY dim) AS cv
+        |         FROM sums GROUP BY cell),
+        |ctr AS (SELECT c0.idx, COALESCE(m.cv, c0.cv) AS cv
+        |        FROM ctr0 c0 LEFT JOIN mean m ON m.idx = c0.idx),
+        |asg AS (SELECT e.vec_id, e.v, c.idx,
+        |          list_inner_product(e.v, e.v)
+        |            - 2.0 * list_inner_product(e.v, c.cv)
+        |            + list_inner_product(c.cv, c.cv) AS d
+        |        FROM e CROSS JOIN ctr c),
+        |cell AS (SELECT vec_id, v, idx AS cell FROM asg
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+        |pr AS (SELECT vec_id AS query_id, v AS qv, idx AS cell FROM asg
+        |       WHERE vec_id < 5
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
+        |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
+        |      THEN 0.0
+        |      ELSE list_inner_product(p.qv, c.v) /
+        |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
+        |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM cand) WHERE rnk <= 10""".stripMargin,
     "q49_ann_ivf_flat" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ctr AS (SELECT v AS cv,
@@ -1018,16 +1079,6 @@ object SparkEntry {
         |      JOIN sh sb ON sb.doc_id = c.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
-    "q25_neardup_embedding" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        list_inner_product(a.v, b.v) AS dp,
-        |        sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)) AS denom
-        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b,
-        |  CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END AS cosine
-        |FROM p WHERE CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END >= 0.35
-        |ORDER BY id_a, id_b""".stripMargin,
     "q26_language_id" ->
       """WITH d AS (SELECT lang, trim(COALESCE(text, '')) = '' AS empty,
         |             string_split_regex(lower(trim(COALESCE(text, ''))), '\s+') AS toks
@@ -1121,16 +1172,28 @@ object SparkEntry {
         |ORDER BY priority, status""".stripMargin,
     "q37_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |           FROM documents WHERE doc_id < 150 AND trim(text) <> ''),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
-        |         generate_series(1, greatest(len(t) - 1, 1)),
-        |         i -> array_to_string(t[i:i+1], ' '))) AS shingles FROM d),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+        |           FROM documents WHERE trim(text) <> ''),
+        |sh3 AS (SELECT doc_id, list_distinct(list_transform(
+        |          generate_series(1, greatest(len(t) - 2, 1)),
+        |          i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |sh2 AS (SELECT doc_id, list_distinct(list_transform(
+        |          generate_series(1, greatest(len(t) - 1, 1)),
+        |          i -> array_to_string(t[i:i+1], ' '))) AS shingles FROM d),
+        |mh AS (SELECT s.doc_id, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh3 s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, r.seed),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM mh a JOIN mh b
+        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+        |j AS (SELECT c.id_a, c.id_b,
+        |        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
         |          AS jaccard
-        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
+        |      FROM cand c
+        |      JOIN sh2 sa ON sa.doc_id = c.id_a
+        |      JOIN sh2 sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "q38_session_window" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -96,6 +96,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The composed scale shape for the exact n-gram measure: MinHash-band
+    * CANDIDATES (over `candShingleN`-gram shingles, exactly
+    * [[minhashNearDupPairs]]'s blocking) verified by exact `n`-gram
+    * Jaccard ≥ `threshold`. This is how [[ngramJaccardPairs]]'s measure
+    * runs at corpus scale — candidate generation shuffles (band, id)
+    * pairs only, and the O(|A∪B|) set arithmetic is paid per surviving
+    * candidate, never all-pairs. The two shingle granularities are
+    * independent knobs: blocking wants longer shingles (precision),
+    * verification can use a finer measure (here bigrams). */
+  def bandedNgramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      candShingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 1,
+      n: Int = 2, threshold: Double = 0.3): DataFrame = {
+    // both shingle sets in one cached pass — the frame is read three times
+    // (band index + the two verification joins); see the cache-lifecycle
+    // note in the object scaladoc
+    val docs = df.select(id.as("doc_id"),
+        T.shingles(text, candShingleN).as("csh"), T.shingles(text, n).as("vsh"))
+      .filter(size(col("csh")) > 0 && size(col("vsh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docs
+      .withColumn("band", explode(T.bandKeys(T.minhashSignature(col("csh"), k), rowsPerBand)))
+      .select(col("band"), col("doc_id"))
+    val cand = banded.select(col("band"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("vsh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("vsh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup: 32-bit fingerprints; pairs within `maxHamming`.
     * Blocking: 4 × 8-bit chunks — two docs within Hamming ≤ 3 of each
     * other share at least one exact chunk (pigeonhole), so the self-join

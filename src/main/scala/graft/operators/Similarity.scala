@@ -145,28 +145,64 @@ object Similarity {
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
 
+  /** Per-centroid (distance, idx) structs for argmin cell assignment.
+    * Distances use `ip(v,v) - 2·ip(v,c) + ip(c,c)` so every term is a
+    * native dot product (engine-portable: the identical expression over
+    * `list_inner_product` reproduces it bit-for-bit); argmin ties break
+    * to the lower cell index. */
+  private def cellStructs(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (ctr, i) =>
+      val c = array(ctr.map(lit): _*)
+      struct((V.dot(vec, vec) - lit(2.0) * V.dot(vec, c) + V.dot(c, c)).as("d"),
+        lit(i).as("idx"))
+    }: _*)
+
+  /** One QUANTIZED Lloyd refinement round over fixed seed centroids: each
+    * vector joins its nearest centroid (same argmin as [[ivfFlatTopK]]),
+    * then every cell's new centroid is the element-wise mean of its
+    * members — computed over `floor(x·scale)` integer components, so the
+    * sum is order-independent and the mean is ONE IEEE division per
+    * dimension: `(Σ floor(xᵢ·scale) / n) / scale`. That makes the refined
+    * centroids bit-reproducible in any engine (plain-double means depend
+    * on float accumulation order — the reason [[ivfTopK]]'s KMeans model
+    * can't be oracle-checked). Cells that attract no vectors keep their
+    * seed centroid. Driver-side collect: (cells × dims) longs — index
+    * build, same class as [[hashCentroids]]. */
+  def lloydRefine(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      scale: Double = 1e6): Seq[Seq[Double]] = {
+    val dim = centroids.head.size
+    val sums = corpus
+      .select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", array_min(cellStructs(col("v"), centroids)).getField("idx"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(floor(col("x") * lit(scale)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    centroids.zipWithIndex.map { case (seed, cell) =>
+      if (!sums.contains((cell, 0))) seed
+      else (0 until dim).map { j =>
+        val (s, n) = sums((cell, j))
+        s.toDouble / n.toDouble / scale
+      }
+    }
+  }
+
   /** IVF with FIXED centroids (no training): every vector is assigned to
     * its nearest centroid by squared L2; queries probe their `nProbe`
     * nearest cells. The deterministic, oracle-checkable counterpart of
     * [[ivfTopK]]'s KMeans quantizer — same probe/score shape, zero
-    * training passes. Distances use `ip(v,v) - 2·ip(v,c) + ip(c,c)` so
-    * every term is a native dot product (engine-portable: the identical
-    * expression over `list_inner_product` reproduces it bit-for-bit);
-    * argmin ties break to the lower cell index. */
+    * training passes (see [[cellStructs]] for the portable distance). */
   def ivfFlatTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
-    def cellStructs(vec: Column): Column = array(centroids.zipWithIndex.map {
-      case (ctr, i) =>
-        val c = array(ctr.map(lit): _*)
-        struct((V.dot(vec, vec) - lit(2.0) * V.dot(vec, c) + V.dot(c, c)).as("d"),
-          lit(i).as("idx"))
-    }: _*)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_vec"), V.l2Norm(col("embedding")).as("c_norm"))
-      .withColumn("cell", array_min(cellStructs(col("c_vec"))).getField("idx"))
+      .withColumn("cell", array_min(cellStructs(col("c_vec"), centroids)).getField("idx"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
-      .withColumn("probe", slice(array_sort(cellStructs(col("q_vec"))), 1, nProbe))
+      .withColumn("probe", slice(array_sort(cellStructs(col("q_vec"), centroids)), 1, nProbe))
       .withColumn("cell", explode(col("probe").getField("idx")))
       .drop("probe")
     val denom = col("q_norm") * col("c_norm")

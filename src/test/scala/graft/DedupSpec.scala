@@ -37,6 +37,24 @@ class DedupSpec extends SparkSpecBase {
     strict.count() shouldBe 0L
   }
 
+  test("bandedNgramJaccardPairs ⊆ all-pairs baseline with identical jaccard, recall ≥ 0.8") {
+    // real corpus slice: the banded composition (q37's driver shape) must
+    // only ever drop pairs relative to the exact all-pairs measure — same
+    // ids, same jaccard values — and at rowsPerBand=1 it should keep
+    // nearly all of them
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter(trim(col("text")) =!= "")
+    val allPairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 2, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val banded = Dedup.bandedNgramJaccardPairs(docs, col("doc_id"), col("text"),
+      candShingleN = 3, k = 8, rowsPerBand = 1, n = 2, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    allPairs.size should be >= 5
+    banded.subsetOf(allPairs) shouldBe true
+    banded.size.toDouble / allPairs.size.toDouble should be >= 0.8
+  }
+
   test("simhashNearDupPairs: identical docs at hamming 0; unrelated docs filtered") {
     val text = "spark sql catalyst tungsten codegen shuffle partition broadcast"
     val other = "entirely unrelated tokens q w e r t y u i"

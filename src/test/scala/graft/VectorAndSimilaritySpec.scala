@@ -136,6 +136,32 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     pairs shouldBe Seq((1L, 2L))
   }
 
+  test("embedding near-dup: SRP blocking recall ≥ 0.8 vs the exact crossJoin baseline") {
+    // planted near-duplicates: 40 base vectors each with a jittered twin,
+    // plus 200 unrelated vectors — the O(N²) crossJoin (the old q25 form,
+    // demoted here per round-4 verdict) is the recall baseline the
+    // SRP-blocked driver path is measured against
+    val rnd = new Random(23)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val bases = (0 until 40).map(i => (i.toLong * 2, vec()))
+    val twins = bases.map { case (id, v) =>
+      (id + 1, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)) }
+    val noise = (1000 until 1200).map(i => (i.toLong, vec()))
+    val df = vecDF(bases ++ twins ++ noise)
+    def pairKeys(p: org.apache.spark.sql.DataFrame) =
+      p.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val exact = pairKeys(a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), VF.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= 0.99))
+    val blocked = pairKeys(Dedup.embeddingNearDupPairs(df, col("vec_id"), col("embedding"),
+      threshold = 0.99, nBits = 8, dim = 16))
+    exact.size should be >= 30 // the planted twins are really there
+    blocked.subsetOf(exact) shouldBe true // blocking only drops, never invents
+    blocked.size.toDouble / exact.size.toDouble should be >= 0.8
+  }
+
   test("ivfFlatTopK: hash-chosen centroids give useful recall vs brute force") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter(col("vec_id") < 5)
@@ -147,6 +173,26 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     val again = Similarity.ivfFlatTopK(queries, e, 10,
       Similarity.hashCentroids(e, 8), nProbe = 2)
     approx.exceptAll(again).count() shouldBe 0L
+  }
+
+  test("lloydRefine: deterministic, moves non-empty cells, keeps empty-cell seeds") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val seeds = Similarity.hashCentroids(e, 8)
+    val r1 = Similarity.lloydRefine(e, seeds)
+    val r2 = Similarity.lloydRefine(e, seeds)
+    r1 shouldBe r2 // integer-scaled means: bit-reproducible across builds
+    r1 should not be seeds // at least one cell attracted vectors and moved
+    // recall with the refined quantizer stays useful (q33's driver shape)
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, e, 10)
+    val approx = Similarity.ivfFlatTopK(queries, e, 10, r1, nProbe = 2)
+    Similarity.recallAtK(exact, approx) should be >= 0.3
+    // an unreachable centroid keeps its seed (no members → no mean)
+    val tiny = vecDF(Seq((1L, Seq(1f, 1f)), (2L, Seq(1.1f, 0.9f))))
+    val far = Seq(Seq(1.0, 1.0), Seq(1000.0, 1000.0))
+    val refined = Similarity.lloydRefine(tiny, far)
+    refined(1) shouldBe far(1)
+    refined(0) should not be far(0)
   }
 
   test("native Md5Hash32 equals the portable conv(md5) formulation on real docs") {
