@@ -72,11 +72,44 @@ object Upsert {
       keys: Seq[String]): Unit =
     mergeParquet(spark, path, updates)(upsert(_, _, keys))
 
+  /** Marker file recording which batch ids have been folded into a rollup
+    * table. It lives INSIDE the table directory: Spark's file index skips
+    * `_`-prefixed files on read, and the staged-swap rename moves it
+    * atomically WITH the data it describes — the applied-set can never
+    * disagree with the table contents, which a sidecar path could after a
+    * crash between two writes. */
+  private val AppliedMarker = "_graft_applied_batches"
+
+  /** Batch ids already applied to the table at `path` (empty when the
+    * table or marker doesn't exist). */
+  def appliedBatches(path: String): Set[Long] = {
+    val f = new java.io.File(path, AppliedMarker)
+    if (!f.isFile) Set.empty
+    else scala.io.Source.fromFile(f).getLines()
+      .filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  private def writeApplied(dir: java.io.File, ids: Set[Long]): Unit = {
+    val f = new java.io.File(dir, AppliedMarker)
+    java.nio.file.Files.write(f.toPath,
+      ids.toSeq.sorted.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
   /** Merge `updates` into the parquet table at `path` with `combine`
     * (e.g. [[upsert]] for replace semantics, [[additiveMerge]] for
     * rollups), via the staged write-swap with crash recovery. `combine`
-    * is skipped when no table exists yet — `updates` becomes the table. */
-  def mergeParquet(spark: SparkSession, path: String, updates: DataFrame)(
+    * is skipped when no table exists yet — `updates` becomes the table.
+    *
+    * `batchId` makes the merge IDEMPOTENT per batch: a batch id already
+    * recorded in the table's applied-marker is skipped outright, so a
+    * replayed `foreachBatch` (crash recovery, full stream re-run) cannot
+    * double-count an additive rollup. The marker is written into the
+    * staged directory before the swap, so data + applied-set commit in
+    * the same rename. */
+  def mergeParquet(spark: SparkSession, path: String, updates: DataFrame,
+      batchId: Option[Long] = None)(
       combine: (DataFrame, DataFrame) => DataFrame): Unit = {
     val target = new java.io.File(path)
     val staged = new java.io.File(path + "__staged")
@@ -95,10 +128,16 @@ object Upsert {
     }
     rm(old)
     rm(staged)
+    val applied = appliedBatches(path)
+    if (batchId.exists(applied.contains)) return // replayed batch: no-op
     val merged =
       if (target.exists()) combine(spark.read.parquet(path), updates)
       else updates
     merged.write.mode(SaveMode.Overwrite).parquet(staged.getPath)
+    // the applied-set survives every rewrite (marker files don't survive
+    // SaveMode.Overwrite, so it is re-written into the staged dir)
+    val nextApplied = applied ++ batchId
+    if (nextApplied.nonEmpty) writeApplied(staged, nextApplied)
     if (target.exists()) {
       if (!target.renameTo(old))
         throw new java.io.IOException(s"could not stage out $path")
