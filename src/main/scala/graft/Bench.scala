@@ -43,7 +43,8 @@ object Bench {
     // shingle/fingerprint inputs — see Dedup's lifecycle note); warmup
     // above is for JIT + page cache only.
     def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
     val loadBefore = loadavg()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -57,8 +58,18 @@ object Bench {
       }
     }
     val loadAfter = loadavg()
+    // min over SUCCESSFUL passes only: a failed pass aborts fast, and its
+    // duration would understate the query (and the total) while the ok
+    // flag says failed. Both-failed rows keep the max as the honest upper
+    // bound of what was observed.
     val results = passes.head.zip(passes.last).map { case ((k, v1, ok1), (_, v2, ok2)) =>
-      (k, math.min(v1, v2), ok1 && ok2)
+      val time = (ok1, ok2) match {
+        case (true, false) => v1
+        case (false, true) => v2
+        case (true, true)  => math.min(v1, v2)
+        case (false, false) => math.max(v1, v2)
+      }
+      (k, time, ok1 && ok2)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

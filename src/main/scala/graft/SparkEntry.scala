@@ -468,14 +468,20 @@ object SparkEntry {
 
   /** q37 — exact bigram-Jaccard near-dup pairs at the composed scale
     * shape (Dedup.bandedNgramJaccardPairs): MinHash-band candidates over
-    * trigram shingles (q23's blocking), verified by the exact bigram
-    * measure — the whole corpus, no slice bound, because candidate
-    * generation is banded instead of all-pairs (the standalone all-pairs
-    * Dedup.ngramJaccardPairs stays the bounded baseline in DedupSpec). */
+    * trigram shingles, verified by the exact bigram measure — the whole
+    * corpus, no slice bound, because candidate generation is banded
+    * instead of all-pairs (the standalone all-pairs
+    * Dedup.ngramJaccardPairs stays the bounded baseline in DedupSpec).
+    * rowsPerBand=2 (4 bands of 2 MinHash rows): single-hash bands flood
+    * verification with false candidates on a shared-vocabulary corpus —
+    * 82k candidate pairs vs 826 at sf0.1 — because a candidate needs only
+    * ONE chance trigram-hash agreement; requiring two simultaneous
+    * agreements drops the noise floor quadratically while true near-dups
+    * (trigram Jaccard ≳ 0.6) still collide with high probability. */
   def q37NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.bandedNgramJaccardPairs(
       t(s, dir, "documents").filter(trim(col("text")) =!= ""),
-      col("doc_id"), col("text"), candShingleN = 3, k = 8, rowsPerBand = 1,
+      col("doc_id"), col("text"), candShingleN = 3, k = 8, rowsPerBand = 2,
       n = 2, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -708,6 +714,23 @@ object SparkEntry {
         moneySumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue_cents"))
   }
 
+  /** q51 — dedup clustering via large-star/small-star contraction
+    * (Dedup.connectedComponentsStar): the SAME pair graph and component
+    * labels as q43, computed by the O(log n)-round algorithm that survives
+    * power-law near-dup graphs (boilerplate corpora chain components
+    * thousands of nodes deep; min-label propagation needs O(diameter)
+    * rounds there). Hash-checked against the identical recursive-CTE
+    * oracle, proving the two implementations are drop-in interchangeable
+    * on real banding output, not just on DedupSpec's synthetic graphs. */
+  def q51DedupComponentsStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 300 && trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
+      threshold = 0.4)
+    Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+      .orderBy(col("id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -758,7 +781,8 @@ object SparkEntry {
     "q47_below_avg_quantity" -> (q47BelowAvgQuantity _),
     "q48_corpus_clean" -> (q48CorpusClean _),
     "q49_ann_ivf_flat" -> (q49AnnIvfFlat _),
-    "q50_disjunctive_filter" -> (q50DisjunctiveFilter _)
+    "q50_disjunctive_filter" -> (q50DisjunctiveFilter _),
+    "q51_dedup_components_star" -> (q51DedupComponentsStar _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -806,6 +830,37 @@ object SparkEntry {
        |FROM p WHERE CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Shared by q43 (min-label propagation) and q51 (star contraction):
+    * both must reproduce the recursive-CTE transitive-closure fixpoint. */
+  private val dedupComponentsOracle: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |      FROM documents WHERE doc_id < 300 AND trim(text) <> ''),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 2, 1)),
+      |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+      |mh AS (SELECT s.doc_id, r.seed,
+      |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+      |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+      |       GROUP BY s.doc_id, r.seed),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM mh a JOIN mh b
+      |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+      |p AS (SELECT c.id_a, c.id_b
+      |      FROM cand c
+      |      JOIN sh sa ON sa.doc_id = c.id_a
+      |      JOIN sh sb ON sb.doc_id = c.id_b
+      |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+      |              >= 0.4),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+      |          UNION SELECT id_b, id_a FROM p),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+      |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
@@ -1183,9 +1238,16 @@ object SparkEntry {
         |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
         |       FROM sh3 s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
         |       GROUP BY s.doc_id, r.seed),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM mh a JOIN mh b
-        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+        |p AS (SELECT doc_id,
+        |        MAX(CASE WHEN seed=0 THEN m END) AS m0, MAX(CASE WHEN seed=1 THEN m END) AS m1,
+        |        MAX(CASE WHEN seed=2 THEN m END) AS m2, MAX(CASE WHEN seed=3 THEN m END) AS m3,
+        |        MAX(CASE WHEN seed=4 THEN m END) AS m4, MAX(CASE WHEN seed=5 THEN m END) AS m5,
+        |        MAX(CASE WHEN seed=6 THEN m END) AS m6, MAX(CASE WHEN seed=7 THEN m END) AS m7
+        |      FROM mh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |          AND ((a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3)
+        |            OR (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))),
         |j AS (SELECT c.id_a, c.id_b,
         |        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
         |        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
@@ -1252,34 +1314,9 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
-    "q43_dedup_components" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |      FROM documents WHERE doc_id < 300 AND trim(text) <> ''),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
-        |         generate_series(1, greatest(len(t) - 2, 1)),
-        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
-        |mh AS (SELECT s.doc_id, r.seed,
-        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
-        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
-        |       GROUP BY s.doc_id, r.seed),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM mh a JOIN mh b
-        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
-        |p AS (SELECT c.id_a, c.id_b
-        |      FROM cand c
-        |      JOIN sh sa ON sa.doc_id = c.id_a
-        |      JOIN sh sb ON sb.doc_id = c.id_b
-        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
-        |              >= 0.4),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |          UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
-        |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q43_dedup_components" -> dedupComponentsOracle,
+    // q51 computes the SAME labels with star contraction — same oracle
+    "q51_dedup_components_star" -> dedupComponentsOracle,
     "q44_stratified_sample" ->
       """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents

@@ -1,0 +1,84 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Escapes every non-ASCII character of a string as a `\uXXXX` sequence —
+  * exactly what Python's `json.dumps(..., ensure_ascii=True)` does to a
+  * JSON document after rendering (reference
+  * src/clashdb/hash_utils.py:29-65 hashes those ASCII bytes).
+  *
+  * Spark's `to_json` leaves non-ASCII characters raw UTF-8, so a match
+  * payload containing a non-ASCII game-mode name would hash differently
+  * from the reference. Applying this to the rendered JSON closes that
+  * last byte-compat hole: JSON structural characters are all ASCII, so
+  * escaping the whole document only touches characters inside string
+  * literals — precisely the set Python escapes.
+  *
+  * Faithfulness details:
+  *  - hex digits lowercase (`é`), matching CPython's
+  *    `json.encoder.py_encode_basestring_ascii`;
+  *  - JVM strings are UTF-16, so astral code points are already surrogate
+  *    PAIRS and each half escapes to its own `\uXXXX` — byte-identical to
+  *    Python, which also emits surrogate-pair escapes for non-BMP chars;
+  *  - ASCII input passes through untouched (verified: all existing match
+  *    hashes unchanged).
+  *
+  * Total function, codegen'd (single pass, one builder), null → null. */
+case class AsciiEscape(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ascii_escape requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AsciiEscape.escapeJava(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.AsciiEscape.escapeJava($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiEscape =
+    copy(child = newChild)
+}
+
+object AsciiEscape {
+  private val hex = "0123456789abcdef".toCharArray
+
+  /** Static helper the generated code calls. Fast path: pure-ASCII input
+    * (the overwhelmingly common case for battle payloads) returns the
+    * input UTF8String untouched — zero allocation. */
+  def escapeJava(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
+    val sb = new java.lang.StringBuilder(n + 16)
+    i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c < 0x80) sb.append(c)
+      else {
+        sb.append("\\u")
+        sb.append(hex((c >>> 12) & 0xF)); sb.append(hex((c >>> 8) & 0xF))
+        sb.append(hex((c >>> 4) & 0xF)); sb.append(hex(c & 0xF))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def apply(col: Column): Column =
+    ColumnBridge.column(AsciiEscape(ColumnBridge.expression(col)))
+}

@@ -51,8 +51,13 @@ object Hashing {
     *    `or` skips 0/""/null, reproduced with nullif+coalesce.
     *  - side payload participants are sorted by upper-cased tag; crowns
     *    coerced int(x or 0).
-    *  - Python escapes non-ASCII (`ensure_ascii=True`) while `to_json` does
-    *    not; tags/modes are ASCII in the API so the bytes agree. */
+    *  - Python escapes non-ASCII (`ensure_ascii=True`) while `to_json`
+    *    does not — closed by [[graft.expressions.AsciiEscape]] over the
+    *    rendered JSON (every remaining non-ASCII char sits inside a string
+    *    literal, exactly the set `ensure_ascii` escapes). ASCII payloads
+    *    pass through byte-unchanged (zero-alloc fast path), so the escape
+    *    costs nothing on the common case and a non-ASCII game-mode name
+    *    hashes identically to the Python bytes (HashingSpec vector). */
   def matchHash(battleTime: Column, modeId: Column, modeName: Column,
                 battleType: Column, team: Column, opponent: Column): Column = {
     def sidePayload(side: Column): Column = {
@@ -74,7 +79,7 @@ object Hashing {
       modeKey.as("mode"),
       sidePayload(opponent).as("opponent"),
       sidePayload(team).as("team"))
-    sha1(to_json(payload))
+    sha1(graft.expressions.AsciiEscape(to_json(payload)))
   }
 
   /** Orientation-insensitive match hash — the dedup key the reference
@@ -102,8 +107,8 @@ object Hashing {
       lit(""))
     val a = sideJson(team)
     val b = sideJson(opponent)
-    sha1(concat_ws("|", coalesce(battleTime, lit("")), modeKey,
-      least(a, b), greatest(a, b)))
+    sha1(graft.expressions.AsciiEscape(concat_ws("|",
+      coalesce(battleTime, lit("")), modeKey, least(a, b), greatest(a, b))))
   }
 
   /** Content hash for generic exact dedup (md5 hex — cheap, codegen'd,

@@ -75,6 +75,48 @@ object SnapshotPipeline {
     * union-of-perspectives (etl_snapshot_topn.py:304-308). */
   def sideObservations(battles: DataFrame, meta: CardMetadata.Meta,
       overrides: Map[String, String]): DataFrame = {
+    val overrideMap =
+      if (overrides.isEmpty) map()
+      else map(overrides.toSeq.sortBy(_._1).flatMap {
+        case (h, t) => Seq(lit(h), lit(t)) }: _*)
+    // J1 — override lookup ?? classifier (etl:290-291). Overrides are a
+    // tiny config dim → literal map, mirroring the reference's dict.
+    finishSides(hashedWide(battles, meta)
+      .withColumn("team_type", coalesce(element_at(overrideMap, col("team_dh")),
+        Classifier.classifyDeck(BattleOps.classifierNames(col("team_obs")), meta)))
+      .withColumn("opp_type", coalesce(element_at(overrideMap, col("opp_dh")),
+        Classifier.classifyDeck(BattleOps.classifierNames(col("opp_obs")), meta))))
+  }
+
+  /** S5 as a real config-table SCAN: overrides read from a warehouse table
+    * `deck_type_overrides(deck_hash, deck_type)` each run — the reference
+    * re-reads it from Postgres on every refresh (etl:150-159) precisely so
+    * curated labels survive snapshot reloads (db/schema.sql:37-40). The
+    * table is config-sized (hundreds of rows), so it broadcast-left-joins
+    * against both side hashes; at NO scale does it shuffle the battle
+    * facts. Matches [[sideObservations]] exactly when the table holds the
+    * same pairs as the literal map (SnapshotPipelineSpec asserts this). */
+  def sideObservationsWithTable(battles: DataFrame, meta: CardMetadata.Meta,
+      overridesTable: DataFrame): DataFrame = {
+    val ovr = overridesTable
+      .select(col("deck_hash"), col("deck_type"))
+      // config hygiene: one label per hash even if the config table is
+      // dirty — deterministic min, mirroring the PK the warehouse enforces
+      .groupBy("deck_hash").agg(min("deck_type").as("ovr_type"))
+    finishSides(hashedWide(battles, meta)
+      .join(broadcast(ovr.select(col("deck_hash").as("team_dh"),
+        col("ovr_type").as("team_ovr"))), Seq("team_dh"), "left")
+      .join(broadcast(ovr.select(col("deck_hash").as("opp_dh"),
+        col("ovr_type").as("opp_ovr"))), Seq("opp_dh"), "left")
+      .withColumn("team_type", coalesce(col("team_ovr"),
+        Classifier.classifyDeck(BattleOps.classifierNames(col("team_obs")), meta)))
+      .withColumn("opp_type", coalesce(col("opp_ovr"),
+        Classifier.classifyDeck(BattleOps.classifierNames(col("opp_obs")), meta))))
+  }
+
+  /** Dedup + per-side hashing, shared by both override paths: everything
+    * up to (team_dh, opp_dh, win flags), before type resolution. */
+  private def hashedWide(battles: DataFrame, meta: CardMetadata.Meta): DataFrame = {
     val deduped = battles
       .filter(BattleOps.isRanked1v1(col("team"), col("opponent"), col("gameMode.id")))
       // A13 — global exact dedup on the match hash (etl:257-261). Shuffle
@@ -88,12 +130,7 @@ object SnapshotPipeline {
         col("team"), col("opponent")))
       .dropDuplicates("match_hash")
 
-    val overrideMap =
-      if (overrides.isEmpty) map()
-      else map(overrides.toSeq.sortBy(_._1).flatMap {
-        case (h, t) => Seq(lit(h), lit(t)) }: _*)
-
-    val wide = deduped
+    deduped
       .select(col("match_hash"),
         element_at(col("team"), 1).as("t"),
         element_at(col("opponent"), 1).as("o"))
@@ -106,16 +143,13 @@ object SnapshotPipeline {
       .filter(col("team_obs").isNotNull && col("opp_obs").isNotNull)
       .withColumn("team_dh", BattleOps.deckHashOf(col("team_obs")))
       .withColumn("opp_dh", BattleOps.deckHashOf(col("opp_obs")))
-      // J1 — override lookup ?? classifier (etl:290-291). Overrides are a
-      // tiny config dim → literal map, mirroring the reference's dict.
-      .withColumn("team_type", coalesce(element_at(overrideMap, col("team_dh")),
-        Classifier.classifyDeck(BattleOps.classifierNames(col("team_obs")), meta)))
-      .withColumn("opp_type", coalesce(element_at(overrideMap, col("opp_dh")),
-        Classifier.classifyDeck(BattleOps.classifierNames(col("opp_obs")), meta)))
       // P5 — strict-crowns win flags; draw = neither side won (etl:293-294)
       .withColumn("team_won", F.isWin(col("t.crowns"), col("o.crowns")))
       .withColumn("opp_won", F.isWin(col("o.crowns"), col("t.crowns")))
+  }
 
+  /** U1 — both perspectives of the typed wide frame. */
+  private def finishSides(wide: DataFrame): DataFrame = {
     def side(tag: String, dh: String, tp: String, obs: String, won: String,
         oppTp: String): DataFrame =
       wide.select(col("match_hash"), col(tag).as("player_tag"),
@@ -133,13 +167,23 @@ object SnapshotPipeline {
     * config (NOT truncated on refresh — db/schema.sql:37-40). */
   def build(spark: SparkSession, battles: DataFrame, leaderboard: DataFrame,
       meta: CardMetadata.Meta, topN: Int,
-      overrides: Map[String, String] = Map.empty): Snapshot = {
+      overrides: Map[String, String] = Map.empty): Snapshot =
+    assemble(BattleOps.topPlayers(leaderboard, topN),
+      sideObservations(battles, meta, overrides))
 
-    val players = BattleOps.topPlayers(leaderboard, topN)
+  /** [[build]] with the overrides read from a config TABLE each run —
+    * the honest port of the reference's warehouse-backed
+    * `deck_type_overrides` (etl:150-159; see
+    * [[sideObservationsWithTable]]). */
+  def buildWithOverridesTable(spark: SparkSession, battles: DataFrame,
+      leaderboard: DataFrame, meta: CardMetadata.Meta, topN: Int,
+      overridesTable: DataFrame): Snapshot =
+    assemble(BattleOps.topPlayers(leaderboard, topN),
+      sideObservationsWithTable(battles, meta, overridesTable))
 
-    val sides = sideObservations(battles, meta, overrides)
-      // one cached pass feeds six rollups (reference's single fold, §4)
-      .cache()
+  private def assemble(players: DataFrame, sides0: DataFrame): Snapshot = {
+    // one cached pass feeds six rollups (reference's single fold, §4)
+    val sides = sides0.cache()
 
     val winsExpr = sum(when(col("won"), 1).otherwise(0)).cast("long").as("wins")
     val usesExpr = count(lit(1)).as("uses")

@@ -85,8 +85,13 @@ object Upsert {
   def appliedBatches(path: String): Set[Long] = {
     val f = new java.io.File(path, AppliedMarker)
     if (!f.isFile) Set.empty
-    else scala.io.Source.fromFile(f).getLines()
-      .filter(_.nonEmpty).map(_.toLong).toSet
+    else {
+      // read-and-close: one marker read per micro-batch merge would leak a
+      // handle per batch over a long-running stream otherwise
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty).map(_.toLong).toSet
+    }
   }
 
   private def writeApplied(dir: java.io.File, ids: Set[Long]): Unit = {

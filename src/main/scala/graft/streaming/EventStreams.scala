@@ -192,20 +192,22 @@ object EventStreams {
     * stays append-only, so arbitrarily many rollup columns cost nothing
     * between batches, and the merge is one dim-sized groupBy per batch.
     *
-    * Exactly-once caveat (documented, not hidden): `foreachBatch` can
-    * re-run a batch after a crash, and an ADDITIVE merge double-counts a
-    * replayed batch. A production deployment records the batchId inside
-    * the swap (skip if already applied); this bounded-replay harness runs
-    * each batch once. */
+    * Exactly-once: `foreachBatch` can re-run a batch after a crash, and an
+    * ADDITIVE merge would double-count a replayed batch — so each batch's
+    * id is recorded inside [[graft.operators.Upsert.mergeParquet]]'s
+    * staged swap (the applied-set commits in the same directory rename as
+    * the data) and a replayed id is skipped outright. Replaying any
+    * micro-batch leaves the rollup byte-identical (EventStreamsSpec). */
   def incrementalRollup(spark: SparkSession, path: String, targetPath: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
     val q = readEventStream(spark, path, maxFilesPerTrigger)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val agg = batch.groupBy(col("event_type"))
           .agg(count(lit(1)).as("events"),
             sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("value_cents"))
-        graft.operators.Upsert.mergeParquet(spark, targetPath, agg)(
+        graft.operators.Upsert.mergeParquet(spark, targetPath, agg,
+          batchId = Some(batchId))(
           graft.operators.Upsert.additiveMerge(_, _,
             keys = Seq("event_type"), metrics = Seq("events", "value_cents")))
         ()

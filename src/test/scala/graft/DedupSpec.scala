@@ -79,4 +79,42 @@ class DedupSpec extends SparkSpecBase {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     Dedup.connectedComponents(empty, col("id_a"), col("id_b")).count() shouldBe 0L
   }
+
+  test("connectedComponentsStar: matches direct labels on chain/pair/triangle") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    out shouldBe Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
+  test("connectedComponentsStar: 200-node chain converges within the round cap") {
+    // the adversarial case for label propagation: one path component of
+    // diameter 199 (direct min-label needs ~199 rounds; star contraction
+    // halves the path from both ends each round → O(log n)). maxIter=12
+    // would NOT suffice for propagation, proving this is the star path.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponentsStar(chain, col("id_a"), col("id_b"),
+      maxIter = 12).as[(Long, Long)].collect().toSeq
+    out.size shouldBe 200
+    out.forall(_._2 == 0L) shouldBe true
+  }
+
+  test("connectedComponentsStar ≡ connectedComponents on a random graph (randomized)") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val direct = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    star shouldBe direct
+  }
+
+  test("connectedComponentsStar: empty pair list yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Dedup.connectedComponentsStar(empty, col("id_a"), col("id_b")).count() shouldBe 0L
+  }
 }

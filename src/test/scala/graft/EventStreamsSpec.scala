@@ -143,6 +143,18 @@ class EventStreamsSpec extends SparkSpecBase {
         sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("value_cents"))
     got.exceptAll(expected).count() shouldBe 0L
     expected.exceptAll(got).count() shouldBe 0L
+
+    // full stream re-run: a fresh checkpoint replays the same files as
+    // batch ids 0..1 again — both are in the table's applied-marker, so
+    // the additive merge skips them and the rollup is byte-identical
+    // (the exactly-once guarantee mergeParquet's batchId provides)
+    val before = spark.read.parquet(target).orderBy("event_type")
+      .collect().toSeq
+    EventStreams.incrementalRollup(spark, landing.toString, target,
+      maxFilesPerTrigger = Some(1))
+    val after = spark.read.parquet(target).orderBy("event_type")
+      .collect().toSeq
+    after shouldBe before
   }
 
   test("hourlyTypeCounts run to completion equals the batch aggregation") {

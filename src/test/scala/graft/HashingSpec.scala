@@ -56,6 +56,40 @@ class HashingSpec extends SparkSpecBase {
     h shouldBe sha1Hex(expectedJson)
   }
 
+  test("match hash escapes non-ASCII like Python ensure_ascii (byte vector)") {
+    // Vector generated from the reference implementation
+    // (src/clashdb/hash_utils.py match_hash) with CPython 3:
+    //   battleTime "20240101T120000.000Z", gameMode {id:0, name:"Überfall-
+    //   Modus 🗡"}, type "pathOfLegend", team [{tag:"#éÄ12", crowns:2}],
+    //   opponent [{tag:"#BBB", crowns:null}]
+    // json.dumps(ensure_ascii=True) renders
+    //   "mode":"Überfall-Modus 🗡"  (lowercase hex, astral
+    //   🗡 as a SURROGATE PAIR) and "tag":"#ÉÄ12" (upper-cased
+    //   é→É before escaping) — sha1 of those ASCII bytes:
+    val expected = "59b34409a1ac8511b86bbbdca76436cf00f37e7e"
+    val battles = Seq(
+      ("20240101T120000.000Z", "pathOfLegend", 0L, "Überfall-Modus 🗡",
+        Seq(("#éÄ12", Some(2))), Seq(("#BBB", Option.empty[Int])))
+    ).toDF("battleTime", "type", "modeId", "modeName", "teamRaw", "oppRaw")
+      .withColumn("team", transform(col("teamRaw"),
+        p => struct(p.getField("_1").as("tag"), p.getField("_2").as("crowns"))))
+      .withColumn("opponent", transform(col("oppRaw"),
+        p => struct(p.getField("_1").as("tag"), p.getField("_2").as("crowns"))))
+    val h = battles.select(Hashing.matchHash(col("battleTime"), col("modeId"),
+      col("modeName"), col("type"), col("team"), col("opponent")).as("h"))
+      .head().getString(0)
+    h shouldBe expected
+  }
+
+  test("AsciiEscape: ASCII passes through untouched, non-ASCII escapes lowercase") {
+    val df = Seq(("plain ascii", "café € 🗡")).toDF("a", "b")
+    val row = df.select(
+      graft.expressions.AsciiEscape(col("a")).as("a"),
+      graft.expressions.AsciiEscape(col("b")).as("b")).head()
+    row.getString(0) shouldBe "plain ascii"
+    row.getString(1) shouldBe "caf\\u00e9 \\u20ac \\ud83d\\udde1"
+  }
+
   test("match hash is side-symmetric given pre-swapped sides and sorts participants by tag") {
     def hashOf(team: Seq[(String, Int)], opp: Seq[(String, Int)]): String = {
       val df = Seq(("t", "x", 0L, "m", team, opp))

@@ -59,6 +59,48 @@ class UpsertAndBucketingSpec extends SparkSpecBase {
       Seq((1L, 10), (2L, 20), (3L, 30))
   }
 
+  test("mergeParquet batchId: replays skip, new batches add, marker survives merges") {
+    val dir = Files.createTempDirectory("graft_batchid_").toString
+    val path = s"$dir/rollup"
+    def merge(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Upsert.mergeParquet(spark, path, df, batchId = Some(id))(
+        Upsert.additiveMerge(_, _, keys = Seq("k"), metrics = Seq("n")))
+    def snapshot(): Seq[(String, Long)] =
+      spark.read.parquet(path).orderBy("k").as[(String, Long)].collect().toSeq
+
+    merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), 0L)
+    snapshot() shouldBe Seq(("a", 1L), ("b", 2L))
+    // replayed batch id: additive merge must NOT double-count
+    merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), 0L)
+    snapshot() shouldBe Seq(("a", 1L), ("b", 2L))
+    // new batch id: adds
+    merge(Seq(("a", 10L)).toDF("k", "n"), 1L)
+    snapshot() shouldBe Seq(("a", 11L), ("b", 2L))
+    // the applied-set survived the SaveMode.Overwrite rewrite + swap of
+    // batch 1's merge: replaying batch 0 is STILL a no-op
+    Upsert.appliedBatches(path) shouldBe Set(0L, 1L)
+    merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), 0L)
+    snapshot() shouldBe Seq(("a", 11L), ("b", 2L))
+  }
+
+  test("mergeParquet batchId marker survives the crash-recovery rename") {
+    val dir = Files.createTempDirectory("graft_batchid_crash_").toString
+    val path = s"$dir/rollup"
+    def merge(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Upsert.mergeParquet(spark, path, df, batchId = Some(id))(
+        Upsert.additiveMerge(_, _, keys = Seq("k"), metrics = Seq("n")))
+    merge(Seq(("a", 1L)).toDF("k", "n"), 7L)
+    // crash between the two swap renames: table stranded at __old
+    new java.io.File(path).renameTo(new java.io.File(path + "__old")) shouldBe true
+    // recovery restores the table AND its applied-set (the marker moved
+    // with the directory), so the replay of batch 7 below is skipped
+    merge(Seq(("b", 5L)).toDF("k", "n"), 8L)
+    Upsert.appliedBatches(path) shouldBe Set(7L, 8L)
+    merge(Seq(("a", 1L)).toDF("k", "n"), 7L)
+    spark.read.parquet(path).orderBy("k").as[(String, Long)].collect().toSeq shouldBe
+      Seq(("a", 1L), ("b", 5L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
