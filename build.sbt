@@ -29,5 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // embedded Derby (WarehouseSpec's JDBC engine) writes its log outside
+  // the repo instead of ./derby.log
+  "-Dderby.stream.error.file=/tmp/derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

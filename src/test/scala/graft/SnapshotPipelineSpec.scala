@@ -114,6 +114,29 @@ class SnapshotPipelineSpec extends SparkSpecBase {
     withOverride.deckTypes.select("deck_type").collect().map(_.getString(0)).toSet should contain("Bait")
   }
 
+  test("overrides from a scanned config TABLE match the literal-map path") {
+    import spark.implicits._
+    val yHash = snap.decks.filter(col("deck_type") === "Hybrid")
+      .join(snap.playerDecks.filter(col("player_tag") === "#B"), "deck_hash")
+      .select("deck_hash").head().getString(0)
+    val fromMap = SnapshotPipeline.build(spark, battles, leaderboard, meta,
+      topN = 2, overrides = Map(yHash -> "Bait"))
+    // the table path: deck_type_overrides(deck_hash, deck_type) as the
+    // reference re-reads from the warehouse each refresh (etl:150-159) —
+    // plus a dirty duplicate row the groupBy-min must collapse
+    val ovrTable = Seq((yHash, "Bait"), (yHash, "Bait"), ("no-such-hash", "Siege"))
+      .toDF("deck_hash", "deck_type")
+    val fromTable = SnapshotPipeline.buildWithOverridesTable(spark, battles,
+      leaderboard, meta, topN = 2, overridesTable = ovrTable)
+    fromTable.decks.filter(col("deck_hash") === yHash)
+      .select("deck_type").head().getString(0) shouldBe "Bait"
+    for ((name, df) <- fromTable.all) {
+      val expected = fromMap.all(name)
+      df.exceptAll(expected).count() shouldBe 0L
+      expected.exceptAll(df).count() shouldBe 0L
+    }
+  }
+
   test("partitioned snapshot write prunes by deck_type and reads back equal") {
     val out = java.nio.file.Files.createTempDirectory("graft_snap_").toString
     snap.write(out, partitionFacts = true)
