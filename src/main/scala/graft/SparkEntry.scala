@@ -731,6 +731,48 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q52 — Gopher-style repetition quality signals, per document: the
+    * fraction of tokens taken by the most frequent token and the fraction
+    * of duplicate bigram occurrences. Both are pure per-row expressions
+    * (TextFunctions.topTokenFraction / dupNgramFraction) — they fuse into
+    * the scan with zero shuffle, the property that makes repetition
+    * filtering free at corpus scale. Floor-truncated to 6 dp like q27
+    * (round() ties differ across engines). */
+  def q52Repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+      .select(col("doc_id"),
+        (floor(TF.topTokenFraction(col("text")) * 1e6) / 1e6).as("top_token_frac"),
+        (floor(TF.dupNgramFraction(col("text"), 2) * 1e6) / 1e6).as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** q53 — benchmark-contamination audit (Contamination.ngramOverlap):
+    * trigram overlap of every training doc against the held-out set
+    * (docs with doc_id ≡ 0 mod 97 stand in for the benchmark). The
+    * benchmark gram set broadcasts; candidates never shuffle their
+    * payloads — see the operator scaladoc for the inverted-index shape.
+    * `contaminated` ⇔ overlap ≥ 1/2, compared in integers. */
+  def q53Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    operators.Contamination.ngramOverlap(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      col("doc_id"), col("text"), n = 3, denomFactor = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q54 — TF-IDF keyword extraction (Keywords.topTerms): the 3 most
+    * distinctive terms per document by the integer ranking (tf DESC,
+    * df ASC, term ASC) — the float-free formulation of tf·idf ordering
+    * (see the operator scaladoc for why ln() is banned from a
+    * hash-checked ranking). One tf shuffle + broadcast df join + one
+    * doc_id window. */
+  def q54TfIdfKeywords(s: SparkSession, dir: String): DataFrame =
+    operators.Keywords.topTerms(
+      t(s, dir, "documents").filter(trim(coalesce(col("text"), lit(""))) =!= ""),
+      col("doc_id"), col("text"), k = 3)
+      .orderBy(col("doc_id"), col("rnk"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -782,7 +824,10 @@ object SparkEntry {
     "q48_corpus_clean" -> (q48CorpusClean _),
     "q49_ann_ivf_flat" -> (q49AnnIvfFlat _),
     "q50_disjunctive_filter" -> (q50DisjunctiveFilter _),
-    "q51_dedup_components_star" -> (q51DedupComponentsStar _)
+    "q51_dedup_components_star" -> (q51DedupComponentsStar _),
+    "q52_repetition" -> (q52Repetition _),
+    "q53_contamination" -> (q53Contamination _),
+    "q54_tfidf_keywords" -> (q54TfIdfKeywords _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1317,6 +1362,49 @@ object SparkEntry {
     "q43_dedup_components" -> dedupComponentsOracle,
     // q51 computes the SAME labels with star contraction — same oracle
     "q51_dedup_components_star" -> dedupComponentsOracle,
+    "q52_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |f AS (SELECT doc_id, len(t) AS n,
+        |        list_max(list_transform(list_distinct(t),
+        |          d2 -> len(list_filter(t, x -> x = d2)))) AS topn,
+        |        greatest(len(t) - 1, 1) AS tot2,
+        |        len(list_distinct(list_transform(
+        |          generate_series(1, greatest(len(t) - 1, 1)),
+        |          i -> array_to_string(t[i:i+1], ' ')))) AS dist2
+        |      FROM d)
+        |SELECT doc_id,
+        |  floor(CAST(topn AS DOUBLE) / n * 1e6) / 1e6 AS top_token_frac,
+        |  floor(CAST(tot2 - dist2 AS DOUBLE) / tot2 * 1e6) / 1e6 AS dup_bigram_frac
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q53_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |b AS (SELECT DISTINCT u.sv AS gram FROM sh, UNNEST(sh.shingles) AS u(sv)
+        |      WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 97 <> 0),
+        |m AS (SELECT c.doc_id, COUNT(*) AS matched
+        |      FROM c, UNNEST(c.shingles) AS u(sv)
+        |      WHERE u.sv IN (SELECT gram FROM b) GROUP BY 1)
+        |SELECT c.doc_id, COALESCE(m.matched, 0) AS matched,
+        |  CAST(len(c.shingles) AS BIGINT) AS total,
+        |  COALESCE(m.matched, 0) * 2 >= len(c.shingles) AS contaminated
+        |FROM c LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q54_tfidf_keywords" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |tok AS (SELECT doc_id, u.term FROM d, UNNEST(d.t) AS u(term)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+        |      FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q44_stratified_sample" ->
       """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents

@@ -61,6 +61,56 @@ object TextFunctions {
     floor((lenScore + stopScore + punctPenalty) / 3.0 * 1e6) / 1e6
   }
 
+  /** Fraction of tokens taken by the single most frequent token — the
+    * Gopher-style "top word" repetition signal (high values flag
+    * boilerplate/spam). Per-row expression: counting each DISTINCT token
+    * against the token array is O(distinct × tokens) per document, which
+    * is the right trade for web-scale corpora (documents are short; the
+    * alternative — explode + groupBy + window — shuffles every token of
+    * every document twice for a per-row statistic). */
+  def topTokenFraction(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    when(n === 0, 0.0).otherwise(
+      array_max(transform(array_distinct(toks),
+        d => size(filter(toks, t => t === d)))).cast("double")
+        / n.cast("double"))
+  }
+
+  /** Fraction of n-gram OCCURRENCES that are repeats of an earlier
+    * occurrence: 1 − distinct/total over the raw (non-deduped) n-gram
+    * stream — the Gopher "duplicate n-gram" repetition signal. 0.0 for
+    * empty docs; docs shorter than n count as one n-gram (fraction 0). */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val total = greatest(size(toks) - (n - 1), lit(1))
+    val grams = transform(sequence(lit(1), total),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    when(size(toks) === 0, 0.0).otherwise(
+      (total - size(array_distinct(grams))).cast("double")
+        / total.cast("double"))
+  }
+
+  /** Redact personally-identifiable substrings, the pre-training scrub
+    * every public corpus pipeline applies before anything else: emails,
+    * IPv4 addresses, US-style phone numbers, and 13–19-digit runs
+    * (card/account numbers). Chained codegen'd regexp_replace — one scan
+    * pass, no shuffle. Patterns are deliberately RE2-compatible (no
+    * backreferences/lookaround) so the same regexes run in any engine.
+    * Order matters: emails first (an email can contain digit runs), digit
+    * runs last (phone match consumes separators a digit run would split). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(coalesce(text, lit("")),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    // no leading \b: the optional "(" is itself a non-word char, so a
+    // boundary assertion before it can never hold after a space
+    val phone = regexp_replace(ip,
+      "(?:\\+?1[-. ])?(?:\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
+    regexp_replace(phone, "\\b\\d{13,19}\\b", "<NUMBER>")
+  }
+
   /** N-gram token shingles: array of space-joined n-token windows; docs
     * shorter than n yield the whole doc as one shingle. */
   def shingles(text: Column, n: Int): Column = {

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Benchmark-contamination check — the n-gram-overlap audit every LLM
+  * training pipeline runs before a data release: how much of each
+  * training document's n-gram set also appears in a held-out benchmark
+  * set, and which documents exceed the contamination threshold.
+  *
+  * Shape (the inverted-index join, NOT a document×benchmark cross):
+  *
+  *   1. benchmark docs → exploded DISTINCT n-gram set. Benchmarks are
+  *      small relative to the corpus (10^4–10^6 grams vs 10^12), so this
+  *      side is `broadcast()` — candidate documents never shuffle;
+  *   2. candidate docs → (id, n-gram) pairs, inner-joined against the
+  *      broadcast gram set — a map-side hash probe fused into the scan;
+  *   3. groupBy(id) count — partial aggregation combines map-side, so
+  *      the only shuffle carries one (id, count) row per document with
+  *      at least one hit.
+  *
+  * Per-document shingle sets are distinct ([[TextFunctions.shingles]]),
+  * so `matched` counts distinct overlapping n-grams and the ratio
+  * `matched / total` is a true set-overlap fraction. The contaminated
+  * flag compares `matched * denomFactor >= total` in integers — no
+  * float threshold to diverge across engines.
+  */
+object Contamination {
+
+  /** Per-candidate overlap vs `benchmark`'s n-gram set.
+    * Returns (id, matched, total, contaminated), one row per candidate
+    * doc; `contaminated` ⇔ matched/total ≥ 1/denomFactor. */
+  def ngramOverlap(candidates: DataFrame, benchmark: DataFrame,
+      id: Column, text: Column, n: Int = 3,
+      denomFactor: Int = 2): DataFrame = {
+    val cand = candidates.select(id.as("doc_id"), T.shingles(text, n).as("sh"))
+    val benchGrams = benchmark.select(explode(T.shingles(text, n)).as("gram"))
+      .distinct()
+    val matched = cand.select(col("doc_id"), explode(col("sh")).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched"))
+    cand.select(col("doc_id"), size(col("sh")).cast("long").as("total"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        col("total"),
+        (coalesce(col("matched"), lit(0L)) * denomFactor >= col("total"))
+          .as("contaminated"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Contamination, Keywords}
+
+class ContaminationAndKeywordsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("ngramOverlap: contained, disjoint, and partial candidates") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),          // shares all 2 trigrams w/ bench
+      (2L, "zz yy xx ww vv"),                  // disjoint
+      (3L, "alpha beta gamma nine ten eleven") // 1 of 4 trigrams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+
+    val out = Contamination.ngramOverlap(docs, bench, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 2L, 2L, true),
+      (2L, 0L, 3L, false),
+      (3L, 1L, 4L, false))
+  }
+
+  test("ngramOverlap: benchmark gram set joins as a broadcast hash probe") {
+    val docs = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val plan = Contamination.ngramOverlap(docs, docs.limit(1), col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("topTerms: tf-first ranking with df and term tie-breaks, k bound") {
+    val docs = Seq(
+      (1L, "cat cat cat dog dog fish"),
+      (2L, "dog dog bird bird fish")
+    ).toDF("doc_id", "text")
+    val out = Keywords.topTerms(docs, col("doc_id"), col("text"), k = 2)
+      .orderBy("doc_id", "rnk")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // doc 1: cat tf=3 (df=1) then dog tf=2 (df=2)
+    // doc 2: dog tf=2 and bird tf=2 tie → rarer term first (bird df=1 < dog df=2)
+    out shouldBe Seq(
+      (1L, "cat", 3L, 1L, 1L),
+      (1L, "dog", 2L, 2L, 2L),
+      (2L, "bird", 2L, 1L, 1L),
+      (2L, "dog", 2L, 2L, 2L))
+  }
+
+  test("topTerms: equal tf and df breaks to term ascending; case folds") {
+    val docs = Seq((1L, "B b A a")).toDF("doc_id", "text")
+    val out = Keywords.topTerms(docs, col("doc_id"), col("text"), k = 3)
+      .orderBy("rnk").as[(Long, String, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq((1L, "a", 2L, 1L, 1L), (1L, "b", 2L, 1L, 2L))
+  }
+}

@@ -67,4 +67,36 @@ class TextFunctionsSpec extends SparkSpecBase {
       .map(t => one[Double](TF.qualityScore(col("t"), TF.DefaultLangMarkers("en")), t))
     all(scores) should (be >= 0.0 and be <= 1.0)
   }
+
+  test("topTokenFraction: max token share, case-folded, empty → 0") {
+    one[Double](TF.topTokenFraction(col("t")), "a a a b") shouldBe 0.75
+    one[Double](TF.topTokenFraction(col("t")), "The the THE b") shouldBe 0.75
+    one[Double](TF.topTokenFraction(col("t")), "a b c d") shouldBe 0.25
+    one[Double](TF.topTokenFraction(col("t")), "") shouldBe 0.0
+    one[Double](TF.topTokenFraction(col("t")), null) shouldBe 0.0
+  }
+
+  test("dupNgramFraction: repeated-occurrence share over raw n-grams") {
+    // "a b a b a" bigrams: [a b, b a, a b, b a] → 4 total, 2 distinct
+    one[Double](TF.dupNgramFraction(col("t"), 2), "a b a b a") shouldBe 0.5
+    one[Double](TF.dupNgramFraction(col("t"), 2), "a b c") shouldBe 0.0
+    // shorter than n → whole doc is the one n-gram → no duplicates
+    one[Double](TF.dupNgramFraction(col("t"), 3), "a b") shouldBe 0.0
+    one[Double](TF.dupNgramFraction(col("t"), 2), "") shouldBe 0.0
+  }
+
+  test("redactPii: emails, IPv4, phones, long digit runs") {
+    one[String](TF.redactPii(col("t")),
+      "mail bob.smith+x@corp.example.com now") shouldBe "mail <EMAIL> now"
+    one[String](TF.redactPii(col("t")),
+      "host 192.168.001.1 up") shouldBe "host <IP> up"
+    one[String](TF.redactPii(col("t")),
+      "call (415) 555-0173 or 415-555-0173") shouldBe "call <PHONE> or <PHONE>"
+    one[String](TF.redactPii(col("t")),
+      "card 4111111111111111 ok") shouldBe "card <NUMBER> ok"
+    // email wins over its embedded digit run; short digit runs survive
+    one[String](TF.redactPii(col("t")),
+      "a1234567890123@x.io and pin 1234") shouldBe "<EMAIL> and pin 1234"
+    one[String](TF.redactPii(col("t")), null) shouldBe ""
+  }
 }
