@@ -741,9 +741,15 @@ object SparkEntry {
   def q52Repetition(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+      // tokens in their own projection — both signals' HOF lambdas then
+      // read a bound attribute instead of re-splitting per element (the
+      // re-eval trap documented at TextFunctions.tokenShingles)
+      .select(col("doc_id"), TF.tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
-        (floor(TF.topTokenFraction(col("text")) * 1e6) / 1e6).as("top_token_frac"),
-        (floor(TF.dupNgramFraction(col("text"), 2) * 1e6) / 1e6).as("dup_bigram_frac"))
+        (floor(TF.topTokenFractionFromTokens(col("toks")) * 1e6) / 1e6)
+          .as("top_token_frac"),
+        (floor(TF.dupNgramFractionFromTokens(col("toks"), 2) * 1e6) / 1e6)
+          .as("dup_bigram_frac"))
       .orderBy(col("doc_id"))
 
   /** q53 — benchmark-contamination audit (Contamination.ngramOverlap):

@@ -68,8 +68,13 @@ object TextFunctions {
     * is the right trade for web-scale corpora (documents are short; the
     * alternative — explode + groupBy + window — shuffles every token of
     * every document twice for a per-row statistic). */
-  def topTokenFraction(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def topTokenFraction(text: Column): Column =
+    topTokenFractionFromTokens(tokens(lower(text)))
+
+  /** [[topTokenFraction]] over a pre-projected token attribute — the form
+    * hot paths should use (see [[tokenShingles]] on the HOF re-eval trap:
+    * `toks` appears inside two nested lambdas here). */
+  def topTokenFractionFromTokens(toks: Column): Column = {
     val n = size(toks)
     when(n === 0, 0.0).otherwise(
       array_max(transform(array_distinct(toks),
@@ -81,8 +86,11 @@ object TextFunctions {
     * occurrence: 1 − distinct/total over the raw (non-deduped) n-gram
     * stream — the Gopher "duplicate n-gram" repetition signal. 0.0 for
     * empty docs; docs shorter than n count as one n-gram (fraction 0). */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupNgramFractionFromTokens(tokens(lower(text)), n)
+
+  /** [[dupNgramFraction]] over a pre-projected token attribute. */
+  def dupNgramFractionFromTokens(toks: Column, n: Int): Column = {
     val total = greatest(size(toks) - (n - 1), lit(1))
     val grams = transform(sequence(lit(1), total),
       i => array_join(slice(toks, i, lit(n)), " "))
@@ -111,16 +119,32 @@ object TextFunctions {
     regexp_replace(phone, "\\b\\d{13,19}\\b", "<NUMBER>")
   }
 
-  /** N-gram token shingles: array of space-joined n-token windows; docs
-    * shorter than n yield the whole doc as one shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  /** [[shingles]] over a PRE-TOKENIZED (already case-folded) token array.
+    *
+    * Callers doing heavy shingling should project the token array in a
+    * SEPARATE select and pass the resulting attribute here — the same
+    * HOF re-evaluation trap [[langIdFromTokens]] documents: higher-order
+    * functions are interpreted, and `toks` appears inside the transform
+    * lambda, so a raw tokenization expression there re-runs the regex
+    * split once PER SHINGLE (and predicate pushdown through the
+    * projection doubles it again). Materializing the token attribute
+    * made the q37 shingle pass 13.2 s → sub-second at sf0.1. The
+    * projection boundary is stable: this expression references `toks`
+    * three times, so CollapseProject keeps the child select. */
+  def tokenShingles(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - (n - 1), lit(1))
     when(size(toks) === 0, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), count),
         i => array_join(slice(toks, i, lit(n)), " "))))
   }
+
+  /** N-gram token shingles: array of space-joined n-token windows; docs
+    * shorter than n yield the whole doc as one shingle. Convenience form
+    * for one-shot use — hot paths should pre-project tokens and call
+    * [[tokenShingles]] (see its scaladoc). */
+  def shingles(text: Column, n: Int): Column =
+    tokenShingles(tokens(lower(text)), n)
 
   /** One MinHash value: the minimum md5 hex over the shingle set, salted by
     * `seed`. Hex-string min is a total order identical in every engine, so

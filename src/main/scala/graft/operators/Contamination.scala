@@ -34,8 +34,14 @@ object Contamination {
   def ngramOverlap(candidates: DataFrame, benchmark: DataFrame,
       id: Column, text: Column, n: Int = 3,
       denomFactor: Int = 2): DataFrame = {
-    val cand = candidates.select(id.as("doc_id"), T.shingles(text, n).as("sh"))
-    val benchGrams = benchmark.select(explode(T.shingles(text, n)).as("gram"))
+    // tokens projected separately from the shingle transform — the HOF
+    // re-eval trap (T.tokenShingles scaladoc) re-splits per shingle otherwise
+    val cand = candidates
+      .select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+      .select(col("doc_id"), T.tokenShingles(col("toks"), n).as("sh"))
+    val benchGrams = benchmark
+      .select(T.tokens(lower(text)).as("toks"))
+      .select(explode(T.tokenShingles(col("toks"), n)).as("gram"))
       .distinct()
     val matched = cand.select(col("doc_id"), explode(col("sh")).as("gram"))
       .join(broadcast(benchGrams), "gram")

@@ -51,16 +51,30 @@ object Dedup {
     // three times (band index + both verification joins) — cache it so the
     // pass runs once. Keyed on the canonical plan: repeated calls share
     // one entry. MEMORY_AND_DISK because shingle arrays are payload-sized.
-    val docs = df.select(id.as("doc_id"), T.shingles(text, shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Tokens are projected SEPARATELY from the shingle transform — the
+    // HOF re-eval trap (T.tokenShingles scaladoc) otherwise re-splits the
+    // text once per shingle.
+    // The emptiness guard sits on TOKENS, not shingles: shingles are
+    // non-empty iff tokens are (tokenShingles yields the whole doc as one
+    // shingle below n tokens), and a filter on the shingle column would be
+    // predicate-pushed through the projection — re-evaluating the whole
+    // shingle transform once more per row just to test emptiness.
+    // Band keys are computed INSIDE the cached frame: the self-join's two
+    // branches carry different aliases, so exchange reuse cannot unify
+    // them and each branch would re-run the k·|shingles| md5 signature
+    // pass from the cache — banding from a cached `bands` column pays the
+    // signature exactly once per document, at cache fill.
+    val docs = df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), T.tokenShingles(col("toks"), shingleN).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        T.bandKeys(T.minhashSignature(col("sh"), k), rowsPerBand).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the band self-join moves only (band, id) — candidate generation never
     // shuffles shingle payloads. At corpus scale the band index is a tiny
     // fraction of the documents' bytes, and the heavy arrays are attached
     // afterwards for the (much smaller) surviving candidate set only.
-    val banded = docs
-      .withColumn("band", explode(T.bandKeys(T.minhashSignature(col("sh"), k), rowsPerBand)))
-      .select(col("band"), col("doc_id"))
+    val banded = docs.select(explode(col("bands")).as("band"), col("doc_id"))
     val cand = banded.select(col("band"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -85,8 +99,9 @@ object Dedup {
     * MinHash banding first and verify with this measure. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 2, threshold: Double = 0.3): DataFrame = {
-    val docs = df.select(id.as("doc_id"), T.shingles(text, n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val docs = df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), T.tokenShingles(col("toks"), n).as("sh"))
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -110,14 +125,23 @@ object Dedup {
       n: Int = 2, threshold: Double = 0.3): DataFrame = {
     // both shingle sets in one cached pass — the frame is read three times
     // (band index + the two verification joins); see the cache-lifecycle
-    // note in the object scaladoc
-    val docs = df.select(id.as("doc_id"),
-        T.shingles(text, candShingleN).as("csh"), T.shingles(text, n).as("vsh"))
-      .filter(size(col("csh")) > 0 && size(col("vsh")) > 0)
+    // note in the object scaladoc. Tokens projected separately + guard on
+    // tokens: see minhashNearDupPairs (the HOF re-eval trap cost this
+    // operator 13 s of redundant regex splits at sf0.1).
+    // candidate shingles exist only to produce band keys, so the cached
+    // frame stores (bands, verification shingles) — the signature md5
+    // pass runs once at cache fill, not once per self-join branch (see
+    // minhashNearDupPairs on why exchange reuse can't dedupe it).
+    val docs = df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        T.tokenShingles(col("toks"), candShingleN).as("csh"),
+        T.tokenShingles(col("toks"), n).as("vsh"))
+      .select(col("doc_id"),
+        T.bandKeys(T.minhashSignature(col("csh"), k), rowsPerBand).as("bands"),
+        col("vsh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = docs
-      .withColumn("band", explode(T.bandKeys(T.minhashSignature(col("csh"), k), rowsPerBand)))
-      .select(col("band"), col("doc_id"))
+    val banded = docs.select(explode(col("bands")).as("band"), col("doc_id"))
     val cand = banded.select(col("band"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
