@@ -55,6 +55,17 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"minhash_sig: k must be an integer literal, got $other")
         }
+      }),
+    (FunctionIdentifier("token_shingles"),
+      info(classOf[TokenShingles], "token_shingles",
+        "token_shingles(tokens, n) - distinct space-joined n-token shingles over an array<string>, first-occurrence order"),
+      binary("token_shingles") { (toks, n) =>
+        n match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+            TokenShingles(toks, v)
+          case other => throw new IllegalArgumentException(
+            s"token_shingles: n must be an integer literal, got $other")
+        }
       })
   )
 

@@ -82,3 +82,84 @@ object AsciiEscape {
   def apply(col: Column): Column =
     ColumnBridge.column(AsciiEscape(ColumnBridge.expression(col)))
 }
+
+/** Distinct n-token shingles over a token array, in first-occurrence
+  * order — the native form of the HOF
+  * `array_distinct(transform(sequence(1, max(size-n+1, 1)), i =>
+  * array_join(slice(toks, i, n), " ")))` (byte-identical output,
+  * asserted in TextFunctionsSpec).
+  *
+  * Exists for the same reason as [[graft.expressions.MinHashSig]]:
+  * higher-order functions never enter whole-stage codegen, and the
+  * interpreted form dispatches a lambda + allocates a slice array and a
+  * join buffer per window. Shingling runs over every document of the
+  * corpus in every dedup/contamination path, so it is the single
+  * hottest expression in the engine; one generated call that walks the
+  * token array once with a shared StringBuilder cut the q37 cache-fill
+  * pass by ~2× at sf0.1 on top of the token-projection fix.
+  *
+  * Semantics matched to the HOF form exactly:
+  *  - null array → null, empty array → empty array;
+  *  - fewer than n tokens → ONE shingle: all tokens joined;
+  *  - null tokens are skipped by the join, delimiter included only
+  *    between emitted elements (array_join semantics);
+  *  - dedupe keeps first occurrence (array_distinct semantics). */
+case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_shingles requires array<string> and n > 0, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenShingles.shinglesJava(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TokenShingles.shinglesJava($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+object TokenShingles {
+
+  def shinglesJava(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val size = arr.numElements()
+    if (size == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val count = math.max(size - (n - 1), 1)
+    // LinkedHashSet = array_distinct's keep-first-occurrence order
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, size)
+      var first = true
+      while (j < end) {
+        // array_join skips null elements and their delimiters
+        if (!arr.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  def apply(col: Column, n: Int): Column =
+    ColumnBridge.column(TokenShingles(ColumnBridge.expression(col), n))
+}

@@ -119,19 +119,29 @@ object TextFunctions {
     regexp_replace(phone, "\\b\\d{13,19}\\b", "<NUMBER>")
   }
 
-  /** [[shingles]] over a PRE-TOKENIZED (already case-folded) token array.
+  /** [[shingles]] over a PRE-TOKENIZED (already case-folded) token array —
+    * the native [[graft.expressions.TokenShingles]] expression (codegen'd
+    * single pass; see its scaladoc).
     *
-    * Callers doing heavy shingling should project the token array in a
-    * SEPARATE select and pass the resulting attribute here — the same
-    * HOF re-evaluation trap [[langIdFromTokens]] documents: higher-order
-    * functions are interpreted, and `toks` appears inside the transform
-    * lambda, so a raw tokenization expression there re-runs the regex
-    * split once PER SHINGLE (and predicate pushdown through the
-    * projection doubles it again). Materializing the token attribute
-    * made the q37 shingle pass 13.2 s → sub-second at sf0.1. The
-    * projection boundary is stable: this expression references `toks`
-    * three times, so CollapseProject keeps the child select. */
-  def tokenShingles(toks: Column, n: Int): Column = {
+    * Callers doing heavy shingling should still project the token array
+    * in a SEPARATE select and pass the resulting attribute — the HOF
+    * re-evaluation trap [[langIdFromTokens]] documents bit the old HOF
+    * form of this function badly (a raw tokenization expression inside
+    * the transform lambda re-ran the regex split once PER SHINGLE;
+    * 13.2 s → sub-second at sf0.1 for q37's shingle pass), and even with
+    * the native form a projected token attribute is what lets sibling
+    * shingle/signal columns share one tokenization. Null-array input is
+    * the one semantic difference from [[tokenShinglesHof]]: native → null,
+    * HOF → [null]; unreachable from [[tokens]], which never yields null. */
+  def tokenShingles(toks: Column, n: Int): Column =
+    graft.expressions.TokenShingles(toks, n)
+
+  /** The readable HOF reference form of [[tokenShingles]] — byte-identical
+    * output (TextFunctionsSpec asserts it), but interpreted: HOFs never
+    * enter codegen and this dispatches a lambda + allocates a slice and a
+    * join buffer per window. Kept as the executable spec of the native
+    * expression's semantics. */
+  def tokenShinglesHof(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - (n - 1), lit(1))
     when(size(toks) === 0, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
@@ -163,7 +173,15 @@ object TextFunctions {
 
   /** LSH band keys: hash `rowsPerBand` consecutive signature entries per
     * band → array<string> of band bucket keys (band index is baked into
-    * the key so buckets never collide across bands). */
+    * the key so buckets never collide across bands).
+    *
+    * Pass the signature as a PROJECTED ATTRIBUTE, not a raw expression:
+    * the transform lambda slices `signature` per band, so an inline
+    * MinHashSig argument re-runs its whole k·|shingles| md5 pass once
+    * per band plus once per size() reference (~6× per document at k=8,
+    * r=2) — the [[tokenShingles]] re-eval trap one level up. Measured:
+    * the q37 banding projection 2.6 s → 0.2 s at sf0.1 after moving the
+    * signature into its own select. */
   def bandKeys(signature: Column, rowsPerBand: Int): Column = {
     // guard: size < rowsPerBand would make sequence(0, -1) descend and
     // emit a spurious negative-index band — short signatures get 0 bands.

@@ -64,11 +64,18 @@ object Dedup {
     // them and each branch would re-run the k·|shingles| md5 signature
     // pass from the cache — banding from a cached `bands` column pays the
     // signature exactly once per document, at cache fill.
+    // The signature gets ITS OWN projection before banding: bandKeys is a
+    // HOF whose lambda slices the signature, so an inline MinHashSig
+    // expression there re-runs the whole k·|shingles| md5 pass once per
+    // band (+ once per size() reference) — the same re-eval trap as the
+    // tokens→shingles boundary, one level up. As a bound attribute the
+    // lambda's slice is a row-field read.
     val docs = df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), T.tokenShingles(col("toks"), shingleN).as("sh"))
+      .select(col("doc_id"), col("sh"), T.minhashSignature(col("sh"), k).as("sig"))
       .select(col("doc_id"), col("sh"),
-        T.bandKeys(T.minhashSignature(col("sh"), k), rowsPerBand).as("bands"))
+        T.bandKeys(col("sig"), rowsPerBand).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the band self-join moves only (band, id) — candidate generation never
     // shuffles shingle payloads. At corpus scale the band index is a tiny
@@ -138,8 +145,9 @@ object Dedup {
         T.tokenShingles(col("toks"), candShingleN).as("csh"),
         T.tokenShingles(col("toks"), n).as("vsh"))
       .select(col("doc_id"),
-        T.bandKeys(T.minhashSignature(col("csh"), k), rowsPerBand).as("bands"),
-        col("vsh"))
+        T.minhashSignature(col("csh"), k).as("sig"), col("vsh"))
+      .select(col("doc_id"),
+        T.bandKeys(col("sig"), rowsPerBand).as("bands"), col("vsh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(explode(col("bands")).as("band"), col("doc_id"))
     val cand = banded.select(col("band"), col("doc_id").as("id_a"))

@@ -31,6 +31,28 @@ class TextFunctionsSpec extends SparkSpecBase {
     one[Seq[String]](TF.shingles(col("t"), 3), "") shouldBe Seq.empty
   }
 
+  test("native TokenShingles ≡ HOF reference form, including edge shapes") {
+    // repeated windows (dedupe keeps first occurrence), short docs, n=1,
+    // empty arrays, and a null token (array_join skips it + delimiter)
+    val rows = Seq(
+      Seq("a", "b", "a", "b", "a"), Seq("x"), Seq.empty[String],
+      Seq("a", null, "b", "c"), Seq("t1", "t2", "t3", "t1", "t2", "t3"))
+    val df = rows.map(Tuple1(_)).toDF("toks")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val got = df.select(TF.tokenShingles(col("toks"), n).as("v"))
+        .collect().map(_.getAs[scala.collection.Seq[String]]("v")).toSeq
+      val ref = df.select(TF.tokenShinglesHof(col("toks"), n).as("v"))
+        .collect().map(_.getAs[scala.collection.Seq[String]]("v")).toSeq
+      withClue(s"n=$n") { got shouldBe ref }
+    }
+  }
+
+  test("token_shingles is callable from SQL via GraftExtensions") {
+    graft.expressions.GraftExtensions.register(spark)
+    spark.sql("SELECT token_shingles(array('a','b','c'), 2) AS s")
+      .head().getAs[scala.collection.Seq[String]]("s") shouldBe Seq("a b", "b c")
+  }
+
   test("minhash signature: k wide, deterministic, order-insensitive on shingle sets") {
     val sig1 = one[scala.collection.Seq[String]](TF.minhashSignature(TF.shingles(col("t"), 2), 4), "x y z w")
     val sig2 = one[scala.collection.Seq[String]](TF.minhashSignature(TF.shingles(col("t"), 2), 4), "x y z w")
