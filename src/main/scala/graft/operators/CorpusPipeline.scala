@@ -40,10 +40,16 @@ object CorpusPipeline {
     val qual = base
       .withColumn("quality", T.qualityScore(col("text"), stopwords))
       .filter(col("quality") >= qualityThreshold)
-    // exact dedup: keep the lowest doc_id per identical payload
+    // exact dedup: keep the lowest doc_id per identical payload.
+    // Persisted: this frame is read by BOTH the near-dup candidate chain
+    // and the survivor join below, and each read would otherwise re-run
+    // the scan + quality gate + dedup shuffle (the same cache lifecycle
+    // contract as Dedup's shingle frames — callers clear the session
+    // cache once the result is consumed).
     val exact = qual.join(
       Dedup.exactByContent(qual, col("text"), col("doc_id")).select("keep_id"),
       col("doc_id") === col("keep_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup clusters over the exact-deduped survivors; empty docs have
     // no shingles and skip this stage (they survive unless exact-dup'd)
     val pairs = Dedup.minhashNearDupPairs(

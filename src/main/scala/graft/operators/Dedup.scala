@@ -239,7 +239,11 @@ object Dedup {
           (col("ncomp") < col("comp")).as("changed"))
         .localCheckpoint()
       converged = updated.filter(col("changed")).isEmpty
-      labels = updated.select(col("id"), col("comp")).localCheckpoint()
+      // one checkpoint per round is enough: the projection below reads the
+      // frame checkpointed above, so lineage is already truncated — a
+      // second checkpoint just re-materializes the same rows (the
+      // per-round fixed costs dominate on candidate-pair-sized graphs)
+      labels = updated.select(col("id"), col("comp"))
       i += 1
     }
     labels
