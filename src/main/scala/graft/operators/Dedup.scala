@@ -23,6 +23,22 @@ import graft.functions.{Hashing, TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** Give a compute-heavy narrow stage at least the session's default
+    * parallelism. A small single-file parquet scan yields ONE input split,
+    * so the per-document hashing passes below (minhash signatures, SimHash
+    * mixes — the dominant cost of every near-dup operator) would run on one
+    * core of the whole cluster. At corpus scale the scan has thousands of
+    * splits and this is a metadata check + no-op; below the threshold the
+    * one-off shuffle of the (id, text) projection costs microseconds and
+    * unlocks full-cluster hashing (q37's signature pass was serialized on
+    * 1/32 cores at sf0.1 before this guard). Hash-repartitioning on `id`
+    * (not round-robin) avoids the sort-before-repartition determinism pass
+    * and keeps the layout keyed for the joins that follow. */
+  private def ensureParallelism(df: DataFrame, id: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, id) else df
+  }
+
   /** Exact dedup by content hash: keeps the lowest-id row per distinct
     * content. GroupBy on md5 — uniform key, perfectly balanced shuffle;
     * map-side combine collapses each partition to its distinct hashes
@@ -70,7 +86,8 @@ object Dedup {
     // band (+ once per size() reference) — the same re-eval trap as the
     // tokens→shingles boundary, one level up. As a bound attribute the
     // lambda's slice is a row-field read.
-    val docs = df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+    val docs = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
+      .select(col("doc_id"), T.tokens(lower(col("txt"))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), T.tokenShingles(col("toks"), shingleN).as("sh"))
       .select(col("doc_id"), col("sh"), T.minhashSignature(col("sh"), k).as("sig"))
@@ -106,7 +123,8 @@ object Dedup {
     * MinHash banding first and verify with this measure. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 2, threshold: Double = 0.3): DataFrame = {
-    val docs = df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+    val docs = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
+      .select(col("doc_id"), T.tokens(lower(col("txt"))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), T.tokenShingles(col("toks"), n).as("sh"))
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
@@ -139,7 +157,8 @@ object Dedup {
     // frame stores (bands, verification shingles) — the signature md5
     // pass runs once at cache fill, not once per self-join branch (see
     // minhashNearDupPairs on why exchange reuse can't dedupe it).
-    val docs = df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+    val docs = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
+      .select(col("doc_id"), T.tokens(lower(col("txt"))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         T.tokenShingles(col("toks"), candShingleN).as("csh"),
@@ -175,7 +194,8 @@ object Dedup {
     // tokenize+hash each document once, not twice (the fingerprint pass IS
     // the dominant cost; the cache is keyed on the canonical plan, so
     // repeated calls reuse one entry rather than accumulating).
-    val withSig = df.select(id.as("doc_id"), T.simhash(text).as("sig"))
+    val withSig = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
+      .select(col("doc_id"), T.simhash(col("txt")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until chunks).map(i =>
