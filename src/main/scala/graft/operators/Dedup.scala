@@ -23,21 +23,12 @@ import graft.functions.{Hashing, TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
-  /** Give a compute-heavy narrow stage at least the session's default
-    * parallelism. A small single-file parquet scan yields ONE input split,
-    * so the per-document hashing passes below (minhash signatures, SimHash
-    * mixes — the dominant cost of every near-dup operator) would run on one
-    * core of the whole cluster. At corpus scale the scan has thousands of
-    * splits and this is a metadata check + no-op; below the threshold the
-    * one-off shuffle of the (id, text) projection costs microseconds and
-    * unlocks full-cluster hashing (q37's signature pass was serialized on
-    * 1/32 cores at sf0.1 before this guard). Hash-repartitioning on `id`
-    * (not round-robin) avoids the sort-before-repartition determinism pass
-    * and keeps the layout keyed for the joins that follow. */
-  private def ensureParallelism(df: DataFrame, id: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, id) else df
-  }
+  /** The per-document hashing passes (minhash signatures, SimHash mixes)
+    * are the dominant cost of every near-dup operator and must never
+    * serialize on a single input split — see [[Parallelism]] (q37's
+    * signature pass ran on 1/32 cores at sf0.1 before this guard). */
+  private def ensureParallelism(df: DataFrame, id: Column): DataFrame =
+    Parallelism.ensureMinPartitions(df, id)
 
   /** Exact dedup by content hash: keeps the lowest-id row per distinct
     * content. GroupBy on md5 — uniform key, perfectly balanced shuffle;
@@ -346,8 +337,8 @@ object Dedup {
       threshold: Double = 0.95, nBits: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = V.randomPlanes(nBits, dim, seed)
-    val bucketed = df.select(id.as("vid"), vec.as("v"),
-      V.srpBucket(vec, planes).as("bucket"))
+    val bucketed = ensureParallelism(df.select(id.as("vid"), vec.as("v")), col("vid"))
+      .select(col("vid"), col("v"), V.srpBucket(col("v"), planes).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

@@ -35,8 +35,12 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
       V.l2Norm(col("embedding")).as("q_norm"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
-      V.l2Norm(col("embedding")).as("c_norm"))
+    // the N·Q scoring pass below inherits the corpus scan's partitioning —
+    // guard it against a single-split input (see Parallelism)
+    val c = Parallelism.ensureMinPartitions(
+        corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+        V.l2Norm(col("embedding")).as("c_norm"))
     val denom = col("q_norm") * col("c_norm")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -61,9 +65,11 @@ object Similarity {
   def srpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nBits: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = V.randomPlanes(nBits, dim, seed)
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_vec"),
-      V.srpBucket(col("embedding"), planes).as("bucket"))
+    val c = Parallelism.ensureMinPartitions(
+        corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"),
+        V.srpBucket(col("embedding"), planes).as("bucket"))
     // query probes: own bucket + every 1-bit flip (nBits+1 probes)
     val probes = array((0 to nBits).map { i =>
       if (i == 0) col("q_bucket")
@@ -95,9 +101,11 @@ object Similarity {
       trainBound: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val c0 = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_vec"),
-      array_to_vector(col("embedding")).as("feat"))
+    val c0 = Parallelism.ensureMinPartitions(
+        corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"),
+        array_to_vector(col("embedding")).as("feat"))
     // A coarse quantizer only needs roughly-balanced cells, not converged
     // centroids — recall comes from nProbe, not KMeans quality. 5 rounds
     // (vs the default 20) cuts the index-build 4× with no measured recall
@@ -197,8 +205,10 @@ object Similarity {
     * training passes (see [[cellStructs]] for the portable distance). */
   def ivfFlatTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_vec"), V.l2Norm(col("embedding")).as("c_norm"))
+    val c = Parallelism.ensureMinPartitions(
+        corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"), V.l2Norm(col("embedding")).as("c_norm"))
       .withColumn("cell", array_min(cellStructs(col("c_vec"), centroids)).getField("idx"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
