@@ -779,6 +779,31 @@ object SparkEntry {
       col("doc_id"), col("text"), k = 3)
       .orderBy(col("doc_id"), col("rnk"))
 
+  /** q55 — corpus-internal duplicated n-gram audit
+    * (Dedup.sharedNgramStats): for each document, how many of its
+    * distinct trigrams appear in at least one OTHER document, and the
+    * shared fraction — the exact-substring-dedup signal that catches
+    * template/boilerplate docs pairwise near-dup mining misses. Unlike
+    * q53's broadcast benchmark probe, the gram index here is
+    * corpus-sized, so this is the genuine inverted-index shuffle (Zipf
+    * gram skew notes in the operator scaladoc). */
+  def q55DupNgrams(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.sharedNgramStats(
+      t(s, dir, "documents"), col("doc_id"), col("text"), n = 3)
+      .orderBy(col("doc_id"))
+
+  /** q56 — distributed fixed-point centroids per embedding label
+    * (Similarity.quantizedCentroids): the centroid-training aggregation
+    * of an IVF index run corpus-wide with ZERO driver collect (q33/q49
+    * build their indexes from collected samples — this is the path when
+    * even the sample won't fit). Components quantize to integers BEFORE
+    * the sum, so the mean is bit-stable across partitionings and engines
+    * (see the operator scaladoc). */
+  def q56LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.quantizedCentroids(
+      t(s, dir, "embeddings"), col("label"), col("embedding"))
+      .orderBy(col("label"), col("pos"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -833,7 +858,9 @@ object SparkEntry {
     "q51_dedup_components_star" -> (q51DedupComponentsStar _),
     "q52_repetition" -> (q52Repetition _),
     "q53_contamination" -> (q53Contamination _),
-    "q54_tfidf_keywords" -> (q54TfIdfKeywords _)
+    "q54_tfidf_keywords" -> (q54TfIdfKeywords _),
+    "q55_dup_ngrams" -> (q55DupNgrams _),
+    "q56_label_centroids" -> (q56LabelCentroids _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1411,6 +1438,30 @@ object SparkEntry {
         |      FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q55_dup_ngrams" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |g AS (SELECT doc_id, u.sv AS gram FROM sh, UNNEST(sh.shingles) AS u(sv)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |s AS (SELECT g.doc_id, COUNT(*) AS shared
+        |      FROM g JOIN dup USING (gram) GROUP BY 1)
+        |SELECT sh.doc_id, CAST(COALESCE(s.shared, 0) AS BIGINT) AS shared,
+        |  CAST(len(sh.shingles) AS BIGINT) AS total,
+        |  floor(CAST(COALESCE(s.shared, 0) AS DOUBLE)
+        |    / len(sh.shingles) * 1e6) / 1e6 AS dup_frac
+        |FROM sh LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q56_label_centroids" ->
+      """WITH e AS (SELECT label, list_transform(embedding,
+        |             (x, i) -> struct_pack(i := i,
+        |               q := CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS qs
+        |           FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |u AS (SELECT label, u.s.i AS pos, u.s.q AS q FROM e, UNNEST(e.qs) AS u(s))
+        |SELECT label, CAST(pos AS INTEGER) AS pos,
+        |  CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_q
+        |FROM u GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "q44_stratified_sample" ->
       """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents

@@ -174,6 +174,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-document duplicated-n-gram statistics — the corpus-INTERNAL
+    * counterpart of [[Contamination.ngramOverlap]] (which probes documents
+    * against a SMALL broadcast benchmark set; here the "benchmark" is the
+    * corpus itself, so the gram index must genuinely shuffle): for each
+    * document, how many of its DISTINCT n-grams also appear in at least
+    * one other document, and the resulting shared fraction. This is the
+    * signal behind exact-substring dedup policies (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a high
+    * shared fraction flags template/boilerplate documents that pairwise
+    * near-dup mining misses when no single pair clears the Jaccard bar.
+    *
+    * Shape: explode distinct shingles → ONE inverted-index groupBy on the
+    * gram (partial aggregation combines map-side, so the shuffle carries
+    * (gram, count) not (gram, doc)) → semi-join the exploded grams against
+    * the ≥2-doc grams → per-doc count. Stop-word grams ("of the and") hit
+    * most documents, so gram keys are Zipf-skewed — the count side is
+    * immune (map-side combine collapses each partition to one row per
+    * gram) and the semi-join's skewed partitions are exactly what AQE
+    * skew-split handles; at corpus scale, drop grams above a document-
+    * frequency ceiling first (they carry no dedup signal).
+    *
+    * Returns (doc_id, shared, total, dup_frac); `dup_frac` floor-truncated
+    * to 6 dp for engine portability. */
+  def sharedNgramStats(df: DataFrame, id: Column, text: Column,
+      n: Int = 3): DataFrame = {
+    // read twice (gram explode + per-doc totals) — same persist lifecycle
+    // contract as the near-dup operators (object scaladoc)
+    val docs = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
+      .select(col("doc_id"), T.tokens(lower(col("txt"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), T.tokenShingles(col("toks"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = docs.select(col("doc_id"), explode(col("sh")).as("gram"))
+    // per-doc shingles are distinct, so count(*) per gram == document count
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("docs_with"))
+      .filter(col("docs_with") >= 2)
+      .select(col("gram"))
+    val shared = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+    docs.select(col("doc_id"), size(col("sh")).cast("long").as("total"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        col("total"),
+        (floor(coalesce(col("shared"), lit(0L)).cast("double")
+          / col("total").cast("double") * 1e6) / 1e6).as("dup_frac"))
+  }
+
   /** SimHash near-dup: 32-bit fingerprints; pairs within `maxHamming`.
     * Blocking: 4 × 8-bit chunks — two docs within Hamming ≤ 3 of each
     * other share at least one exact chunk (pigeonhole), so the self-join

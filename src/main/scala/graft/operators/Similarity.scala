@@ -198,6 +198,34 @@ object Similarity {
     }
   }
 
+  /** Fully-DISTRIBUTED quantized centroid aggregation — the shape centroid
+    * training takes when the corpus is too large to sample driver-side
+    * ([[hashCentroids]] and [[lloydRefine]] collect (cells × dims) values;
+    * this never collects anything): posexplode each vector into
+    * (group, pos, component) with components quantized to `scale`
+    * fixed-point BEFORE the sum, so the aggregation is exact integer
+    * arithmetic — associative, order-independent, identical across
+    * partitionings and engines (a plain double sum's low bits depend on
+    * reduction order, which breaks both run-to-run determinism and any
+    * oracle). Partial aggregation combines map-side: the explode is
+    * dim-fold but narrow, and the shuffle carries at most
+    * groups × dim × partitions pre-aggregated rows, never the corpus.
+    *
+    * Returns (label, pos, centroid_q) with 1-based `pos` and
+    * `centroid_q = floor(Σ floor(vᵢ·scale) / n)` — the fixed-point mean;
+    * divide by `scale` for the float centroid. */
+  def quantizedCentroids(df: DataFrame, label: Column, vec: Column,
+      scale: Int = 10000): DataFrame =
+    df.filter(label.isNotNull && vec.isNotNull)
+      .select(label.as("label"), posexplode(vec).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).as("pos"),
+        floor(col("v").cast("double") * scale).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        floor(col("sum_q").cast("double") / col("n").cast("double"))
+          .cast("long").as("centroid_q"))
+
   /** IVF with FIXED centroids (no training): every vector is assigned to
     * its nearest centroid by squared L2; queries probe their `nProbe`
     * nearest cells. The deterministic, oracle-checkable counterpart of

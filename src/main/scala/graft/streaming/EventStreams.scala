@@ -183,6 +183,29 @@ object EventStreams {
       .select(col("a_user").as("user_id"), col("first_id"), col("then_id"))
   }
 
+  /** Stream-static enrichment join + windowed rollup by the DIMENSION's
+    * attribute — the lookup-table pattern every continuous pipeline needs
+    * (events arrive with a code; reporting wants the dimension's
+    * category). The static side joins statelessly: Spark re-plans it per
+    * micro-batch, so a slowly-changing dimension table picks up updates
+    * without restarting the stream, and `broadcast` keeps the stream side
+    * unshuffled — the join is a map-side hash probe, exactly like
+    * [[graft.operators.Contamination]]'s benchmark probe in batch. LEFT
+    * join: events with no dimension row roll up under a null category
+    * instead of silently dropping (the fail-closed choice an audit can
+    * see). The only stateful operator remains the windowed count.
+    *
+    * `dim` must be (event_type, category) and BATCH (static); `events` a
+    * streaming frame from [[readEventStream]]. */
+  def hourlyCategoryCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("category"))
+      .agg(count(lit(1)).as("events"))
+      .select(unix_timestamp(col("w.start")).cast("long").as("hour"),
+        col("category"), col("events"))
+
   /** Continuous rollup materialization via `foreachBatch` — the streaming
     * sink form of the snapshot pipeline's incremental refresh: each
     * micro-batch is aggregated with plain BATCH operators and folded into

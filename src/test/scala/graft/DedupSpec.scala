@@ -55,6 +55,21 @@ class DedupSpec extends SparkSpecBase {
     banded.size.toDouble / allPairs.size.toDouble should be >= 0.8
   }
 
+  test("sharedNgramStats: per-doc shared counts, unique docs at zero, short docs = whole-doc gram") {
+    val df = Seq(
+      (1L, "a b c d"),   // trigrams {a b c, b c d} — shares "a b c" with doc 2
+      (2L, "a b c x"),   // trigrams {a b c, b c x}
+      (3L, "z z z z"),   // distinct trigrams collapse to {z z z} — unique
+      (4L, "q")          // shorter than n → whole doc as one gram — unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedNgramStats(df, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "shared", "total", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5), (3L, 0L, 1L, 0.0), (4L, 0L, 1L, 0.0))
+  }
+
   test("simhashNearDupPairs: identical docs at hamming 0; unrelated docs filtered") {
     val text = "spark sql catalyst tungsten codegen shuffle partition broadcast"
     val other = "entirely unrelated tokens q w e r t y u i"

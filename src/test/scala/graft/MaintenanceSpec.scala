@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Maintenance, Upsert}
+
+class MaintenanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def partFiles(path: String): Seq[java.io.File] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+
+  test("compact: small-file table rewritten to one file, rows and applied-marker intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val path = s"$dir/t"
+    val df = (1L to 500L).map(i => (i, s"row_$i")).toDF("id", "payload")
+    // seed through mergeParquet with a batchId so the applied-marker exists
+    Upsert.mergeParquet(spark, path, df.repartition(10), batchId = Some(7L))((_, u) => u)
+    partFiles(path).size shouldBe 10
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+
+    val n = Maintenance.compact(spark, path, targetFileBytes = 1L << 30)
+    n shouldBe 1
+    partFiles(path).size shouldBe 1
+    spark.read.parquet(path).orderBy("id").collect().toSeq shouldBe before
+    // the streaming-rollup idempotence marker must survive the rewrite
+    Upsert.appliedBatches(path) shouldBe Set(7L)
+  }
+
+  test("compact(clusterBy): files own disjoint key ranges for min/max skipping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val path = s"$dir/t"
+    // shuffled keys across many small files — the worst case for pruning
+    (1L to 2000L).map(i => (i * 7919 % 2000, i)).toDF("k", "v")
+      .repartition(16).write.parquet(path)
+    partFiles(path).size shouldBe 16
+
+    val bytes = Maintenance.tableBytes(path)
+    val n = Maintenance.compact(spark, path,
+      targetFileBytes = bytes / 4 + 1, clusterBy = Seq("k"))
+    n should be >= 2
+    partFiles(path).size shouldBe n
+    // each output file covers a k-range disjoint from every other file —
+    // exactly what lets parquet footer min/max stats skip whole files on
+    // selective k predicates
+    val ranges = partFiles(path).map { f =>
+      val r = spark.read.parquet(f.getPath).agg(min("k"), max("k")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => lo should be > hi
+      case _ => ()
+    }
+    spark.read.parquet(path).count() shouldBe 2000L
+  }
+}

@@ -195,6 +195,25 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     refined(0) should not be far(0)
   }
 
+  test("quantizedCentroids: exact fixed-point means, floor on negatives, partition-invariant") {
+    val df = Seq(
+      (1, Seq(1.0f, -0.5f)), (1, Seq(2.0f, -1.5f)),   // means: 1.5, -1.0
+      (2, Seq(0.00015f, 0.0f)),                        // floor(1.5)=1 at q-level
+      (3, Seq(-0.0001f, 0.0f)), (3, Seq(-0.0002f, 0.0f)) // sum_q=-3, n=2 → floor(-1.5) = -2
+    ).toDF("label", "embedding")
+    val expected = Seq(
+      (1, 1, 15000L), (1, 2, -10000L),
+      (2, 1, 1L), (2, 2, 0L),
+      (3, 1, -2L), (3, 2, 0L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.quantizedCentroids(d, col("label"), col("embedding"))
+        .orderBy("label", "pos").as[(Int, Int, Long)].collect().toSeq
+    run(df) shouldBe expected
+    // integer sums are associative — any partitioning yields the identical
+    // result (the property plain double means lack)
+    run(df.repartition(7)) shouldBe expected
+  }
+
   test("native Md5Hash32 equals the portable conv(md5) formulation on real docs") {
     import graft.functions.{TextFunctions => TF}
     val toks = TF.tokens(lower(col("text")))
