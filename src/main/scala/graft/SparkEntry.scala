@@ -804,6 +804,21 @@ object SparkEntry {
       t(s, dir, "embeddings"), col("label"), col("embedding"))
       .orderBy(col("label"), col("pos"))
 
+  /** q57 — product-quantization ANN by asymmetric-distance computation
+    * (Similarity.pqTopK, refine=0): hash-chosen codebooks (16 codewords ×
+    * 8 subspaces over the 64-dim embeddings), corpus encoded to 8 codes
+    * per vector, queries scored via their broadcast lookup tables. The
+    * memory-compression path of billion-scale ANN (32× smaller scored
+    * side), fully deterministic — codebooks, argmin encode and the
+    * left-associated ADC sum all replay exactly in SQL, so the whole
+    * approximate path hash-checks like q49. */
+  def q57AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val books = Similarity.pqCodebooks(e, m = 8, codewords = 16)
+    Similarity.pqTopK(e.filter(col("vec_id") < 5), e, 10, books)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -860,7 +875,8 @@ object SparkEntry {
     "q53_contamination" -> (q53Contamination _),
     "q54_tfidf_keywords" -> (q54TfIdfKeywords _),
     "q55_dup_ngrams" -> (q55DupNgrams _),
-    "q56_label_centroids" -> (q56LabelCentroids _)
+    "q56_label_centroids" -> (q56LabelCentroids _),
+    "q57_ann_pq" -> (q57AnnPq _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1462,6 +1478,63 @@ object SparkEntry {
         |SELECT label, CAST(pos AS INTEGER) AS pos,
         |  CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_q
         |FROM u GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    // q57: the PQ path replayed in SQL — same hash-chosen codeword pick as
+    // q49's ctr, sliced per subspace; argmin codes tie to the lower index;
+    // the ADC sum is pivoted into 8 columns and added LEFT-ASSOCIATED so
+    // the float total is bit-identical to the Spark expression chain
+    "q57_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ctr AS (SELECT v AS cv,
+        |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+        |        FROM e
+        |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |sub AS (SELECT CAST(r.j AS INTEGER) AS j FROM range(8) AS r(j)),
+        |asg AS (SELECT e.vec_id, s.j, c.cidx,
+        |          list_inner_product(e.v[(s.j*8+1):(s.j*8+8)], e.v[(s.j*8+1):(s.j*8+8)])
+        |            - 2.0 * list_inner_product(e.v[(s.j*8+1):(s.j*8+8)], c.cv[(s.j*8+1):(s.j*8+8)])
+        |            + list_inner_product(c.cv[(s.j*8+1):(s.j*8+8)], c.cv[(s.j*8+1):(s.j*8+8)]) AS d
+        |        FROM e CROSS JOIN sub s CROSS JOIN ctr c),
+        |codes AS (SELECT vec_id, j, cidx AS code FROM asg
+        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cidx) = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |lut AS (SELECT q.query_id, s.j, c.cidx,
+        |          list_inner_product(q.qv[(s.j*8+1):(s.j*8+8)], c.cv[(s.j*8+1):(s.j*8+8)]) AS ip
+        |        FROM q CROSS JOIN sub s CROSS JOIN ctr c),
+        |cn AS (SELECT s.j, c.cidx,
+        |         list_inner_product(c.cv[(s.j*8+1):(s.j*8+8)], c.cv[(s.j*8+1):(s.j*8+8)]) AS nsq
+        |       FROM sub s CROSS JOIN ctr c),
+        |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+        |         MAX(CASE WHEN l.j = 0 THEN l.ip END) AS s0,
+        |         MAX(CASE WHEN l.j = 1 THEN l.ip END) AS s1,
+        |         MAX(CASE WHEN l.j = 2 THEN l.ip END) AS s2,
+        |         MAX(CASE WHEN l.j = 3 THEN l.ip END) AS s3,
+        |         MAX(CASE WHEN l.j = 4 THEN l.ip END) AS s4,
+        |         MAX(CASE WHEN l.j = 5 THEN l.ip END) AS s5,
+        |         MAX(CASE WHEN l.j = 6 THEN l.ip END) AS s6,
+        |         MAX(CASE WHEN l.j = 7 THEN l.ip END) AS s7,
+        |         MAX(CASE WHEN cn.j = 0 THEN cn.nsq END) AS n0,
+        |         MAX(CASE WHEN cn.j = 1 THEN cn.nsq END) AS n1,
+        |         MAX(CASE WHEN cn.j = 2 THEN cn.nsq END) AS n2,
+        |         MAX(CASE WHEN cn.j = 3 THEN cn.nsq END) AS n3,
+        |         MAX(CASE WHEN cn.j = 4 THEN cn.nsq END) AS n4,
+        |         MAX(CASE WHEN cn.j = 5 THEN cn.nsq END) AS n5,
+        |         MAX(CASE WHEN cn.j = 6 THEN cn.nsq END) AS n6,
+        |         MAX(CASE WHEN cn.j = 7 THEN cn.nsq END) AS n7
+        |       FROM codes cd
+        |       JOIN lut l ON l.j = cd.j AND l.cidx = cd.code
+        |       JOIN cn ON cn.j = cd.j AND cn.cidx = cd.code
+        |       GROUP BY 1, 2),
+        |qn AS (SELECT query_id, sqrt(list_inner_product(qv, qv)) AS qnorm FROM q)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT sc.query_id, sc.neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY sc.query_id
+        |      ORDER BY CASE WHEN qn.qnorm
+        |          * sqrt(((((((n0 + n1) + n2) + n3) + n4) + n5) + n6) + n7) = 0 THEN 0.0
+        |        ELSE (((((((s0 + s1) + s2) + s3) + s4) + s5) + s6) + s7)
+        |          / (qn.qnorm * sqrt(((((((n0 + n1) + n2) + n3) + n4) + n5) + n6) + n7)) END DESC,
+        |        sc.neighbor_id) AS INTEGER) AS rnk
+        |  FROM sc JOIN qn ON qn.query_id = sc.query_id
+        |  WHERE sc.neighbor_id <> sc.query_id) WHERE rnk <= 10""".stripMargin,
     "q44_stratified_sample" ->
       """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents

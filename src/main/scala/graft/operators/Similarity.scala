@@ -253,6 +253,113 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization codebooks: the full-vector [[hashCentroids]]
+    * pick (the `codewords` corpus vectors with smallest md5(id)) sliced
+    * into `m` subspaces — codebooks(j) is subspace j's codeword list.
+    * Deterministic and derivable in plain SQL, so the whole PQ path
+    * stays oracle-checkable (the reason KMeans-trained codebooks are not
+    * the default — see [[ivfTopK]] vs [[ivfFlatTopK]]). */
+  def pqCodebooks(corpus: DataFrame, m: Int,
+      codewords: Int): Seq[Seq[Seq[Double]]] = {
+    val base = hashCentroids(corpus, codewords)
+    val dim = base.head.size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map(j => base.map(v => v.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Argmin codeword index for one subspace slice — [[cellStructs]]'s
+    * distance (every term a native dot product, ties to the lower index)
+    * over the sliced vector. */
+  private def pqCode(vecSlice: Column, cws: Seq[Seq[Double]]): Column =
+    array_min(array(cws.zipWithIndex.map { case (cwv, i) =>
+      val c = array(cwv.map(lit): _*)
+      struct((V.dot(vecSlice, vecSlice) - lit(2.0) * V.dot(vecSlice, c)
+        + V.dot(c, c)).as("d"), lit(i).as("idx"))
+    }: _*)).getField("idx")
+
+  /** PQ-encode a corpus: (vec_id, codes) where codes(j) is the nearest
+    * codeword index of subspace j's slice. THE memory lever of
+    * billion-scale ANN: an m-byte code replaces a dim×4-byte vector
+    * (64-dim float → 8 codes = 32× smaller), so the scored side of a
+    * query fan-out ships codes, not vectors. Encoding is one narrow
+    * projection — m × codewords small dot products per row, no shuffle. */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sub = codebooks.head.head.size
+    Parallelism.ensureMinPartitions(
+        corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .select(col("vec_id"),
+        array(codebooks.indices.map(j =>
+          pqCode(slice(col("embedding"), j * sub + 1, sub), codebooks(j))): _*)
+          .as("codes"))
+  }
+
+  /** PQ top-k by asymmetric-distance computation (ADC): each query
+    * precomputes a lookup table of sub-dot-products against every
+    * codeword (m × codewords doubles, flattened j-major), broadcasts with
+    * it, and scores a corpus row with m table lookups instead of a
+    * dim-wide dot product — approximate dot(q, v) = Σⱼ lut(j, codes(j)).
+    * The score is ADC COSINE: the approximate dot normalized by |q| and
+    * the reconstruction norm √Σⱼ|codewordⱼ|² (subspaces are orthogonal
+    * coordinate blocks, so the reconstruction's norm is itself one table
+    * lookup per subspace from a static codeword-norm table — raw ADC dot
+    * would systematically favor large-norm corpus vectors and disagree
+    * with the cosine baseline). Every sum is an EXPLICIT left-associated
+    * chain (not a fold or SQL SUM whose order an engine may choose), so
+    * scores are bit-identical across engines and the ranking (score DESC,
+    * id ASC — [[TopK]]'s tie rule) is oracle-checkable.
+    *
+    * `refine` = 0 ranks purely by ADC (the deterministic driver-surface
+    * path); `refine` = r > 0 takes the top r·k ADC candidates per query
+    * and re-ranks them by exact cosine against the true vectors — the
+    * standard two-stage retrieval, paying the exact dot product for r·k
+    * rows per query instead of the whole corpus. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]], refine: Int = 0): DataFrame = {
+    val m = codebooks.size
+    val cw = codebooks.head.size
+    val sub = codebooks.head.head.size
+    val enc = pqEncode(corpus, codebooks)
+    val lutTerms = for { j <- 0 until m; c <- 0 until cw } yield
+      V.dot(slice(col("embedding"), j * sub + 1, sub),
+        array(codebooks(j)(c).map(lit): _*))
+    val q = queries.select(col("vec_id").as("query_id"),
+      array(lutTerms: _*).as("lut"),
+      V.l2Norm(col("embedding")).as("q_norm"))
+    // static codeword-norm² table (j-major like lut) — built from the same
+    // V.dot so the IEEE op order matches the oracle's list_inner_product
+    val normSqTerms = for { j <- 0 until m; c <- 0 until cw } yield {
+      val cwv = array(codebooks(j)(c).map(lit): _*)
+      V.dot(cwv, cwv)
+    }
+    def lookupSum(table: Column): Column =
+      (0 until m).map(j =>
+        element_at(table, lit(j * cw + 1) + element_at(col("codes"), j + 1)))
+        .reduceLeft(_ + _)
+    val adcDot = lookupSum(col("lut"))
+    val reconNormSq = lookupSum(array(normSqTerms: _*))
+    val denom = col("q_norm") * sqrt(reconNormSq)
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(denom === 0.0, 0.0).otherwise(adcDot / denom).as("cosine"))
+    if (refine <= 0) rankTopK(scored, k).withColumnRenamed("cosine", "adc")
+    else {
+      val cand = rankTopK(scored, refine * k).select("query_id", "neighbor_id")
+      val c = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"), V.l2Norm(col("embedding")).as("c_norm"))
+      val qv = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
+      val denom = col("q_norm") * col("c_norm")
+      rankTopK(cand
+        .join(c, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          when(denom === 0.0, 0.0)
+            .otherwise(V.dot(col("q_vec"), col("c_vec")) / denom).as("cosine")), k)
+    }
+  }
+
   /** Recall@k of `approx` against `exact` (both in topK output shape):
     * |approx ∩ exact| / |exact| per query, averaged. */
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {

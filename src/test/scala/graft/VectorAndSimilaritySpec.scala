@@ -214,6 +214,57 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     run(df.repartition(7)) shouldBe expected
   }
 
+  test("pqTopK: codes bounded, ADC deterministic, exact re-rank lifts recall") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val books = Similarity.pqCodebooks(e, m = 8, codewords = 16)
+    books.size shouldBe 8
+    books.head.size shouldBe 16
+    books.head.head.size shouldBe 8
+    val enc = Similarity.pqEncode(e, books)
+    enc.filter(!forall(col("codes"), c => c >= 0 && c < 16)).count() shouldBe 0L
+    enc.filter(org.apache.spark.sql.functions.size(col("codes")) =!= 8)
+      .count() shouldBe 0L
+
+    val q = e.filter(col("vec_id") < 5)
+    val adc = Similarity.pqTopK(q, e, 10, books)
+    // fully deterministic: a second plan build + run is row-identical
+    adc.orderBy("query_id", "rnk").collect().toSeq shouldBe
+      Similarity.pqTopK(q, e, 10, books).orderBy("query_id", "rnk").collect().toSeq
+
+    // quantized scores cannot reproduce FINE ordering (codes collapse
+    // near-identical vectors into score ties) — that is exactly what the
+    // two-stage exact re-rank is for: widening the re-ranked candidate
+    // pool must lift recall monotonically toward the exact baseline
+    val exact = Similarity.bruteForceTopK(q, e, 10)
+    val rAdc = Similarity.recallAtK(exact, adc)
+    val r4 = Similarity.recallAtK(exact, Similarity.pqTopK(q, e, 10, books, refine = 4))
+    val r8 = Similarity.recallAtK(exact, Similarity.pqTopK(q, e, 10, books, refine = 8))
+    r4 should be > rAdc
+    r8 should be >= r4
+    r8 should be >= 0.5
+  }
+
+  test("pqTopK: ADC retrieval stays within the query's cluster") {
+    import graft.operators.Similarity
+    val rnd = new Random(5)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val corpus = vecDF(cluster(1f, 50, 0L) ++ cluster(-1f, 50, 100L))
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+    val books = Similarity.pqCodebooks(corpus, m = 4, codewords = 8)
+    // the property PQ guarantees WITHOUT re-rank: quantized distances
+    // preserve coarse structure, so every retrieved neighbor comes from
+    // the query's own cluster (cross-cluster ADC scores are far apart
+    // even after quantization)
+    val adc = Similarity.pqTopK(queries, corpus, 5, books)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    adc.length shouldBe 10
+    adc.foreach { case (q, n) =>
+      if (q == 0L) n should be < 100L else n should be >= 100L
+    }
+  }
+
   test("native Md5Hash32 equals the portable conv(md5) formulation on real docs") {
     import graft.functions.{TextFunctions => TF}
     val toks = TF.tokens(lower(col("text")))
