@@ -819,6 +819,21 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** q58 — keep-best cluster dedup (Dedup.bestRepresentative): q43's
+    * near-dup clusters, but each cluster keeps its LONGEST member
+    * (n_chars, ties to the lower doc_id) instead of the minimum id — the
+    * keep-most-complete policy real corpus dedup applies. Same pair graph
+    * and closure as q43; only the representative rule changes, so the
+    * oracle is q43's recursive CTE plus an argmax window. */
+  def q58KeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 300 && trim(col("text")) =!= "")
+    val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4)
+    Dedup.bestRepresentative(docs, pairs, col("doc_id"), col("n_chars"))
+      .orderBy(col("comp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -876,7 +891,8 @@ object SparkEntry {
     "q54_tfidf_keywords" -> (q54TfIdfKeywords _),
     "q55_dup_ngrams" -> (q55DupNgrams _),
     "q56_label_centroids" -> (q56LabelCentroids _),
-    "q57_ann_pq" -> (q57AnnPq _)
+    "q57_ann_pq" -> (q57AnnPq _),
+    "q58_keep_best" -> (q58KeepBest _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -925,9 +941,11 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Shared by q43 (min-label propagation) and q51 (star contraction):
-    * both must reproduce the recursive-CTE transitive-closure fixpoint. */
-  private val dedupComponentsOracle: String =
+  /** The q43 pair-graph transitive closure as a reusable CTE prefix —
+    * shared by q43 (min-label propagation), q51 (star contraction) and
+    * q58 (keep-best representative), which all reproduce the same
+    * recursive-CTE fixpoint and differ only in the final select. */
+  private val dedupClosureCtes: String =
     """WITH RECURSIVE
       |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       |      FROM documents WHERE doc_id < 300 AND trim(text) <> ''),
@@ -953,8 +971,21 @@ object SparkEntry {
       |reach(id, r) AS (
       |  SELECT src, src FROM edges
       |  UNION
-      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
-      |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)""".stripMargin
+
+  private val dedupComponentsOracle: String = dedupClosureCtes +
+    "\nSELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id"
+
+  private val keepBestOracle: String = dedupClosureCtes +
+    """,
+      |comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+      |SELECT comp, keep_id, score FROM (
+      |  SELECT c.comp, d0.doc_id AS keep_id,
+      |    CAST(d0.n_chars AS BIGINT) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY c.comp
+      |      ORDER BY d0.n_chars DESC, d0.doc_id ASC) AS rn
+      |  FROM comps c JOIN documents d0 ON d0.doc_id = c.id)
+      |WHERE rn = 1 ORDER BY comp""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
@@ -1411,6 +1442,7 @@ object SparkEntry {
     "q43_dedup_components" -> dedupComponentsOracle,
     // q51 computes the SAME labels with star contraction — same oracle
     "q51_dedup_components_star" -> dedupComponentsOracle,
+    "q58_keep_best" -> keepBestOracle,
     "q52_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),

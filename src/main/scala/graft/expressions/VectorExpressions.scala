@@ -52,6 +52,13 @@ case class VecDot(left: Expression, right: Expression)
   @transient private lazy val lf = elemType(left).contains(FloatType)
   @transient private lazy val rf = elemType(right).contains(FloatType)
 
+  // a dot of two literal arrays is a constant: let ConstantFolding
+  // evaluate it ONCE at optimization time through this same eval (so the
+  // folded value is bit-identical to the per-row result) — PQ/IVF
+  // distance expressions carry codeword-norm terms ip(c,c) over literals
+  // that would otherwise re-evaluate per row
+  override def foldable: Boolean = left.foldable && right.foldable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -310,6 +310,33 @@ object Dedup {
     labels
   }
 
+  /** Representative selection per near-dup cluster by an arbitrary
+    * quality SCORE — the keep-policy real corpus pipelines want.
+    * [[connectedComponents]] (and [[CorpusPipeline.clean]]) keep each
+    * cluster's MINIMUM id: deterministic, but id order encodes crawl
+    * order, not value. This selects argmax(score) per component instead
+    * (ties to the lower id, so the pick stays deterministic) — pass
+    * document length to keep the most complete near-duplicate, a quality
+    * score to keep the cleanest, a recency column to keep the newest.
+    *
+    * Scale: the window runs on the CLUSTERED docs only (component
+    * membership is pair-graph-sized, orders of magnitude smaller than
+    * the corpus — singletons are trivially their own representative and
+    * never enter the shuffle); one partition per component, components
+    * are near-dup clusters and therefore shallow/small. Returns
+    * (comp, keep_id, score) — one row per cluster. */
+  def bestRepresentative(docs: DataFrame, pairs: DataFrame, id: Column,
+      score: Column, maxIter: Int = 25): DataFrame = {
+    val comps = connectedComponents(pairs, col("id_a"), col("id_b"), maxIter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp")).orderBy(col("score").desc, col("id").asc)
+    docs.select(id.as("id"), score.as("score"))
+      .join(comps, Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("id").as("keep_id"), col("score"))
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the scale path for POWER-LAW dedup graphs, where

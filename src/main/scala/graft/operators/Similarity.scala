@@ -270,11 +270,19 @@ object Similarity {
 
   /** Argmin codeword index for one subspace slice — [[cellStructs]]'s
     * distance (every term a native dot product, ties to the lower index)
-    * over the sliced vector. */
-  private def pqCode(vecSlice: Column, cws: Seq[Seq[Double]]): Column =
+    * over the sliced vector. `selfDot` is ip(slice, slice), passed in as
+    * a pre-projected attribute because it is constant across the
+    * codeword candidates — inlining it would recompute the same dot
+    * `codewords` times per subspace; the substitution leaves the IEEE
+    * op order of each distance unchanged. ip(c,c) is a dot over
+    * literals — Catalyst constant-folds it through the same VecDot eval
+    * the oracle's list_inner_product mirrors, so it costs nothing at
+    * runtime and still matches bit-for-bit. */
+  private def pqCode(vecSlice: Column, selfDot: Column,
+      cws: Seq[Seq[Double]]): Column =
     array_min(array(cws.zipWithIndex.map { case (cwv, i) =>
       val c = array(cwv.map(lit): _*)
-      struct((V.dot(vecSlice, vecSlice) - lit(2.0) * V.dot(vecSlice, c)
+      struct((selfDot - lit(2.0) * V.dot(vecSlice, c)
         + V.dot(c, c)).as("d"), lit(i).as("idx"))
     }: _*)).getField("idx")
 
@@ -283,15 +291,23 @@ object Similarity {
     * billion-scale ANN: an m-byte code replaces a dim×4-byte vector
     * (64-dim float → 8 codes = 32× smaller), so the scored side of a
     * query fan-out ships codes, not vectors. Encoding is one narrow
-    * projection — m × codewords small dot products per row, no shuffle. */
+    * pass — the subspace slices and their self-dots are projected as
+    * attributes first (multi-referenced non-cheap expressions, so
+    * CollapseProject keeps the boundaries), leaving m × codewords small
+    * query-codeword dots per row, no shuffle. */
   def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
     val sub = codebooks.head.head.size
-    Parallelism.ensureMinPartitions(
+    val sliced = Parallelism.ensureMinPartitions(
         corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
-      .select(col("vec_id"),
-        array(codebooks.indices.map(j =>
-          pqCode(slice(col("embedding"), j * sub + 1, sub), codebooks(j))): _*)
-          .as("codes"))
+      .select(col("vec_id") +: (0 until m).map(j =>
+        slice(col("embedding"), j * sub + 1, sub).as(s"s_$j")): _*)
+    val withSelf = sliced
+      .select(col("vec_id") +: (0 until m).flatMap(j => Seq(col(s"s_$j"),
+        V.dot(col(s"s_$j"), col(s"s_$j")).as(s"ss_$j"))): _*)
+    withSelf.select(col("vec_id"),
+      array((0 until m).map(j =>
+        pqCode(col(s"s_$j"), col(s"ss_$j"), codebooks(j))): _*).as("codes"))
   }
 
   /** PQ top-k by asymmetric-distance computation (ADC): each query
@@ -337,9 +353,14 @@ object Similarity {
         element_at(table, lit(j * cw + 1) + element_at(col("codes"), j + 1)))
         .reduceLeft(_ + _)
     val adcDot = lookupSum(col("lut"))
-    val reconNormSq = lookupSum(array(normSqTerms: _*))
-    val denom = col("q_norm") * sqrt(reconNormSq)
-    val scored = enc.crossJoin(broadcast(q))
+    // the reconstruction norm depends on the CODES alone — attach it to
+    // the corpus side (once per corpus row) instead of recomputing per
+    // scored pair; the norm² table itself is all-literal dots, constant-
+    // folded by VecDot.foldable
+    val encN = enc.withColumn("recon_norm",
+      sqrt(lookupSum(array(normSqTerms: _*))))
+    val denom = col("q_norm") * col("recon_norm")
+    val scored = encN.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         when(denom === 0.0, 0.0).otherwise(adcDot / denom).as("cosine"))

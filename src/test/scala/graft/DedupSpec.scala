@@ -70,6 +70,17 @@ class DedupSpec extends SparkSpecBase {
       (1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5), (3L, 0L, 1L, 0.0), (4L, 0L, 1L, 0.0))
   }
 
+  test("bestRepresentative: argmax score per cluster, ties to the lower id, singletons excluded") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (99L, 100L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.bestRepresentative(docs, pairs, col("doc_id"), col("n_chars"))
+      .orderBy("comp").as[(Long, Long, Long)].collect().toSeq
+    // cluster {1,2,3}: longest is 2; cluster {10,11}: tie → lower id 10;
+    // 99 never paired → trivially its own representative, not emitted
+    out shouldBe Seq((1L, 2L, 9L), (10L, 10L, 4L))
+  }
+
   test("simhashNearDupPairs: identical docs at hamming 0; unrelated docs filtered") {
     val text = "spark sql catalyst tungsten codegen shuffle partition broadcast"
     val other = "entirely unrelated tokens q w e r t y u i"
