@@ -834,6 +834,20 @@ object SparkEntry {
       .orderBy(col("comp"))
   }
 
+  /** q59 — IVF-PQ ANN (Similarity.ivfPqTopK): the composed billion-scale
+    * architecture — q49's hash-chosen coarse cells bound WHICH rows each
+    * query scores (nProbe=2 of 8 cells), q57's PQ codes compress WHAT is
+    * scored (8 codes + table lookups). Both halves are deterministic and
+    * SQL-replayable, so the composition hash-checks end to end. */
+  def q59AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = Similarity.hashCentroids(e, 8)
+    val books = Similarity.pqCodebooks(e, m = 8, codewords = 16)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, 10, centroids, books,
+      nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -892,7 +906,8 @@ object SparkEntry {
     "q55_dup_ngrams" -> (q55DupNgrams _),
     "q56_label_centroids" -> (q56LabelCentroids _),
     "q57_ann_pq" -> (q57AnnPq _),
-    "q58_keep_best" -> (q58KeepBest _)
+    "q58_keep_best" -> (q58KeepBest _),
+    "q59_ann_ivf_pq" -> (q59AnnIvfPq _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -939,6 +954,69 @@ object SparkEntry {
        |  CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END AS cosine
        |FROM p WHERE CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q59's oracle, generated: q49's cell assignment composed with q57's
+    * PQ scoring, restricted to probed-cell candidate pairs. The 8-way
+    * pivots and left-associated sums are emitted programmatically — the
+    * associativity MUST mirror pqTopK's explicit `+` chain. */
+  private def q59OracleSql: String = {
+    val sPivot = (0 until 8).map(j =>
+      s"MAX(CASE WHEN l.j = $j THEN l.ip END) AS s$j").mkString(",\n         ")
+    val nPivot = (0 until 8).map(j =>
+      s"MAX(CASE WHEN cn.j = $j THEN cn.nsq END) AS n$j").mkString(",\n         ")
+    val sSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+    val nSum = (1 until 8).foldLeft("n0")((acc, j) => s"($acc + n$j)")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ctr8 AS (SELECT v AS cv,
+       |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+       |         FROM e
+       |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+       |asgc AS (SELECT e.vec_id, c.idx,
+       |           list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv)
+       |             + list_inner_product(c.cv, c.cv) AS d
+       |         FROM e CROSS JOIN ctr8 c),
+       |cellv AS (SELECT vec_id, idx AS cell FROM asgc
+       |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+       |pr AS (SELECT vec_id AS query_id, idx AS cell FROM asgc WHERE vec_id < 5
+       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
+       |ctr AS (SELECT v AS cv,
+       |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+       |        FROM e
+       |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+       |sub AS (SELECT CAST(r.j AS INTEGER) AS j FROM range(8) AS r(j)),
+       |asg AS (SELECT e.vec_id, s.j, c.cidx,
+       |          list_inner_product(e.v[(s.j*8+1):(s.j*8+8)], e.v[(s.j*8+1):(s.j*8+8)])
+       |            - 2.0 * list_inner_product(e.v[(s.j*8+1):(s.j*8+8)], c.cv[(s.j*8+1):(s.j*8+8)])
+       |            + list_inner_product(c.cv[(s.j*8+1):(s.j*8+8)], c.cv[(s.j*8+1):(s.j*8+8)]) AS d
+       |        FROM e CROSS JOIN sub s CROSS JOIN ctr c),
+       |codes AS (SELECT vec_id, j, cidx AS code FROM asg
+       |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cidx) = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |lut AS (SELECT q.query_id, s.j, c.cidx,
+       |          list_inner_product(q.qv[(s.j*8+1):(s.j*8+8)], c.cv[(s.j*8+1):(s.j*8+8)]) AS ip
+       |        FROM q CROSS JOIN sub s CROSS JOIN ctr c),
+       |cn AS (SELECT s.j, c.cidx,
+       |         list_inner_product(c.cv[(s.j*8+1):(s.j*8+8)], c.cv[(s.j*8+1):(s.j*8+8)]) AS nsq
+       |       FROM sub s CROSS JOIN ctr c),
+       |cand AS (SELECT DISTINCT p.query_id, cv2.vec_id
+       |         FROM pr p JOIN cellv cv2 ON cv2.cell = p.cell AND cv2.vec_id <> p.query_id),
+       |sc AS (SELECT ca.query_id, ca.vec_id AS neighbor_id,
+       |         $sPivot,
+       |         $nPivot
+       |       FROM cand ca
+       |       JOIN codes cd ON cd.vec_id = ca.vec_id
+       |       JOIN lut l ON l.query_id = ca.query_id AND l.j = cd.j AND l.cidx = cd.code
+       |       JOIN cn ON cn.j = cd.j AND cn.cidx = cd.code
+       |       GROUP BY 1, 2),
+       |qn AS (SELECT query_id, sqrt(list_inner_product(qv, qv)) AS qnorm FROM q)
+       |SELECT query_id, neighbor_id, rnk FROM (
+       |  SELECT sc.query_id, sc.neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY sc.query_id
+       |      ORDER BY CASE WHEN qn.qnorm * sqrt($nSum) = 0 THEN 0.0
+       |        ELSE $sSum / (qn.qnorm * sqrt($nSum)) END DESC,
+       |        sc.neighbor_id) AS INTEGER) AS rnk
+       |  FROM sc JOIN qn ON qn.query_id = sc.query_id) WHERE rnk <= 10""".stripMargin
   }
 
   /** The q43 pair-graph transitive closure as a reusable CTE prefix —
@@ -1443,6 +1521,7 @@ object SparkEntry {
     // q51 computes the SAME labels with star contraction — same oracle
     "q51_dedup_components_star" -> dedupComponentsOracle,
     "q58_keep_best" -> keepBestOracle,
+    "q59_ann_ivf_pq" -> q59OracleSql,
     "q52_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),

@@ -295,19 +295,28 @@ object Similarity {
     * attributes first (multi-referenced non-cheap expressions, so
     * CollapseProject keeps the boundaries), leaving m × codewords small
     * query-codeword dots per row, no shuffle. */
-  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      cellCentroids: Seq[Seq[Double]] = Nil): DataFrame = {
     val m = codebooks.size
     val sub = codebooks.head.head.size
+    // cell assignment (IVF-PQ) rides the same pass: the full vector is
+    // carried through the slice projections and argmin'd once — never a
+    // second corpus-sized join just to attach the cell id
+    val carry = if (cellCentroids.nonEmpty) Seq(col("embedding")) else Nil
     val sliced = Parallelism.ensureMinPartitions(
         corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
-      .select(col("vec_id") +: (0 until m).map(j =>
+      .select((col("vec_id") +: carry) ++ (0 until m).map(j =>
         slice(col("embedding"), j * sub + 1, sub).as(s"s_$j")): _*)
     val withSelf = sliced
-      .select(col("vec_id") +: (0 until m).flatMap(j => Seq(col(s"s_$j"),
+      .select((col("vec_id") +: carry) ++ (0 until m).flatMap(j => Seq(col(s"s_$j"),
         V.dot(col(s"s_$j"), col(s"s_$j")).as(s"ss_$j"))): _*)
-    withSelf.select(col("vec_id"),
+    val cellCol =
+      if (cellCentroids.isEmpty) Nil
+      else Seq(array_min(cellStructs(col("embedding"), cellCentroids))
+        .getField("idx").as("cell"))
+    withSelf.select(col("vec_id") +: cellCol :+
       array((0 until m).map(j =>
-        pqCode(col(s"s_$j"), col(s"ss_$j"), codebooks(j))): _*).as("codes"))
+        pqCode(col(s"s_$j"), col(s"ss_$j"), codebooks(j))): _*).as("codes"): _*)
   }
 
   /** PQ top-k by asymmetric-distance computation (ADC): each query
@@ -378,6 +387,62 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           when(denom === 0.0, 0.0)
             .otherwise(V.dot(col("q_vec"), col("c_vec")) / denom).as("cosine")), k)
+    }
+  }
+
+  /** IVF-PQ: the composed billion-scale ANN architecture — [[ivfFlatTopK]]'s
+    * coarse cells bound WHICH corpus rows each query scores (nProbe cells
+    * instead of everything), [[pqTopK]]'s codes compress WHAT is scored
+    * (m-byte codes + table lookups instead of full vectors). Cost per
+    * query drops multiplicatively: N/cells·nProbe candidates × m lookups
+    * each. Same determinism contract as both halves (hash-chosen
+    * centroids/codebooks, left-associated sums), so the composition
+    * stays oracle-checkable end to end; `refine` adds the exact re-rank
+    * stage over the surviving candidates exactly as in [[pqTopK]]. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 2, refine: Int = 0): DataFrame = {
+    val m = codebooks.size
+    val cw = codebooks.head.size
+    val sub = codebooks.head.head.size
+    val enc = pqEncode(corpus, codebooks, cellCentroids = centroids)
+    val lutTerms = for { j <- 0 until m; c <- 0 until cw } yield
+      V.dot(slice(col("embedding"), j * sub + 1, sub),
+        array(codebooks(j)(c).map(lit): _*))
+    val q = queries.select(col("vec_id").as("query_id"),
+        array(lutTerms: _*).as("lut"), V.l2Norm(col("embedding")).as("q_norm"),
+        slice(array_sort(cellStructs(col("embedding"), centroids)), 1, nProbe)
+          .getField("idx").as("probes"))
+      .withColumn("cell", explode(col("probes"))).drop("probes")
+    val normSqTerms = for { j <- 0 until m; c <- 0 until cw } yield {
+      val cwv = array(codebooks(j)(c).map(lit): _*)
+      V.dot(cwv, cwv)
+    }
+    def lookupSum(table: Column): Column =
+      (0 until m).map(j =>
+        element_at(table, lit(j * cw + 1) + element_at(col("codes"), j + 1)))
+        .reduceLeft(_ + _)
+    val encN = enc.withColumn("recon_norm",
+      sqrt(lookupSum(array(normSqTerms: _*))))
+    val denom = col("q_norm") * col("recon_norm")
+    val scored = encN.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(denom === 0.0, 0.0).otherwise(lookupSum(col("lut")) / denom).as("cosine"))
+    if (refine <= 0) rankTopK(scored, k).withColumnRenamed("cosine", "adc")
+    else {
+      val cand = rankTopK(scored, refine * k).select("query_id", "neighbor_id")
+      val c = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"), V.l2Norm(col("embedding")).as("c_norm"))
+      val qv = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
+      val d2 = col("q_norm") * col("c_norm")
+      rankTopK(cand
+        .join(c, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          when(d2 === 0.0, 0.0)
+            .otherwise(V.dot(col("q_vec"), col("c_vec")) / d2).as("cosine")), k)
     }
   }
 

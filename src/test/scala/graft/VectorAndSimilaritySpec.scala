@@ -265,6 +265,31 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("ivfPqTopK: deterministic, candidates within probed cells, refine lifts recall") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.hashCentroids(e, 8)
+    val books = Similarity.pqCodebooks(e, m = 8, codewords = 16)
+    val q = e.filter(col("vec_id") < 5)
+    val a = Similarity.ivfPqTopK(q, e, 10, centroids, books, nProbe = 2)
+    a.orderBy("query_id", "rnk").collect().toSeq shouldBe
+      Similarity.ivfPqTopK(q, e, 10, centroids, books, nProbe = 2)
+        .orderBy("query_id", "rnk").collect().toSeq
+    // the IVF stage bounds candidates: every returned neighbor must also
+    // be reachable by the flat cell probe (same centroids, same nProbe)
+    val flatCand = Similarity.ivfFlatTopK(q, e, 1000, centroids, nProbe = 2)
+      .select("query_id", "neighbor_id")
+    a.select("query_id", "neighbor_id")
+      .exceptAll(flatCand).count() shouldBe 0L
+    // two-stage exact re-rank recovers ordering the codes collapse
+    val exact = Similarity.bruteForceTopK(q, e, 10)
+    val r0 = Similarity.recallAtK(exact,
+      Similarity.ivfPqTopK(q, e, 10, centroids, books, nProbe = 2))
+    val r4 = Similarity.recallAtK(exact,
+      Similarity.ivfPqTopK(q, e, 10, centroids, books, nProbe = 2, refine = 4))
+    r4 should be >= r0
+  }
+
   test("native Md5Hash32 equals the portable conv(md5) formulation on real docs") {
     import graft.functions.{TextFunctions => TF}
     val toks = TF.tokens(lower(col("text")))
