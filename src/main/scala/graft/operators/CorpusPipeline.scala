@@ -64,4 +64,68 @@ object CorpusPipeline {
     Sampling.stratifiedSample(surv, col("doc_id"), col("lang"),
       sampleBounds, defaultBound)
   }
+
+  /** Fold an APPEND-ONLY batch of new documents into an already-cleaned
+    * corpus — the form [[clean]] takes when history is 100 TB and only
+    * the batch is new. `existing` must be a prior [[clean]]/
+    * [[cleanIncremental]] output (carries `quality`); `newDocs` raw rows
+    * whose doc_ids are ALL GREATER than every existing id (append-only
+    * monotonic ids — the precondition that makes the min-id
+    * representative rule stable: a cluster containing a survivor always
+    * elects the survivor).
+    *
+    * What is NOT recomputed for history: the quality gate, the exact-dedup
+    * grouping, and the stratified sample apply to the batch only —
+    * existing rows pass through untouched. Survivor near-dup bands ARE
+    * re-hashed here (they join the batch's band index so batch docs can
+    * match historical content); a production deployment materializes the
+    * survivors' (band, id) index at write time and this stage becomes a
+    * batch-sized probe of it. Survivor-survivor pairs cannot pass the
+    * threshold (each survivor is its cluster's sole representative), so
+    * the pair graph stays batch-driven.
+    *
+    * Known bounded divergence vs a full re-clean (inherent to ANY
+    * incremental dedup): a new document that near-dups TWO distinct
+    * historical survivors would, in a full re-clean, merge their clusters
+    * and drop one of them; incrementally both survivors stand (history is
+    * immutable) and the bridging doc is dropped. CorpusPipelineSpec pins
+    * exact equivalence on bridge-free batches. */
+  def cleanIncremental(existing: DataFrame, newDocs: DataFrame,
+      stopwords: Seq[String],
+      qualityThreshold: Double = 0.5,
+      shingleN: Int = 3, minhashK: Int = 8, jaccardThreshold: Double = 0.5,
+      rowsPerBand: Int = 2,
+      sampleBounds: Map[String, String] = Map.empty,
+      defaultBound: String = "g"): DataFrame = {
+    val base = newDocs.withColumn("text", coalesce(col("text"), lit("")))
+    val qual = base
+      .withColumn("quality", T.qualityScore(col("text"), stopwords))
+      .filter(col("quality") >= qualityThreshold)
+    // exact dedup: lowest id within the batch, then drop content the
+    // corpus already holds (hash semi-join — survivors never rescan)
+    val batchExact = qual.join(
+      Dedup.exactByContent(qual, col("text"), col("doc_id")).select("keep_id"),
+      col("doc_id") === col("keep_id"), "left_semi")
+    val newExact = batchExact.join(
+      existing.select(graft.functions.Hashing.contentHash(col("text")).as("__h")).distinct(),
+      graft.functions.Hashing.contentHash(col("text")) === col("__h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near-dup over survivors ∪ batch: survivor ids are smaller, so
+    // clean()'s `comp == doc_id` rule keeps a batch doc iff its cluster
+    // holds no survivor AND it is the batch cluster's minimum
+    val pool = existing.select(col("doc_id"), col("text"))
+      .unionByName(newExact.select(col("doc_id"), col("text")))
+    val pairs = Dedup.minhashNearDupPairs(
+      pool.filter(trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), shingleN, minhashK,
+      rowsPerBand = rowsPerBand, threshold = jaccardThreshold)
+    val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+    val survNew = newExact
+      .join(comps, col("doc_id") === col("id"), "left")
+      .filter(col("id").isNull || col("comp") === col("doc_id"))
+      .drop("id", "comp")
+    existing.unionByName(
+      Sampling.stratifiedSample(survNew, col("doc_id"), col("lang"),
+        sampleBounds, defaultBound))
+  }
 }

@@ -27,4 +27,35 @@ class CorpusPipelineSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     out shouldBe Set(1L, 4L)
   }
+
+  test("cleanIncremental ≡ full re-clean on an append-only bridge-free batch") {
+    import spark.implicits._
+    val sw = graft.functions.TextFunctions.DefaultLangMarkers("en")
+    val all = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .filter(col("doc_id") < 200)
+    val a = all.filter(col("doc_id") < 100)
+    val b = all.filter(col("doc_id") >= 100)
+    def full = CorpusPipeline.clean(all, sw, jaccardThreshold = 0.5, rowsPerBand = 1)
+    val inc = CorpusPipeline.cleanIncremental(
+      CorpusPipeline.clean(a, sw, jaccardThreshold = 0.5, rowsPerBand = 1),
+      b, sw, jaccardThreshold = 0.5, rowsPerBand = 1)
+    inc.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(inc).count() shouldBe 0L
+  }
+
+  test("cleanIncremental: a content-replay batch under fresh ids adds nothing") {
+    import spark.implicits._
+    val sw = graft.functions.TextFunctions.DefaultLangMarkers("en")
+    val a = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .filter(col("doc_id") < 100)
+    val cleaned = CorpusPipeline.clean(a, sw)
+    // same payloads arriving again under new (higher) ids — the exact
+    // hash semi-join must reject every one before any near-dup work
+    val replay = a.withColumn("doc_id", col("doc_id") + 100000L)
+    val after = CorpusPipeline.cleanIncremental(cleaned, replay, sw)
+    after.exceptAll(cleaned).count() shouldBe 0L
+    cleaned.exceptAll(after).count() shouldBe 0L
+  }
 }
