@@ -183,6 +183,40 @@ object EventStreams {
       .select(col("a_user").as("user_id"), col("first_id"), col("then_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[followedWithin]] with
+    * unmatched-left emission: a `firstType` event with no `thenType`
+    * follow-up inside the interval emits (user_id, first_id, null) once
+    * the WATERMARK has passed its join horizon (only then can the engine
+    * prove no match is still in flight — the null row is a watermark
+    * decision, not a data one). State stays bounded exactly as in the
+    * inner form; the cost of outer semantics is emission LATENCY, not
+    * memory. Rows still inside the final watermark horizon when a bounded
+    * replay ends never get their verdict — the spec asserts that trade
+    * explicitly (matched rows equal the batch join; emitted null rows are
+    * exactly the batch's unmatched set old enough to be decided).
+    *
+    * Duplicate-row caveat: VALUE-IDENTICAL left rows (same user, id and
+    * timestamp — the events fixture contains such replays by design) can
+    * collapse to one row in join state, so unmatched-side multiplicities
+    * are per-VALUE, not per-row. Feed [[dedupedEvents]] upstream when
+    * exact per-row multiplicities matter; matched results are unaffected. */
+  def followedWithinOuter(events: DataFrame, firstType: String, thenType: String,
+      withinMinutes: Int = 10, watermark: String = "2 hours"): DataFrame = {
+    val a = events.filter(col("event_type") === firstType && col("user_id").isNotNull)
+      .select(col("user_id").as("a_user"), col("event_id").as("first_id"),
+        col("ts").as("first_ts"))
+      .withWatermark("first_ts", watermark)
+    val b = events.filter(col("event_type") === thenType && col("user_id").isNotNull)
+      .select(col("user_id").as("b_user"), col("event_id").as("then_id"),
+        col("ts").as("then_ts"))
+      .withWatermark("then_ts", watermark)
+    a.join(b, col("a_user") === col("b_user") &&
+        col("then_ts") >= col("first_ts") &&
+        col("then_ts") <= col("first_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+      "left_outer")
+      .select(col("a_user").as("user_id"), col("first_id"), col("then_id"))
+  }
+
   /** Stream-static enrichment join + windowed rollup by the DIMENSION's
     * attribute — the lookup-table pattern every continuous pipeline needs
     * (events arrive with a code; reporting wants the dimension's

@@ -122,6 +122,67 @@ class EventStreamsSpec extends SparkSpecBase {
     spark.catalog.dropTempView("follow_test")
   }
 
+  test("left-outer interval join: matches equal batch; nulls exactly for watermark-decided rows") {
+    import org.apache.spark.sql.functions._
+    val q = EventStreams.followedWithinOuter(
+        EventStreams.readEventStream(spark, "/root/testdata/sf0.001/events.parquet"),
+        "view", "click", withinMinutes = 10)
+      .writeStream.format("memory").queryName("follow_outer_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("follow_outer_test")
+      .select("user_id", "first_id", "then_id")
+
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id").isNotNull)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("first_id"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("then_id"),
+        unix_micros(col("ts")).as("cus"))
+    val batch = views.join(clicks,
+      col("user_id") === col("cu") &&
+        col("cus") >= col("us") && col("cus") <= col("us") + 600000000L,
+      "left_outer")
+
+    // matched portion: equal to the batch join as a SET (distinct for the
+    // same duplicate-collapse reason as the null assertions below)
+    val mStream = streamed.filter(col("then_id").isNotNull).distinct()
+    val mBatch = batch.filter(col("then_id").isNotNull)
+      .select("user_id", "first_id", "then_id").distinct()
+    mStream.exceptAll(mBatch).count() shouldBe 0L
+    mBatch.exceptAll(mStream).count() shouldBe 0L
+
+    // null rows: a subset of the batch's unmatched set (never a false
+    // null), and COMPLETE for rows old enough that the final watermark
+    // (max ts − 2h) passed their join horizon (+1 min slack for the
+    // eviction boundary) — the emission-latency trade of outer streaming.
+    // Set semantics (distinct): the fixture replays value-identical
+    // events, whose unmatched multiplicities collapse in join state (see
+    // the operator's duplicate-row caveat)
+    val nullStream = streamed.filter(col("then_id").isNull)
+      .select("user_id", "first_id").distinct()
+    val nullBatch = batch.filter(col("then_id").isNull)
+      .select("user_id", "first_id", "us")
+    nullStream.exceptAll(nullBatch.select("user_id", "first_id").distinct())
+      .count() shouldBe 0L
+    // the final global watermark is the MIN across the two sides' column
+    // watermarks (each = that side's max event time − 2h) — the view and
+    // click streams end at different times, so the overall max would
+    // overstate how far eviction could have progressed
+    val maxView = views.agg(max(col("us"))).head.getLong(0)
+    val maxClick = clicks.agg(max(col("cus"))).head.getLong(0)
+    val wmBase = math.min(maxView, maxClick)
+    val decided = nullBatch
+      .filter(col("us") < wmBase - (2L * 3600 + 600 + 60) * 1000000L)
+      .select("user_id", "first_id").distinct()
+    decided.count() should be > 0L
+    decided.exceptAll(nullStream).count() shouldBe 0L
+    spark.catalog.dropTempView("follow_outer_test")
+  }
+
   test("incrementalRollup via foreachBatch equals the batch rollup across micro-batches") {
     import org.apache.spark.sql.functions._
     // two landing files forced into separate micro-batches → the additive
