@@ -848,6 +848,32 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** q60 — one-pass column profiling (Profile.summarize): per-column
+    * non-null/null/exact-distinct counts for a pre-load data-quality
+    * audit, all from ONE aggregation (Expand-planned multi-distinct —
+    * never M scans of the table). */
+  def q60Profile(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.summarize(t(s, dir, "orders"),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+
+  /** q61 — snapshot diff / CDC (Upsert.snapshotDiff): two synthetic
+    * versions of the orders table (removals, additions, and price
+    * changes, all keyed off deterministic modulo predicates) classified
+    * by one full-outer key join into added/removed/changed, rolled up
+    * per change type. The incremental-publish primitive: ship the diff,
+    * not the snapshot. */
+  def q61SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val oldV = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val newV = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    operators.Upsert.snapshotDiff(oldV, newV, Seq("o_orderkey"))
+      .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -907,7 +933,9 @@ object SparkEntry {
     "q56_label_centroids" -> (q56LabelCentroids _),
     "q57_ann_pq" -> (q57AnnPq _),
     "q58_keep_best" -> (q58KeepBest _),
-    "q59_ann_ivf_pq" -> (q59AnnIvfPq _)
+    "q59_ann_ivf_pq" -> (q59AnnIvfPq _),
+    "q60_profile" -> (q60Profile _),
+    "q61_snapshot_diff" -> (q61SnapshotDiff _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1522,6 +1550,42 @@ object SparkEntry {
     "q51_dedup_components_star" -> dedupComponentsOracle,
     "q58_keep_best" -> keepBestOracle,
     "q59_ann_ivf_pq" -> q59OracleSql,
+    "q60_profile" ->
+      """SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS non_nulls,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  COUNT(DISTINCT o_custkey) AS distincts FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(o_orderstatus),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(o_orderpriority),
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(o_totalprice),
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_totalprice) FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "q61_snapshot_diff" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT * REPLACE (
+        |        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |             ELSE o_totalprice END AS o_totalprice)
+        |      FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (SELECT CASE
+        |        WHEN o.o_orderkey IS NULL THEN 'added'
+        |        WHEN n.o_orderkey IS NULL THEN 'removed'
+        |        WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |          AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |          AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |          AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+        |          AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+        |          THEN 'changed'
+        |      END AS change_type
+        |      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change_type, COUNT(*) AS n FROM d
+        |WHERE change_type IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),

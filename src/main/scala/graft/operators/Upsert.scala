@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, row_number, sum, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, lit, row_number, sum, when, xxhash64}
 
 /** Upsert semantics for a parquet warehouse — the reference's
   * `ON CONFLICT (pk) DO UPDATE` sinks (etl_snapshot_topn.py:374-453,
@@ -62,6 +62,40 @@ object Upsert {
     current.unionByName(updates)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Snapshot diff — change-data capture between two versions of a
+    * keyed table: one FULL OUTER join on the keys classifies every key as
+    * `added` (new only), `removed` (old only) or `changed` (both sides,
+    * any common non-key column differs under null-safe equality);
+    * unchanged keys are dropped. This is the audit/incremental-publish
+    * primitive: feed `changed` ∪ `added` to [[upsert]] and `removed` to a
+    * delete pass instead of republishing a full snapshot.
+    *
+    * One key-partitioned shuffle join; the column comparison is a per-row
+    * conjunction, no second pass. Columns present on only one side are
+    * ignored (schema evolution is a separate concern — diff what both
+    * versions share). Returns (keys*, change_type). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val shared = oldDf.columns.toSeq.intersect(newDf.columns.toSeq)
+      .filterNot(keys.contains)
+    val o = oldDf.select((keys ++ shared).map(col): _*).alias("o")
+    val n = newDf.select((keys ++ shared).map(col): _*).alias("n")
+    val keyCond = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val sameRow = shared
+      .map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val oKey = col(s"o.${keys.head}")
+    val nKey = col(s"n.${keys.head}")
+    o.join(n, keyCond, "full_outer")
+      .withColumn("change_type",
+        when(oKey.isNull, "added")
+          .when(nKey.isNull, "removed")
+          .when(!sameRow, "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k))
+        :+ col("change_type"): _*)
   }
 
   /** Upsert against a parquet path with a staged write: merge into

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Profile, Upsert}
+
+class ProfileSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("summarize: null/distinct accounting per column from one pass") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("b"))
+    ).toDF("x", "y")
+    val out = Profile.summarize(df, Seq("x", "y"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(("x", 3L, 1L, 2L), ("y", 3L, 1L, 2L))
+  }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged dropped, nulls compare null-safe") {
+    val oldV = Seq(
+      (1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("c"), 30.0),
+      (4L, Some("d"), 40.0)
+    ).toDF("k", "s", "v")
+    val newV = Seq(
+      (1L, Some("a"), 10.0),      // unchanged — dropped
+      (2L, None, 20.0),           // unchanged with a null column — null-safe equal
+      (3L, Some("c"), 31.0),      // changed
+      (5L, Some("e"), 50.0)       // added
+    ).toDF("k", "s", "v")         // 4 removed
+    val out = Upsert.snapshotDiff(oldV, newV, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    out shouldBe Seq((3L, "changed"), (4L, "removed"), (5L, "added"))
+  }
+
+  test("snapshotDiff: one-sided columns are ignored, keys-only tables classify by presence") {
+    val oldV = Seq((1L, "x"), (2L, "y")).toDF("k", "only_old")
+    val newV = Seq((2L, 9), (3L, 7)).toDF("k", "only_new")
+    val out = Upsert.snapshotDiff(oldV, newV, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    // no shared non-key columns → nothing can be 'changed'
+    out shouldBe Seq((1L, "removed"), (3L, "added"))
+  }
+}
