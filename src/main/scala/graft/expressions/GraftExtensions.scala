@@ -31,6 +31,13 @@ object GraftExtensions {
       s"$name expects 2 arguments, got ${args.length}")
   }
 
+  private def unary(name: String)(build: Expression => Expression)
+      : FunctionRegistry.FunctionBuilder = {
+    case Seq(a) => build(a)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${args.length}")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
     (FunctionIdentifier("vec_dot"),
       info(classOf[VecDot], "vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
@@ -66,7 +73,19 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"token_shingles: n must be an integer literal, got $other")
         }
-      })
+      }),
+    (FunctionIdentifier("md5_hash32"),
+      info(classOf[Md5Hash32], "md5_hash32",
+        "md5_hash32(tokens) - first-4-md5-bytes 32-bit hash per element of an array<string> (engine-portable)"),
+      unary("md5_hash32")(Md5Hash32(_))),
+    (FunctionIdentifier("simhash_mix"),
+      info(classOf[SimHashMix], "simhash_mix",
+        "simhash_mix(hashes) - 32-bit SimHash sign-mix over an array<bigint> of token hashes"),
+      unary("simhash_mix")(SimHashMix(_))),
+    (FunctionIdentifier("nfc_normalize"),
+      info(classOf[NfcNormalize], "nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC canonicalization (same semantics as DuckDB's nfc_normalize)"),
+      unary("nfc_normalize")(NfcNormalize(_)))
   )
 
   /** Register on an already-built session. */

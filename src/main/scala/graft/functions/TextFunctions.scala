@@ -99,6 +99,27 @@ object TextFunctions {
         / total.cast("double"))
   }
 
+  /** Fraction of whitespace tokens that are links (http/https/www
+    * prefixes, case-folded) — the C4/Gopher-style boilerplate signal:
+    * link farms and navigation chrome score high, prose scores ~0.
+    * Per-row expression, fuses into the scan. */
+  def linkDensity(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    when(n === 0, 0.0).otherwise(
+      size(filter(toks, t =>
+        t.startsWith("http://") || t.startsWith("https://") || t.startsWith("www.")))
+        .cast("double") / n.cast("double"))
+  }
+
+  /** Unicode NFC canonicalization (native
+    * [[graft.expressions.NfcNormalize]]): run BEFORE any hashing/dedup —
+    * precomposed vs combining-mark encodings of the same visible text
+    * hash differently and silently defeat exact dedup otherwise. ASCII
+    * rows take a no-allocation fast path. */
+  def nfcNormalize(text: Column): Column =
+    graft.expressions.NfcNormalize(text)
+
   /** Redact personally-identifiable substrings, the pre-training scrub
     * every public corpus pipeline applies before anything else: emails,
     * IPv4 addresses, US-style phone numbers, and 13–19-digit runs

@@ -30,6 +30,27 @@ class GraftExtensionsSpec extends SparkSpecBase {
     viaSql.foreach(_ should fullyMatch regex "[0-9a-f]{32}")
   }
 
+  test("md5_hash32, simhash_mix and nfc_normalize callable from SQL, identical to the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq("the quick brown fox", "café prose").toDF("t")
+    df.createOrReplaceTempView("ge_txt")
+    val viaSql = spark.sql(
+      """SELECT simhash_mix(md5_hash32(split(lower(t), '\\s+'))) AS h,
+        |       nfc_normalize(t) AS n FROM ge_txt""".stripMargin)
+      .as[(Long, String)].collect().toSeq
+    val viaCol = df.select(
+        graft.expressions.VectorExpressions.simhashMix(
+          graft.expressions.VectorExpressions.md5Hash32(
+            split(lower(col("t")), "\\s+"))).as("h"),
+        graft.functions.TextFunctions.nfcNormalize(col("t")).as("n"))
+      .as[(Long, String)].collect().toSeq
+    viaSql shouldBe viaCol
+    viaSql.map(_._2) shouldBe Seq("the quick brown fox", "café prose")
+    spark.catalog.dropTempView("ge_txt")
+  }
+
   test("vec_dot arity error is informative") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

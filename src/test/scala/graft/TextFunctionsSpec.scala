@@ -121,4 +121,32 @@ class TextFunctionsSpec extends SparkSpecBase {
       "a1234567890123@x.io and pin 1234") shouldBe "<EMAIL> and pin 1234"
     one[String](TF.redactPii(col("t")), null) shouldBe ""
   }
+
+  test("linkDensity: url-token share, case-folded, empty → 0") {
+    one[Double](TF.linkDensity(col("t")),
+      "see https://a.example and http://b.example plus WWW.c.example") shouldBe 0.5
+    one[Double](TF.linkDensity(col("t")), "plain prose only here") shouldBe 0.0
+    one[Double](TF.linkDensity(col("t")), "") shouldBe 0.0
+    one[Double](TF.linkDensity(col("t")), null) shouldBe 0.0
+  }
+
+  test("nfcNormalize: combining marks compose, ASCII passes through, dedup hashes align") {
+    val decomposed = "cafe\u0301" // e + COMBINING ACUTE ACCENT
+    val precomposed = "caf\u00e9" // precomposed LATIN SMALL LETTER E WITH ACUTE
+    one[String](TF.nfcNormalize(col("t")), decomposed) shouldBe precomposed
+    one[String](TF.nfcNormalize(col("t")), precomposed) shouldBe precomposed
+    one[String](TF.nfcNormalize(col("t")), "plain ascii") shouldBe "plain ascii"
+    one[String](TF.nfcNormalize(col("t")), null) shouldBe null
+    // the reason the scrub exists: equal visible text, equal content hash
+    // ONLY after normalization
+    import spark.implicits._
+    val hashes = Seq(decomposed, precomposed).toDF("t")
+      .select(graft.functions.Hashing.contentHash(TF.nfcNormalize(col("t"))).as("h"))
+      .as[String].collect().toSet
+    hashes.size shouldBe 1
+    val rawHashes = Seq(decomposed, precomposed).toDF("t")
+      .select(graft.functions.Hashing.contentHash(col("t")).as("h"))
+      .as[String].collect().toSet
+    rawHashes.size shouldBe 2
+  }
 }
