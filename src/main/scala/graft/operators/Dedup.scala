@@ -192,13 +192,19 @@ object Dedup {
     * most documents, so gram keys are Zipf-skewed — the count side is
     * immune (map-side combine collapses each partition to one row per
     * gram) and the semi-join's skewed partitions are exactly what AQE
-    * skew-split handles; at corpus scale, drop grams above a document-
-    * frequency ceiling first (they carry no dedup signal).
+    * skew-split handles; at corpus scale, set `dfCeiling` — grams in
+    * more than that many documents are excluded from BOTH the shared
+    * count and the total (stop-phrase grams carry no dedup signal, and
+    * dropping them removes exactly the Zipf-head keys that would
+    * dominate the semi-join). `dfCeiling` = 0 disables the ceiling.
     *
     * Returns (doc_id, shared, total, dup_frac); `dup_frac` floor-truncated
-    * to 6 dp for engine portability. */
+    * to 6 dp for engine portability. With a ceiling, `total` counts the
+    * doc's SIGNAL grams (those under the ceiling), so the fraction stays
+    * a true share of comparable material; docs whose every gram exceeds
+    * the ceiling report total 0 and dup_frac 0. */
   def sharedNgramStats(df: DataFrame, id: Column, text: Column,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, dfCeiling: Long = 0L): DataFrame = {
     // read twice (gram explode + per-doc totals) — same persist lifecycle
     // contract as the near-dup operators (object scaladoc)
     val docs = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
@@ -208,20 +214,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = docs.select(col("doc_id"), explode(col("sh")).as("gram"))
     // per-doc shingles are distinct, so count(*) per gram == document count
-    val dupGrams = grams.groupBy(col("gram"))
+    val gramCounts = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("docs_with"))
-      .filter(col("docs_with") >= 2)
-      .select(col("gram"))
-    val shared = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val inCeiling =
+      if (dfCeiling > 0L) col("docs_with") <= dfCeiling else lit(true)
+    grams.join(gramCounts, Seq("gram"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("shared"))
-    docs.select(col("doc_id"), size(col("sh")).cast("long").as("total"))
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("shared"), lit(0L)).as("shared"),
-        col("total"),
-        (floor(coalesce(col("shared"), lit(0L)).cast("double")
-          / col("total").cast("double") * 1e6) / 1e6).as("dup_frac"))
+      .agg(count(when(inCeiling, 1)).as("total"),
+        count(when(inCeiling && col("docs_with") >= 2, 1)).as("shared"))
+      .select(col("doc_id"), col("shared"), col("total"),
+        when(col("total") === 0L, 0.0)
+          .otherwise(floor(col("shared").cast("double")
+            / col("total").cast("double") * 1e6) / 1e6).as("dup_frac"))
   }
 
   /** SimHash near-dup: 32-bit fingerprints; pairs within `maxHamming`.

@@ -70,6 +70,28 @@ class DedupSpec extends SparkSpecBase {
       (1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5), (3L, 0L, 1L, 0.0), (4L, 0L, 1L, 0.0))
   }
 
+  test("sharedNgramStats dfCeiling: Zipf-head grams excluded from both counts") {
+    val df = Seq(
+      (1L, "x y z a"),  // grams {x y z, y z a}: "x y z" in all 3 docs (over ceiling)
+      (2L, "x y z b"),  // "y z a"/"y z b"/"y z c" are unique
+      (3L, "x y z c"),
+      (4L, "q")         // its only gram is under the ceiling and unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedNgramStats(df, col("doc_id"), col("text"),
+        n = 3, dfCeiling = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "shared", "total", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // "x y z" (df=3) is dropped from shared AND total — each of docs 1-3
+    // keeps one signal gram, none shared; without the ceiling all three
+    // would report shared=1
+    out shouldBe Seq(
+      (1L, 0L, 1L, 0.0), (2L, 0L, 1L, 0.0), (3L, 0L, 1L, 0.0), (4L, 0L, 1L, 0.0))
+    val noCeiling = Dedup.sharedNgramStats(df, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id").select("shared").as[Long].collect().toSeq
+    noCeiling shouldBe Seq(1L, 1L, 1L, 0L)
+  }
+
   test("bestRepresentative: argmax score per cluster, ties to the lower id, singletons excluded") {
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (99L, 100L))
       .toDF("doc_id", "n_chars")
