@@ -874,6 +874,22 @@ object SparkEntry {
       .orderBy(col("change_type"))
   }
 
+  /** q62 — retrieval + enrichment: q49's IVF search results joined back
+    * to the documents dimension (doc_id ≡ vec_id in the fixtures) — the
+    * semantic-search shape every RAG/retrieval pipeline ends with. The
+    * retrieval side is k×queries rows, so IT broadcasts into the
+    * corpus-sized metadata table, never the reverse. */
+  def q62SemanticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val topk = Similarity.ivfFlatTopK(e.filter(col("vec_id") < 5), e, 10,
+      Similarity.hashCentroids(e, 8), nProbe = 2)
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(topk), col("doc_id") === col("neighbor_id"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("lang"), col("n_chars"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -935,7 +951,8 @@ object SparkEntry {
     "q58_keep_best" -> (q58KeepBest _),
     "q59_ann_ivf_pq" -> (q59AnnIvfPq _),
     "q60_profile" -> (q60Profile _),
-    "q61_snapshot_diff" -> (q61SnapshotDiff _)
+    "q61_snapshot_diff" -> (q61SnapshotDiff _),
+    "q62_semantic_enrich" -> (q62SemanticEnrich _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -983,6 +1000,45 @@ object SparkEntry {
        |FROM p WHERE CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** q49's oracle — also the retrieval core of q62, which wraps it in a
+    * metadata join. */
+  private val q49OracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ctr AS (SELECT v AS cv,
+      |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+      |        FROM e
+      |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+      |asg AS (SELECT e.vec_id, e.v, c.idx,
+      |          list_inner_product(e.v, e.v)
+      |            - 2.0 * list_inner_product(e.v, c.cv)
+      |            + list_inner_product(c.cv, c.cv) AS d
+      |        FROM e CROSS JOIN ctr c),
+      |cell AS (SELECT vec_id, v, idx AS cell FROM asg
+      |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+      |pr AS (SELECT vec_id AS query_id, v AS qv, idx AS cell FROM asg
+      |       WHERE vec_id < 5
+      |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
+      |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+      |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
+      |      THEN 0.0
+      |      ELSE list_inner_product(p.qv, c.v) /
+      |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
+      |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, rnk FROM (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM cand) WHERE rnk <= 10""".stripMargin
+
+  /** q62's oracle: the q49 retrieval subquery joined to document
+    * metadata (DuckDB allows WITH inside a derived table). */
+  private def q62OracleSql: String =
+    s"""SELECT a.query_id, a.rnk, a.neighbor_id, d.lang,
+       |  CAST(d.n_chars AS BIGINT) AS n_chars
+       |FROM (
+       |$q49OracleSql
+       |) a JOIN documents d ON d.doc_id = a.neighbor_id
+       |ORDER BY a.query_id, a.rnk""".stripMargin
 
   /** q59's oracle, generated: q49's cell assignment composed with q57's
     * PQ scoring, restricted to probed-cell candidate pairs. The 8-way
@@ -1138,32 +1194,7 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
         |  FROM cand) WHERE rnk <= 10""".stripMargin,
-    "q49_ann_ivf_flat" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ctr AS (SELECT v AS cv,
-        |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
-        |        FROM e
-        |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
-        |asg AS (SELECT e.vec_id, e.v, c.idx,
-        |          list_inner_product(e.v, e.v)
-        |            - 2.0 * list_inner_product(e.v, c.cv)
-        |            + list_inner_product(c.cv, c.cv) AS d
-        |        FROM e CROSS JOIN ctr c),
-        |cell AS (SELECT vec_id, v, idx AS cell FROM asg
-        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
-        |pr AS (SELECT vec_id AS query_id, v AS qv, idx AS cell FROM asg
-        |       WHERE vec_id < 5
-        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
-        |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
-        |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
-        |      THEN 0.0
-        |      ELSE list_inner_product(p.qv, c.v) /
-        |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
-        |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id)
-        |SELECT query_id, neighbor_id, rnk FROM (
-        |  SELECT query_id, neighbor_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
-        |  FROM cand) WHERE rnk <= 10""".stripMargin,
+    "q49_ann_ivf_flat" -> q49OracleSql,
     "q24_neardup_simhash" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
         |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
@@ -1550,6 +1581,7 @@ object SparkEntry {
     "q51_dedup_components_star" -> dedupComponentsOracle,
     "q58_keep_best" -> keepBestOracle,
     "q59_ann_ivf_pq" -> q59OracleSql,
+    "q62_semantic_enrich" -> q62OracleSql,
     "q60_profile" ->
       """SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS non_nulls,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,

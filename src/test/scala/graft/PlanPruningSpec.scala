@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Column-pruning plan assertions: a scan that reads columns the query
+  * never references is wrong at any scale and fatal at 100 TB — parquet
+  * is columnar, so pruning is the difference between reading 2 columns
+  * and reading 10. These tests pin `requiredSchema` on the physical scan
+  * node (no execution needed), so a regression that breaks pruning —
+  * e.g. an opaque expression hiding column references from the optimizer
+  * — fails loudly. */
+class PlanPruningSpec extends SparkSpecBase {
+
+  private def allScans(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      // persisted frames wrap their scan in an InMemoryRelation — the
+      // pruning contract applies to the scan that FILLS the cache
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        allScans(m.relation.cachedPlan)
+      // AQE wraps plans in a leaf node collect() will not enter
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+    }.flatten
+
+  private def scanSchemas(name: String): Map[String, Set[String]] = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    allScans(df.queryExecution.sparkPlan).map { f =>
+      val table = f.relation.location.rootPaths.head.getName
+        .stripSuffix(".parquet")
+      table -> f.requiredSchema.fieldNames.toSet
+    }.toMap
+  }
+
+  test("q26 language-ID reads only (text, lang) from documents") {
+    scanSchemas("q26_language_id")("documents") shouldBe Set("text", "lang")
+  }
+
+  test("q55 cross-doc n-grams reads only (doc_id, text) from documents") {
+    scanSchemas("q55_dup_ngrams")("documents") shouldBe Set("doc_id", "text")
+  }
+
+  test("q01 star join never reads unused fact or dim columns") {
+    val schemas = scanSchemas("q01_top_deck_types")
+    schemas("lineitem") shouldBe Set("l_partkey", "l_returnflag")
+    schemas("part") shouldBe Set("p_partkey", "p_brand")
+  }
+}
