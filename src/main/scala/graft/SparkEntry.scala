@@ -890,6 +890,25 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** q63 — time-RANGE window frame: per user, the rolling 1-hour event
+    * count and value sum (integer cents — a double sum's accumulation
+    * order inside a window frame is engine-defined). RANGE frames are
+    * the window family ROWS frames can't express: the frame is bounded
+    * by the ORDER value, so ties (and this fixture replays duplicate
+    * events deliberately) all share one frame. One shuffle on user_id. */
+  def q63RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -952,7 +971,8 @@ object SparkEntry {
     "q59_ann_ivf_pq" -> (q59AnnIvfPq _),
     "q60_profile" -> (q60Profile _),
     "q61_snapshot_diff" -> (q61SnapshotDiff _),
-    "q62_semantic_enrich" -> (q62SemanticEnrich _)
+    "q62_semantic_enrich" -> (q62SemanticEnrich _),
+    "q63_rolling_window" -> (q63RollingWindow _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1582,6 +1602,17 @@ object SparkEntry {
     "q58_keep_best" -> keepBestOracle,
     "q59_ann_ivf_pq" -> q59OracleSql,
     "q62_semantic_enrich" -> q62OracleSql,
+    "q63_rolling_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, event_id, us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
     "q60_profile" ->
       """SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS non_nulls,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
