@@ -909,6 +909,25 @@ object SparkEntry {
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
+  /** q64 — relational set operators (U-family): customers ordering in
+    * BOTH priority extremes (INTERSECT) vs urgent-only (EXCEPT), rolled
+    * up per class. Both operators carry SQL DISTINCT-set semantics —
+    * Spark plans them as aggregated semi/anti joins, one shuffle each on
+    * the already-projected key. */
+  def q64SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val low = o.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey"))
+    urgent.intersect(low).withColumn("set_class", lit("both"))
+      .unionByName(urgent.except(low).withColumn("set_class", lit("urgent_only")))
+      .groupBy(col("set_class"))
+      .agg(count(lit(1)).as("customers"),
+        sum(col("o_custkey")).cast("long").as("custkey_sum"))
+      .orderBy(col("set_class"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -972,7 +991,8 @@ object SparkEntry {
     "q60_profile" -> (q60Profile _),
     "q61_snapshot_diff" -> (q61SnapshotDiff _),
     "q62_semantic_enrich" -> (q62SemanticEnrich _),
-    "q63_rolling_window" -> (q63RollingWindow _)
+    "q63_rolling_window" -> (q63RollingWindow _),
+    "q64_set_ops" -> (q64SetOps _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1613,6 +1633,15 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "q64_set_ops" ->
+      """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |l AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'),
+        |c AS (SELECT o_custkey, 'both' AS set_class FROM (SELECT * FROM u INTERSECT SELECT * FROM l)
+        |      UNION ALL
+        |      SELECT o_custkey, 'urgent_only' FROM (SELECT * FROM u EXCEPT SELECT * FROM l))
+        |SELECT set_class, COUNT(*) AS customers,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+        |FROM c GROUP BY 1 ORDER BY set_class""".stripMargin,
     "q60_profile" ->
       """SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS non_nulls,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
