@@ -58,14 +58,18 @@ object AsciiEscape {
     * (the overwhelmingly common case for battle payloads) returns the
     * input UTF8String untouched — zero allocation. */
   def escapeJava(s: UTF8String): UTF8String = {
+    // a UTF-8 string is pure ASCII iff every encoded byte < 0x80 — scan
+    // the raw bytes so the fast path never decodes to java.lang.String
+    // (toString-before-check allocated a full String per row)
+    val nb = s.numBytes
+    var bi = 0
+    var ascii = true
+    while (ascii && bi < nb) { if ((s.getByte(bi) & 0x80) != 0) ascii = false; bi += 1 }
+    if (ascii) return s
     val str = s.toString
     val n = str.length
-    var i = 0
-    var ascii = true
-    while (ascii && i < n) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
-    if (ascii) return s
     val sb = new java.lang.StringBuilder(n + 16)
-    i = 0
+    var i = 0
     while (i < n) {
       val c = str.charAt(i)
       if (c < 0x80) sb.append(c)

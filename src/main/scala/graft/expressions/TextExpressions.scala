@@ -50,6 +50,13 @@ case class NfcNormalize(child: Expression)
 
 object NfcNormalize {
   def normalizeJava(s: UTF8String): UTF8String = {
+    // pure ASCII (every UTF-8 byte < 0x80) is always NFC — scan raw
+    // bytes so the common-case row never decodes to java.lang.String
+    val nb = s.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < nb) { if ((s.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

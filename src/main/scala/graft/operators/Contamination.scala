@@ -35,10 +35,14 @@ object Contamination {
       id: Column, text: Column, n: Int = 3,
       denomFactor: Int = 2): DataFrame = {
     // tokens projected separately from the shingle transform — the HOF
-    // re-eval trap (T.tokenShingles scaladoc) re-splits per shingle otherwise
+    // re-eval trap (T.tokenShingles scaladoc) re-splits per shingle
+    // otherwise. Persisted: read by both the gram explode and the totals
+    // projection, and the tokenize+shingle pass is the dominant cost
+    // (same cache-lifecycle contract as Dedup's shingle frames).
     val cand = candidates
       .select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
       .select(col("doc_id"), T.tokenShingles(col("toks"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchGrams = benchmark
       .select(T.tokens(lower(text)).as("toks"))
       .select(explode(T.tokenShingles(col("toks"), n)).as("gram"))
@@ -52,7 +56,11 @@ object Contamination {
       .select(col("doc_id"),
         coalesce(col("matched"), lit(0L)).as("matched"),
         col("total"),
-        (coalesce(col("matched"), lit(0L)) * denomFactor >= col("total"))
+        // total > 0 guard: an empty/whitespace-only doc has no grams to
+        // audit and must NOT satisfy `0·f >= 0` — it shares nothing with
+        // the benchmark
+        (col("total") > 0L &&
+          coalesce(col("matched"), lit(0L)) * denomFactor >= col("total"))
           .as("contaminated"))
   }
 }

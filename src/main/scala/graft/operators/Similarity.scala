@@ -341,38 +341,70 @@ object Similarity {
     * rows per query instead of the whole corpus. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       codebooks: Seq[Seq[Seq[Double]]], refine: Int = 0): DataFrame = {
-    val m = codebooks.size
+    val q = adcQuerySide(queries, codebooks).drop("embedding")
+    val scored = withReconNorm(pqEncode(corpus, codebooks), codebooks)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcCosine(codebooks).as("cosine"))
+    finishAdc(scored, k, refine, queries, corpus)
+  }
+
+  /** Query side of ADC scoring: (query_id, lut, q_norm, embedding) —
+    * the lookup table holds the sub-dot-products of this query against
+    * every codeword, flattened j-major. The raw embedding rides along
+    * for callers that still need it (cell probing); drop it otherwise. */
+  private def adcQuerySide(queries: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val cw = codebooks.head.size
     val sub = codebooks.head.head.size
-    val enc = pqEncode(corpus, codebooks)
-    val lutTerms = for { j <- 0 until m; c <- 0 until cw } yield
+    val lutTerms = for { j <- codebooks.indices; c <- 0 until cw } yield
       V.dot(slice(col("embedding"), j * sub + 1, sub),
         array(codebooks(j)(c).map(lit): _*))
-    val q = queries.select(col("vec_id").as("query_id"),
+    queries.select(col("vec_id").as("query_id"),
       array(lutTerms: _*).as("lut"),
-      V.l2Norm(col("embedding")).as("q_norm"))
-    // static codeword-norm² table (j-major like lut) — built from the same
-    // V.dot so the IEEE op order matches the oracle's list_inner_product
-    val normSqTerms = for { j <- 0 until m; c <- 0 until cw } yield {
+      V.l2Norm(col("embedding")).as("q_norm"), col("embedding"))
+  }
+
+  /** The left-associated m-term lookup sum over `table`, indexed by the
+    * row's `codes` — the EXPLICIT `+` chain whose op order the oracles
+    * replay (a fold or SQL SUM could re-associate). */
+  private def adcLookupSum(codebooks: Seq[Seq[Seq[Double]]],
+      table: Column): Column = {
+    val cw = codebooks.head.size
+    codebooks.indices.map(j =>
+        element_at(table, lit(j * cw + 1) + element_at(col("codes"), j + 1)))
+      .reduceLeft(_ + _)
+  }
+
+  /** Attach the reconstruction norm to the encoded corpus side: it
+    * depends on the CODES alone, so it is computed once per corpus row,
+    * never per scored pair. The codeword-norm² table is all-literal dots
+    * (j-major like the lut) built from the same V.dot as the oracle's
+    * list_inner_product and constant-folded via VecDot.foldable. */
+  private def withReconNorm(enc: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val normSqTerms = for { j <- codebooks.indices; c <- codebooks.head.indices } yield {
       val cwv = array(codebooks(j)(c).map(lit): _*)
       V.dot(cwv, cwv)
     }
-    def lookupSum(table: Column): Column =
-      (0 until m).map(j =>
-        element_at(table, lit(j * cw + 1) + element_at(col("codes"), j + 1)))
-        .reduceLeft(_ + _)
-    val adcDot = lookupSum(col("lut"))
-    // the reconstruction norm depends on the CODES alone — attach it to
-    // the corpus side (once per corpus row) instead of recomputing per
-    // scored pair; the norm² table itself is all-literal dots, constant-
-    // folded by VecDot.foldable
-    val encN = enc.withColumn("recon_norm",
-      sqrt(lookupSum(array(normSqTerms: _*))))
+    enc.withColumn("recon_norm",
+      sqrt(adcLookupSum(codebooks, array(normSqTerms: _*))))
+  }
+
+  /** ADC cosine over a scored pair row: lut-sum / (|q|·|recon|), 0 when
+    * the denominator is 0 — identical shape to the exact cosine. */
+  private def adcCosine(codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val denom = col("q_norm") * col("recon_norm")
-    val scored = encN.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        when(denom === 0.0, 0.0).otherwise(adcDot / denom).as("cosine"))
+    when(denom === 0.0, 0.0)
+      .otherwise(adcLookupSum(codebooks, col("lut")) / denom)
+  }
+
+  /** Common tail of the ADC paths: rank by ADC directly (refine ≤ 0) or
+    * take the top refine·k ADC candidates and re-rank them by exact
+    * cosine against the true vectors. */
+  private def finishAdc(scored: DataFrame, k: Int, refine: Int,
+      queries: DataFrame, corpus: DataFrame): DataFrame =
     if (refine <= 0) rankTopK(scored, k).withColumnRenamed("cosine", "adc")
     else {
       val cand = rankTopK(scored, refine * k).select("query_id", "neighbor_id")
@@ -388,7 +420,6 @@ object Similarity {
           when(denom === 0.0, 0.0)
             .otherwise(V.dot(col("q_vec"), col("c_vec")) / denom).as("cosine")), k)
     }
-  }
 
   /** IVF-PQ: the composed billion-scale ANN architecture — [[ivfFlatTopK]]'s
     * coarse cells bound WHICH corpus rows each query scores (nProbe cells
@@ -402,48 +433,18 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
       nProbe: Int = 2, refine: Int = 0): DataFrame = {
-    val m = codebooks.size
-    val cw = codebooks.head.size
-    val sub = codebooks.head.head.size
-    val enc = pqEncode(corpus, codebooks, cellCentroids = centroids)
-    val lutTerms = for { j <- 0 until m; c <- 0 until cw } yield
-      V.dot(slice(col("embedding"), j * sub + 1, sub),
-        array(codebooks(j)(c).map(lit): _*))
-    val q = queries.select(col("vec_id").as("query_id"),
-        array(lutTerms: _*).as("lut"), V.l2Norm(col("embedding")).as("q_norm"),
-        slice(array_sort(cellStructs(col("embedding"), centroids)), 1, nProbe)
-          .getField("idx").as("probes"))
-      .withColumn("cell", explode(col("probes"))).drop("probes")
-    val normSqTerms = for { j <- 0 until m; c <- 0 until cw } yield {
-      val cwv = array(codebooks(j)(c).map(lit): _*)
-      V.dot(cwv, cwv)
-    }
-    def lookupSum(table: Column): Column =
-      (0 until m).map(j =>
-        element_at(table, lit(j * cw + 1) + element_at(col("codes"), j + 1)))
-        .reduceLeft(_ + _)
-    val encN = enc.withColumn("recon_norm",
-      sqrt(lookupSum(array(normSqTerms: _*))))
-    val denom = col("q_norm") * col("recon_norm")
-    val scored = encN.join(broadcast(q), Seq("cell"))
+    val q = adcQuerySide(queries, codebooks)
+      .withColumn("cell",
+        explode(slice(array_sort(cellStructs(col("embedding"), centroids)),
+          1, nProbe).getField("idx")))
+      .drop("embedding")
+    val scored = withReconNorm(
+        pqEncode(corpus, codebooks, cellCentroids = centroids), codebooks)
+      .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        when(denom === 0.0, 0.0).otherwise(lookupSum(col("lut")) / denom).as("cosine"))
-    if (refine <= 0) rankTopK(scored, k).withColumnRenamed("cosine", "adc")
-    else {
-      val cand = rankTopK(scored, refine * k).select("query_id", "neighbor_id")
-      val c = corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_vec"), V.l2Norm(col("embedding")).as("c_norm"))
-      val qv = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
-      val d2 = col("q_norm") * col("c_norm")
-      rankTopK(cand
-        .join(c, Seq("neighbor_id"))
-        .join(broadcast(qv), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          when(d2 === 0.0, 0.0)
-            .otherwise(V.dot(col("q_vec"), col("c_vec")) / d2).as("cosine")), k)
-    }
+        adcCosine(codebooks).as("cosine"))
+    finishAdc(scored, k, refine, queries, corpus)
   }
 
   /** Recall@k of `approx` against `exact` (both in topK output shape):

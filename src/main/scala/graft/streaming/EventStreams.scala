@@ -167,7 +167,15 @@ object EventStreams {
     * eviction horizon from them — an unconstrained stream-stream join
     * would buffer forever). */
   def followedWithin(events: DataFrame, firstType: String, thenType: String,
-      withinMinutes: Int = 10, watermark: String = "2 hours"): DataFrame = {
+      withinMinutes: Int = 10, watermark: String = "2 hours"): DataFrame =
+    intervalJoin(events, firstType, thenType, withinMinutes, watermark, "inner")
+
+  /** Shared body of [[followedWithin]]/[[followedWithinOuter]] — the two
+    * differ ONLY in join type, and the interval condition + watermark
+    * handling must never diverge between them. */
+  private def intervalJoin(events: DataFrame, firstType: String,
+      thenType: String, withinMinutes: Int, watermark: String,
+      joinType: String): DataFrame = {
     val a = events.filter(col("event_type") === firstType && col("user_id").isNotNull)
       .select(col("user_id").as("a_user"), col("event_id").as("first_id"),
         col("ts").as("first_ts"))
@@ -179,7 +187,7 @@ object EventStreams {
     a.join(b, col("a_user") === col("b_user") &&
         col("then_ts") >= col("first_ts") &&
         col("then_ts") <= col("first_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
-      "inner")
+      joinType)
       .select(col("a_user").as("user_id"), col("first_id"), col("then_id"))
   }
 
@@ -201,21 +209,8 @@ object EventStreams {
     * are per-VALUE, not per-row. Feed [[dedupedEvents]] upstream when
     * exact per-row multiplicities matter; matched results are unaffected. */
   def followedWithinOuter(events: DataFrame, firstType: String, thenType: String,
-      withinMinutes: Int = 10, watermark: String = "2 hours"): DataFrame = {
-    val a = events.filter(col("event_type") === firstType && col("user_id").isNotNull)
-      .select(col("user_id").as("a_user"), col("event_id").as("first_id"),
-        col("ts").as("first_ts"))
-      .withWatermark("first_ts", watermark)
-    val b = events.filter(col("event_type") === thenType && col("user_id").isNotNull)
-      .select(col("user_id").as("b_user"), col("event_id").as("then_id"),
-        col("ts").as("then_ts"))
-      .withWatermark("then_ts", watermark)
-    a.join(b, col("a_user") === col("b_user") &&
-        col("then_ts") >= col("first_ts") &&
-        col("then_ts") <= col("first_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
-      "left_outer")
-      .select(col("a_user").as("user_id"), col("first_id"), col("then_id"))
-  }
+      withinMinutes: Int = 10, watermark: String = "2 hours"): DataFrame =
+    intervalJoin(events, firstType, thenType, withinMinutes, watermark, "left_outer")
 
   /** Stream-static enrichment join + windowed rollup by the DIMENSION's
     * attribute — the lookup-table pattern every continuous pipeline needs
