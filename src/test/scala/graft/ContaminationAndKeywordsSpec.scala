@@ -23,6 +23,22 @@ class ContaminationAndKeywordsSpec extends SparkSpecBase {
       (3L, 1L, 4L, false))
   }
 
+  test("ngramOverlap: empty/whitespace docs are never contaminated (0 of 0 grams)") {
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+      (4L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(docs, bench, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // a doc with no grams shares NOTHING with the benchmark — the integer
+    // threshold must not pass vacuously on 0·f >= 0
+    out shouldBe Seq(
+      (1L, 0L, 0L, false), (2L, 0L, 0L, false), (3L, 0L, 0L, false),
+      (4L, 1L, 1L, true))
+  }
+
   test("ngramOverlap: benchmark gram set joins as a broadcast hash probe") {
     val docs = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
     val plan = Contamination.ngramOverlap(docs, docs.limit(1), col("doc_id"), col("text"))
