@@ -928,6 +928,23 @@ object SparkEntry {
       .orderBy(col("set_class"))
   }
 
+  /** q65 — the analyst-SQL entry point (SURVEY EP2) end-to-end: temp
+    * views + `spark.sql` with a correlated EXISTS (TPC-H Q4 shape).
+    * Catalyst decorrelates the subquery into a left-semi join on
+    * l_orderkey — the same plan the DataFrame API would build, which is
+    * the point: both front doors share one optimizer. */
+  def q65ExistsSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders_v o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_v l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -992,7 +1009,8 @@ object SparkEntry {
     "q61_snapshot_diff" -> (q61SnapshotDiff _),
     "q62_semantic_enrich" -> (q62SemanticEnrich _),
     "q63_rolling_window" -> (q63RollingWindow _),
-    "q64_set_ops" -> (q64SetOps _)
+    "q64_set_ops" -> (q64SetOps _),
+    "q65_exists_sql" -> (q65ExistsSql _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1633,6 +1651,13 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "q65_exists_sql" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q64_set_ops" ->
       """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
         |l AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'),
