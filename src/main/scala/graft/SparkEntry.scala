@@ -945,6 +945,39 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q66 — NOT IN under nulls, the SQL trap every engine must agree on:
+    * against a null-free key list NOT IN is a plain anti join; one NULL
+    * in the list makes every membership test UNKNOWN and the result
+    * empty. Spark plans the latter as a null-aware anti join
+    * (BroadcastNestedLoopJoin) — both variants side by side, counted. */
+  def q66NotInNulls(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """WITH nn AS (SELECT COUNT(*) AS n FROM orders_v
+        |            WHERE o_custkey NOT IN
+        |              (SELECT c_custkey FROM customer_v WHERE c_acctbal < 0)),
+        |wn AS (SELECT COUNT(*) AS n FROM orders_v
+        |       WHERE o_custkey NOT IN
+        |         (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+        |          FROM customer_v))
+        |SELECT 'null_free' AS variant, n FROM nn
+        |UNION ALL SELECT 'with_null', n FROM wn
+        |ORDER BY variant""".stripMargin)
+  }
+
+  /** q67 — calendar extraction portability: year/quarter rollup of order
+    * revenue. Date-part functions are a classic cross-engine minefield
+    * (week numbering, DST, epoch conventions); year/quarter over a UTC
+    * session are the portable core, pinned here by hash-check. */
+  def q67Calendar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySumCents(col("o_totalprice")).as("revenue_cents"))
+      .orderBy(col("y"), col("q"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1010,7 +1043,9 @@ object SparkEntry {
     "q62_semantic_enrich" -> (q62SemanticEnrich _),
     "q63_rolling_window" -> (q63RollingWindow _),
     "q64_set_ops" -> (q64SetOps _),
-    "q65_exists_sql" -> (q65ExistsSql _)
+    "q65_exists_sql" -> (q65ExistsSql _),
+    "q66_not_in_nulls" -> (q66NotInNulls _),
+    "q67_calendar" -> (q67Calendar _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1651,6 +1686,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "q66_not_in_nulls" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM orders
+        |            WHERE o_custkey NOT IN
+        |              (SELECT c_custkey FROM customer WHERE c_acctbal < 0)),
+        |wn AS (SELECT COUNT(*) AS n FROM orders
+        |       WHERE o_custkey NOT IN
+        |         (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+        |          FROM customer))
+        |SELECT 'null_free' AS variant, n FROM nn
+        |UNION ALL SELECT 'with_null', n FROM wn
+        |ORDER BY variant""".stripMargin,
+    "q67_calendar" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY y, q""".stripMargin,
     "q65_exists_sql" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o
