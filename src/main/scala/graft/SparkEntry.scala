@@ -978,6 +978,23 @@ object SparkEntry {
         moneySumCents(col("o_totalprice")).as("revenue_cents"))
       .orderBy(col("y"), col("q"))
 
+  /** q68 — pretraining data-mixture sampling (Sampling.mixtureSample):
+    * downsample each language toward a 40/15/15/15/15 mix under a 60k
+    * char budget. Per-stratum keep-rates derive from one totals
+    * aggregation and compile into an integer parts-per-million hash
+    * threshold — the whole sampling pass fuses into the scan and the
+    * mixture is reproducible across engines (the oracle recomputes the
+    * identical thresholds in SQL). */
+  def q68MixtureSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.mixtureSample(
+      t(s, dir, "documents"), col("doc_id"), col("lang"), col("n_chars"),
+      weights = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+        "fr" -> 0.15, "zh" -> 0.15),
+      budget = 60000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1045,7 +1062,8 @@ object SparkEntry {
     "q64_set_ops" -> (q64SetOps _),
     "q65_exists_sql" -> (q65ExistsSql _),
     "q66_not_in_nulls" -> (q66NotInNulls _),
-    "q67_calendar" -> (q67Calendar _)
+    "q67_calendar" -> (q67Calendar _),
+    "q68_mixture_sample" -> (q68MixtureSample _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1686,6 +1704,21 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "q68_mixture_sample" ->
+      """WITH tot AS (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS t
+        |             FROM documents GROUP BY 1),
+        |w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+        |                ('fr', 0.15), ('zh', 0.15)),
+        |r AS (SELECT w.lang,
+        |        LEAST(1000000, CAST(floor(
+        |          60000.0 * CAST(w.wt AS DOUBLE) / tot.t * 1000000.0) AS BIGINT)) AS thr
+        |      FROM w JOIN tot USING (lang)),
+        |k AS (SELECT d.lang, d.n_chars
+        |      FROM documents d JOIN r ON r.lang = d.lang
+        |      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+        |        % 1000000 < r.thr)
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin,
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN

@@ -38,6 +38,50 @@ object Sampling {
     when(h < trainBound, "train").when(h < valBound, "val").otherwise("test")
   }
 
+  /** Uniform integer hash bucket of `key` in [0, 1e6): the first 15 md5
+    * hex chars (60 bits) as a long, mod 1e6 — the INTEGER-threshold form
+    * of [[hexBucket]], for keep-rates computed at parts-per-million
+    * precision. Engine-portable: `('0x' || substr(md5(k), 1, 15))::UBIGINT
+    * % 1000000` reproduces it in any SQL engine. */
+  def ppmBucket(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+      % lit(1000000L))
+
+  /** Pretraining data-mixture sampling: downsample each stratum (source,
+    * language, domain) so its share of the kept corpus approaches the
+    * target MIX WEIGHT under a total `budget` of `unit` (chars, tokens,
+    * bytes — any additive per-row column).
+    *
+    * Two passes, the index-build shape: (1) one aggregation collects the
+    * per-stratum unit totals driver-side (one row per stratum — the same
+    * bounded-collect class as [[Similarity.hashCentroids]]); (2) each
+    * stratum's keep-rate `min(1, budget·weight / total)` is floored to a
+    * parts-per-million INTEGER threshold and compiled into a literal CASE
+    * over [[ppmBucket]] — membership is a pure function of (key, stratum),
+    * so the mixture is reproducible across runs, engines and reloads, and
+    * the whole second pass fuses into the scan. Strata absent from
+    * `weights` are dropped (weight 0). Rates cap at 1: a stratum smaller
+    * than its target contributes everything it has (the standard
+    * under-budget behavior — weights are targets, not guarantees). */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column,
+      unit: Column, weights: Map[String, Double], budget: Long): DataFrame = {
+    val totals = df.select(stratum.as("__s"), unit.as("__u"))
+      .groupBy(col("__s")).agg(sum(col("__u")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholds = weights.map { case (s, w) =>
+      val total = totals.getOrElse(s, 0L)
+      val rate =
+        if (total <= 0L) 0L
+        else math.min(1000000L, (budget.toDouble * w / total * 1e6).toLong)
+      s -> rate
+    }
+    val bound = thresholds.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (s, r)) =>
+        when(stratum === s, lit(r)).otherwise(acc)
+      }
+    df.filter(ppmBucket(key) < bound)
+  }
+
   /** Stratified deterministic sample: a different keep-fraction per value
     * of `stratum` (hex bound per stratum; `defaultBound` for unlisted
     * strata, "0000" = drop them). The standard corpus-rebalancing move —

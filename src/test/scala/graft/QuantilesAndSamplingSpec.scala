@@ -74,4 +74,27 @@ class QuantilesAndSamplingSpec extends SparkSpecBase {
       Map("big" -> "1000", "mid" -> "8000"))
     out.exceptAll(again).count() shouldBe 0L
   }
+
+  test("mixtureSample hits per-stratum unit targets, caps at 1, drops unlisted strata") {
+    import spark.implicits._
+    // three sources of 10-unit docs: "big" 2000 docs (20000 units),
+    // "small" 100 docs (1000 units), "junk" unlisted
+    val df = ((0L until 2000L).map(k => (k, "big", 10L)) ++
+      (10000L until 10100L).map(k => (k, "small", 10L)) ++
+      (20000L until 20100L).map(k => (k, "junk", 10L)))
+      .toDF("k", "s", "u")
+    // budget 4000 @ big=0.5, small=0.5 → big targets 2000 units (10% of
+    // its 20000), small targets 2000 > its 1000 → rate caps at 1
+    val out = Sampling.mixtureSample(df, col("k"), col("s"), col("u"),
+      Map("big" -> 0.5, "small" -> 0.5), budget = 4000L)
+    val units = out.groupBy("s").agg(sum("u").as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    units.contains("junk") shouldBe false
+    units("small") shouldBe 1000L                       // capped: keeps all
+    units("big").toDouble should (be > 1400.0 and be < 2600.0) // ~2000 target
+    // reproducible: membership is a pure function of (key, stratum)
+    val again = Sampling.mixtureSample(df, col("k"), col("s"), col("u"),
+      Map("big" -> 0.5, "small" -> 0.5), budget = 4000L)
+    out.exceptAll(again).count() shouldBe 0L
+  }
 }
