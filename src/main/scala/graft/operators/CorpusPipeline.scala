@@ -29,13 +29,21 @@ object CorpusPipeline {
   /** Clean `docs` (must have doc_id, lang, text columns; text may be
     * null). Returns the surviving rows with an added `quality` column.
     * `sampleBounds`/`defaultBound` are [[Sampling.stratifiedSample]] hex
-    * bounds per lang ("g" compares above every hex bucket = keep all). */
+    * bounds per lang ("g" compares above every hex bucket = keep all).
+    *
+    * `keepBestByQuality` switches the near-dup cluster representative
+    * from the default minimum id to [[Dedup.bestRepresentative]] on the
+    * computed quality score (ties to the lower id) — keep the CLEANEST
+    * member of each cluster instead of the earliest-crawled. Min-id
+    * stays the default because it is the id-stable policy
+    * [[cleanIncremental]]'s append-only contract builds on. */
   def clean(docs: DataFrame, stopwords: Seq[String],
       qualityThreshold: Double = 0.5,
       shingleN: Int = 3, minhashK: Int = 8, jaccardThreshold: Double = 0.5,
       rowsPerBand: Int = 2,
       sampleBounds: Map[String, String] = Map.empty,
-      defaultBound: String = "g"): DataFrame = {
+      defaultBound: String = "g",
+      keepBestByQuality: Boolean = false): DataFrame = {
     val base = docs.withColumn("text", coalesce(col("text"), lit("")))
     val qual = base
       .withColumn("quality", T.qualityScore(col("text"), stopwords))
@@ -56,11 +64,26 @@ object CorpusPipeline {
       exact.filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN, minhashK,
       rowsPerBand = rowsPerBand, threshold = jaccardThreshold)
-    val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
-    val surv = exact
-      .join(comps, col("doc_id") === col("id"), "left")
-      .filter(col("id").isNull || col("comp") === col("doc_id"))
-      .drop("id", "comp")
+    val surv =
+      if (!keepBestByQuality) {
+        val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        exact
+          .join(comps, col("doc_id") === col("id"), "left")
+          .filter(col("id").isNull || col("comp") === col("doc_id"))
+          .drop("id", "comp")
+      } else {
+        // clustered docs keep their argmax-quality member; singletons
+        // (never paired) pass through untouched
+        val reps = Dedup.bestRepresentative(
+          exact.select(col("doc_id"), col("quality")), pairs,
+          col("doc_id"), col("quality"))
+        val clustered = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+          .select(col("id").as("doc_id"))
+        exact
+          .join(clustered, Seq("doc_id"), "left_anti")
+          .unionByName(exact.join(
+            reps.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi"))
+      }
     Sampling.stratifiedSample(surv, col("doc_id"), col("lang"),
       sampleBounds, defaultBound)
   }

@@ -28,6 +28,29 @@ class CorpusPipelineSpec extends SparkSpecBase {
     out shouldBe Set(1L, 4L)
   }
 
+  test("clean(keepBestByQuality): each near-dup cluster keeps its cleanest member") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and it is a fine day in town you know that"
+    // doc 2 is doc 1 plus junk punctuation → lower quality, same shingle
+    // cluster; min-id policy would keep 1, keep-best must also keep 1;
+    // flip the ids so the policies DISAGREE and the test discriminates
+    val noisy = good + " !!!! ;;;; @@@@"
+    val docs = Seq(
+      (1L, "en", noisy),  // cluster min id but NOISY
+      (2L, "en", good),   // higher quality — keep-best's pick
+      (3L, "en", "completely different prose about catalyst plans and shuffle exchanges in the engine it is")
+    ).map { case (id, l, t) => (id, l, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val sw = graft.functions.TextFunctions.DefaultLangMarkers("en")
+    val minId = CorpusPipeline.clean(docs, sw, jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val best = CorpusPipeline.clean(docs, sw, jaccardThreshold = 0.5,
+        keepBestByQuality = true)
+      .select("doc_id").as[Long].collect().toSet
+    minId shouldBe Set(1L, 3L)
+    best shouldBe Set(2L, 3L)
+  }
+
   test("cleanIncremental ≡ full re-clean on an append-only bridge-free batch") {
     import spark.implicits._
     val sw = graft.functions.TextFunctions.DefaultLangMarkers("en")
