@@ -995,6 +995,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
 
+  /** q69 — first_value/last_value over an explicit full-partition frame:
+    * each customer's first and latest order (date + status), taken in
+    * one windowed pass instead of two min/max joins. last_value needs
+    * the UNBOUNDED FOLLOWING frame spelled out (the default frame ends
+    * at CURRENT ROW — the classic silent-wrong-answer default) and the
+    * ORDER BY carries o_orderkey as tie-break so same-date orders
+    * resolve identically in every engine. */
+  def q69FirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        unix_timestamp(first(col("o_orderdate")).over(w)).cast("long").as("first_secs"),
+        first(col("o_orderstatus")).over(w).as("first_status"),
+        unix_timestamp(last(col("o_orderdate")).over(w)).cast("long").as("last_secs"),
+        last(col("o_orderstatus")).over(w).as("last_status"))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1063,7 +1086,8 @@ object SparkEntry {
     "q65_exists_sql" -> (q65ExistsSql _),
     "q66_not_in_nulls" -> (q66NotInNulls _),
     "q67_calendar" -> (q67Calendar _),
-    "q68_mixture_sample" -> (q68MixtureSample _)
+    "q68_mixture_sample" -> (q68MixtureSample _),
+    "q69_first_last" -> (q69FirstLast _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1704,6 +1728,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, us, event_id""".stripMargin,
+    "q69_first_last" ->
+      """SELECT DISTINCT o_custkey,
+        |  CAST(floor(epoch(first_value(o_orderdate) OVER w)) AS BIGINT) AS first_secs,
+        |  first_value(o_orderstatus) OVER w AS first_status,
+        |  CAST(floor(epoch(last_value(o_orderdate) OVER w)) AS BIGINT) AS last_secs,
+        |  last_value(o_orderstatus) OVER w AS last_status
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin,
     "q68_mixture_sample" ->
       """WITH tot AS (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS t
         |             FROM documents GROUP BY 1),
