@@ -76,7 +76,18 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":2,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":2,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    println(full)
+    // The full line above can exceed a log tail's capture window (round 6
+    // recorded parsed:null after the driver's tail cut off its head). Tails
+    // keep line ENDS, so emit a short self-contained summary AFTER it, and
+    // persist the full artifact to a repo file as the durable copy.
+    val nFailed = results.count(!_._3)
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"sf":"$sfDir"}""")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -289,7 +289,7 @@ object SparkEntry {
     * any of the k MinHashes agree). */
   def q23NearDupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(
-      t(s, dir, "documents").filter(col("doc_id") < 300 && trim(col("text")) =!= ""),
+      t(s, dir, "documents").filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
       threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -578,7 +578,7 @@ object SparkEntry {
     * iterative form is the one that scales). */
   def q43DedupComponents(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashNearDupPairs(
-      t(s, dir, "documents").filter(col("doc_id") < 300 && trim(col("text")) =!= ""),
+      t(s, dir, "documents").filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
       threshold = 0.4)
     Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
@@ -674,7 +674,7 @@ object SparkEntry {
     * with an ordered string_agg per band. */
   def q48CorpusClean(s: SparkSession, dir: String): DataFrame =
     operators.CorpusPipeline.clean(
-      t(s, dir, "documents").filter(col("doc_id") < 1000)
+      t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
       stopwords = TF.DefaultLangMarkers("en"),
       qualityThreshold = 0.5, jaccardThreshold = 0.5,
@@ -724,7 +724,7 @@ object SparkEntry {
     * on real banding output, not just on DedupSpec's synthetic graphs. */
   def q51DedupComponentsStar(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashNearDupPairs(
-      t(s, dir, "documents").filter(col("doc_id") < 300 && trim(col("text")) =!= ""),
+      t(s, dir, "documents").filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
       threshold = 0.4)
     Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
@@ -827,7 +827,7 @@ object SparkEntry {
     * oracle is q43's recursive CTE plus an argmax window. */
   def q58KeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .filter(col("doc_id") < 300 && trim(col("text")) =!= "")
+      .filter(trim(col("text")) =!= "")
     val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
       shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4)
     Dedup.bestRepresentative(docs, pairs, col("doc_id"), col("n_chars"))
@@ -1018,6 +1018,51 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
+  /** q70 — q55's duplicated-n-gram audit with the `dfCeiling` Zipf-head
+    * cutoff engaged: grams present in more than 10 documents are excluded
+    * from both the shared and the total counts. This is THE 100 TB knob
+    * of the gram join — stop-phrase grams carry no dedup signal but
+    * dominate the inverted-index shuffle (a Zipf head key can hold a
+    * measurable fraction of all postings) — exercised here end-to-end
+    * against the oracle so the cutoff semantics (signal-gram-only
+    * denominator) are hash-pinned, not just spec'd. */
+  def q70DupNgramsCeiling(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.sharedNgramStats(
+      t(s, dir, "documents"), col("doc_id"), col("text"), n = 3,
+      dfCeiling = 10L)
+      .orderBy(col("doc_id"))
+
+  /** q71 — sequence packing (Packing.packSequences): the cleaned corpus
+    * laid out on 4 deterministic hash-sharded token streams and cut into
+    * 512-token training sequences; each document reports the global
+    * sequence it starts in and its offset there. Token counts use the
+    * same portable whitespace split as q17. The window runs partitioned
+    * by shard (the scale shape — no global sort), and the per-shard
+    * sequence-id bases come from a 4-row broadcast frame. */
+  def q71SequencePack(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packSequences(
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tok")),
+      col("doc_id"), col("n_tok"), budget = 512L, shards = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q72 — q59's IVF-PQ with the refine ladder engaged (refine=2): the
+    * top 20 ADC candidates per query are re-ranked by EXACT cosine
+    * against the true vectors before the final top-10 — the standard
+    * two-stage retrieval (compressed first pass bounds the candidates,
+    * exact second pass fixes their order), paying full dot products for
+    * 2·k rows per query instead of the probed cells' whole population.
+    * Both stages are deterministic, so the composition hash-checks. */
+  def q72AnnIvfPqRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = Similarity.hashCentroids(e, 8)
+    val books = Similarity.pqCodebooks(e, m = 8, codewords = 16)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, 10, centroids, books,
+      nProbe = 2, refine = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1087,7 +1132,10 @@ object SparkEntry {
     "q66_not_in_nulls" -> (q66NotInNulls _),
     "q67_calendar" -> (q67Calendar _),
     "q68_mixture_sample" -> (q68MixtureSample _),
-    "q69_first_last" -> (q69FirstLast _)
+    "q69_first_last" -> (q69FirstLast _),
+    "q70_dup_ngrams_ceiling" -> (q70DupNgramsCeiling _),
+    "q71_sequence_pack" -> (q71SequencePack _),
+    "q72_ann_ivf_pq_refined" -> (q72AnnIvfPqRefined _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1179,7 +1227,12 @@ object SparkEntry {
     * PQ scoring, restricted to probed-cell candidate pairs. The 8-way
     * pivots and left-associated sums are emitted programmatically — the
     * associativity MUST mirror pqTopK's explicit `+` chain. */
-  private def q59OracleSql: String = {
+  private def q59OracleSql: String = q59AdcCore(10)
+
+  /** The ADC-ranked IVF-PQ retrieval as a reusable generator: top `limit`
+    * candidates per query by ADC cosine. q59 takes it at k=10 directly;
+    * q72 takes it at refine·k=20 and re-ranks by exact cosine. */
+  private def q59AdcCore(limit: Int): String = {
     val sPivot = (0 until 8).map(j =>
       s"MAX(CASE WHEN l.j = $j THEN l.ip END) AS s$j").mkString(",\n         ")
     val nPivot = (0 until 8).map(j =>
@@ -1235,8 +1288,29 @@ object SparkEntry {
        |      ORDER BY CASE WHEN qn.qnorm * sqrt($nSum) = 0 THEN 0.0
        |        ELSE $sSum / (qn.qnorm * sqrt($nSum)) END DESC,
        |        sc.neighbor_id) AS INTEGER) AS rnk
-       |  FROM sc JOIN qn ON qn.query_id = sc.query_id) WHERE rnk <= 10""".stripMargin
+       |  FROM sc JOIN qn ON qn.query_id = sc.query_id) WHERE rnk <= $limit""".stripMargin
   }
+
+  /** q72's oracle: q59's ADC core at limit 20 (= refine·k), wrapped in
+    * the exact-cosine re-rank — the second retrieval stage replayed over
+    * the raw embeddings (DuckDB allows WITH inside a derived table). */
+  private def q72OracleSql: String =
+    s"""SELECT query_id, neighbor_id, rnk FROM (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.query_id
+       |      ORDER BY CASE WHEN sqrt(list_inner_product(q.v, q.v))
+       |          * sqrt(list_inner_product(n.v, n.v)) = 0 THEN 0.0
+       |        ELSE list_inner_product(q.v, n.v) /
+       |          (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(n.v, n.v)))
+       |        END DESC, a.neighbor_id) AS INTEGER) AS rnk
+       |  FROM (
+       |${q59AdcCore(20)}
+       |  ) a
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) q
+       |    ON q.vec_id = a.query_id
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) n
+       |    ON n.vec_id = a.neighbor_id
+       |) WHERE rnk <= 10""".stripMargin
 
   /** The q43 pair-graph transitive closure as a reusable CTE prefix —
     * shared by q43 (min-label propagation), q51 (star contraction) and
@@ -1245,7 +1319,7 @@ object SparkEntry {
   private val dedupClosureCtes: String =
     """WITH RECURSIVE
       |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      |      FROM documents WHERE doc_id < 300 AND trim(text) <> ''),
+      |      FROM documents WHERE trim(text) <> ''),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
       |         generate_series(1, greatest(len(t) - 2, 1)),
       |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
@@ -1511,7 +1585,7 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "q23_neardup_minhash" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |           FROM documents WHERE doc_id < 300 AND trim(text) <> ''),
+        |           FROM documents WHERE trim(text) <> ''),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, greatest(len(t) - 2, 1)),
         |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
@@ -1753,6 +1827,48 @@ object SparkEntry {
         |        % 1000000 < r.thr)
         |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM k GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q70_dup_ngrams_ceiling" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |g AS (SELECT doc_id, u.sv AS gram FROM sh, UNNEST(sh.shingles) AS u(sv)),
+        |dfc AS (SELECT gram, COUNT(*) AS docs_with FROM g GROUP BY gram),
+        |s AS (SELECT g.doc_id,
+        |        COUNT(*) FILTER (WHERE dfc.docs_with <= 10) AS total,
+        |        COUNT(*) FILTER (WHERE dfc.docs_with BETWEEN 2 AND 10) AS shared
+        |      FROM g JOIN dfc USING (gram) GROUP BY 1)
+        |SELECT doc_id, CAST(shared AS BIGINT) AS shared,
+        |  CAST(total AS BIGINT) AS total,
+        |  CASE WHEN total = 0 THEN 0.0
+        |    ELSE floor(CAST(shared AS DOUBLE) / total * 1e6) / 1e6 END AS dup_frac
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q71_sequence_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |           FROM documents),
+        |f AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        md5(CAST(doc_id AS VARCHAR)) AS key,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+        |          % 4 AS BIGINT) AS shard
+        |      FROM d WHERE n_tokens > 0),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM f),
+        |t AS (SELECT shard, (SUM(n_tokens) + 511) // 512 AS nseq
+        |      FROM f GROUP BY shard),
+        |b AS (SELECT shard,
+        |        COALESCE(SUM(nseq) OVER (ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        |      FROM t)
+        |SELECT c.doc_id, c.n_tokens, c.shard,
+        |  CAST(b.base + c.cum // 512 AS BIGINT) AS seq_id,
+        |  CAST(c.cum % 512 AS BIGINT) AS seq_off
+        |FROM c JOIN b USING (shard) ORDER BY c.doc_id""".stripMargin,
+    "q72_ann_ivf_pq_refined" -> q72OracleSql,
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN
@@ -1999,7 +2115,7 @@ object SparkEntry {
     "q48_corpus_clean" ->
       """WITH RECURSIVE
         |d0 AS (SELECT doc_id, lang, n_chars, COALESCE(text, '') AS text
-        |       FROM documents WHERE doc_id < 1000),
+        |       FROM documents),
         |f AS (SELECT doc_id, lang, n_chars, text,
         |  CASE WHEN trim(text) = '' THEN 0
         |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok,

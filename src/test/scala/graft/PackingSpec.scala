@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+/** Invariants of the sequence-packing layout (Packing.packSequences):
+  * positions are the exact running token sums (no gaps, no overlaps),
+  * offsets respect the budget, shard sequence-id ranges are disjoint,
+  * and the assignment is a pure function of the data (partitioning- and
+  * rerun-independent). */
+class PackingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fixture = (1 to 200)
+    .map(i => (i.toLong, (i * 37 % 900 + 1).toLong))
+    .toDF("doc_id", "n_tok")
+
+  test("positions reconstruct the shard streams exactly") {
+    val budget = 256L
+    val out = Packing.packSequences(fixture, col("doc_id"), col("n_tok"),
+      budget, shards = 4).collect()
+    out.length shouldBe 200
+    // Rebuild each shard's stream in layout order and check every row's
+    // (seq_id, seq_off) is exactly the running sum — no gaps, no overlaps.
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    byShard.size shouldBe 4
+    // Per-shard local bases: sequences never span shards and global ids
+    // are dense, so shard bases must be the exclusive cumsum of ceil-div.
+    val totals = byShard.view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    val nseq = totals.view.mapValues(t => (t + budget - 1) / budget).toMap
+    val shardsSorted = byShard.keys.toSeq.sorted
+    val bases = shardsSorted
+      .map(s => s -> shardsSorted.takeWhile(_ < s).map(nseq).sum).toMap
+    byShard.foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off")))
+        .foreach { r =>
+          val seq = r.getAs[Long]("seq_id")
+          val off = r.getAs[Long]("seq_off")
+          off should be >= 0L
+          off should be < budget
+          (seq - bases(shard)) * budget + off shouldBe cum
+          cum += r.getAs[Long]("n_tokens")
+        }
+      cum shouldBe totals(shard) // the whole stream was laid out
+      // every START position stays inside the shard's ceil(total/budget)
+      // sequence range (the last doc may span past its starting sequence,
+      // so max can be below nseq-1, never at or above nseq)
+      val localSeqs = rows.map(r => r.getAs[Long]("seq_id") - bases(shard))
+      localSeqs.max should be < nseq(shard)
+      localSeqs.min shouldBe 0L
+    }
+    // disjoint, consecutive global id ranges across shards
+    val ranges = byShard.toSeq.sortBy(_._1).map { case (s, rows) =>
+      (rows.map(_.getAs[Long]("seq_id")).min, rows.map(_.getAs[Long]("seq_id")).max)
+    }
+    ranges.sliding(2).foreach {
+      case Seq((_, maxA), (minB, _)) => minB should be > maxA
+      case _ =>
+    }
+  }
+
+  test("assignment is partitioning-independent and drops empty docs") {
+    val base = Packing.packSequences(fixture, col("doc_id"), col("n_tok"),
+      budget = 128L, shards = 2).orderBy("id").collect()
+    val repart = Packing.packSequences(fixture.repartition(7, col("n_tok")),
+      col("doc_id"), col("n_tok"), budget = 128L, shards = 2)
+      .orderBy("id").collect()
+    base should contain theSameElementsInOrderAs repart
+
+    val withEmpty = fixture.union(Seq((9999L, 0L), (10000L, -3L)).toDF)
+    val packed = Packing.packSequences(withEmpty, col("doc_id"), col("n_tok"),
+      budget = 128L, shards = 2)
+    packed.filter(col("id") >= 9999L).count() shouldBe 0L
+  }
+
+  test("single shard degenerates to one global stream") {
+    val out = Packing.packSequences(fixture, col("doc_id"), col("n_tok"),
+      budget = 512L, shards = 1).collect()
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    out.map(_.getAs[Long]("seq_id")).max should be < (total + 511) / 512
+    out.map(_.getAs[Long]("shard")).distinct shouldBe Array(0L)
+  }
+}
