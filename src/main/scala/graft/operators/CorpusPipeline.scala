@@ -73,12 +73,15 @@ object CorpusPipeline {
           .drop("id", "comp")
       } else {
         // clustered docs keep their argmax-quality member; singletons
-        // (never paired) pass through untouched
-        val reps = Dedup.bestRepresentative(
-          exact.select(col("doc_id"), col("quality")), pairs,
+        // (never paired) pass through untouched. Components are computed
+        // ONCE and shared by the representative pick and the membership
+        // anti-join — the iterative components job is the expensive
+        // stage of this branch.
+        val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        val reps = Dedup.bestRepresentativeIn(
+          exact.select(col("doc_id"), col("quality")), comps,
           col("doc_id"), col("quality"))
-        val clustered = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
-          .select(col("id").as("doc_id"))
+        val clustered = comps.select(col("id").as("doc_id"))
         exact
           .join(clustered, Seq("doc_id"), "left_anti")
           .unionByName(exact.join(

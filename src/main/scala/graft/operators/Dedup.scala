@@ -330,8 +330,18 @@ object Dedup {
     * are near-dup clusters and therefore shallow/small. Returns
     * (comp, keep_id, score) — one row per cluster. */
   def bestRepresentative(docs: DataFrame, pairs: DataFrame, id: Column,
-      score: Column, maxIter: Int = 25): DataFrame = {
-    val comps = connectedComponents(pairs, col("id_a"), col("id_b"), maxIter)
+      score: Column, maxIter: Int = 25): DataFrame =
+    bestRepresentativeIn(docs,
+      connectedComponents(pairs, col("id_a"), col("id_b"), maxIter), id, score)
+
+  /** As [[bestRepresentative]], over an ALREADY-COMPUTED (id, comp)
+    * labeling. Callers that also need the membership frame itself (e.g.
+    * [[CorpusPipeline.clean]]'s keep-best branch, which anti-joins the
+    * clustered ids) run the iterative components job ONCE and pass it to
+    * both uses — the components pass is the expensive stage of a dedup
+    * pipeline, never worth duplicating. */
+  def bestRepresentativeIn(docs: DataFrame, comps: DataFrame, id: Column,
+      score: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("comp")).orderBy(col("score").desc, col("id").asc)
     docs.select(id.as("id"), score.as("score"))

@@ -46,6 +46,10 @@ object Maintenance {
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
       clusterBy: Seq[String] = Nil): Int = {
+    // a prior run may have died between the swap renames — restore the
+    // table BEFORE sizing/reading it, or a recoverable table fails the
+    // read (mergeParquet would recover it, but only after these reads)
+    Upsert.recoverStagedSwap(path)
     val bytes = tableBytes(path)
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val current = spark.read.parquet(path)

@@ -65,13 +65,18 @@ object Sampling {
     * under-budget behavior — weights are targets, not guarantees). */
   def mixtureSample(df: DataFrame, key: Column, stratum: Column,
       unit: Column, weights: Map[String, Double], budget: Long): DataFrame = {
-    val totals = df.select(stratum.as("__s"), unit.as("__u"))
+    // stratum cast to string (weights is keyed by string) and the sum
+    // read as a generic Number: sum() returns long/double/decimal
+    // depending on the unit column's type, and the documented contract
+    // is "any additive numeric per-row column"
+    val totals = df.select(stratum.cast("string").as("__s"), unit.as("__u"))
       .groupBy(col("__s")).agg(sum(col("__u")).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) ->
+        Option(r.getAs[Number](1)).fold(0.0)(_.doubleValue)).toMap
     val thresholds = weights.map { case (s, w) =>
-      val total = totals.getOrElse(s, 0L)
+      val total = totals.getOrElse(s, 0.0)
       val rate =
-        if (total <= 0L) 0L
+        if (total <= 0.0) 0L
         else math.min(1000000L, (budget.toDouble * w / total * 1e6).toLong)
       s -> rate
     }

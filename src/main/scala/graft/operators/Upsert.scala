@@ -80,18 +80,22 @@ object Upsert {
       keys: Seq[String]): DataFrame = {
     val shared = oldDf.columns.toSeq.intersect(newDf.columns.toSeq)
       .filterNot(keys.contains)
-    val o = oldDf.select((keys ++ shared).map(col): _*).alias("o")
-    val n = newDf.select((keys ++ shared).map(col): _*).alias("n")
+    // side-presence markers, not key nullness: a row whose KEY column is
+    // genuinely NULL never joins (null ≠ null), and classifying on the
+    // key would flip it to the wrong side ("added" for an old-only row);
+    // a non-null marker column is authoritative about which side exists.
+    val o = oldDf.select((keys ++ shared).map(col): _*)
+      .withColumn("__o", lit(true)).alias("o")
+    val n = newDf.select((keys ++ shared).map(col): _*)
+      .withColumn("__n", lit(true)).alias("n")
     val keyCond = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
     val sameRow = shared
       .map(c => col(s"o.$c") <=> col(s"n.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val oKey = col(s"o.${keys.head}")
-    val nKey = col(s"n.${keys.head}")
     o.join(n, keyCond, "full_outer")
       .withColumn("change_type",
-        when(oKey.isNull, "added")
-          .when(nKey.isNull, "removed")
+        when(col("o.__o").isNull, "added")
+          .when(col("n.__n").isNull, "removed")
           .when(!sameRow, "changed"))
       .filter(col("change_type").isNotNull)
       .select(keys.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k))
@@ -147,6 +151,23 @@ object Upsert {
     * double-count an additive rollup. The marker is written into the
     * staged directory before the swap, so data + applied-set commit in
     * the same rename. */
+  /** Crash recovery for the staged write-swap, runnable on its own: a
+    * previous merge may have died mid-swap. target missing + __old
+    * present = died between the two renames → the old table is the only
+    * copy; restore it. target present + __old present = died after the
+    * swap → __old is garbage (left for [[mergeParquet]] to clear).
+    * Idempotent. Any caller that READS the table before merging
+    * (e.g. [[Maintenance.compact]] sizing the rewrite) must run this
+    * first, or a recoverable table looks missing. */
+  def recoverStagedSwap(path: String): Unit = {
+    val target = new java.io.File(path)
+    val old = new java.io.File(path + "__old")
+    if (!target.exists() && old.exists()) {
+      if (!old.renameTo(target))
+        throw new java.io.IOException(s"could not recover $path from ${old.getPath}")
+    }
+  }
+
   def mergeParquet(spark: SparkSession, path: String, updates: DataFrame,
       batchId: Option[Long] = None)(
       combine: (DataFrame, DataFrame) => DataFrame): Unit = {
@@ -157,14 +178,7 @@ object Upsert {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(); ()
     }
-    // crash recovery BEFORE reading: a previous run may have died
-    // mid-swap. target missing + __old present = died between the two
-    // renames → the old table is the only copy; restore it. target
-    // present + __old present = died after the swap → __old is garbage.
-    if (!target.exists() && old.exists()) {
-      if (!old.renameTo(target))
-        throw new java.io.IOException(s"could not recover $path from ${old.getPath}")
-    }
+    recoverStagedSwap(path)
     rm(old)
     rm(staged)
     val applied = appliedBatches(path)

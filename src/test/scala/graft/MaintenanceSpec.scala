@@ -27,6 +27,21 @@ class MaintenanceSpec extends SparkSpecBase {
     Upsert.appliedBatches(path) shouldBe Set(7L)
   }
 
+  test("compact recovers a table stranded mid-swap before reading it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash_").toString
+    val path = s"$dir/t"
+    val df = (1L to 100L).map(i => (i, s"row_$i")).toDF("id", "payload")
+    Upsert.mergeParquet(spark, path, df.repartition(4))((_, u) => u)
+    // simulate a crash between the two swap renames of a PRIOR rewrite:
+    // target moved to __old, replacement never landed — compact must
+    // restore it before sizing/reading, or the read fails on a
+    // recoverable table
+    new java.io.File(path).renameTo(new java.io.File(path + "__old")) shouldBe true
+    val n = Maintenance.compact(spark, path, targetFileBytes = 1L << 30)
+    n shouldBe 1
+    spark.read.parquet(path).count() shouldBe 100L
+  }
+
   test("compact(clusterBy): files own disjoint key ranges for min/max skipping") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
     val path = s"$dir/t"

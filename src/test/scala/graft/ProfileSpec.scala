@@ -31,6 +31,18 @@ class ProfileSpec extends SparkSpecBase {
     out shouldBe Seq((3L, "changed"), (4L, "removed"), (5L, "added"))
   }
 
+  test("snapshotDiff: NULL-keyed rows classify by side presence, not key nullness") {
+    // null keys never satisfy the equi-join, so each side's null-key row
+    // surfaces one-sided; classifying on key nullness would mislabel the
+    // OLD-side row "added" (its o.k is null for a different reason)
+    val oldV = Seq((Some(1L), "a"), (None, "old-null")).toDF("k", "v")
+    val newV = Seq((Some(1L), "a"), (None, "new-null")).toDF("k", "v")
+    val out = Upsert.snapshotDiff(oldV, newV, Seq("k"))
+      .filter(col("k").isNull)
+      .select("change_type").as[String].collect().toSeq.sorted
+    out shouldBe Seq("added", "removed")
+  }
+
   test("snapshotDiff: one-sided columns are ignored, keys-only tables classify by presence") {
     val oldV = Seq((1L, "x"), (2L, "y")).toDF("k", "only_old")
     val newV = Seq((2L, 9), (3L, 7)).toDF("k", "only_new")

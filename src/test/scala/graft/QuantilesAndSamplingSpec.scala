@@ -97,4 +97,16 @@ class QuantilesAndSamplingSpec extends SparkSpecBase {
       Map("big" -> 0.5, "small" -> 0.5), budget = 4000L)
     out.exceptAll(again).count() shouldBe 0L
   }
+
+  test("mixtureSample accepts fractional unit columns and non-string strata") {
+    import spark.implicits._
+    // double-typed unit (a score) and an int-typed stratum — the
+    // documented 'any additive numeric per-row column' contract; reading
+    // the sum as Long threw ClassCastException here before
+    val df = (0L until 1000L).map(k => (k, 7, 1.5)).toDF("k", "s", "u")
+    val out = Sampling.mixtureSample(df, col("k"), col("s"), col("u"),
+      Map("7" -> 1.0), budget = 300L)
+    // 1500 units total, budget 300 → keep-rate 0.2 → ~200 rows
+    out.count().toDouble should (be > 100.0 and be < 300.0)
+  }
 }
