@@ -204,7 +204,7 @@ object Dedup {
     * a true share of comparable material; docs whose every gram exceeds
     * the ceiling report total 0 and dup_frac 0. */
   def sharedNgramStats(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, dfCeiling: Long = 0L): DataFrame = {
+      n: Int = 3, dfCeiling: Long = 0L, saltBuckets: Int = 0): DataFrame = {
     // read twice (gram explode + per-doc totals) — same persist lifecycle
     // contract as the near-dup operators (object scaladoc)
     val docs = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
@@ -218,7 +218,20 @@ object Dedup {
       .agg(count(lit(1)).as("docs_with"))
     val inCeiling =
       if (dfCeiling > 0L) col("docs_with") <= dfCeiling else lit(true)
-    grams.join(gramCounts, Seq("gram"))
+    // The gram join is LEFT-skewed by construction: a Zipf-head gram has
+    // postings-many rows on the left and exactly one on the right, so a
+    // plain shuffle join lands the whole posting list in one task. AQE's
+    // runtime skew-split usually handles it, but its thresholds are
+    // config-dependent; `saltBuckets` > 0 engages the DETERMINISTIC
+    // fallback — [[Skew.saltedJoin]] replicates the one-row-per-gram
+    // count side `saltBuckets`× and spreads each hot gram's postings over
+    // that many tasks. Inner join with a unique right key: multiplicity
+    // is unchanged, results identical (DedupSpec pins salted ≡ plain on
+    // a Zipf fixture).
+    val joined =
+      if (saltBuckets > 0) Skew.saltedJoin(grams, gramCounts, "gram", saltBuckets)
+      else grams.join(gramCounts, Seq("gram"))
+    joined
       .groupBy(col("doc_id"))
       .agg(count(when(inCeiling, 1)).as("total"),
         count(when(inCeiling && col("docs_with") >= 2, 1)).as("shared"))

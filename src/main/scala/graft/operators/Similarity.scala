@@ -447,6 +447,132 @@ object Similarity {
     finishAdc(scored, k, refine, queries, corpus)
   }
 
+  /** VecDot's exact summation loop (sequential left fold in double
+    * precision), run driver-side — the codeword self-dot table below must
+    * be bit-identical to what the literal path's constant-folded
+    * VecDot(c, c) produces, and IEEE addition is order-sensitive. */
+  private def leftFoldDot(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.size, b.size)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The flattened j-major codeword table (index j·codewords + c) and its
+    * self-dot table as TWO typed-literal array columns. The literal-forest
+    * form ([[pqCode]]/[[adcQuerySide]]) builds m×codewords separate
+    * literal expression trees — fine at 16×8, but at production codebook
+    * sizes (256 codewords × 16 subspaces = 4096 literal vectors) that
+    * plan shape is the known Janino whole-stage-codegen failure mode
+    * (compile blows the method-size limit and falls back to interpreted).
+    * One array literal is a SINGLE constant in the generated code
+    * regardless of codeword count, so the plan stays O(m) nodes. */
+  private def cwTables(codebooks: Seq[Seq[Seq[Double]]]): (Column, Column) = {
+    val flat = codebooks.flatten
+    (typedLit(flat), typedLit(flat.map(v => leftFoldDot(v, v))))
+  }
+
+  /** Table form of [[pqCode]]: argmin codeword index for one subspace
+    * slice, the candidate loop a HOF over the table slice instead of
+    * m×codewords inlined literal trees. Same distance expression in the
+    * same IEEE op order ((self − 2·dot) + ‖c‖²), same tie rule (struct
+    * min: distance then index) — bit-equal by construction, pinned in
+    * VectorAndSimilaritySpec. */
+  private def pqCodeTable(vecSlice: Column, selfDot: Column, table: Column,
+      nsq: Column, j: Int, cw: Int): Column =
+    array_min(transform(slice(table, j * cw + 1, cw), (cwv, c) =>
+      struct((selfDot - lit(2.0) * V.dot(vecSlice, cwv)
+        + element_at(nsq, lit(j * cw + 1) + c)).as("d"), c.as("idx"))))
+      .getField("idx")
+
+  /** Table form of [[pqEncode]] — identical output, O(m)-node plan. */
+  def pqEncodeTable(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      cellCentroids: Seq[Seq[Double]] = Nil): DataFrame = {
+    val m = codebooks.size
+    val cw = codebooks.head.size
+    val sub = codebooks.head.head.size
+    val (table, nsq) = cwTables(codebooks)
+    val carry = if (cellCentroids.nonEmpty) Seq(col("embedding")) else Nil
+    val sliced = Parallelism.ensureMinPartitions(
+        corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .select((col("vec_id") +: carry) ++ (0 until m).map(j =>
+        slice(col("embedding"), j * sub + 1, sub).as(s"s_$j")): _*)
+    val withSelf = sliced
+      .select((col("vec_id") +: carry) ++ (0 until m).flatMap(j => Seq(col(s"s_$j"),
+        V.dot(col(s"s_$j"), col(s"s_$j")).as(s"ss_$j"))): _*)
+    val cellCol =
+      if (cellCentroids.isEmpty) Nil
+      else Seq(array_min(cellStructs(col("embedding"), cellCentroids))
+        .getField("idx").as("cell"))
+    withSelf.select(col("vec_id") +: cellCol :+
+      array((0 until m).map(j =>
+        pqCodeTable(col(s"s_$j"), col(s"ss_$j"), table, nsq, j, cw)): _*).as("codes"): _*)
+  }
+
+  /** Table form of [[adcQuerySide]]: the per-query lut built by m HOFs
+    * over the codeword table (slices projected as attributes FIRST — a
+    * slice inside the lambda would re-evaluate per codeword, the
+    * documented HOF re-eval trap). */
+  private def adcQuerySideTable(queries: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val cw = codebooks.head.size
+    val sub = codebooks.head.head.size
+    val (table, _) = cwTables(codebooks)
+    val sliced = queries.select(Seq(col("vec_id"), col("embedding")) ++
+      (0 until m).map(j => slice(col("embedding"), j * sub + 1, sub).as(s"qs_$j")): _*)
+    sliced.select(col("vec_id").as("query_id"),
+      flatten(array((0 until m).map(j =>
+        transform(slice(table, j * cw + 1, cw),
+          cwv => V.dot(col(s"qs_$j"), cwv))): _*)).as("lut"),
+      V.l2Norm(col("embedding")).as("q_norm"), col("embedding"))
+  }
+
+  /** Table form of [[withReconNorm]]: the codeword-norm² table is the
+    * driver-computed self-dot array, one literal. */
+  private def withReconNormTable(enc: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val (_, nsq) = cwTables(codebooks)
+    enc.withColumn("recon_norm", sqrt(adcLookupSum(codebooks, nsq)))
+  }
+
+  /** [[pqTopK]] with broadcast-table codebooks — same results bit-for-bit
+    * (spec-pinned at 16×8), plan size independent of codeword count. The
+    * production form at 256-codeword codebooks. */
+  def pqTopKTable(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]], refine: Int = 0): DataFrame = {
+    val q = adcQuerySideTable(queries, codebooks).drop("embedding")
+    val scored = withReconNormTable(pqEncodeTable(corpus, codebooks), codebooks)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcCosine(codebooks).as("cosine"))
+    finishAdc(scored, k, refine, queries, corpus)
+  }
+
+  /** [[ivfPqTopK]] with broadcast-table codebooks — same composition,
+    * same results, O(m)-node ADC plan. (The coarse-cell distance list
+    * stays literal: cell counts are the small axis here; a table form of
+    * [[cellStructs]] would follow the same pattern if cells grew into
+    * the thousands.) */
+  def ivfPqTopKTable(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 2, refine: Int = 0): DataFrame = {
+    val q = adcQuerySideTable(queries, codebooks)
+      .withColumn("cell",
+        explode(slice(array_sort(cellStructs(col("embedding"), centroids)),
+          1, nProbe).getField("idx")))
+      .drop("embedding")
+    val scored = withReconNormTable(
+        pqEncodeTable(corpus, codebooks, cellCentroids = centroids), codebooks)
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcCosine(codebooks).as("cosine"))
+    finishAdc(scored, k, refine, queries, corpus)
+  }
+
   /** Recall@k of `approx` against `exact` (both in topK output shape):
     * |approx ∩ exact| / |exact| per query, averaged. */
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {

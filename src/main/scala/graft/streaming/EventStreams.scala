@@ -320,4 +320,88 @@ object EventStreams {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 1000 + 1)), schema)
   }
+
+  /** The production-shaped replay harness: APPEND-mode file sink instead
+    * of [[runToCompletion]]'s complete-mode memory sink — results land as
+    * a parquet table (exactly what a deployed stream writes), no driver
+    * collect, state bounded by the watermark (closed windows evict
+    * instead of being retained for re-emission).
+    *
+    * Append mode only emits a window once the watermark passes it, and a
+    * bounded replay's LAST windows would otherwise never emit. The flush
+    * is the standard heartbeat move: after the real files drain, one
+    * far-future sentinel event (`event_type` = `sentinelType`, +7 days)
+    * is appended to the landing dir, advancing the watermark past every
+    * real window. The sentinel's own window stays open forever, so it
+    * never reaches the sink; the result filter on `event_type` is a
+    * safety net for aggregations that pass it through (the contract:
+    * `agg` output must not mix sentinel rows into real groups — true for
+    * any event_type-keyed aggregation such as [[hourlyTypeCounts]]).
+    *
+    * The source file(s) are COPIED into a private landing dir (the
+    * original path is never mutated); landing + checkpoint dirs are
+    * removed on return, the `out` parquet dir backs the returned frame
+    * and is the caller's to keep or delete. */
+  def runToCompletionFileSink(spark: SparkSession, path: String,
+      agg: DataFrame => DataFrame,
+      sentinelType: String = "__graft_flush"): DataFrame = {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("graft_stream_land_")
+    val out = Files.createTempDirectory("graft_stream_out_")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
+    val src = new java.io.File(path)
+    val srcFiles =
+      if (src.isFile) Seq(src)
+      else Option(src.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith(".")).toSeq
+    srcFiles.foreach(f => Files.copy(f.toPath, landing.resolve(f.getName)))
+    val shufflePartitionsKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shufflePartitionsKey)
+    try {
+      spark.conf.set(shufflePartitionsKey,
+        math.min(4, prevShuffle.toInt).toString)
+      val q = agg(readEventStream(spark, landing.toString))
+        .writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      // watermark flush: one sentinel event 7 days past the max real
+      // event time, staged as a parquet file the running source picks up
+      val maxTs = spark.read.schema(eventSchema).parquet(landing.toString)
+        .agg(max(col("ts"))).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      maxTs.foreach { t =>
+        val sentinel = spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            -1L, t + 7L * 24 * 3600 * 1000000000L, -1L, sentinelType, 0.0,
+            null: String)),
+          eventSchema)
+        val tmp = Files.createTempDirectory("graft_stream_sentinel_")
+        sentinel.coalesce(1).write
+          .mode("overwrite").parquet(tmp.resolve("s").toString)
+        Option(tmp.resolve("s").toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach(f => Files.move(f.toPath,
+            landing.resolve("zz_sentinel.parquet")))
+        rmDir(tmp.toFile)
+        q.processAllAvailable()
+      }
+      q.stop()
+    } finally spark.conf.set(shufflePartitionsKey, prevShuffle)
+    rmDir(landing.toFile)
+    rmDir(ckpt.toFile)
+    val raw = spark.read.parquet(out.toString)
+    if (raw.columns.contains("event_type"))
+      raw.filter(col("event_type") =!= sentinelType)
+    else raw
+  }
+
+  private def rmDir(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmDir)
+    f.delete(); ()
+  }
 }

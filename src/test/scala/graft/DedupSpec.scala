@@ -92,6 +92,29 @@ class DedupSpec extends SparkSpecBase {
     noCeiling shouldBe Seq(1L, 1L, 1L, 0L)
   }
 
+  test("sharedNgramStats salted gram join ≡ plain join on a Zipf fixture") {
+    // Zipf-shaped gram frequencies: one boilerplate phrase shared by ALL
+    // docs (the hot key whose postings a plain shuffle join lands in one
+    // task), a mid-frequency phrase on a third of them, plus a unique
+    // tail gram per doc
+    val df = (1L to 90L).map { i =>
+      val mid = if (i % 3 == 0) " common middle phrase" else ""
+      (i, s"hot head gram$mid unique tail token$i")
+    }.toDF("doc_id", "text")
+    val plain = Dedup.sharedNgramStats(df, col("doc_id"), col("text"), n = 3)
+    val salted = Dedup.sharedNgramStats(df, col("doc_id"), col("text"), n = 3,
+      saltBuckets = 8)
+    salted.exceptAll(plain).count() shouldBe 0L
+    plain.exceptAll(salted).count() shouldBe 0L
+    // and with the ceiling engaged on both paths
+    val plainC = Dedup.sharedNgramStats(df, col("doc_id"), col("text"), n = 3,
+      dfCeiling = 40L)
+    val saltedC = Dedup.sharedNgramStats(df, col("doc_id"), col("text"), n = 3,
+      dfCeiling = 40L, saltBuckets = 8)
+    saltedC.exceptAll(plainC).count() shouldBe 0L
+    plainC.exceptAll(saltedC).count() shouldBe 0L
+  }
+
   test("bestRepresentative: argmax score per cluster, ties to the lower id, singletons excluded") {
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (99L, 100L))
       .toDF("doc_id", "n_chars")

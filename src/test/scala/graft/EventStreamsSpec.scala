@@ -239,6 +239,23 @@ class EventStreamsSpec extends SparkSpecBase {
     batch.exceptAll(streamed).count() shouldBe 0L
   }
 
+  test("file-sink append harness equals the memory-sink complete harness") {
+    // the production shape: append mode + parquet sink + watermark flush
+    // via the far-future sentinel — must produce exactly the rows the
+    // complete-mode memory sink (and therefore the batch oracle) yields
+    val fileSink = EventStreams.runToCompletionFileSink(spark,
+      "/root/testdata/sf0.001/events.parquet", EventStreams.hourlyTypeCounts)
+    val memSink = EventStreams.runToCompletion(spark,
+      "/root/testdata/sf0.001/events.parquet", "es_filesink_spec",
+      EventStreams.hourlyTypeCounts)
+    fileSink.count() shouldBe memSink.count()
+    fileSink.exceptAll(memSink).count() shouldBe 0L
+    memSink.exceptAll(fileSink).count() shouldBe 0L
+    // no sentinel leakage into the result
+    fileSink.filter(org.apache.spark.sql.functions.col("event_type")
+      .startsWith("__graft")).count() shouldBe 0L
+  }
+
   test("hourlyTypeCounts run to completion equals the batch aggregation") {
     val streamed = EventStreams.runToCompletion(spark,
       "/root/testdata/sf0.001/events.parquet", "es_spec",

@@ -290,6 +290,30 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     r4 should be >= r0
   }
 
+  test("broadcast-table PQ paths are bit-identical to the literal-forest paths") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.hashCentroids(e, 8)
+    val books = Similarity.pqCodebooks(e, m = 8, codewords = 16)
+    val q = e.filter(col("vec_id") < 5)
+    // the encode pass: identical codes (argmin distance + tie rule match)
+    Similarity.pqEncodeTable(e, books).exceptAll(Similarity.pqEncode(e, books))
+      .count() shouldBe 0L
+    // full ADC retrieval, including the DOUBLE cosine — bit equality, not
+    // tolerance: the table path must reproduce the literal path's exact
+    // IEEE op order or the oracle contract breaks at production codebook
+    // sizes where only the table form compiles
+    Similarity.pqTopKTable(q, e, 10, books).orderBy("query_id", "rnk")
+      .collect().toSeq shouldBe
+      Similarity.pqTopK(q, e, 10, books).orderBy("query_id", "rnk")
+        .collect().toSeq
+    // the composed IVF-PQ, with the refine ladder engaged on both sides
+    Similarity.ivfPqTopKTable(q, e, 10, centroids, books, nProbe = 2, refine = 2)
+      .orderBy("query_id", "rnk").collect().toSeq shouldBe
+      Similarity.ivfPqTopK(q, e, 10, centroids, books, nProbe = 2, refine = 2)
+        .orderBy("query_id", "rnk").collect().toSeq
+  }
+
   test("native Md5Hash32 equals the portable conv(md5) formulation on real docs") {
     import graft.functions.{TextFunctions => TF}
     val toks = TF.tokens(lower(col("text")))
