@@ -1063,6 +1063,37 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** q73's query batch — a literal search-API batch over the documents
+    * fixture vocabulary; also drives the generated oracle so the two
+    * stay in lockstep. */
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join", "merge"),
+    2 -> Seq("window", "sort", "order"),
+    3 -> Seq("vector", "stream", "batch"))
+
+  /** q73 — BM25 keyword retrieval (Keywords.bm25TopK): top-10 documents
+    * per query for a 3-query batch — the lexical complement of the ANN
+    * entries (q20/q28/q33/...), sharing their output discipline (integer
+    * ids + rnk; the float score lives only in the ranking). Scoring uses
+    * the correctly-rounded odds-ratio BM25 form (operator scaladoc), so
+    * the whole retrieval hash-checks against the oracle. */
+  def q73Bm25Search(s: SparkSession, dir: String): DataFrame =
+    operators.Keywords.bm25TopK(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      Bm25Queries, k = 10)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** q74 — q29's windowed streaming aggregation through the PRODUCTION
+    * harness (EventStreams.runToCompletionFileSink): append-mode parquet
+    * sink, checkpointed, watermark-bounded state, zero driver collect —
+    * the shape a deployed stream actually runs, hash-checked against the
+    * same batch oracle as q29 (streaming ≡ batch, now for the file-sink
+    * path end to end). */
+  def q74StreamingFileSink(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.runToCompletionFileSink(s,
+      s"$dir/events.parquet", graft.streaming.EventStreams.hourlyTypeCounts)
+      .orderBy(col("hour"), col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1135,7 +1166,9 @@ object SparkEntry {
     "q69_first_last" -> (q69FirstLast _),
     "q70_dup_ngrams_ceiling" -> (q70DupNgramsCeiling _),
     "q71_sequence_pack" -> (q71SequencePack _),
-    "q72_ann_ivf_pq_refined" -> (q72AnnIvfPqRefined _)
+    "q72_ann_ivf_pq_refined" -> (q72AnnIvfPqRefined _),
+    "q73_bm25_search" -> (q73Bm25Search _),
+    "q74_streaming_file_sink" -> (q74StreamingFileSink _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1311,6 +1344,52 @@ object SparkEntry {
        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) n
        |    ON n.vec_id = a.neighbor_id
        |) WHERE rnk <= 10""".stripMargin
+
+  /** q73's oracle, generated from the SAME `Bm25Queries` constant as the
+    * engine entry: per-term tf columns, one corpus-stats row, and the
+    * identical left-associated score chain — every float op is
+    * correctly-rounded (+,−,×,÷ on doubles; constants written `0.5e0` so
+    * DuckDB parses them as DOUBLE, not DECIMAL), so scores match
+    * bit-for-bit and the ranking hash-checks. */
+  private def q73OracleSql: String = {
+    val terms = Bm25Queries.flatMap(_._2).distinct.sorted
+    val ti = terms.zipWithIndex.toMap
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }.mkString(",\n       |  ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(",\n       |  ")
+    val dfSel = terms.indices.map(i => s"st.df_$i").mkString(", ")
+    def scoreSql(ts: Seq[String]): String = ts.map { t =>
+      val i = ti(t)
+      s"(CASE WHEN tf_$i = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+        s"((n - df_$i + 0.5e0) / (df_$i + 0.5e0)) * " +
+        s"(CAST(22 * tf_$i * avgl AS DOUBLE) / " +
+        s"CAST(10 * avgl * tf_$i + 3 * avgl + 9 * len AS DOUBLE)) END)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    val unions = Bm25Queries.map { case (qid, ts) =>
+      s"SELECT doc_id, $qid AS query_id, ${scoreSql(ts)} AS score FROM sc"
+    }.mkString("\n       |  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+       |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+       |  $tfCols
+       |  FROM d),
+       |st AS (SELECT COUNT(*) AS n, SUM(len) AS sumlen,
+       |  $dfCols
+       |  FROM t),
+       |sc AS (SELECT t.*, st.n,
+       |         CAST(floor(CAST(st.sumlen AS DOUBLE) / st.n) AS BIGINT) AS avgl,
+       |         $dfSel
+       |       FROM t CROSS JOIN st),
+       |q AS ($unions)
+       |SELECT query_id, doc_id, rnk FROM (
+       |  SELECT query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM q) WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** The q43 pair-graph transitive closure as a reusable CTE prefix —
     * shared by q43 (min-label propagation), q51 (star contraction) and
@@ -1647,6 +1726,11 @@ object SparkEntry {
         |  COUNT(*) AS events,
         |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q74_streaming_file_sink" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type,
+        |  COUNT(*) AS events,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q30_multimodal_features" ->
       """SELECT doc_id,
         |  CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
@@ -1869,6 +1953,7 @@ object SparkEntry {
         |  CAST(c.cum % 512 AS BIGINT) AS seq_off
         |FROM c JOIN b USING (shard) ORDER BY c.doc_id""".stripMargin,
     "q72_ann_ivf_pq_refined" -> q72OracleSql,
+    "q73_bm25_search" -> q73OracleSql,
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN

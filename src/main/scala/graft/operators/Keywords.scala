@@ -41,4 +41,83 @@ object Keywords {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
   }
+
+  /** BM25 retrieval: top-k documents per keyword query — the LEXICAL
+    * retrieval complement of [[Similarity]]'s vector search (hybrid
+    * search runs both and fuses). Standard BM25 shape with k1=1.2,
+    * b=0.75, two deliberate engine-portability choices:
+    *
+    *  - idf is the ODDS RATIO (N − df + 0.5)/(df + 0.5) without the
+    *    usual `ln`: every arithmetic op here (+, −, ×, ÷ on doubles) is
+    *    IEEE correctly-rounded and therefore bit-identical across
+    *    engines, but `ln` is libm-dependent — a last-ulp difference
+    *    flips ranks and breaks hash checks (same reasoning as
+    *    [[topTerms]]'s integer triple). The ln form is one withColumn
+    *    away if cross-engine comparison is not needed.
+    *  - the tf saturation term is RATIONALIZED to integers:
+    *    tf·(k1+1) / (tf + k1(1−b+b·len/avgdl)) ≡
+    *    22·tf·avgdl / (10·avgdl·tf + 3·avgdl + 9·len) with avgdl
+    *    floored to a whole token count — one correctly-rounded double
+    *    division per term instead of a tower of float intermediates.
+    *
+    * Scale shape: the query set is LITERAL (a search-API batch), so
+    * per-term tf columns are scan-fused projections over the token
+    * array — no explode, no shuffle; corpus stats (N, Σlen, per-term df)
+    * are ONE aggregate row broadcast back; scoring is a pure projection;
+    * ranking is the bounded [[TopK]] aggregator (k·partitions rows
+    * shuffle per query — never the scored corpus). Per-term sums are
+    * explicit left-associated `+` chains in fixed term order, so scores
+    * are bit-stable under any partitioning. A query set too large to
+    * inline becomes a (term, query) fact joined against an exploded tf
+    * frame — a different operator with a genuine shuffle.
+    *
+    * Returns (query_id, doc_id, rnk); rank ties by doc_id ascending.
+    * Query terms are matched verbatim against lowercased whitespace
+    * tokens; docs matching NO term of a query score 0 but still rank —
+    * pass corpora through a candidate filter first if zero-hit docs
+    * should be excluded (at k ≪ corpus they never surface anyway). */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "each query needs at least one term")
+    val terms = queries.flatMap(_._2).distinct.sorted
+    val ti = terms.zipWithIndex.toMap
+    val toks = docs
+      .select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val withTf = toks.select(
+      col("doc_id") +: size(col("toks")).cast("long").as("len") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n"),
+      sum(col("len")).as("sumlen") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0L, 1L).otherwise(0L)).as(s"df_$i")): _*)
+      .select(col("n") +:
+        floor(col("sumlen").cast("double") / col("n")).cast("long").as("avgl") +:
+        terms.indices.map(i => col(s"df_$i")): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    def scoreOf(ts: Seq[String]): Column = ts.map { t =>
+      val i = ti(t)
+      val tf = col(s"tf_$i")
+      val dfc = col(s"df_$i")
+      when(tf === 0L, lit(0.0)).otherwise(
+        ((col("n") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+          ((lit(22L) * tf * col("avgl")).cast("double") /
+            (lit(10L) * col("avgl") * tf + lit(3L) * col("avgl")
+              + lit(9L) * col("len")).cast("double")))
+    }.reduceLeft(_ + _)
+    scored
+      .select(col("doc_id"), explode(array(queries.map { case (qid, ts) =>
+        struct(lit(qid).as("query_id"), scoreOf(ts).as("score")) }: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("doc_id"),
+        col("qs.score").as("score"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(k)(col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
 }

@@ -69,4 +69,42 @@ class ContaminationAndKeywordsSpec extends SparkSpecBase {
       .orderBy("rnk").as[(Long, String, Long, Long, Long)].collect().toSeq
     out shouldBe Seq((1L, "a", 2L, 1L, 1L), (1L, "b", 2L, 1L, 2L))
   }
+
+  test("bm25TopK: idf favors rare terms, tf saturates, k bounds, deterministic") {
+    // "rare" appears in one doc, "common" in all — under any idf weighting
+    // the rare-term doc must outrank same-tf common-term docs
+    val docs = Seq(
+      (1L, "rare common filler filler"),
+      (2L, "common common filler filler"),
+      (3L, "common filler filler filler"),
+      (4L, "filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = Keywords.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq(7 -> Seq("rare", "common")), k = 3)
+      .orderBy("rnk").as[(Int, Long, Int)].collect().toSeq
+    out.map(_._1).distinct shouldBe Seq(7)
+    out.size shouldBe 3                       // k bound
+    out.head._2 shouldBe 1L                   // rare+common beats common-only
+    out(1)._2 shouldBe 2L                     // tf=2 common beats tf=1
+    out(2)._2 shouldBe 3L                     // zero-hit doc 4 never surfaces
+    // deterministic: a rebuilt plan yields identical rows
+    Keywords.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq(7 -> Seq("rare", "common")), k = 3)
+      .orderBy("rnk").as[(Int, Long, Int)].collect().toSeq shouldBe out
+  }
+
+  test("bm25TopK: longer docs penalized at equal tf; multi-query batch ranks independently") {
+    val docs = Seq(
+      (1L, "term pad"),
+      (2L, "term pad pad pad pad pad pad pad"),
+      (3L, "other other other")
+    ).toDF("doc_id", "text")
+    val out = Keywords.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq(1 -> Seq("term"), 2 -> Seq("other")), k = 2)
+      .orderBy("query_id", "rnk").as[(Int, Long, Int)].collect().toSeq
+    // q1: same tf=1, shorter doc wins the length normalization
+    out.take(2) shouldBe Seq((1, 1L, 1), (1, 2L, 2))
+    // q2: only doc 3 matches "other"; zero-scored docs fill by id
+    out(2) shouldBe ((2, 3L, 1))
+  }
 }
