@@ -1094,6 +1094,41 @@ object SparkEntry {
       s"$dir/events.parquet", graft.streaming.EventStreams.hourlyTypeCounts)
       .orderBy(col("hour"), col("event_type"))
 
+  /** q75 — hybrid retrieval (Fusion.reciprocalRank): q73's BM25 lexical
+    * arm and an exact-cosine vector arm, each at top-20, fused by RRF
+    * into a top-10 per query — the two-tower search architecture end to
+    * end. Query ids align by construction (vec_id ↔ keyword-query id,
+    * the same id bridge q62 uses); RRF consumes RANKS, so no score
+    * normalization crosses the engine boundary and the whole hybrid
+    * stack hash-checks. */
+  def q75HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val lexical = operators.Keywords.bm25TopK(
+      t(s, dir, "documents"), col("doc_id"), col("text"), Bm25Queries, k = 20)
+      .withColumn("query_id", col("query_id").cast("long"))
+    val vector = Similarity.bruteForceTopK(
+      e.filter(col("vec_id").between(1, 3)), e, 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    operators.Fusion.reciprocalRank(lexical, vector, k = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** q76 — top-fraction quality gate (Sampling.keepTopFraction): keep
+    * each language's best 25% of documents by length, rolled up per
+    * lang with the cut boundary exposed (min kept n_chars). The
+    * percentile-filter move quality-classifier pipelines make — here in
+    * its exact, float-free form: the cut is an integer window comparison
+    * (rn·10⁶ ≤ n·ppm), so the kept set hash-checks. */
+  def q76TopFraction(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.keepTopFraction(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      col("lang"), col("n_chars"), col("doc_id"), keepPpm = 250000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        min(col("n_chars")).cast("long").as("min_chars"))
+      .orderBy(col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1168,7 +1203,9 @@ object SparkEntry {
     "q71_sequence_pack" -> (q71SequencePack _),
     "q72_ann_ivf_pq_refined" -> (q72AnnIvfPqRefined _),
     "q73_bm25_search" -> (q73Bm25Search _),
-    "q74_streaming_file_sink" -> (q74StreamingFileSink _)
+    "q74_streaming_file_sink" -> (q74StreamingFileSink _),
+    "q75_hybrid_rrf" -> (q75HybridRrf _),
+    "q76_top_fraction" -> (q76TopFraction _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1351,7 +1388,13 @@ object SparkEntry {
     * correctly-rounded (+,−,×,÷ on doubles; constants written `0.5e0` so
     * DuckDB parses them as DOUBLE, not DECIMAL), so scores match
     * bit-for-bit and the ranking hash-checks. */
-  private def q73OracleSql: String = {
+  private def q73OracleSql: String =
+    bm25OracleCore(10) + "\nORDER BY query_id, rnk"
+
+  /** The BM25 retrieval as a reusable generator (top `limit` per query) —
+    * q73 takes it directly; q75 embeds it as the lexical arm of the RRF
+    * fusion. */
+  private def bm25OracleCore(limit: Int): String = {
     val terms = Bm25Queries.flatMap(_._2).distinct.sorted
     val ti = terms.zipWithIndex.toMap
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -1387,9 +1430,41 @@ object SparkEntry {
        |  SELECT query_id, doc_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
-       |  FROM q) WHERE rnk <= 10
-       |ORDER BY query_id, rnk""".stripMargin
+       |  FROM q) WHERE rnk <= $limit""".stripMargin
   }
+
+  /** q75's oracle: the BM25 core at 20 (lexical arm), an exact-cosine
+    * top-20 (vector arm, mirroring bruteForceTopK's score expression),
+    * and the RRF combination — every term a correctly-rounded double
+    * division in fixed sum order, so the fused ranking hash-checks. */
+  private def q75OracleSql: String =
+    s"""WITH ba AS (
+       |${bm25OracleCore(20)}
+       |),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS query_id, v FROM ev WHERE vec_id BETWEEN 1 AND 3),
+       |sc2 AS (SELECT q.query_id, e.vec_id AS doc_id,
+       |          CASE WHEN sqrt(list_inner_product(q.v, q.v))
+       |              * sqrt(list_inner_product(e.v, e.v)) = 0
+       |            THEN CAST(0.0 AS DOUBLE)
+       |            ELSE list_inner_product(q.v, e.v) /
+       |              (sqrt(list_inner_product(q.v, q.v))
+       |               * sqrt(list_inner_product(e.v, e.v))) END AS cos
+       |        FROM qv q JOIN ev e ON e.vec_id <> q.query_id),
+       |bv AS (SELECT query_id, doc_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, doc_id) AS INTEGER) AS rnk
+       |       FROM sc2 QUALIFY rnk <= 20),
+       |fu AS (SELECT query_id, doc_id,
+       |         (COALESCE(1.0e0 / (60 + a.rnk), CAST(0.0 AS DOUBLE))
+       |          + COALESCE(1.0e0 / (60 + b.rnk), CAST(0.0 AS DOUBLE))) AS score
+       |       FROM ba a FULL OUTER JOIN bv b USING (query_id, doc_id))
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk FROM (
+       |  SELECT query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM fu) WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** The q43 pair-graph transitive closure as a reusable CTE prefix —
     * shared by q43 (min-label propagation), q51 (star contraction) and
@@ -1954,6 +2029,15 @@ object SparkEntry {
         |FROM c JOIN b USING (shard) ORDER BY c.doc_id""".stripMargin,
     "q72_ann_ivf_pq_refined" -> q72OracleSql,
     "q73_bm25_search" -> q73OracleSql,
+    "q75_hybrid_rrf" -> q75OracleSql,
+    "q76_top_fraction" ->
+      """WITH k AS (SELECT lang, n_chars FROM documents
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) * 1000000
+        |    <= COUNT(*) OVER (PARTITION BY lang) * 250000)
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin,
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN

@@ -103,4 +103,34 @@ object Sampling {
       }
     df.filter(hexBucket(key) < bound)
   }
+
+  /** Keep the BEST `keepPpm`/10⁶ fraction of each stratum by `score` —
+    * the quality-classifier percentile gate (keep the top X% per
+    * language/domain/source, the DCLM/FineWeb-edu-style filtering move).
+    * Unlike the hash samplers above, membership here is RELATIVE (a row
+    * survives because it outranks its stratum peers), so it costs one
+    * window shuffle partitioned by stratum.
+    *
+    * Zero floats: the cut is `rn·10⁶ ≤ n·keepPpm` over window INTEGERS
+    * (row_number ordered by score DESC with `id` ASC tie-break; count
+    * over the stratum) — exact at ppm granularity, deterministic under
+    * ties, and replayable in any engine (QUALIFY with the same integer
+    * comparison). Keeps exactly floor(n·ppm/10⁶) rows per stratum.
+    *
+    * Scale: strata are assumed executor-sized for the window sort (shard
+    * a dominating stratum first); at 100 TB the production variant
+    * replaces the exact window with an `approx_percentile` score
+    * threshold + per-row filter — this exact form is the
+    * oracle-checkable reference the approximation is validated against. */
+  def keepTopFraction(df: DataFrame, stratum: Column, score: Column,
+      id: Column, keepPpm: Long): DataFrame = {
+    require(keepPpm >= 0L && keepPpm <= 1000000L,
+      "keepPpm is parts-per-million in [0, 1000000]")
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+    val w = part.orderBy(score.desc, id.asc)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(part))
+      .filter(col("__rn") * lit(1000000L) <= col("__n") * lit(keepPpm))
+      .drop("__rn", "__n")
+  }
 }

@@ -93,6 +93,20 @@ class ContaminationAndKeywordsSpec extends SparkSpecBase {
       .orderBy("rnk").as[(Int, Long, Int)].collect().toSeq shouldBe out
   }
 
+  test("reciprocalRank: agreement wins, one-sided entries contribute one term, ties by id") {
+    import graft.operators.Fusion
+    // doc 10 ranks 1st in both lists; doc 20 only lexical(2); doc 30 only
+    // vector(2); doc 40 ranks 3rd in both — 40's two weak terms must beat
+    // the single-term docs (1/63+1/63 > 1/62)
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 40L, 3)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 10L, 1), (1L, 30L, 2), (1L, 40L, 3)).toDF("query_id", "doc_id", "rnk")
+    val out = Fusion.reciprocalRank(a, b, k = 4)
+      .orderBy("rnk").as[(Long, Long, Int)].collect().toSeq
+    out.map(_._2) shouldBe Seq(10L, 40L, 20L, 30L)
+    // 20 and 30 have identical single-term scores (both rank 2) → id order
+    out.map(_._3) shouldBe Seq(1, 2, 3, 4)
+  }
+
   test("bm25TopK: longer docs penalized at equal tf; multi-query batch ranks independently") {
     val docs = Seq(
       (1L, "term pad"),

@@ -98,6 +98,28 @@ class QuantilesAndSamplingSpec extends SparkSpecBase {
     out.exceptAll(again).count() shouldBe 0L
   }
 
+  test("keepTopFraction: exact integer cut per stratum, deterministic ties, edge ppm") {
+    import spark.implicits._
+    // stratum a: 8 rows scores 1..8; stratum b: 3 rows with tied scores
+    val df = ((1L to 8L).map(i => (i, "a", i)) ++
+      Seq((11L, "b", 5L), (12L, "b", 5L), (13L, "b", 5L))).toDF("id", "s", "sc")
+    val keep25 = Sampling.keepTopFraction(df, col("s"), col("sc"), col("id"),
+      keepPpm = 250000L)
+    // floor(8*0.25)=2 best of a (scores 8,7); floor(3*0.25)=0 of b
+    keep25.orderBy("id").as[(Long, String, Long)].collect().toSeq shouldBe
+      Seq((7L, "a", 7L), (8L, "a", 8L))
+    // tied scores cut by id ascending: keep 2 of b's 3 equal rows → lowest ids
+    Sampling.keepTopFraction(df.filter(col("s") === "b"), col("s"), col("sc"),
+        col("id"), keepPpm = 700000L)
+      .orderBy("id").as[(Long, String, Long)].collect().map(_._1).toSeq shouldBe
+      Seq(11L, 12L)
+    // edges: 0 keeps nothing, 1e6 keeps everything
+    Sampling.keepTopFraction(df, col("s"), col("sc"), col("id"), 0L)
+      .count() shouldBe 0L
+    Sampling.keepTopFraction(df, col("s"), col("sc"), col("id"), 1000000L)
+      .count() shouldBe 11L
+  }
+
   test("mixtureSample accepts fractional unit columns and non-string strata") {
     import spark.implicits._
     // double-typed unit (a score) and an int-typed stratum — the
