@@ -46,4 +46,30 @@ class PlanPruningSpec extends SparkSpecBase {
     schemas("lineitem") shouldBe Set("l_partkey", "l_returnflag")
     schemas("part") shouldBe Set("p_partkey", "p_brand")
   }
+
+  test("q71 sequence packing reads only (doc_id, text) from documents") {
+    scanSchemas("q71_sequence_pack")("documents") shouldBe Set("doc_id", "text")
+  }
+
+  test("q73 BM25: every documents scan prunes to ⊆ (doc_id, text)") {
+    // q73 scans documents twice (tf projection + corpus-stats aggregate);
+    // the stats side needs only `text`, so assert per-scan subsets rather
+    // than one merged schema — any wider read means the literal-term
+    // filters leaked extra references
+    val df = SparkEntry.queries("q73_bm25_search")(spark, "/root/testdata/sf0.001")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.head.getName
+            .startsWith("documents") =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    scans should not be empty
+    scans.foreach(s => s.subsetOf(Set("doc_id", "text")) shouldBe true)
+    scans.exists(_.contains("doc_id")) shouldBe true
+  }
+
+  test("q76 top-fraction gate reads only (doc_id, lang, n_chars)") {
+    scanSchemas("q76_top_fraction")("documents") shouldBe
+      Set("doc_id", "lang", "n_chars")
+  }
 }
