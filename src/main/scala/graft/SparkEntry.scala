@@ -1129,6 +1129,35 @@ object SparkEntry {
         min(col("n_chars")).cast("long").as("min_chars"))
       .orderBy(col("lang"))
 
+  /** q77 — segment-level boilerplate removal (Boilerplate
+    * .stripSharedSegments): the CCNet/RefinedWeb cross-document
+    * duplicated-line drop, on 3-token fixed-width segments (this
+    * fixture's text is single-line — the operator scaladoc covers the
+    * segmenter substitution). Segments in >2 distinct docs are dropped;
+    * output proves the rewrite per doc via md5 of the reassembled
+    * survivor text, so the artifact is one fixed-width row per document
+    * at any corpus size. */
+  def q77BoilerplateStrip(s: SparkSession, dir: String): DataFrame =
+    operators.Boilerplate.stripSharedSegments(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      segTokens = 3, maxDocs = 2L)
+      .orderBy(col("doc_id"))
+
+  /** q78 — vocabulary build + token-id encoding (Vocab.build/
+    * encodeStats): frequency-ranked top-24 vocab over the corpus, every
+    * document re-encoded as (pos, id) with OOV → 0, checked through the
+    * order-sensitive integer checksum Σ pos·id — the cleaned-text →
+    * training-shard step, end to end. Vocab ranking runs on the
+    * Zipf-bounded vocabulary frame; encoding is a broadcast join, no
+    * corpus shuffle. */
+  def q78VocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = operators.Vocab.build(docs, col("text"), minCount = 1L,
+      maxSize = 24L)
+    operators.Vocab.encodeStats(docs, col("doc_id"), col("text"), vocab)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1205,7 +1234,9 @@ object SparkEntry {
     "q73_bm25_search" -> (q73Bm25Search _),
     "q74_streaming_file_sink" -> (q74StreamingFileSink _),
     "q75_hybrid_rrf" -> (q75HybridRrf _),
-    "q76_top_fraction" -> (q76TopFraction _)
+    "q76_top_fraction" -> (q76TopFraction _),
+    "q77_boilerplate_strip" -> (q77BoilerplateStrip _),
+    "q78_vocab_encode" -> (q78VocabEncode _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2038,6 +2069,40 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
         |FROM k GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q77_boilerplate_strip" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |seg AS (SELECT doc_id, unnest(list_transform(
+        |          generate_series(0, CAST(ceil(len(t) / 3.0) AS INT) - 1),
+        |          p -> {'pos': p, 'seg': array_to_string(t[p*3+1:p*3+3], ' ')})) AS s
+        |        FROM d),
+        |s2 AS (SELECT doc_id, s.pos AS pos, s.seg AS seg FROM seg),
+        |bp AS (SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS df
+        |                        FROM s2 GROUP BY seg) WHERE df > 2),
+        |j AS (SELECT s2.doc_id, s2.pos, s2.seg, bp.seg IS NOT NULL AS is_bp
+        |      FROM s2 LEFT JOIN bp ON s2.seg = bp.seg)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg,
+        |  CAST(COUNT(*) FILTER (WHERE is_bp) AS BIGINT) AS n_dropped,
+        |  md5(COALESCE(string_agg(seg, ' ' ORDER BY pos)
+        |    FILTER (WHERE NOT is_bp), '')) AS clean_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q78_vocab_encode" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |tok AS (SELECT doc_id,
+        |          unnest(list_transform(t, (x, i) -> {'pos': i, 'tok': x})) AS s
+        |        FROM d),
+        |t2 AS (SELECT doc_id, s.pos AS pos, s.tok AS token FROM tok),
+        |cnts AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY token),
+        |vocab AS (SELECT token, id FROM (
+        |    SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS id
+        |    FROM cnts) WHERE id <= 24),
+        |e AS (SELECT t2.doc_id, t2.pos, COALESCE(vocab.id, 0) AS token_id
+        |      FROM t2 LEFT JOIN vocab USING (token))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(COUNT(*) FILTER (WHERE token_id = 0) AS BIGINT) AS n_oov,
+        |  CAST(SUM(pos * token_id) AS BIGINT) AS enc_sum
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN
