@@ -1158,6 +1158,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q79 — per-group outlier detection (Anomaly.flagOutliers): events
+    * whose (cents-quantized) value sits more than 3σ from their
+    * event_type's mean, decided by the exact integer form
+    * (n·x−s)² > 9·(q·n−s²) — no float comparison anywhere, so the
+    * flagged set hash-checks. Stats are one map-side-combined groupBy;
+    * the join back is a broadcast of the 5-row stats frame. */
+  def q79GroupOutliers(s: SparkSession, dir: String): DataFrame =
+    operators.Anomaly.flagOutliers(
+      Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents")),
+      col("event_type"), col("event_id"), col("cents"), k = 3)
+      .orderBy(col("grp"), col("row_id"))
+
+  /** q80 — type-2 SCD history (Scd.type2): each user's event_type feed
+    * collapsed into versioned runs with [eff_from, eff_to) validity in
+    * epoch micros (open current version = NULL) — the dimension-history
+    * build a warehouse runs on every change feed. One shuffle on
+    * user_id; history length is bounded by change count, not event
+    * count. */
+  def q80ScdHistory(s: SparkSession, dir: String): DataFrame =
+    operators.Scd.type2(
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type")),
+      col("user_id"), col("tus"), col("event_id"), col("event_type"))
+      .select(col("k").as("user_id"), col("attr").as("event_type"),
+        col("ver").cast("long").as("ver"),
+        col("effective_from").as("eff_from"),
+        col("effective_to").as("eff_to"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("ver"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1236,7 +1268,9 @@ object SparkEntry {
     "q75_hybrid_rrf" -> (q75HybridRrf _),
     "q76_top_fraction" -> (q76TopFraction _),
     "q77_boilerplate_strip" -> (q77BoilerplateStrip _),
-    "q78_vocab_encode" -> (q78VocabEncode _)
+    "q78_vocab_encode" -> (q78VocabEncode _),
+    "q79_group_outliers" -> (q79GroupOutliers _),
+    "q80_scd_history" -> (q80ScdHistory _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2103,6 +2137,38 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE token_id = 0) AS BIGINT) AS n_oov,
         |  CAST(SUM(pos * token_id) AS BIGINT) AS enc_sum
         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q79_group_outliers" ->
+      """WITH r AS (SELECT event_type AS grp, event_id AS row_id,
+        |             CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(v) AS BIGINT) AS s,
+        |         CAST(SUM(v * v) AS BIGINT) AS q FROM r GROUP BY grp)
+        |SELECT r.grp, r.row_id, r.v, st.n, st.s
+        |FROM r JOIN st USING (grp)
+        |WHERE (st.n * r.v - st.s) * (st.n * r.v - st.s)
+        |    > 9 * (st.q * st.n - st.s * st.s)
+        |ORDER BY grp, row_id""".stripMargin,
+    "q80_scd_history" ->
+      """WITH r AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tb,
+        |             event_type AS attr
+        |           FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT k, t, tb, attr,
+        |        CASE WHEN ROW_NUMBER() OVER w = 1
+        |               OR LAG(attr) OVER w IS DISTINCT FROM attr
+        |          THEN 1 ELSE 0 END AS chg
+        |      FROM r WINDOW w AS (PARTITION BY k ORDER BY t, tb)),
+        |v AS (SELECT k, t, attr,
+        |        SUM(chg) OVER (PARTITION BY k ORDER BY t, tb
+        |          ROWS UNBOUNDED PRECEDING) AS ver
+        |      FROM c),
+        |g AS (SELECT k, ver, MIN(attr) AS attr, MIN(t) AS effective_from,
+        |        COUNT(*) AS n_events FROM v GROUP BY k, ver)
+        |SELECT k AS user_id, attr AS event_type, CAST(ver AS BIGINT) AS ver,
+        |  CAST(effective_from AS BIGINT) AS eff_from,
+        |  CAST(LEAD(effective_from) OVER (PARTITION BY k ORDER BY ver)
+        |    AS BIGINT) AS eff_to,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM g ORDER BY user_id, ver""".stripMargin,
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN
