@@ -84,8 +84,12 @@ object Bench {
     // persist the full artifact to a repo file as the durable copy.
     val nFailed = results.count(!_._3)
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"sf":"$sfDir"}""")
+    // artifact path: env override, else relative to the working directory
+    // (a hardcoded absolute path silently wrote outside the checkout when
+    // run from anywhere else)
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(artifact).toAbsolutePath,
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()

@@ -243,7 +243,6 @@ object SparkEntry {
     * stopword ratio) — all single-row IEEE arithmetic, no accumulation. */
   def q18DocQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .filter(col("doc_id") < 100)
       .select(col("doc_id"),
         TF.tokenCount(col("text")).as("n_tokens"),
         TF.regexTokenCount(col("text")).as("n_subtokens"),
@@ -254,7 +253,7 @@ object SparkEntry {
     * hex-string minima are engine-portable. LLM-pipeline fingerprinting. */
   def q19MinhashFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .filter(col("doc_id") < 200 && trim(col("text")) =!= "")
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), TF.fingerprint(col("text"), 8).as("fingerprint"))
 
   /** q20 — brute-force cosine top-10 per query vector (exact ANN baseline).
@@ -367,8 +366,7 @@ object SparkEntry {
     * byte-arithmetic the oracle can reproduce). */
   def q30MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val blobs = operators.MultimodalOps.asBlobTable(
-      t(s, dir, "documents").filter(col("doc_id") < 200),
-      "doc_id", "text", "text/plain")
+      t(s, dir, "documents"), "doc_id", "text", "text/plain")
     operators.MultimodalOps.extractFeatures(
       blobs.select(col("doc_id"), col("payload")), "doc_id", "payload")
       // header_byte isn't expressible in portable SQL (code point ≠ byte
@@ -1750,7 +1748,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY lang""".stripMargin,
     "q18_doc_quality" ->
       """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text
-        |           FROM documents WHERE doc_id < 100)
+        |           FROM documents)
         |SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN 0
         |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
@@ -1766,7 +1764,7 @@ object SparkEntry {
     "q19_minhash_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE doc_id < 200 AND trim(text) <> ''),
+        |  FROM documents WHERE trim(text) <> ''),
         |sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, greatest(len(t) - 2, 1)),
@@ -1876,7 +1874,7 @@ object SparkEntry {
         |  CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
         |  CAST(64 + COALESCE(octet_length(encode(text)), 0) % 64 AS INTEGER) AS width,
         |  CAST(64 + (COALESCE(octet_length(encode(text)), 0) // 64) % 64 AS INTEGER) AS height
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_sessionization" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS secs

@@ -27,13 +27,20 @@ import graft.functions.{TextFunctions => T}
   *   1. ONE inverted-index groupBy on the segment key with map-side
   *      combine — the shuffle carries (segment, partial count), never
   *      (segment, doc).
-  *   2. The boilerplate set = segments with docfreq > `maxDocs` is the
-  *      ZIPF HEAD of that index — tiny relative to the corpus (the same
-  *      head `dfCeiling` cuts in [[Dedup.sharedNgramStats]]) — so the
-  *      removal join is a BROADCAST anti-join against an index-sized
-  *      frame: no second shuffle of the exploded corpus, and the hot
-  *      segments (precisely the boilerplate) never concentrate on one
-  *      task because they never shuffle at all.
+  *   2. The removal join tests each segment occurrence against the
+  *      boilerplate set = segments with docfreq > `maxDocs`. How big that
+  *      set is depends ENTIRELY on the threshold: at a high `maxDocs`
+  *      (drop only the Zipf head) it is index-sized and broadcasting it
+  *      wins — no second shuffle of the exploded corpus, and the hot
+  *      segments never concentrate on one task because they never
+  *      shuffle at all. But at the CCNet-style `maxDocs` = 2 actually
+  *      used for cleaning, boilerplate is ubiquitous BY PREMISE and the
+  *      duplicated-segment set of a web corpus is corpus-scale — a
+  *      forced broadcast of it OOMs the driver. So the broadcast is a
+  *      KNOB (`broadcastBoiler`), default off: the plain shuffle join
+  *      lets AQE pick the strategy from the set's runtime size (and
+  *      split any skewed segment key). BoilerplateSpec pins that both
+  *      paths return identical results.
   *   3. Reassembly groups by doc_id — the explode's natural key, so
   *      partial aggregation applies and skew follows document length,
   *      not segment popularity.
@@ -59,16 +66,22 @@ object Boilerplate {
     * deduplicated before counting docfreq, so `count(distinct doc_id)`
     * semantics are made explicit in the index aggregate. */
   def stripSharedSegments(df: DataFrame, id: Column, text: Column,
-      segTokens: Int = 3, maxDocs: Long = 2L): DataFrame = {
-    val kept = cleaned(df, id, text, segTokens, maxDocs)
+      segTokens: Int = 3, maxDocs: Long = 2L,
+      broadcastBoiler: Boolean = false): DataFrame = {
+    val kept = cleaned(df, id, text, segTokens, maxDocs, broadcastBoiler)
     kept.select(col("doc_id"), col("n_seg"), col("n_dropped"),
       md5(col("clean_text")).as("clean_md5"))
   }
 
   /** As [[stripSharedSegments]] but returning the rewritten text:
-    * (doc_id, n_seg, n_dropped, clean_text). */
+    * (doc_id, n_seg, n_dropped, clean_text). `broadcastBoiler` forces a
+    * broadcast of the boilerplate segment set — only safe when `maxDocs`
+    * is high enough that the set is the Zipf HEAD (index-sized); at
+    * cleaning thresholds (maxDocs ≈ 2) leave it off and let AQE decide
+    * (object scaladoc, point 2). Results are identical either way. */
   def cleaned(df: DataFrame, id: Column, text: Column,
-      segTokens: Int = 3, maxDocs: Long = 2L): DataFrame = {
+      segTokens: Int = 3, maxDocs: Long = 2L,
+      broadcastBoiler: Boolean = false): DataFrame = {
     require(segTokens > 0, "segTokens must be positive")
     require(maxDocs > 0, "maxDocs must be positive")
     val docs = ensureParallelism(
@@ -93,8 +106,9 @@ object Boilerplate {
       .groupBy(col("seg")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocs)
       .select(col("seg"))
-    val surviving = segs.join(broadcast(boiler.withColumn("__bp", lit(1))),
-        Seq("seg"), "left")
+    val marked = boiler.withColumn("__bp", lit(1))
+    val surviving = segs.join(
+      if (broadcastBoiler) broadcast(marked) else marked, Seq("seg"), "left")
     val out = surviving.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_seg"),
         count(col("__bp")).as("n_dropped"),

@@ -63,16 +63,20 @@ object Packing {
     // Per-shard sequence counts -> exclusive base offsets. `shards` rows:
     // the window here is over an index-sized frame, and the join back is
     // a broadcast by construction.
+    // `div` (integer division), not `/`-then-cast: Spark's `/` is a
+    // double-precision Divide, and a truncated double quotient can differ
+    // from the oracle's exact integer `//` once cumsums approach 2^53.
     val bases = keyed.groupBy(col("shard"))
-      .agg((((sum(col("n_tokens")) + lit(budget - 1)) / lit(budget))
-        .cast("long")).as("__nseq"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .select(col("shard"),
+        expr(s"(__tot + ${budget - 1}) div $budget").as("__nseq"))
       .select(col("shard"),
         coalesce(sum(col("__nseq")).over(
           Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).as("__base"))
     positioned.join(broadcast(bases), Seq("shard"))
       .select(col("id"), col("n_tokens"), col("shard"),
-        (col("__base") + (col("__cum") / lit(budget)).cast("long")).as("seq_id"),
+        (col("__base") + expr(s"__cum div $budget")).as("seq_id"),
         (col("__cum") % lit(budget)).as("seq_off"))
   }
 }

@@ -78,6 +78,14 @@ object Upsert {
     * versions share). Returns (keys*, change_type). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       keys: Seq[String]): DataFrame = {
+    // __o/__n are this operator's side-presence markers; an input that
+    // already carries them would have its column silently overwritten AND
+    // the constant marker would enter the payload comparison — same
+    // reserved-name discipline as __salt/__rn elsewhere.
+    val reserved = Set("__o", "__n")
+    val clash = (oldDf.columns ++ newDf.columns).filter(reserved.contains).distinct
+    require(clash.isEmpty,
+      s"snapshotDiff inputs must not carry reserved columns ${clash.mkString(", ")}")
     val shared = oldDf.columns.toSeq.intersect(newDf.columns.toSeq)
       .filterNot(keys.contains)
     // side-presence markers, not key nullness: a row whose KEY column is

@@ -22,9 +22,16 @@ import graft.functions.{TextFunctions => T}
   *     argument as [[Keywords]]' df table. The rank window is
   *     deliberately unpartitioned over that vocab-sized frame;
   *     deterministic total order (count DESC, token ASC) is the point.
-  *   - Encoding joins the exploded corpus against the vocab BROADCAST —
-  *     no corpus shuffle; hot tokens (the Zipf head) replicate with the
-  *     broadcast instead of concentrating on one task.
+  *   - Encoding joins the exploded corpus against the vocab — by default
+  *     as a BROADCAST: no corpus shuffle, and hot tokens (the Zipf head)
+  *     replicate with the broadcast instead of concentrating on one
+  *     task. That default assumes the vocab is executor-memory-sized —
+  *     true for any `maxSize`-capped build (the normal case) and for
+  *     word vocabs to ~10⁶ terms, but an UNCAPPED build over raw web
+  *     text reaches 10⁷–10⁸ distinct "words" (typos, ids, urls) and
+  *     outgrows it, so the hint is a knob (`broadcastVocab` = false →
+  *     plain shuffle join, AQE picks the strategy and splits hot-token
+  *     skew). VocabSpec pins both paths result-identical.
   */
 object Vocab {
 
@@ -51,8 +58,8 @@ object Vocab {
     * per document at any corpus size while still pinning every id and
     * its position. Callers wanting the id arrays use [[encoded]]. */
   def encodeStats(df: DataFrame, id: Column, text: Column,
-      vocab: DataFrame): DataFrame =
-    encoded(df, id, text, vocab)
+      vocab: DataFrame, broadcastVocab: Boolean = true): DataFrame =
+    encoded(df, id, text, vocab, broadcastVocab)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("token_id") === 0L, 1L).otherwise(0L)).as("n_oov"),
@@ -61,13 +68,14 @@ object Vocab {
   /** Exploded encoding: (doc_id, pos, token_id) — one row per token,
     * 1-based pos, OOV → id 0. The materialized training-shard form. */
   def encoded(df: DataFrame, id: Column, text: Column,
-      vocab: DataFrame): DataFrame = {
+      vocab: DataFrame, broadcastVocab: Boolean = true): DataFrame = {
     val toks = Parallelism.ensureMinPartitions(
       df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks")),
       col("doc_id"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "token")))
-    toks.join(broadcast(vocab.select(col("token"), col("id"))),
+    val v = vocab.select(col("token"), col("id"))
+    toks.join(if (broadcastVocab) broadcast(v) else v,
         Seq("token"), "left")
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         coalesce(col("id"), lit(0L)).as("token_id"))

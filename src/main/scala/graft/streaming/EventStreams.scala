@@ -358,17 +358,25 @@ object EventStreams {
     srcFiles.foreach(f => Files.copy(f.toPath, landing.resolve(f.getName)))
     val shufflePartitionsKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shufflePartitionsKey)
+    // the streaming frame is built before start() so its schema is known
+    // even when the source turns out to be empty (see the guard below)
+    var aggSchema: org.apache.spark.sql.types.StructType = null
     try {
       spark.conf.set(shufflePartitionsKey,
         math.min(4, prevShuffle.toInt).toString)
-      val q = agg(readEventStream(spark, landing.toString))
+      val aggDf = agg(readEventStream(spark, landing.toString))
+      aggSchema = aggDf.schema
+      val q = aggDf
         .writeStream
         .format("parquet")
         .option("path", out.toString)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append")
         .start()
-      q.processAllAvailable()
+      // stop() on ALL exits: a throw from processAllAvailable (or the
+      // sentinel stage) must not leave the query running in the session
+      try {
+        q.processAllAvailable()
       // watermark flush: one sentinel event 7 days past the max real
       // event time, staged as a parquet file the running source picks up
       val maxTs = spark.read.schema(eventSchema).parquet(landing.toString)
@@ -390,11 +398,23 @@ object EventStreams {
         rmDir(tmp.toFile)
         q.processAllAvailable()
       }
-      q.stop()
-    } finally spark.conf.set(shufflePartitionsKey, prevShuffle)
-    rmDir(landing.toFile)
-    rmDir(ckpt.toFile)
-    val raw = spark.read.parquet(out.toString)
+      } finally q.stop()
+    } finally {
+      spark.conf.set(shufflePartitionsKey, prevShuffle)
+      // landing/checkpoint are private scratch — removed on success AND
+      // failure (only `out` survives, as the caller's artifact)
+      rmDir(landing.toFile)
+      rmDir(ckpt.toFile)
+    }
+    // empty-source guard: append mode with no rows (or no closed windows)
+    // writes no data files, and reading the bare dir would throw "Unable
+    // to infer schema" — return an empty frame with the agg's schema.
+    val hasData = Option(out.toFile.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    val raw =
+      if (hasData) spark.read.parquet(out.toString)
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), aggSchema)
     if (raw.columns.contains("event_type"))
       raw.filter(col("event_type") =!= sentinelType)
     else raw

@@ -84,6 +84,40 @@ class BoilerplateAndVocabSpec extends SparkSpecBase {
     stats(0) shouldBe ((1L, 6L, 1L, 24L))
   }
 
+  test("boilerplate removal: shuffle-join path ≡ forced-broadcast path") {
+    import spark.implicits._
+    // the broadcast hint is a pure physical-strategy knob (object
+    // scaladoc point 2): at cleaning thresholds the boilerplate set is
+    // corpus-scale and must NOT be force-broadcast, so the default
+    // shuffle path has to be row-identical to the broadcast path
+    val docs = (1L to 40L).map { i =>
+      val payload = s"u$i v$i w$i"
+      (i, if (i % 2 == 0) s"x y z $payload" else s"x y z $payload x y z")
+    }.toDF("doc_id", "text")
+    val plain = Boilerplate.stripSharedSegments(docs, col("doc_id"),
+        col("text"), segTokens = 3, maxDocs = 2L, broadcastBoiler = false)
+      .orderBy("doc_id").collect()
+    val bcast = Boilerplate.stripSharedSegments(docs, col("doc_id"),
+        col("text"), segTokens = 3, maxDocs = 2L, broadcastBoiler = true)
+      .orderBy("doc_id").collect()
+    plain should have length 40
+    plain shouldBe bcast
+    spark.catalog.clearCache()
+  }
+
+  test("vocab encode: shuffle-join path ≡ broadcast path") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"the quick tok$i fox tok$i"))
+      .toDF("doc_id", "text")
+    val vocab = Vocab.build(docs, col("text"), maxSize = 10L)
+    val bcast = Vocab.encodeStats(docs, col("doc_id"), col("text"), vocab,
+      broadcastVocab = true).orderBy("doc_id").collect()
+    val plain = Vocab.encodeStats(docs, col("doc_id"), col("text"), vocab,
+      broadcastVocab = false).orderBy("doc_id").collect()
+    bcast should have length 30
+    bcast shouldBe plain
+  }
+
   test("vocab minCount excludes rare tokens from the vocabulary") {
     import spark.implicits._
     val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
