@@ -1188,6 +1188,19 @@ object SparkEntry {
         col("n_events"))
       .orderBy(col("user_id"), col("ver"))
 
+  /** q81 — exact duplicated-span removal (SpanRemoval
+    * .removeDuplicatedSpans): documents REWRITTEN by deleting every
+    * maximal token span covered by a 3-gram shared with another
+    * document — the Lee-et-al-style edit pass completing the dedup
+    * family (q55/q70 audit, q77 segment drop). Gram docfreq is one
+    * two-phase aggregate; spans and reassembly are doc-partitioned
+    * windows; the rewritten text is pinned via md5. */
+  def q81SpanRemoval(s: SparkSession, dir: String): DataFrame =
+    operators.SpanRemoval.removeDuplicatedSpans(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 3, minDocs = 2L)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1268,7 +1281,8 @@ object SparkEntry {
     "q77_boilerplate_strip" -> (q77BoilerplateStrip _),
     "q78_vocab_encode" -> (q78VocabEncode _),
     "q79_group_outliers" -> (q79GroupOutliers _),
-    "q80_scd_history" -> (q80ScdHistory _)
+    "q80_scd_history" -> (q80ScdHistory _),
+    "q81_span_removal" -> (q81SpanRemoval _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2167,6 +2181,36 @@ object SparkEntry {
         |    AS BIGINT) AS eff_to,
         |  CAST(n_events AS BIGINT) AS n_events
         |FROM g ORDER BY user_id, ver""".stripMargin,
+    // q81: positional 3-grams -> docfreq>=2 -> covered-position union ->
+    // gaps-and-islands span count -> string_agg reassembly; md5('') for
+    // fully-removed docs on both engines
+    "q81_span_removal" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |g AS (SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+2], ' ') AS gram
+        |      FROM d, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |rp AS (SELECT DISTINCT g.doc_id, u.p AS pos
+        |       FROM g JOIN dup USING (gram),
+        |            UNNEST(generate_series(g.pos, g.pos + 2)) AS u(p)),
+        |sp AS (SELECT doc_id, COUNT(*) AS n_removed,
+        |         SUM(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END) AS n_spans
+        |       FROM (SELECT doc_id, pos,
+        |               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |             FROM rp) GROUP BY doc_id),
+        |tok AS (SELECT doc_id, u.i AS pos, t[u.i] AS token
+        |        FROM d, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |kept AS (SELECT tok.doc_id, COUNT(*) AS n_tokens,
+        |           md5(COALESCE(string_agg(
+        |             CASE WHEN rp.pos IS NULL THEN tok.token END,
+        |             ' ' ORDER BY tok.pos), '')) AS clean_md5
+        |         FROM tok LEFT JOIN rp USING (doc_id, pos) GROUP BY tok.doc_id)
+        |SELECT kept.doc_id, CAST(kept.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(sp.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+        |  kept.clean_md5
+        |FROM kept LEFT JOIN sp USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN
