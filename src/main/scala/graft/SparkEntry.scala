@@ -1201,6 +1201,19 @@ object SparkEntry {
       n = 3, minDocs = 2L)
       .orderBy(col("doc_id"))
 
+  /** q82 — materialized packed slices (Packing.packedSlices): the
+    * dataloader-facing inverse of q71 — per sequence, the ordered
+    * (doc, token_from, token_to, seq_from) slices including straddle
+    * continuation rows. Same shard-partitioned cumsum + broadcast base
+    * join; the explode adds ceil(n/budget)+1 rows per doc, linear. */
+  def q82PackedSlices(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packedSlices(
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tok")),
+      col("doc_id"), col("n_tok"), budget = 512L, shards = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("seq_id"), col("seq_from"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1282,7 +1295,8 @@ object SparkEntry {
     "q78_vocab_encode" -> (q78VocabEncode _),
     "q79_group_outliers" -> (q79GroupOutliers _),
     "q80_scd_history" -> (q80ScdHistory _),
-    "q81_span_removal" -> (q81SpanRemoval _)
+    "q81_span_removal" -> (q81SpanRemoval _),
+    "q82_packed_slices" -> (q82PackedSlices _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2104,6 +2118,39 @@ object SparkEntry {
         |  CAST(b.base + c.cum // 512 AS BIGINT) AS seq_id,
         |  CAST(c.cum % 512 AS BIGINT) AS seq_off
         |FROM c JOIN b USING (shard) ORDER BY c.doc_id""".stripMargin,
+    // q82: q71's layout CTEs + the slice explode — one row per sequence a
+    // doc touches, [token_from, token_to) in doc coords, seq_from the
+    // in-sequence start offset
+    "q82_packed_slices" ->
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |           FROM documents),
+        |f AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        md5(CAST(doc_id AS VARCHAR)) AS key,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+        |          % 4 AS BIGINT) AS shard
+        |      FROM d WHERE n_tokens > 0),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM f),
+        |t AS (SELECT shard, (SUM(n_tokens) + 511) // 512 AS nseq
+        |      FROM f GROUP BY shard),
+        |b AS (SELECT shard,
+        |        COALESCE(SUM(nseq) OVER (ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        |      FROM t),
+        |k AS (SELECT c.doc_id, c.n_tokens, c.shard, c.cum, b.base, u.k AS k
+        |      FROM c JOIN b USING (shard),
+        |        UNNEST(generate_series(CAST(c.cum // 512 AS BIGINT),
+        |          CAST((c.cum + c.n_tokens - 1) // 512 AS BIGINT))) AS u(k))
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(base + k AS BIGINT) AS seq_id,
+        |  CAST(greatest(k * 512 - cum, 0) AS BIGINT) AS token_from,
+        |  CAST(least((k + 1) * 512 - cum, n_tokens) AS BIGINT) AS token_to,
+        |  CAST(greatest(cum - k * 512, 0) AS BIGINT) AS seq_from
+        |FROM k ORDER BY seq_id, seq_from""".stripMargin,
     "q72_ann_ivf_pq_refined" -> q72OracleSql,
     "q73_bm25_search" -> q73OracleSql,
     "q75_hybrid_rrf" -> q75OracleSql,

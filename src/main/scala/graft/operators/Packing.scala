@@ -41,7 +41,52 @@ object Packing {
     * shard with T total tokens occupies ceil(T/budget) sequences; shards'
     * sequence-id ranges are disjoint and consecutive. */
   def packSequences(df: DataFrame, id: Column, tokens: Column,
-      budget: Long, shards: Int = 1): DataFrame = {
+      budget: Long, shards: Int = 1): DataFrame =
+    positioned(df, id, tokens, budget, shards)
+      .select(col("id"), col("n_tokens"), col("shard"),
+        (col("__base") + expr("__cum div __budget")).as("seq_id"),
+        (col("__cum") % col("__budget")).as("seq_off"))
+
+  /** The packed stream in the form a dataloader CONSUMES: one row per
+    * (sequence, document-slice), including the continuation rows of
+    * documents that straddle a cut. Returns (id, n_tokens, shard, seq_id,
+    * token_from, token_to, seq_from): doc tokens [token_from, token_to)
+    * (0-based, exclusive end) land in `seq_id` starting at in-sequence
+    * offset `seq_from`. Invariants (pinned in PackingSpec): slices of a
+    * doc tile [0, n_tokens) in seq_id order; slices of a sequence tile
+    * [0, budget) exactly (the last sequence of a shard may end short);
+    * the first slice of every doc agrees with [[packSequences]]'
+    * (seq_id, seq_off).
+    *
+    * Scale shape: same single shard-partitioned cumsum window + tiny
+    * broadcast base join as [[packSequences]]; the explode adds
+    * ceil(n_tokens/budget)+1 rows per doc — linear in corpus tokens /
+    * budget, never quadratic. */
+  def packedSlices(df: DataFrame, id: Column, tokens: Column,
+      budget: Long, shards: Int = 1): DataFrame =
+    positioned(df, id, tokens, budget, shards)
+      // shard-local sequence index range this doc touches
+      .select(col("id"), col("n_tokens"), col("shard"), col("__cum"),
+        col("__base"), col("__budget"),
+        expr("__cum div __budget").as("__k0"),
+        expr("(__cum + n_tokens - 1) div __budget").as("__k1"))
+      .select(col("id"), col("n_tokens"), col("shard"), col("__cum"),
+        col("__base"), col("__budget"),
+        explode(sequence(col("__k0"), col("__k1"))).as("__k"))
+      .select(col("id"), col("n_tokens"), col("shard"),
+        (col("__base") + col("__k")).as("seq_id"),
+        greatest(col("__k") * col("__budget") - col("__cum"), lit(0L))
+          .as("token_from"),
+        least((col("__k") + 1) * col("__budget") - col("__cum"),
+          col("n_tokens")).as("token_to"),
+        greatest(col("__cum") - col("__k") * col("__budget"), lit(0L))
+          .as("seq_from"))
+
+  /** Shared internal frame: (id, n_tokens, shard, __cum, __base,
+    * __budget) — the exclusive shard-stream running sum plus the global
+    * sequence-id base per shard (object scaladoc). */
+  private def positioned(df: DataFrame, id: Column, tokens: Column,
+      budget: Long, shards: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
     // md5 layout key; shard = first 60 hash bits mod `shards` (portable:
@@ -58,7 +103,7 @@ object Packing {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__key"), col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val positioned = keyed.select(col("id"), col("n_tokens"), col("shard"),
+    val cum = keyed.select(col("id"), col("n_tokens"), col("shard"),
       coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("__cum"))
     // Per-shard sequence counts -> exclusive base offsets. `shards` rows:
     // the window here is over an index-sized frame, and the join back is
@@ -74,9 +119,7 @@ object Packing {
         coalesce(sum(col("__nseq")).over(
           Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).as("__base"))
-    positioned.join(broadcast(bases), Seq("shard"))
-      .select(col("id"), col("n_tokens"), col("shard"),
-        (col("__base") + expr(s"__cum div $budget")).as("seq_id"),
-        (col("__cum") % lit(budget)).as("seq_off"))
+    cum.join(broadcast(bases), Seq("shard"))
+      .withColumn("__budget", lit(budget))
   }
 }

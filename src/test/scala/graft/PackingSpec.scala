@@ -74,6 +74,53 @@ class PackingSpec extends SparkSpecBase {
     packed.filter(col("id") >= 9999L).count() shouldBe 0L
   }
 
+  test("packedSlices: docs and sequences tile exactly, starts match packSequences") {
+    val budget = 256L
+    val slices = Packing.packedSlices(fixture, col("doc_id"), col("n_tok"),
+      budget, shards = 4).collect()
+    // per doc: slices tile [0, n_tokens) in seq order, contiguous
+    slices.groupBy(_.getAs[Long]("id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("seq_id"))
+      sorted.map(_.getAs[Long]("seq_id")).toSeq shouldBe
+        (sorted.head.getAs[Long]("seq_id") to sorted.last.getAs[Long]("seq_id"))
+      sorted.head.getAs[Long]("token_from") shouldBe 0L
+      sorted.last.getAs[Long]("token_to") shouldBe sorted.last.getAs[Long]("n_tokens")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          b.getAs[Long]("token_from") shouldBe a.getAs[Long]("token_to")
+          b.getAs[Long]("seq_from") shouldBe 0L // continuations start sequences
+        case _ =>
+      }
+    }
+    // per sequence: slices tile [0, budget) exactly; only each shard's
+    // LAST sequence may end short
+    val lastSeqOfShard = slices.groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("seq_id")).max).toMap
+    slices.groupBy(_.getAs[Long]("seq_id")).foreach { case (seq, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("seq_from"))
+      sorted.head.getAs[Long]("seq_from") shouldBe 0L
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          b.getAs[Long]("seq_from") shouldBe
+            a.getAs[Long]("seq_from") + (a.getAs[Long]("token_to") - a.getAs[Long]("token_from"))
+        case _ =>
+      }
+      val filled = sorted.map(r => r.getAs[Long]("token_to") - r.getAs[Long]("token_from")).sum
+      val shard = sorted.head.getAs[Long]("shard")
+      if (seq == lastSeqOfShard(shard)) filled should be <= budget
+      else filled shouldBe budget
+    }
+    // first slice of every doc agrees with packSequences' assignment
+    val starts = Packing.packSequences(fixture, col("doc_id"), col("n_tok"),
+        budget, shards = 4).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off")))
+      .toMap
+    slices.groupBy(_.getAs[Long]("id")).foreach { case (id, rows) =>
+      val first = rows.minBy(_.getAs[Long]("seq_id"))
+      (first.getAs[Long]("seq_id"), first.getAs[Long]("seq_from")) shouldBe starts(id)
+    }
+  }
+
   test("single shard degenerates to one global stream") {
     val out = Packing.packSequences(fixture, col("doc_id"), col("n_tok"),
       budget = 512L, shards = 1).collect()
