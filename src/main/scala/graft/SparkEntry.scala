@@ -1214,6 +1214,17 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("seq_id"), col("seq_from"))
 
+  /** q83 — one BPE merge round (Bpe.mergeRound): corpus-weighted
+    * adjacent-pair counts over character symbols, deterministic best-pair
+    * pick (count DESC, pair ASC), greedy left-to-right re-encode — the
+    * real subword vocab-build step under q78's word-level table. All
+    * heavy work runs on the distinct-word frame; the artifact pins both
+    * the merge rule and every document's re-encoded checksum. */
+  def q83BpeMerge(s: SparkSession, dir: String): DataFrame =
+    operators.Bpe.mergeRound(
+      t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1296,7 +1307,8 @@ object SparkEntry {
     "q79_group_outliers" -> (q79GroupOutliers _),
     "q80_scd_history" -> (q80ScdHistory _),
     "q81_span_removal" -> (q81SpanRemoval _),
-    "q82_packed_slices" -> (q82PackedSlices _)
+    "q82_packed_slices" -> (q82PackedSlices _),
+    "q83_bpe_merge" -> (q83BpeMerge _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2258,6 +2270,39 @@ object SparkEntry {
         |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
         |  kept.clean_md5
         |FROM kept LEFT JOIN sp USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q83: char symbols -> weighted pair counts -> (cnt DESC, l, r) rule
+    // -> list_reduce greedy merge (the ends_with guard checks the LAST
+    // symbol exactly, mirroring the engine's fold) -> per-doc rollup
+    "q83_bpe_merge" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |tok AS (SELECT doc_id, u.i AS pos, t[u.i] AS word
+        |        FROM d, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |w AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY 1),
+        |p AS (SELECT substr(word, CAST(u.i AS INTEGER), 1) AS l,
+        |        substr(word, CAST(u.i AS INTEGER) + 1, 1) AS r, SUM(freq) AS cnt
+        |      FROM w, UNNEST(generate_series(1, len(word) - 1)) AS u(i)
+        |      GROUP BY 1, 2),
+        |best AS (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p
+        |         ORDER BY cnt DESC, l, r LIMIT 1),
+        |e AS (SELECT w.word, list_reduce(
+        |        list_transform(generate_series(1, len(w.word)),
+        |          i -> substr(w.word, CAST(i AS INTEGER), 1)),
+        |        (acc, x) -> CASE
+        |          WHEN acc = best.l AND x = best.r THEN best.l || best.r
+        |          WHEN ends_with(acc, ' ' || best.l) AND x = best.r
+        |            THEN substr(acc, 1, CAST(len(acc) - len(best.l) AS INTEGER))
+        |                 || best.l || best.r
+        |          ELSE acc || ' ' || x END) AS enc
+        |      FROM w CROSS JOIN best),
+        |ec AS (SELECT word, enc, len(string_split(enc, ' ')) AS n_sym FROM e),
+        |j AS (SELECT tok.doc_id, tok.pos, ec.enc, ec.n_sym
+        |      FROM tok JOIN ec USING (word))
+        |SELECT j.doc_id, COUNT(*) AS n_tok, CAST(SUM(j.n_sym) AS BIGINT) AS n_sym,
+        |  md5(string_agg(j.enc, ' ' ORDER BY j.pos)) AS enc_md5,
+        |  MIN(best.l) AS pair_left, MIN(best.r) AS pair_right,
+        |  CAST(MIN(best.cnt) AS BIGINT) AS pair_count
+        |FROM j CROSS JOIN best GROUP BY j.doc_id ORDER BY j.doc_id""".stripMargin,
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** One distributed BPE merge round — the real subword vocab-build step
+  * ([[Vocab]] builds the word-level table; this is the character-level
+  * pass under it). Reference behavior: TopN-ClashRoyal-ETL-SQL-snapshot
+  * has no tokenizer training; this is part of the engine's
+  * training-data-pipeline extension surface (SURVEY.md §2.12).
+  *
+  * Round semantics (the classic Sennrich-et-al step, deterministic and
+  * hence oracle-checkable for a fixed number of merges):
+  *   1. Every distinct word starts as its character-symbol sequence.
+  *   2. Adjacent symbol pairs are counted across the corpus, weighted by
+  *      word frequency (overlapping positions each count, the standard
+  *      per-position convention).
+  *   3. The best pair is chosen by (count DESC, left ASC, right ASC) —
+  *      a total order, so every engine picks the same pair.
+  *   4. Each word is re-encoded by merging occurrences of the pair
+  *      GREEDILY LEFT-TO-RIGHT: a merged symbol never re-merges within
+  *      the round ("aaaa" + (a,a) → [aa, aa], not [aa, a, a]).
+  *
+  * Scale shape:
+  *   - All heavy per-string work (pair explode, the re-encode fold) runs
+  *     on the DISTINCT-WORD frame — vocab-sized, Zipf-bounded — never on
+  *     the corpus. The corpus contributes one tokenize+explode and one
+  *     groupBy(word) with map-side combine.
+  *   - The chosen pair is a 1-row broadcast crossJoin (same pattern as
+  *     [[Keywords]]' BM25 stats row).
+  *   - The re-encode fold is the `aggregate` higher-order function —
+  *     interpreted, not codegen, but over vocab-sized rows and
+  *     word-length arrays that is bounded work; the corpus-sized path
+  *     stays codegen'd.
+  *   - The encoded-word join back to the corpus is Zipf-LEFT-skewed
+  *     (hot words have postings-many left rows, one right row);
+  *     `broadcastWords` = true broadcasts the vocab frame (safe for
+  *     natural-language vocabs to ~10⁶ words; an uncapped web corpus'
+  *     10⁷–10⁸ "words" outgrow it — same knob discipline as
+  *     [[Vocab.encoded]]), false leaves AQE to pick and skew-split.
+  *
+  * Iterating the round N times IS the BPE trainer; each round is one
+  * job over the vocab frame, so N merges cost N vocab-sized passes plus
+  * the single corpus tokenize — the standard distributed formulation.
+  */
+object Bpe {
+
+  /** Adjacent-pair counts over the symbol sequences of `words`
+    * (word, freq): returns (l, r, cnt), cnt = Σ freq over positions. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(length(col("word")) > 1)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => struct(col("word").substr(i, lit(1)).as("l"),
+          col("word").substr(i + 1, lit(1)).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** The round's merge rule: the 1-row (l, r, cnt) frame chosen by
+    * (cnt DESC, l ASC, r ASC). */
+  def bestPair(pairs: DataFrame): DataFrame =
+    pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+
+  /** Words re-encoded under the 1-row `best` merge rule: (word, freq,
+    * enc, n_sym) where `enc` is the space-joined symbol sequence after
+    * the greedy left-to-right merge. The fold keeps the invariant that
+    * `acc`'s LAST space-separated symbol is checked exactly — a longer
+    * symbol merely ending in `l`'s characters never matches, and a
+    * just-merged `l||r` can't re-merge because it no longer equals `l`. */
+  def encodeWords(words: DataFrame, best: DataFrame): DataFrame =
+    words.crossJoin(broadcast(best))
+      .select(col("word"), col("freq"), aggregate(
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))),
+        lit(""),
+        (acc, x) => when(acc === "", x)
+          .when(acc === col("l") && x === col("r"),
+            concat(col("l"), col("r")))
+          .when(acc.endsWith(concat(lit(" "), col("l"))) && x === col("r"),
+            concat(acc.substr(lit(1), length(acc) - length(col("l"))),
+              col("l"), col("r")))
+          .otherwise(concat(acc, lit(" "), x))).as("enc"))
+      .withColumn("n_sym", size(split(col("enc"), " ")).cast("long"))
+
+  /** One full merge round over a document corpus: tokenize, count pairs,
+    * pick the rule, re-encode, and roll up per document. Returns
+    * (doc_id, n_tok, n_sym, enc_md5, pair_left, pair_right, pair_count):
+    * token/symbol counts, md5 of the doc's space-joined encoded symbol
+    * stream in token order, and the (constant) chosen rule — the merge
+    * table and the re-encoded corpus checksums in one hash-checkable
+    * artifact. */
+  def mergeRound(df: DataFrame, id: Column, text: Column,
+      broadcastWords: Boolean = false): DataFrame = {
+    val toks = Parallelism.ensureMinPartitions(
+        df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks")),
+        col("doc_id"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val best = bestPair(pairCounts(words))
+    val enc = encodeWords(words, best).select(col("word"), col("enc"), col("n_sym"))
+    val joined = toks.join(
+      if (broadcastWords) broadcast(enc) else enc, Seq("word"))
+    joined.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("n_sym")).as("n_sym"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          s => s.getField("enc")), " ").cast("binary")).as("enc_md5"))
+      .crossJoin(broadcast(best))
+      .select(col("doc_id"), col("n_tok"), col("n_sym"), col("enc_md5"),
+        col("l").as("pair_left"), col("r").as("pair_right"),
+        col("cnt").as("pair_count"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** One BPE merge round (Bpe): per-position weighted pair counts,
+  * deterministic best-pair tie-break, greedy left-to-right merge
+  * semantics (no re-merge within a round), and the end-to-end per-doc
+  * rollup on both join paths. */
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("pair counts are per-position and frequency-weighted") {
+    val words = Seq(("aaa", 2L), ("ab", 5L)).toDF("word", "freq")
+    val counts = Bpe.pairCounts(words).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    counts shouldBe Map(("a", "a") -> 4L, ("a", "b") -> 5L) // "aaa": 2 positions × freq 2
+  }
+
+  test("best pair breaks count ties lexicographically") {
+    val pairs = Seq(("b", "a", 7L), ("a", "c", 7L), ("a", "b", 7L), ("z", "z", 9L))
+      .toDF("l", "r", "cnt")
+    val best = Bpe.bestPair(pairs).collect()
+    best.map(r => (r.getString(0), r.getString(1), r.getLong(2))) shouldBe
+      Array(("z", "z", 9L))
+    val tied = Bpe.bestPair(pairs.filter(col("cnt") === 7L)).collect()
+    tied.map(r => (r.getString(0), r.getString(1))) shouldBe Array(("a", "b"))
+  }
+
+  test("greedy left-to-right merge: no re-merge, runs pair up evenly") {
+    val words = Seq(("aaaa", 1L), ("aaa", 1L), ("abab", 1L), ("aba", 1L),
+      ("xyz", 1L), ("a", 1L)).toDF("word", "freq")
+    val best = Seq(("a", "a", 99L)).toDF("l", "r", "cnt")
+    val enc = Bpe.encodeWords(words, best).collect()
+      .map(r => r.getString(0) -> (r.getAs[String]("enc"), r.getAs[Long]("n_sym"))).toMap
+    enc("aaaa") shouldBe ("aa aa", 2L)
+    enc("aaa") shouldBe ("aa a", 2L)
+    enc("abab") shouldBe ("a b a b", 4L) // rule is (a,a); (a,b) untouched
+    enc("aba") shouldBe ("a b a", 3L)
+    enc("xyz") shouldBe ("x y z", 3L)
+    enc("a") shouldBe ("a", 1L)
+
+    val bestAb = Seq(("a", "b", 99L)).toDF("l", "r", "cnt")
+    val encAb = Bpe.encodeWords(words, bestAb).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("enc")).toMap
+    encAb("abab") shouldBe "ab ab"
+    encAb("aba") shouldBe "ab a"
+    encAb("aaaa") shouldBe "a a a a"
+  }
+
+  test("mergeRound end to end; broadcast path ≡ shuffle path") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
+    // words: ab freq 3, cd freq 1 -> pairs (a,b) 3, (c,d) 1 -> rule (a,b)
+    // encodings: ab -> "ab" (1 sym), cd -> "c d" (2 syms)
+    val out = Bpe.mergeRound(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getLong(6)))
+    out shouldBe Array(
+      (1L, 3L, 4L, md5Hex("ab ab c d"), "a", "b", 3L),
+      (2L, 1L, 1L, md5Hex("ab"), "a", "b", 3L))
+    val bcast = Bpe.mergeRound(docs, col("doc_id"), col("text"),
+      broadcastWords = true).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getLong(6)))
+    bcast shouldBe out
+    spark.catalog.clearCache()
+  }
+}
