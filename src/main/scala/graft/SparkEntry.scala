@@ -1163,10 +1163,14 @@ object SparkEntry {
     * flagged set hash-checks. Stats are one map-side-combined groupBy;
     * the join back is a broadcast of the 5-row stats frame. */
   def q79GroupOutliers(s: SparkSession, dir: String): DataFrame =
+    // onOverflow="float": event groups cross the exact-test bound
+    // (n·max|v| > √MaxLong/3) around sf0.1 — over-range groups take the
+    // portable fixed-tree double test and stay hash-checkable
     operators.Anomaly.flagOutliers(
       Tables.events(s, dir).select(col("event_type"), col("event_id"),
         floor(col("value") * 100).cast("long").as("cents")),
-      col("event_type"), col("event_id"), col("cents"), k = 3)
+      col("event_type"), col("event_id"), col("cents"), k = 3,
+      onOverflow = "float")
       .orderBy(col("grp"), col("row_id"))
 
   /** q80 — type-2 SCD history (Scd.type2): each user's event_type feed
@@ -2208,16 +2212,26 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE token_id = 0) AS BIGINT) AS n_oov,
         |  CAST(SUM(pos * token_id) AS BIGINT) AS enc_sum
         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q79: over-range groups (n·max|v| past the engine's exact bound
+    // 1012333499 = √MaxLong/3) take the SAME fixed-tree double test the
+    // engine applies — identical IEEE op sequence, so the flags hash-match
     "q79_group_outliers" ->
       """WITH r AS (SELECT event_type AS grp, event_id AS row_id,
         |             CAST(floor(value * 100) AS BIGINT) AS v FROM events),
         |st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
         |         CAST(SUM(v) AS BIGINT) AS s,
-        |         CAST(SUM(v * v) AS BIGINT) AS q FROM r GROUP BY grp)
+        |         CAST(SUM(v * v) AS BIGINT) AS q,
+        |         CAST(MAX(ABS(v)) AS BIGINT) AS m FROM r GROUP BY grp)
         |SELECT r.grp, r.row_id, r.v, st.n, st.s
         |FROM r JOIN st USING (grp)
-        |WHERE (st.n * r.v - st.s) * (st.n * r.v - st.s)
-        |    > 9 * (st.q * st.n - st.s * st.s)
+        |WHERE CASE
+        |  WHEN CAST(st.n AS DOUBLE) * CAST(st.m AS DOUBLE) > 1012333499.0
+        |  THEN (CAST(st.n AS DOUBLE) * CAST(r.v AS DOUBLE) - CAST(st.s AS DOUBLE))
+        |       * (CAST(st.n AS DOUBLE) * CAST(r.v AS DOUBLE) - CAST(st.s AS DOUBLE))
+        |     > 9.0 * (CAST(st.q AS DOUBLE) * CAST(st.n AS DOUBLE)
+        |              - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+        |  ELSE (st.n * r.v - st.s) * (st.n * r.v - st.s)
+        |     > 9 * (st.q * st.n - st.s * st.s) END
         |ORDER BY grp, row_id""".stripMargin,
     "q80_scd_history" ->
       """WITH r AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tb,

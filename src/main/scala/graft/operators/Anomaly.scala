@@ -31,11 +31,26 @@ import org.apache.spark.sql.functions._
   * n·max|v| ≤ √MaxLong/k) — so each group must keep
   * n·max|v| ≤ √MaxLong / max(2, k) (~1.0e9 at k=3). A group beyond that
   * would silently wrap Long and flag garbage, so the filter carries a
-  * per-group guard that RAISES instead (the stats row already holds
-  * max|v|, so the check costs one comparison per row, fused into the
-  * same scan). Over-range data: coarsen the unit (cents → whole units)
-  * or pre-aggregate — the test is scale-free, so quantization only moves
-  * the decision boundary by the quantum. */
+  * per-group guard (the stats row already holds max|v|, so the check
+  * costs one comparison per row, fused into the same scan). What the
+  * guard DOES is the `onOverflow` choice:
+  *   - "raise" (default): fail loudly — the strict bit-stability
+  *     contract; callers coarsen the unit (cents → whole units) or
+  *     pre-aggregate (the test is scale-free, so quantization only
+  *     moves the decision boundary by the quantum).
+  *   - "float": evaluate over-range groups' test in IEEE doubles with a
+  *     FIXED expression tree — (n·v−s)·(n·v−s) > k²·(q·n−s·s), every
+  *     operand cast from the exact Long stats. Deterministic and
+  *     engine-portable (both engines run the identical round-to-nearest
+  *     op sequence), so the flagged set still hash-checks; only groups
+  *     past the exact bound pay the (bounded, quantified) double
+  *     rounding in their decision boundary. This is the 100 TB path:
+  *     group size grows with the corpus, and n·max|v| crosses √MaxLong/k
+  *     around 10⁷ cents-valued rows per group.
+  * The STATS themselves stay exact far beyond the comparison bound
+  * (q = Σv² wraps only past n·max|v|² > 2⁶³) — that second bound is
+  * always enforced with a raise, because past it no fallback has
+  * correct inputs. */
 object Anomaly {
 
   /** Largest safe n·max|v| for the exact test at multiplier `k` — see
@@ -46,28 +61,46 @@ object Anomaly {
   /** Outlier rows: (grp, row_id, v) for every row failing the k·σ test,
     * plus the group context (n, s) that convicted it. Groups with zero
     * variance flag nothing (q·n == s² makes the RHS 0 and the LHS 0 for
-    * every member). `value` must be an integral column. Raises (lazily,
-    * at execution) if any group exceeds [[nmBound]]. */
+    * every member). `value` must be an integral column. Groups past
+    * [[nmBound]] raise (lazily, at execution) or take the portable
+    * double-arithmetic test, per `onOverflow` (object scaladoc); groups
+    * whose STATS would wrap (n·max|v|² past Long range) always raise. */
   def flagOutliers(df: DataFrame, key: Column, id: Column, value: Column,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, onOverflow: String = "raise"): DataFrame = {
     require(k > 0, "k must be positive")
+    require(onOverflow == "raise" || onOverflow == "float",
+      s"onOverflow must be 'raise' or 'float', got '$onOverflow'")
     val rows = df.select(key.as("grp"), id.as("row_id"),
       value.cast("long").as("v"))
     val stats = rows.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
         sum(col("v") * col("v")).as("q"), max(abs(col("v"))).as("m"))
     val dev = col("n") * col("v") - col("s")
-    // the guard compares in double — approximate is fine for a safety
-    // margin, and it cannot itself overflow
-    val overRange = col("n").cast("double") * col("m").cast("double") >
-      lit(nmBound(k).toDouble)
+    // guards compare in double — approximate is fine for a safety
+    // margin, and they cannot themselves overflow
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val overRange = nD * mD > lit(nmBound(k).toDouble)
+    val statsWrap = nD * mD * mD > lit(9.0e18)
     val test = dev * dev > lit(k.toLong * k) * (col("q") * col("n") - col("s") * col("s"))
+    // the float fallback: identical IEEE expression tree on both engines
+    // (the oracle mirrors it literally), operands cast from exact stats
+    val devD = nD * col("v").cast("double") - col("s").cast("double")
+    val floatTest = devD * devD > lit((k.toLong * k).toDouble) *
+      (col("q").cast("double") * nD - col("s").cast("double") * col("s").cast("double"))
+    def raise(what: String, hint: String): Column = raise_error(concat(
+      lit(s"Anomaly.flagOutliers: group "), col("grp").cast("string"),
+      lit(s" $what; $hint"))).cast("boolean")
+    val overflowBranch =
+      if (onOverflow == "float") floatTest
+      else raise(s"exceeds the exact-test range (n*max|v| > ${nmBound(k)})",
+        "coarsen the value unit, pre-aggregate, or pass onOverflow=\"float\"")
     rows.join(broadcast(stats), Seq("grp"))
-      .filter(when(overRange, raise_error(concat(
-          lit("Anomaly.flagOutliers: group "), col("grp").cast("string"),
-          lit(s" exceeds the exact-test range (n*max|v| > ${nmBound(k)});"
-            + " coarsen the value unit or pre-aggregate")))
-        .cast("boolean")).otherwise(test))
+      .filter(when(statsWrap,
+          raise("exceeds the exact-stats range (n*max|v|^2 > 9e18)",
+            "coarsen the value unit or pre-aggregate"))
+        .when(overRange, overflowBranch)
+        .otherwise(test))
       .select(col("grp"), col("row_id"), col("v"), col("n"), col("s"))
   }
 }
