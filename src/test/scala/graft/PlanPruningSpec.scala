@@ -72,4 +72,16 @@ class PlanPruningSpec extends SparkSpecBase {
     scanSchemas("q76_top_fraction")("documents") shouldBe
       Set("doc_id", "lang", "n_chars")
   }
+
+  test("q81 span removal reads only (doc_id, text) from documents") {
+    scanSchemas("q81_span_removal")("documents") shouldBe Set("doc_id", "text")
+  }
+
+  test("q82 packed slices reads only (doc_id, text) from documents") {
+    scanSchemas("q82_packed_slices")("documents") shouldBe Set("doc_id", "text")
+  }
+
+  test("q83 BPE merge reads only (doc_id, text) from documents") {
+    scanSchemas("q83_bpe_merge")("documents") shouldBe Set("doc_id", "text")
+  }
 }
