@@ -1229,6 +1229,18 @@ object SparkEntry {
       t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** q84 — the BPE TRAINER at 3 rounds (Bpe.trainRounds): iterated
+    * best-pair selection + greedy re-encode, merge table driver-held
+    * (1-row collect per round, the documented index-sized exception) and
+    * re-applied as literal rules — N merges are N vocab-sized passes,
+    * the corpus never re-shuffles. Artifact pins the ordered merge
+    * table (constant `rules` column) and every doc's final checksum;
+    * the oracle replays all three rounds as chained CTEs. */
+  def q84BpeTrain(s: SparkSession, dir: String): DataFrame =
+    operators.Bpe.trainRounds(
+      t(s, dir, "documents"), col("doc_id"), col("text"), rounds = 3)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1312,7 +1324,8 @@ object SparkEntry {
     "q80_scd_history" -> (q80ScdHistory _),
     "q81_span_removal" -> (q81SpanRemoval _),
     "q82_packed_slices" -> (q82PackedSlices _),
-    "q83_bpe_merge" -> (q83BpeMerge _)
+    "q83_bpe_merge" -> (q83BpeMerge _),
+    "q84_bpe_train" -> (q84BpeTrain _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1495,6 +1508,58 @@ object SparkEntry {
     * correctly-rounded (+,−,×,÷ on doubles; constants written `0.5e0` so
     * DuckDB parses them as DOUBLE, not DECIMAL), so scores match
     * bit-for-bit and the ranking hash-checks. */
+  /** q84's oracle, generated: `rounds` chained (pair-count → best-pair →
+    * list_reduce re-encode) CTE blocks over the distinct-word frame,
+    * then the per-doc rollup plus the merge table as a scalar-subquery
+    * constant. Assumes the corpus supports `rounds` merges with
+    * cnt >= 2 (true at every driver SF; the engine's early-stop only
+    * engages past saturation). */
+  private def q84OracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |tok AS (SELECT doc_id, u.i AS pos, t[u.i] AS word
+        |        FROM d, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |w AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY 1),
+        |e0 AS (SELECT word, freq, array_to_string(list_transform(
+        |         generate_series(1, len(word)),
+        |         i -> substr(word, CAST(i AS INTEGER), 1)), ' ') AS enc FROM w)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(
+        s""",
+           |p$r AS (SELECT s.syms[CAST(u.i AS INTEGER)] AS l,
+           |         s.syms[CAST(u.i AS INTEGER) + 1] AS r, SUM(s.freq) AS cnt
+           |       FROM (SELECT string_split(enc, ' ') AS syms, freq FROM e${r - 1}) s,
+           |         UNNEST(generate_series(1, len(s.syms) - 1)) AS u(i)
+           |       GROUP BY 1, 2),
+           |b$r AS (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p$r
+           |        ORDER BY cnt DESC, l, r LIMIT 1),
+           |e$r AS (SELECT x.word, x.freq, list_reduce(string_split(x.enc, ' '),
+           |         (acc, z) -> CASE
+           |           WHEN acc = b$r.l AND z = b$r.r THEN b$r.l || b$r.r
+           |           WHEN ends_with(acc, ' ' || b$r.l) AND z = b$r.r
+           |             THEN substr(acc, 1, CAST(len(acc) - len(b$r.l) AS INTEGER))
+           |                  || b$r.l || b$r.r
+           |           ELSE acc || ' ' || z END) AS enc
+           |       FROM e${r - 1} x CROSS JOIN b$r)""".stripMargin)
+    }
+    val rulesExpr = (1 to rounds)
+      .map(r => s"b$r.l || '+' || b$r.r || ':' || CAST(b$r.cnt AS VARCHAR)")
+      .mkString(" || ',' || ")
+    val rulesFrom = (1 to rounds).map(r => s"b$r").mkString(", ")
+    sb.append(
+      s""",
+         |ec AS (SELECT word, enc, len(string_split(enc, ' ')) AS n_sym FROM e$rounds),
+         |j AS (SELECT tok.doc_id, tok.pos, ec.enc, ec.n_sym
+         |      FROM tok JOIN ec USING (word))
+         |SELECT j.doc_id, COUNT(*) AS n_tok, CAST(SUM(j.n_sym) AS BIGINT) AS n_sym,
+         |  md5(string_agg(j.enc, ' ' ORDER BY j.pos)) AS enc_md5,
+         |  (SELECT $rulesExpr FROM $rulesFrom) AS rules
+         |FROM j GROUP BY j.doc_id ORDER BY j.doc_id""".stripMargin)
+    sb.toString
+  }
+
   private def q73OracleSql: String =
     bm25OracleCore(10) + "\nORDER BY query_id, rnk"
 
@@ -2317,6 +2382,7 @@ object SparkEntry {
         |  MIN(best.l) AS pair_left, MIN(best.r) AS pair_right,
         |  CAST(MIN(best.cnt) AS BIGINT) AS pair_count
         |FROM j CROSS JOIN best GROUP BY j.doc_id ORDER BY j.doc_id""".stripMargin,
+    "q84_bpe_train" -> q84OracleSql(3),
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN

@@ -84,6 +84,99 @@ object Bpe {
           .otherwise(concat(acc, lit(" "), x))).as("enc"))
       .withColumn("n_sym", size(split(col("enc"), " ")).cast("long"))
 
+  /** Adjacent-pair counts over already-encoded words (word, freq, enc):
+    * the general-round form of [[pairCounts]] — symbols are the
+    * space-separated units of `enc`, possibly multi-character. */
+  def pairCountsEncoded(encodedWords: DataFrame): DataFrame =
+    encodedWords
+      .select(col("freq"), split(col("enc"), " ").as("syms"))
+      .filter(size(col("syms")) > 1)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One greedy merge of the LITERAL rule (l, r) applied to encoded
+    * words — the fold of [[encodeWords]] with the rule fixed, reusable
+    * both for training rounds and for applying a learned merge table to
+    * new text. */
+  def applyMerge(encodedWords: DataFrame, l: String, r: String): DataFrame =
+    encodedWords.withColumn("enc", aggregate(
+      split(col("enc"), " "),
+      lit(""),
+      (acc, x) => when(acc === "", x)
+        .when(acc === lit(l) && x === lit(r), lit(l + r))
+        .when(acc.endsWith(lit(" " + l)) && x === lit(r),
+          concat(acc.substr(lit(1), length(acc) - lit(l.length)),
+            lit(l + r)))
+        .otherwise(concat(acc, lit(" "), x))))
+
+  /** The BPE TRAINER: `rounds` merge rounds over the corpus' distinct
+    * words. Returns (merges, encodedWords): the ordered merge table
+    * ((l, r, cnt) per round) and the final (word, freq, enc) frame.
+    *
+    * The per-round best pair is collected to the driver — ONE row per
+    * round, the merge table IS driver-held metadata in every BPE
+    * trainer (the same documented index-sized-collect exception as
+    * [[Similarity]]'s codebook builds) — and re-applied as a literal
+    * rule, so each round's plan is one vocab-sized aggregate plus one
+    * vocab-sized fold. `localCheckpoint` truncates the growing fold
+    * lineage each round; N merges cost N vocab-sized passes and never
+    * touch the corpus. Stops early (and drops the round) if no pair
+    * repeats (best cnt < 2 — merging a count-1 pair learns noise). */
+  def train(words: DataFrame, rounds: Int): (Seq[(String, String, Long)], DataFrame) = {
+    require(rounds > 0, "rounds must be positive")
+    var enc = words.select(col("word"), col("freq"),
+      array_join(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))), " ").as("enc"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val top = bestPair(pairCountsEncoded(enc)).collect()
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < 2L) done = true
+      else {
+        val (l, r, c) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
+          top(0).getAs[Long]("cnt"))
+        merges += ((l, r, c))
+        enc = applyMerge(enc, l, r).localCheckpoint()
+      }
+    }
+    (merges.toSeq, enc)
+  }
+
+  /** `rounds`-round training rolled up per document: (doc_id, n_tok,
+    * n_sym, enc_md5, rules) — symbol counts and the md5 of the doc's
+    * encoded symbol stream after ALL merges, plus the ordered merge
+    * table rendered as one constant "l+r:cnt,…" column so the artifact
+    * pins the table and the checksums together. */
+  def trainRounds(df: DataFrame, id: Column, text: Column, rounds: Int,
+      broadcastWords: Boolean = false): DataFrame = {
+    val toks = Parallelism.ensureMinPartitions(
+        df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks")),
+        col("doc_id"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val (merges, encoded) = train(words, rounds)
+    val rules = merges.map { case (l, r, c) => s"$l+$r:$c" }.mkString(",")
+    val enc = encoded
+      .withColumn("n_sym", size(split(col("enc"), " ")).cast("long"))
+      .select(col("word"), col("enc"), col("n_sym"))
+    toks.join(if (broadcastWords) broadcast(enc) else enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("n_sym")).as("n_sym"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          s => s.getField("enc")), " ").cast("binary")).as("enc_md5"))
+      .withColumn("rules", lit(rules))
+  }
+
   /** One full merge round over a document corpus: tokenize, count pairs,
     * pick the rule, re-encode, and roll up per document. Returns
     * (doc_id, n_tok, n_sym, enc_md5, pair_left, pair_right, pair_count):

@@ -52,6 +52,39 @@ class BpeSpec extends SparkSpecBase {
     encAb("aaaa") shouldBe "a a a a"
   }
 
+  test("train: iterated rounds compose merges; multi-char symbols merge") {
+    // corpus "abab" ×3, "aba" ×2: round 1 counts (a,b)=3·2+2·1... per
+    // occurrence: abab has (a,b)@1,(b,a)@2,(a,b)@3; aba has (a,b),(b,a).
+    // freq-weighted: (a,b)=3·2+2·1=8, (b,a)=3·1+2·1=5 -> rule1 (a,b).
+    // round 2 over {abab->"ab ab" f3, aba->"ab a" f2}: (ab,ab)=3,
+    // (ab,a)=2 -> rule2 (ab,ab) -> abab->"abab", aba unchanged.
+    val words = Seq(("abab", 3L), ("aba", 2L)).toDF("word", "freq")
+    val (merges, enc) = Bpe.train(words, rounds = 2)
+    merges shouldBe Seq(("a", "b", 8L), ("ab", "ab", 3L))
+    enc.collect().map(r => r.getAs[String]("word") -> r.getAs[String]("enc"))
+      .toMap shouldBe Map("abab" -> "abab", "aba" -> "ab a")
+  }
+
+  test("train stops early when no pair repeats") {
+    val words = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "freq")
+    // every pair has cnt 1 -> round 1 learns nothing, table is empty
+    val (merges, enc) = Bpe.train(words, rounds = 3)
+    merges shouldBe empty
+    enc.collect().map(_.getAs[String]("enc")).sorted shouldBe Array("a b", "c d")
+  }
+
+  test("trainRounds(1) enc checksums agree with mergeRound") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
+    val viaTrain = Bpe.trainRounds(docs, col("doc_id"), col("text"), rounds = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val viaRound = Bpe.mergeRound(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    viaTrain shouldBe viaRound
+    spark.catalog.clearCache()
+  }
+
   test("mergeRound end to end; broadcast path ≡ shuffle path") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
     // words: ab freq 3, cd freq 1 -> pairs (a,b) 3, (c,d) 1 -> rule (a,b)
