@@ -1241,6 +1241,18 @@ object SparkEntry {
       t(s, dir, "documents"), col("doc_id"), col("text"), rounds = 3)
       .orderBy(col("doc_id"))
 
+  /** q85 — exact per-stratum quota sampling (Sampling.exactNPerStratum):
+    * exactly min(50, |stratum|) docs per language by deterministic md5
+    * rank — the fixed-quota complement of the fractional samplers
+    * (q41/q44/q68). Exact window path here; the scan-fused ppm prefilter
+    * knob (identical results, spec-pinned) is the corpus-scale route. */
+  def q85ExactQuota(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.exactNPerStratum(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), n = 50)
+      .select(col("lang"), col("doc_id"), col("__rank").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1325,7 +1337,8 @@ object SparkEntry {
     "q81_span_removal" -> (q81SpanRemoval _),
     "q82_packed_slices" -> (q82PackedSlices _),
     "q83_bpe_merge" -> (q83BpeMerge _),
-    "q84_bpe_train" -> (q84BpeTrain _)
+    "q84_bpe_train" -> (q84BpeTrain _),
+    "q85_exact_quota" -> (q85ExactQuota _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2383,6 +2396,12 @@ object SparkEntry {
         |  CAST(MIN(best.cnt) AS BIGINT) AS pair_count
         |FROM j CROSS JOIN best GROUP BY j.doc_id ORDER BY j.doc_id""".stripMargin,
     "q84_bpe_train" -> q84OracleSql(3),
+    "q85_exact_quota" ->
+      """SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
     "q66_not_in_nulls" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM orders
         |            WHERE o_custkey NOT IN

@@ -133,4 +133,63 @@ object Sampling {
       .filter(col("__rn") * lit(1000000L) <= col("__n") * lit(keepPpm))
       .drop("__rn", "__n")
   }
+
+  /** Keep EXACTLY min(n, stratum size) rows per stratum, chosen
+    * deterministically: the n smallest (md5(key), key) per stratum —
+    * "give me exactly 1000 docs per language", the fixed-quota
+    * complement of the fractional samplers above. Membership is a pure
+    * function of the stratum's key SET (not of ordering, partitioning,
+    * or engine), and monotone under growth: a corpus gaining rows can
+    * displace members only by hash rank, never by arrival order.
+    * Returns the input plus `__rank` (1..n within the stratum, the
+    * md5 rank) — callers wanting the bare rows drop it.
+    *
+    * Scale: the exact form is one window shuffle partitioned by stratum
+    * (executor-sized strata, like [[keepTopFraction]]). For corpus-scale
+    * strata set `prefilterHexBound`: rows first pass the [[hexBucket]] <
+    * bound gate — scan-fused, no shuffle — and only survivors (expected
+    * total·bound/65536 per stratum) enter the window. The gate MUST be a
+    * hash-PREFIX set to preserve membership, which hexBucket is: it
+    * compares the md5's leading hex chars lexicographically, the same
+    * order the rank sorts the full hash by — so the n smallest hashes of
+    * the survivors are the n smallest of the whole stratum whenever ≥ n
+    * rows survive, and results are IDENTICAL to the exact path, just
+    * cheaper. ([[ppmBucket]] would NOT work here: its modulo keeps low
+    * bits, not a prefix, and a gate on it changes the sample.) An
+    * under-provisioned gate (a stratum with fewer than min(n, total)
+    * survivors) RAISES at execution rather than silently under-sampling:
+    * pick the bound with margin over n/total, and note strata near or
+    * below the quota need the whole range (gate them off). */
+  def exactNPerStratum(df: DataFrame, key: Column, stratum: Column,
+      n: Int, prefilterHexBound: String = ""): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(prefilterHexBound.isEmpty
+        || prefilterHexBound.matches("[0-9a-f]{4}"),
+      "prefilterHexBound is 4 lowercase hex chars, or empty to disable")
+    val base = df.withColumn("__h", md5(key.cast("string")))
+    val survivors =
+      if (prefilterHexBound.isEmpty) base
+      else base.filter(substring(col("__h"), 1, 4) < lit(prefilterHexBound))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(col("__h").asc, key.asc)
+    val picked = survivors
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .filter(col("__rank") <= n)
+    if (prefilterHexBound.isEmpty) picked.drop("__h")
+    else {
+      // under-provision guard: a stratum must yield min(n, total) rows.
+      // totals is stratum-sized (map-side combined), the join broadcast.
+      val totals = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__total"))
+      val quota = picked.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__got"))
+      val short = totals.join(quota, Seq("__s"), "left")
+        .filter(coalesce(col("__got"), lit(0L)) < least(lit(n.toLong), col("__total")))
+      picked.join(broadcast(short), stratum === col("__s"), "left")
+        .filter(when(col("__s").isNotNull, raise_error(concat(
+            lit("Sampling.exactNPerStratum: stratum "), col("__s").cast("string"),
+            lit(s" has fewer than min(n, total) rows under prefilterHexBound="
+              + s"$prefilterHexBound; raise the gate or disable it")))
+          .cast("boolean")).otherwise(lit(true)))
+        .drop("__s", "__total", "__got", "__h")
+    }
+  }
 }

@@ -131,4 +131,49 @@ class QuantilesAndSamplingSpec extends SparkSpecBase {
     // 1500 units total, budget 300 → keep-rate 0.2 → ~200 rows
     out.count().toDouble should (be > 100.0 and be < 300.0)
   }
+
+  test("exactNPerStratum: exact quota, short strata keep all, prefilter ≡ exact") {
+    import spark.implicits._
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 405).map(i => (i.toLong, "tiny"))).toDF("id", "s")
+    val exact = Sampling.exactNPerStratum(df, col("id"), col("s"), n = 10)
+    val bySt = exact.collect().groupBy(_.getAs[String]("s"))
+    bySt("big").length shouldBe 10
+    bySt("tiny").length shouldBe 5 // min(n, total)
+    bySt("big").map(_.getAs[Long]("__rank")).sorted shouldBe (1L to 10L).toArray
+    // membership = the n smallest md5 ranks, verified independently
+    val expectBig = (1 to 400).map(_.toLong)
+      .sortBy(i => md5Of(i.toString)).take(10).toSet
+    bySt("big").map(_.getAs[Long]("id")).toSet shouldBe expectBig
+
+    // a generous prefilter keeps a hash-prefix superset of the quota →
+    // identical rows, cheaper plan. (Strata near or below the quota must
+    // run ungated — the guard below fires for them — so the equality
+    // fixture uses quota-safe strata only.)
+    val large = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (1001 to 1200).map(i => (i.toLong, "mid"))).toDF("id", "s")
+    val gated = Sampling.exactNPerStratum(large, col("id"), col("s"), n = 10,
+      prefilterHexBound = "6666") // ~40% of the hash range
+    val ungated = Sampling.exactNPerStratum(large, col("id"), col("s"), n = 10)
+    gated.select("s", "id", "__rank").orderBy("s", "__rank").collect() shouldBe
+      ungated.select("s", "id", "__rank").orderBy("s", "__rank").collect()
+  }
+
+  test("exactNPerStratum raises when the prefilter under-provisions a stratum") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, "only")).toDF("id", "s")
+    // ~1.5% gate over 100 rows cannot yield 50 survivors
+    val e = intercept[Exception] {
+      Sampling.exactNPerStratum(df, col("id"), col("s"), n = 50,
+        prefilterHexBound = "0400").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("fewer than min(n, total)")),
+      s"expected the under-provision guard, got: $e")
+  }
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
