@@ -1253,6 +1253,19 @@ object SparkEntry {
       .select(col("lang"), col("doc_id"), col("__rank").as("rk"))
       .orderBy(col("lang"), col("rk"))
 
+  /** q86 — streaming dedup chained into the windowed rollup
+    * (EventStreams.dedupedHourlyTypeCounts): the feed delivered TWICE
+    * (self-union — the at-least-once transport model), collapsed by
+    * dropDuplicatesWithinWatermark feeding the window aggregate — two
+    * stateful operators in one append-mode file-sink query. The oracle
+    * is the single-delivery batch rollup: dedup must remove exactly the
+    * redundant copy. */
+  def q86StreamingDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.runToCompletionFileSink(s,
+      s"$dir/events.parquet",
+      df => graft.streaming.EventStreams.dedupedHourlyTypeCounts(df.union(df)))
+      .orderBy(col("hour"), col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1338,7 +1351,8 @@ object SparkEntry {
     "q82_packed_slices" -> (q82PackedSlices _),
     "q83_bpe_merge" -> (q83BpeMerge _),
     "q84_bpe_train" -> (q84BpeTrain _),
-    "q85_exact_quota" -> (q85ExactQuota _)
+    "q85_exact_quota" -> (q85ExactQuota _),
+    "q86_streaming_dedup" -> (q86StreamingDedup _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1987,6 +2001,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q74_streaming_file_sink" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type,
+        |  COUNT(*) AS events,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // q86: the duplicated feed deduped back to single delivery — the
+    // oracle is the plain batch rollup, identical to q74's
+    "q86_streaming_dedup" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type,
         |  COUNT(*) AS events,
         |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents

@@ -82,6 +82,24 @@ object EventStreams {
       .withWatermark("ts", gap)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Dedup CHAINED INTO the windowed rollup — two stateful operators in
+    * one streaming query (dropDuplicatesWithinWatermark → window
+    * aggregate), the shape a real feed needs when the transport
+    * redelivers (at-least-once Kafka, retried uploads): counts must be
+    * per unique event, not per delivery. Watermark set once upstream and
+    * PROPAGATED through the dedup into the window (Spark 3.5+/4.x
+    * multi-stateful-operator support); dedup state evicts with the same
+    * horizon the windows close on. The duplicated-feed equivalence
+    * (self-union in, batch-distinct counts out) is pinned in
+    * EventStreamsSpec and driven as q86 through the file-sink harness. */
+  def dedupedHourlyTypeCounts(events: DataFrame, gap: String = "2 hours"): DataFrame =
+    dedupedEvents(events, gap)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).cast("long").as("hour"),
+        col("event_type"), col("events"), col("value_cents"))
+
   /** Open session carried between micro-batches by [[sessionize]]
     * (timestamps in epoch micros). */
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)

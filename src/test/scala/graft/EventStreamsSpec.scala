@@ -256,6 +256,21 @@ class EventStreamsSpec extends SparkSpecBase {
       .startsWith("__graft")).count() shouldBe 0L
   }
 
+  test("chained dedup → window agg collapses a duplicated feed to batch counts") {
+    // at-least-once transport simulated by self-union: every event
+    // delivered twice. The two-stateful-operator chain (dedup feeding
+    // the window aggregate) must yield exactly the single-delivery
+    // batch rollup.
+    val deduped = EventStreams.runToCompletionFileSink(spark,
+      "/root/testdata/sf0.001/events.parquet",
+      df => EventStreams.dedupedHourlyTypeCounts(df.union(df)))
+    val batch = EventStreams.runToCompletionFileSink(spark,
+      "/root/testdata/sf0.001/events.parquet", EventStreams.hourlyTypeCounts)
+    deduped.count() shouldBe batch.count()
+    deduped.exceptAll(batch).count() shouldBe 0L
+    batch.exceptAll(deduped).count() shouldBe 0L
+  }
+
   test("hourlyTypeCounts run to completion equals the batch aggregation") {
     val streamed = EventStreams.runToCompletion(spark,
       "/root/testdata/sf0.001/events.parquet", "es_spec",
