@@ -1266,6 +1266,17 @@ object SparkEntry {
       df => graft.streaming.EventStreams.dedupedHourlyTypeCounts(df.union(df)))
       .orderBy(col("hour"), col("event_type"))
 
+  /** q87 — order-independent dataset fingerprint (Profile
+    * .datasetChecksum): per-source row count + commutative row-hash
+    * checksum over the documents table — the dataset-versioning /
+    * drift-detection audit, scan-fused with one map-side-combined
+    * groupBy and portable by construction (string/integer casts only). */
+  def q87DatasetChecksum(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.datasetChecksum(
+      t(s, dir, "documents"), col("source"),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy(col("grp"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1352,7 +1363,8 @@ object SparkEntry {
     "q83_bpe_merge" -> (q83BpeMerge _),
     "q84_bpe_train" -> (q84BpeTrain _),
     "q85_exact_quota" -> (q85ExactQuota _),
-    "q86_streaming_dedup" -> (q86StreamingDedup _)
+    "q86_streaming_dedup" -> (q86StreamingDedup _),
+    "q87_dataset_checksum" -> (q87DatasetChecksum _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2417,6 +2429,18 @@ object SparkEntry {
         |  CAST(MIN(best.cnt) AS BIGINT) AS pair_count
         |FROM j CROSS JOIN best GROUP BY j.doc_id ORDER BY j.doc_id""".stripMargin,
     "q84_bpe_train" -> q84OracleSql(3),
+    // q87: same row string (chr(1) null sentinel, chr(2) separator) and
+    // ppm fold as the engine; SUM is commutative so row order is free
+    "q87_dataset_checksum" ->
+      """SELECT source AS grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(('0x' || substr(md5(
+        |      COALESCE(CAST(doc_id AS VARCHAR), chr(1)) || chr(2) ||
+        |      COALESCE(text, chr(1)) || chr(2) ||
+        |      COALESCE(lang, chr(1)) || chr(2) ||
+        |      COALESCE(source, chr(1)) || chr(2) ||
+        |      COALESCE(CAST(n_chars AS VARCHAR), chr(1))
+        |    ), 1, 15))::UBIGINT % 1000000) AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY grp""".stripMargin,
     "q85_exact_quota" ->
       """SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling — the data-quality audit a pipeline runs
@@ -34,5 +34,35 @@ object Profile {
     wide.selectExpr(
         s"stack(${cols.size}, $stackArgs) AS (col_name, non_nulls, nulls, distincts)")
       .orderBy(col("col_name"))
+  }
+
+  /** Order-independent dataset fingerprint, per `group`: (grp, n_rows,
+    * checksum) — the dataset-versioning primitive that detects drift
+    * between reloads, engines, or pipeline versions without comparing
+    * rows. Each row hashes to md5 over its columns (null marked by a
+    * -sentinel, columns joined by  — both outside any data
+    * alphabet), folds to a [0, 10⁶) integer bucket, and the group
+    * checksum is the SUM — commutative, so partitioning and row order
+    * never matter, and a Long holds it to ~9·10¹² rows. A 10⁶-bucket
+    * sum is a DRIFT DETECTOR (any single-row change shifts it with
+    * probability 1 − 10⁻⁶), not a cryptographic digest.
+    *
+    * Engine-portable BY CONSTRUCTION over string/integer columns (the
+    * caller casts or quantizes floats first — float-to-string formatting
+    * is the one cast engines disagree on): the DuckDB replay is
+    * `('0x' || substr(md5(expr), 1, 15))::UBIGINT % 1000000`, the same
+    * idiom as [[Sampling.ppmBucket]].
+    *
+    * Scale: pure scan-fused projection + one map-side-combined groupBy
+    * on `group` — no joins, no windows; the cheapest full-table audit
+    * the engine offers. */
+  def datasetChecksum(df: DataFrame, group: Column, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum requires at least one column")
+    val rowStr = concat_ws("",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val bucket = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long") % lit(1000000L)
+    df.select(group.as("grp"), bucket.as("__b"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__b")).as("checksum"))
   }
 }

@@ -51,4 +51,30 @@ class ProfileSpec extends SparkSpecBase {
     // no shared non-key columns → nothing can be 'changed'
     out shouldBe Seq((1L, "removed"), (3L, "added"))
   }
+
+  test("datasetChecksum: order/partition-independent, drift-sensitive, null-safe") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = Seq((1L, "a", "x"), (2L, null, "x"), (3L, "c", "y"))
+      .toDF("id", "v", "src")
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      Profile.datasetChecksum(d, col("src"), Seq("id", "v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val base = sums(df)
+    base.map(_._1) shouldBe Set("x", "y")
+    // row order and partitioning never matter (commutative sum)
+    sums(df.orderBy(col("id").desc).repartition(7)) shouldBe base
+    // a single-row change shifts the group checksum but not the count
+    val drifted = sums(Seq((1L, "a", "x"), (2L, "B", "x"), (3L, "c", "y"))
+      .toDF("id", "v", "src"))
+    drifted.find(_._1 == "y") shouldBe base.find(_._1 == "y")
+    val (bx, dx) = (base.find(_._1 == "x").get, drifted.find(_._1 == "x").get)
+    dx._2 shouldBe bx._2
+    dx._3 should not be bx._3
+    // null is distinguished from empty string (the sentinel is outside
+    // the data alphabet)
+    val withEmpty = sums(Seq((1L, "a", "x"), (2L, "", "x"), (3L, "c", "y"))
+      .toDF("id", "v", "src"))
+    withEmpty.find(_._1 == "x").get._3 should not be bx._3
+  }
 }
