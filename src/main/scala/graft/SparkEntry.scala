@@ -1277,6 +1277,18 @@ object SparkEntry {
       Seq("doc_id", "text", "lang", "source", "n_chars"))
       .orderBy(col("grp"))
 
+  /** q88 — cross-split near-dup leakage (Contamination
+    * .crossSplitNearDups): q23's verified MinHash pairs labeled by each
+    * side's deterministic split — eval rows whose near-copy sits in
+    * train, the post-dedup leakage audit. Zero-join composition: the
+    * split label is a hash of the id, projected on the pair frame. */
+  def q88SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    operators.Contamination.crossSplitNearDups(
+      t(s, dir, "documents").filter(trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
+      threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1364,7 +1376,8 @@ object SparkEntry {
     "q84_bpe_train" -> (q84BpeTrain _),
     "q85_exact_quota" -> (q85ExactQuota _),
     "q86_streaming_dedup" -> (q86StreamingDedup _),
-    "q87_dataset_checksum" -> (q87DatasetChecksum _)
+    "q87_dataset_checksum" -> (q87DatasetChecksum _),
+    "q88_split_leakage" -> (q88SplitLeakage _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1970,6 +1983,39 @@ object SparkEntry {
         |      JOIN sh sb ON sb.doc_id = c.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // q88: q23's pair pipeline + the hex-prefix split label hashed from
+    // each side's id (same md5 idiom as q41's split oracle)
+    "q88_split_leakage" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |mh AS (SELECT s.doc_id, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, r.seed),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM mh a JOIN mh b
+        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+        |j AS (SELECT c.id_a, c.id_b,
+        |        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+        |          AS jaccard
+        |      FROM cand c
+        |      JOIN sh sa ON sa.doc_id = c.id_a
+        |      JOIN sh sb ON sb.doc_id = c.id_b),
+        |lbl AS (SELECT id_a, id_b, jaccard,
+        |          CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |               WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |               ELSE 'test' END AS split_a,
+        |          CASE WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |               WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |               ELSE 'test' END AS split_b
+        |        FROM j WHERE jaccard >= 0.4)
+        |SELECT id_a, id_b, jaccard, split_a, split_b,
+        |  split_a <> split_b AS leak
+        |FROM lbl ORDER BY id_a, id_b""".stripMargin,
     "q26_language_id" ->
       """WITH d AS (SELECT lang, trim(COALESCE(text, '')) = '' AS empty,
         |             string_split_regex(lower(trim(COALESCE(text, ''))), '\s+') AS toks

@@ -63,4 +63,27 @@ object Contamination {
           coalesce(col("matched"), lit(0L)) * denomFactor >= col("total"))
           .as("contaminated"))
   }
+
+  /** Cross-split near-duplicate leakage — the OTHER contamination axis:
+    * [[ngramOverlap]] audits a corpus against an external benchmark;
+    * this audits a corpus against its OWN train/val/test split, finding
+    * near-duplicate pairs that straddle split boundaries (evaluation
+    * rows whose near-copy sits in train — the leakage Lee et al. showed
+    * inflates benchmark scores even after exact dedup).
+    *
+    * Pure zero-join composition: [[Dedup.minhashNearDupPairs]] emits the
+    * verified pairs, and [[Sampling.splitLabel]] is a HASH of the id —
+    * each side's split label is a scan-fused projection on the pair
+    * frame, no corpus re-join, no extra shuffle beyond what the pair
+    * search already does. Returns (id_a, id_b, jaccard, split_a,
+    * split_b, leak); `leak` ⇔ the sides land in different splits. */
+  def crossSplitNearDups(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 1,
+      threshold: Double = 0.4, trainBound: String = "cccc",
+      valBound: String = "e666"): DataFrame =
+    Dedup.minhashNearDupPairs(df, id, text, shingleN, k, rowsPerBand, threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        Sampling.splitLabel(col("id_a"), trainBound, valBound).as("split_a"),
+        Sampling.splitLabel(col("id_b"), trainBound, valBound).as("split_b"))
+      .withColumn("leak", col("split_a") =!= col("split_b"))
 }

@@ -121,4 +121,28 @@ class ContaminationAndKeywordsSpec extends SparkSpecBase {
     // q2: only doc 3 matches "other"; zero-scored docs fill by id
     out(2) shouldBe ((2, 3L, 1))
   }
+
+  test("crossSplitNearDups: labels are the id hash, leak iff splits differ") {
+    import spark.implicits._
+    def label(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 4)
+      if (h < "cccc") "train" else if (h < "e666") "val" else "test"
+    }
+    // identical texts → jaccard 1.0 pairs; a third unrelated doc
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different content here now yes")).toDF("doc_id", "text")
+    val out = operators.Contamination.crossSplitNearDups(
+      docs, col("doc_id"), col("text")).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+    val row = out.head
+    row.getAs[Double]("jaccard") shouldBe 1.0
+    row.getAs[String]("split_a") shouldBe label(1L)
+    row.getAs[String]("split_b") shouldBe label(2L)
+    row.getAs[Boolean]("leak") shouldBe (label(1L) != label(2L))
+    spark.catalog.clearCache()
+  }
 }
