@@ -1289,6 +1289,15 @@ object SparkEntry {
       threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q89 — SQ8 scalar quantization (Similarity.sq8Encode): per-dimension
+    * [min, max] from one map-side-combined aggregate, broadcast back
+    * into a scan-fused uint8 encode — the third compression point on the
+    * ANN ladder (exact → SQ8 → PQ), every code hash-checked. */
+  def q89Sq8Encode(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.sq8Encode(
+      t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"), col("pos"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1377,7 +1386,8 @@ object SparkEntry {
     "q85_exact_quota" -> (q85ExactQuota _),
     "q86_streaming_dedup" -> (q86StreamingDedup _),
     "q87_dataset_checksum" -> (q87DatasetChecksum _),
-    "q88_split_leakage" -> (q88SplitLeakage _)
+    "q88_split_leakage" -> (q88SplitLeakage _),
+    "q89_sq8_encode" -> (q89Sq8Encode _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2477,6 +2487,20 @@ object SparkEntry {
     "q84_bpe_train" -> q84OracleSql(3),
     // q87: same row string (chr(1) null sentinel, chr(2) separator) and
     // ppm fold as the engine; SUM is commutative so row order is free
+    // q89: same fixed quantizer tree ((x−lo)·255/(hi−lo), floor, clamp)
+    // over per-dim corpus stats; float→double casts exact on both engines
+    "q89_sq8_encode" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |u AS (SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS pos, v[g.i] AS x
+        |      FROM e, UNNEST(generate_series(1, len(v))) AS g(i)),
+        |st AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM u GROUP BY pos)
+        |SELECT u.vec_id, u.pos,
+        |  CAST(CASE WHEN st.hi = st.lo THEN 0
+        |    ELSE least(floor((u.x - st.lo) * 255.0 / (st.hi - st.lo)), 255)
+        |    END AS BIGINT) AS code
+        |FROM u JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
     "q87_dataset_checksum" ->
       """SELECT source AS grp, COUNT(*) AS n_rows,
         |  CAST(SUM(('0x' || substr(md5(

@@ -259,6 +259,35 @@ object Similarity {
     * Deterministic and derivable in plain SQL, so the whole PQ path
     * stays oracle-checkable (the reason KMeans-trained codebooks are not
     * the default — see [[ivfTopK]] vs [[ivfFlatTopK]]). */
+  /** Scalar quantization (SQ8) — the third compression point on the ANN
+    * ladder (exact → SQ8 → PQ): each dimension maps to a uint8 code by
+    * its OWN corpus [min, max] range, 4× smaller than float32 at far
+    * lower distortion than PQ's m-byte codes. Two passes, the index
+    * shape: (1) per-dimension min/max from ONE exploded aggregate
+    * (map-side combined, stats frame = dim-count rows, broadcast back);
+    * (2) the encode is a scan-fused projection — no shuffle of the
+    * corpus.
+    *
+    * The quantizer is the FIXED IEEE tree
+    * `least(floor((x − min)·255 / (max − min)), 255)` (the clamp guards
+    * the x = max edge), degenerate dims (max == min) code to 0 — both
+    * deterministic and engine-replayable, so codes hash-check. Returns
+    * (vec_id, pos, code) with 0-based pos; callers roll up their own
+    * checksums. */
+  def sq8Encode(corpus: DataFrame, id: Column, vec: Column): DataFrame = {
+    val exploded = corpus
+      .select(id.as("vec_id"), posexplode(vec.cast("array<double>")))
+      .select(col("vec_id"), col("pos"), col("col").as("x"))
+    val stats = exploded.groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    exploded.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("x") - col("lo")) * lit(255.0)
+            / (col("hi") - col("lo"))).cast("long"), lit(255L)))
+          .as("code"))
+  }
+
   def pqCodebooks(corpus: DataFrame, m: Int,
       codewords: Int): Seq[Seq[Seq[Double]]] = {
     val base = hashCentroids(corpus, codewords)

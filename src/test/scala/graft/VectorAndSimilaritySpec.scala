@@ -340,4 +340,24 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
       .head.getSeq[String](0)
     sig shouldBe Seq(null, null, null, null)
   }
+
+  test("sq8Encode: per-dim range codes, max clamps to 255, degenerate dim codes 0") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0f, 10.0f, 7.0f)),
+      (2L, Seq(5.0f, 10.0f, 7.0f)),
+      (3L, Seq(10.0f, 10.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.sq8Encode(vecs, col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // dim 0: lo 0, hi 10 → 0·25.5=0, floor(5·25.5)=127, 10→clamped 255
+    out((1L, 0)) shouldBe 0L
+    out((2L, 0)) shouldBe 127L
+    out((3L, 0)) shouldBe 255L
+    // dims 1 and 2 are constant → degenerate, code 0 everywhere
+    Seq(1L, 2L, 3L).foreach { id =>
+      out((id, 1)) shouldBe 0L
+      out((id, 2)) shouldBe 0L
+    }
+  }
 }
