@@ -1298,6 +1298,16 @@ object SparkEntry {
       t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
       .orderBy(col("vec_id"), col("pos"))
 
+  /** q90 — SQ8 retrieval (Similarity.sq8TopK): midpoint-decoded SQ8
+    * corpus ranked by exact cosine against full-precision queries — the
+    * asymmetric compressed-corpus search completing the q89 encode into
+    * a retrieval path. Ranks pinned, q20 convention. */
+  def q90Sq8TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    operators.Similarity.sq8TopK(e.filter(col("vec_id") < 5), e, 10)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1387,7 +1397,8 @@ object SparkEntry {
     "q86_streaming_dedup" -> (q86StreamingDedup _),
     "q87_dataset_checksum" -> (q87DatasetChecksum _),
     "q88_split_leakage" -> (q88SplitLeakage _),
-    "q89_sq8_encode" -> (q89Sq8Encode _)
+    "q89_sq8_encode" -> (q89Sq8Encode _),
+    "q90_sq8_topk" -> (q90Sq8TopK _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2501,6 +2512,30 @@ object SparkEntry {
         |    ELSE least(floor((u.x - st.lo) * 255.0 / (st.hi - st.lo)), 255)
         |    END AS BIGINT) AS code
         |FROM u JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
+    // q90: q89's code CTE + midpoint decode + q20's cosine ranking
+    "q90_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |u AS (SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS pos, v[g.i] AS x
+        |      FROM e, UNNEST(generate_series(1, len(v))) AS g(i)),
+        |st AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM u GROUP BY pos),
+        |rc AS (SELECT u.vec_id,
+        |         list(st.lo + (CAST(CASE WHEN st.hi = st.lo THEN 0
+        |             ELSE least(floor((u.x - st.lo) * 255.0 / (st.hi - st.lo)), 255)
+        |             END AS DOUBLE) + 0.5) * (st.hi - st.lo) / 256.0
+        |           ORDER BY u.pos) AS rv
+        |       FROM u JOIN st USING (pos) GROUP BY u.vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, rc.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, rc.rv) AS cos
+        |  FROM rc, q WHERE rc.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
     "q87_dataset_checksum" ->
       """SELECT source AS grp, COUNT(*) AS n_rows,
         |  CAST(SUM(('0x' || substr(md5(

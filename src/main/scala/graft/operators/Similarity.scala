@@ -275,17 +275,51 @@ object Similarity {
     * (vec_id, pos, code) with 0-based pos; callers roll up their own
     * checksums. */
   def sq8Encode(corpus: DataFrame, id: Column, vec: Column): DataFrame = {
+    val (exploded, stats) = sq8Exploded(corpus, id, vec)
+    exploded.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"), sq8Code.as("code"))
+  }
+
+  /** SQ8 retrieval — the search half of [[sq8Encode]]: the corpus is
+    * RECONSTRUCTED from its codes (midpoint decode
+    * `lo + (code + 0.5)·(hi − lo)/256`, degenerate dims decode to `lo`)
+    * and ranked by exact cosine against the full-precision queries —
+    * asymmetric distance computation, the compressed-corpus /
+    * exact-query trade every SQ index runs. Same output shape as
+    * [[bruteForceTopK]]; recall vs the exact ladder is a spec floor, the
+    * driver artifact pins ranks (scores are engine-local floats, ranks
+    * are stable — the q20 convention). Reconstruction is one
+    * doc-partitioned reassembly groupBy; scoring reuses the broadcast
+    * crossJoin scorer. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val (exploded, stats) = sq8Exploded(corpus, col("vec_id"), col("embedding"))
+    val recon = exploded.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        (col("lo") + (sq8Code.cast("double") + lit(0.5))
+          * (col("hi") - col("lo")) / lit(256.0)).as("r"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("r")))).as("__s"))
+      .select(col("vec_id"),
+        transform(col("__s"), s => s.getField("r")).as("embedding"))
+    bruteForceTopK(queries, recon, k)
+  }
+
+  /** The SQ8 quantizer expression over the joined (x, lo, hi) frame —
+    * fixed IEEE tree, clamp at 255, degenerate dims to 0 (scaladoc of
+    * [[sq8Encode]]). */
+  private def sq8Code: Column =
+    when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("x") - col("lo")) * lit(255.0)
+        / (col("hi") - col("lo"))).cast("long"), lit(255L)))
+
+  private def sq8Exploded(corpus: DataFrame, id: Column,
+      vec: Column): (DataFrame, DataFrame) = {
     val exploded = corpus
       .select(id.as("vec_id"), posexplode(vec.cast("array<double>")))
       .select(col("vec_id"), col("pos"), col("col").as("x"))
     val stats = exploded.groupBy(col("pos"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-    exploded.join(broadcast(stats), Seq("pos"))
-      .select(col("vec_id"), col("pos"),
-        when(col("hi") === col("lo"), lit(0L))
-          .otherwise(least(floor((col("x") - col("lo")) * lit(255.0)
-            / (col("hi") - col("lo"))).cast("long"), lit(255L)))
-          .as("code"))
+    (exploded, stats)
   }
 
   def pqCodebooks(corpus: DataFrame, m: Int,

@@ -341,6 +341,21 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     sig shouldBe Seq(null, null, null, null)
   }
 
+  test("sq8TopK: midpoint-decoded search tracks the exact ladder (recall floor)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def tops(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = tops(Similarity.bruteForceTopK(q, e, 10))
+    val sq8 = tops(Similarity.sq8TopK(q, e, 10))
+    // SQ8's distortion is per-dim range/256 — tiny for unit-ish dims; the
+    // decoded ranking must track the exact one closely
+    val recall = exact.keys.toSeq.map(k =>
+      (exact(k) & sq8(k)).size.toDouble / exact(k).size).sum / exact.size
+    recall should be >= 0.8
+  }
+
   test("sq8Encode: per-dim range codes, max clamps to 255, degenerate dim codes 0") {
     import spark.implicits._
     val vecs = Seq(
