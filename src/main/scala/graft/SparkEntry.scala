@@ -1308,6 +1308,26 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** q91 — proportional stratum interleave (Dataloader.interleaveOrder):
+    * deterministic global training order in which every language is
+    * consumed evenly — the exact-integer midpoint key
+    * ((2·rank−1)·10⁹) div (2·s), no RNG, no global row_number. */
+  def q91InterleaveOrder(s: SparkSession, dir: String): DataFrame =
+    operators.Dataloader.interleaveOrder(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"))
+      .orderBy(col("okey"), col("stratum"), col("rank"))
+
+  /** q92 — length-bucketed batching (Dataloader.lengthBucketBatches):
+    * power-of-two token-count buckets (≤2× spread → ≤50% padding bound),
+    * md5-ordered cuts every 32 docs, per-batch padding accounting. */
+  def q92LengthBatches(s: SparkSession, dir: String): DataFrame =
+    operators.Dataloader.lengthBucketBatches(
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tok")),
+      col("doc_id"), col("n_tok"), batchSize = 32)
+      .orderBy(col("bucket"), col("batch_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1398,7 +1418,9 @@ object SparkEntry {
     "q87_dataset_checksum" -> (q87DatasetChecksum _),
     "q88_split_leakage" -> (q88SplitLeakage _),
     "q89_sq8_encode" -> (q89Sq8Encode _),
-    "q90_sq8_topk" -> (q90Sq8TopK _)
+    "q90_sq8_topk" -> (q90Sq8TopK _),
+    "q91_interleave_order" -> (q91InterleaveOrder _),
+    "q92_length_batches" -> (q92LengthBatches _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2512,6 +2534,36 @@ object SparkEntry {
         |    ELSE least(floor((u.x - st.lo) * 255.0 / (st.hi - st.lo)), 255)
         |    END AS BIGINT) AS code
         |FROM u JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
+    // q91: same integer midpoint key as the engine; "rank" quoted (DuckDB
+    // reserves the bare word)
+    "q91_interleave_order" ->
+      """WITH r AS (SELECT doc_id AS id, lang AS stratum,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS s
+        |  FROM documents)
+        |SELECT id, stratum, CAST(rk AS BIGINT) AS "rank",
+        |  CAST(((2 * rk - 1) * 1000000000) // (2 * s) AS BIGINT) AS okey
+        |FROM r ORDER BY okey, stratum, "rank"""".stripMargin,
+    // q92: power-of-two bucket = len(bin(n)) on both engines; md5-ordered
+    // cuts every 32 rows; per-batch padding accounting
+    "q92_length_batches" ->
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |           FROM documents),
+        |f AS (SELECT doc_id, CAST(n AS BIGINT) AS n,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h FROM d WHERE n > 0),
+        |r AS (SELECT CAST(len(bin(n)) AS INTEGER) AS bucket, n,
+        |        ROW_NUMBER() OVER (PARTITION BY len(bin(n))
+        |          ORDER BY h, doc_id) AS rn
+        |      FROM f),
+        |g AS (SELECT bucket, (rn - 1) // 32 AS batch_id, n FROM r)
+        |SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id,
+        |  COUNT(*) AS n_docs, CAST(MAX(n) AS BIGINT) AS max_units,
+        |  CAST(SUM(n) AS BIGINT) AS sum_units,
+        |  CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS padding
+        |FROM g GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin,
     // q90: q89's code CTE + midpoint decode + q20's cosine ranking
     "q90_sq8_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataloader-layout operators — the ordering/batching decisions between
+  * a cleaned corpus and the training loop ([[Packing]] lays out token
+  * streams; these order and batch whole documents). Reference behavior:
+  * TopN-ClashRoyal-ETL-SQL-snapshot stops at ordered SQL output; layout
+  * for training consumption is this engine's extension surface
+  * (SURVEY.md §2.12). Everything here is INTEGER arithmetic over
+  * hash-deterministic ranks, so layouts are reproducible across runs,
+  * engines, and partitionings — the same discipline as [[Sampling]] and
+  * [[Packing]].
+  */
+object Dataloader {
+
+  /** Proportional stratum interleave — a deterministic global training
+    * ORDER over a mixture of strata in which every stratum is consumed
+    * evenly (the i-th of a stratum's s rows sits at relative position
+    * (i − ½)/s, so a 10%-of-corpus stratum appears every ~10 rows):
+    * epoch-curriculum ordering without an RNG.
+    *
+    * The sort key is the exact integer
+    * `okey = ((2·rank − 1) · 10⁹) div (2·s)` — the midpoint rational
+    * floored at 10⁻⁹ granularity, overflow-safe to strata of ~4.6e9 rows
+    * ((2·rank−1)·10⁹ < 2⁶³). Rank is the (md5(key), key) order within
+    * the stratum, so the interleave is a pure function of the data.
+    * Returns (id, stratum, rank, okey); consumers ORDER BY (okey,
+    * stratum, rank) — a total order, no dense global index needed (and
+    * none is computed: a global row_number would serialize the corpus
+    * through one task).
+    *
+    * Scale: one window shuffle partitioned by stratum (rank + count),
+    * then scan-fused arithmetic. */
+  def interleaveOrder(df: DataFrame, key: Column, stratum: Column): DataFrame = {
+    val part = Window.partitionBy(col("stratum"))
+    val w = part.orderBy(col("__h").asc, col("id").asc)
+    df.select(key.as("id"), stratum.as("stratum"),
+        md5(key.cast("string")).as("__h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__s", count(lit(1)).over(part))
+      .select(col("id"), col("stratum"), col("rank"),
+        expr("((2 * rank - 1) * 1000000000) div (2 * __s)").as("okey"))
+  }
+
+  /** Length-bucketed batching — group rows of similar `units` (token
+    * counts) into fixed-size batches to bound padding waste (the
+    * dynamic-batching move every sequence trainer makes: batch cost is
+    * max-length · batch-size, so mixing a 10-token doc into a 2000-token
+    * batch wastes 99% of its slot).
+    *
+    * Buckets are powers of two: bucket = bit-length of `units` (length
+    * of its binary representation — integer, engine-portable as
+    * `length(bin(n))`), so lengths within a bucket differ by at most 2×
+    * and padding is bounded at 50% before batching even starts. Within a
+    * bucket, rows order by (md5(key), key) and cut every `batchSize`
+    * rows. Returns per-batch accounting: (bucket, batch_id, n_docs,
+    * max_units, sum_units, padding) where padding = n_docs·max − sum —
+    * the exact waste the layout pays. batch_id is bucket-local;
+    * (bucket, batch_id) is the global batch key.
+    *
+    * Scale: one window shuffle partitioned by bucket + one
+    * map-side-combined groupBy on (bucket, batch_id). Rows with
+    * units <= 0 are dropped (nothing to batch). */
+  def lengthBucketBatches(df: DataFrame, key: Column, units: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("__h").asc, col("id").asc)
+    df.select(key.as("id"), units.cast("long").as("n"),
+        md5(key.cast("string")).as("__h"))
+      .filter(col("n") > 0L)
+      .withColumn("bucket", length(bin(col("n"))).cast("int"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr(s"(__rn - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n")).as("max_units"),
+        sum(col("n")).as("sum_units"))
+      .withColumn("padding",
+        col("n_docs") * col("max_units") - col("sum_units"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dataloader
+
+/** Dataloader layout (Dataloader): proportional-interleave evenness and
+  * determinism, length-bucket bounds and batch accounting. */
+class DataloaderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("interleaveOrder: strata consumed evenly, order deterministic") {
+    // 80 "big" + 20 "small": in any 10-row prefix of the interleave,
+    // small should hold ~2 slots
+    val df = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small"))).toDF("id", "s")
+    val out = Dataloader.interleaveOrder(df, col("id"), col("s"))
+      .orderBy(col("okey"), col("stratum"), col("rank"))
+      .collect()
+    out.length shouldBe 100
+    // evenness: after k rows of the global order, each stratum has been
+    // consumed within 1 row of its proportional share
+    val strata = Seq("big" -> 80, "small" -> 20).toMap
+    out.zipWithIndex.foreach { case (_, k0) =>
+      val prefix = out.take(k0 + 1)
+      strata.foreach { case (s, size) =>
+        val seen = prefix.count(_.getAs[String]("stratum") == s)
+        val share = (k0 + 1).toDouble * size / 100
+        math.abs(seen - share) should be <= 2.0
+      }
+    }
+    // rank i of stratum s sits at okey = floor((2i-1)*1e9 / (2s))
+    out.filter(_.getAs[String]("stratum") == "small").map(_.getAs[Long]("okey"))
+      .take(2) shouldBe Array((1L * 1000000000L) / 40L, (3L * 1000000000L) / 40L)
+    // determinism under repartitioning
+    val again = Dataloader.interleaveOrder(df.repartition(7), col("id"), col("s"))
+      .orderBy(col("okey"), col("stratum"), col("rank")).collect()
+    again.map(_.getAs[Long]("id")).toSeq shouldBe out.map(_.getAs[Long]("id")).toSeq
+  }
+
+  test("lengthBucketBatches: 2x bucket spread, exact cuts, padding accounting") {
+    // lengths spanning buckets: 3 (bucket 2), 4..7 (bucket 3), 70×10..70×13
+    val rows = Seq((1L, 3L), (2L, 4L), (3L, 7L), (4L, 5L)) ++
+      (10L to 79L).map(i => (i, 10L + i % 4)) // bucket 4 (8..15): 70 rows
+    val out = Dataloader.lengthBucketBatches(rows.toDF("id", "n"),
+      col("id"), col("n"), batchSize = 32).collect()
+    val byBucket = out.groupBy(_.getAs[Int]("bucket"))
+    byBucket.keySet shouldBe Set(2, 3, 4)
+    byBucket(2).map(_.getAs[Long]("n_docs")).sum shouldBe 1L
+    byBucket(3).map(_.getAs[Long]("n_docs")).sum shouldBe 3L
+    // 70 rows at batchSize 32 → batches of 32, 32, 6
+    byBucket(4).map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_docs")))
+      .sortBy(_._1) shouldBe Array((0L, 32L), (1L, 32L), (2L, 6L))
+    // padding identity holds on every batch
+    out.foreach { r =>
+      r.getAs[Long]("padding") shouldBe
+        r.getAs[Long]("n_docs") * r.getAs[Long]("max_units") - r.getAs[Long]("sum_units")
+      // bucket bound: max ≤ 2·min possible → max_units < 2^bucket
+      r.getAs[Long]("max_units") should be < (1L << r.getAs[Int]("bucket"))
+    }
+    // zero/negative units dropped
+    Dataloader.lengthBucketBatches(Seq((1L, 0L), (2L, -5L)).toDF("id", "n"),
+      col("id"), col("n"), 4).count() shouldBe 0L
+  }
+}
