@@ -84,4 +84,16 @@ class PlanPruningSpec extends SparkSpecBase {
   test("q83 BPE merge reads only (doc_id, text) from documents") {
     scanSchemas("q83_bpe_merge")("documents") shouldBe Set("doc_id", "text")
   }
+
+  test("q88 split leakage reads only (doc_id, text) from documents") {
+    scanSchemas("q88_split_leakage")("documents") shouldBe Set("doc_id", "text")
+  }
+
+  test("q91 interleave reads only (doc_id, lang) from documents") {
+    scanSchemas("q91_interleave_order")("documents") shouldBe Set("doc_id", "lang")
+  }
+
+  test("q92 length batches reads only (doc_id, text) from documents") {
+    scanSchemas("q92_length_batches")("documents") shouldBe Set("doc_id", "text")
+  }
 }
