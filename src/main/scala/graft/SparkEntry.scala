@@ -1328,6 +1328,41 @@ object SparkEntry {
       col("doc_id"), col("n_tok"), batchSize = 32)
       .orderBy(col("bucket"), col("batch_id"))
 
+  /** q93 — temporal debounce (EventAnalytics.debounce): suppress events
+    * of the same (user, type) within 10 minutes of the previous one —
+    * the re-fire filter exact dedup can't express. One keyed window. */
+  def q93Debounce(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.debounce(
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"), col("event_id")),
+      col("user_id"), col("event_type"), col("tus"), col("event_id"),
+      gapSeconds = 600L)
+      .select(col("k").as("user_id"), col("kind").as("event_type"),
+        col("tus"), col("id").as("event_id"))
+      .orderBy(col("user_id"), col("event_type"), col("tus"), col("event_id"))
+
+  /** q94 — ordered conversion funnel (EventAnalytics.funnel): how many
+    * users progress signup → click → purchase, each stage strictly after
+    * the previous one's first completion. One keyed shuffle per stage. */
+  def q94Funnel(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.funnel(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus")),
+      col("user_id"), col("event_type"), col("tus"),
+      Seq("signup", "click", "purchase"))
+      .orderBy(col("stage"))
+
+  /** q95 — retention cohorts (EventAnalytics.retention): users bucketed
+    * by first-active day, counted per day offset they return — the
+    * growth triangle, shuffles bounded by (user, day) cardinality. */
+  def q95Retention(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.retention(
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus")),
+      col("user_id"), col("tus"), periodSeconds = 86400L)
+      .orderBy(col("cohort"), col("offset"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1420,7 +1455,10 @@ object SparkEntry {
     "q89_sq8_encode" -> (q89Sq8Encode _),
     "q90_sq8_topk" -> (q90Sq8TopK _),
     "q91_interleave_order" -> (q91InterleaveOrder _),
-    "q92_length_batches" -> (q92LengthBatches _)
+    "q92_length_batches" -> (q92LengthBatches _),
+    "q93_debounce" -> (q93Debounce _),
+    "q94_funnel" -> (q94Funnel _),
+    "q95_retention" -> (q95Retention _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -2534,6 +2572,42 @@ object SparkEntry {
         |    ELSE least(floor((u.x - st.lo) * 255.0 / (st.hi - st.lo)), 255)
         |    END AS BIGINT) AS code
         |FROM u JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
+    // q93: same lag-based chain debounce; 600 s = 6e8 micros
+    "q93_debounce" ->
+      """WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+        |             LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |               ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, event_type, tus, event_id FROM r
+        |WHERE prev IS NULL OR tus - prev > 600000000
+        |ORDER BY user_id, event_type, tus, event_id""".stripMargin,
+    // q94: the conditional-min chain, one CTE per stage
+    "q94_funnel" ->
+      """WITH b AS (SELECT user_id AS k, event_type AS kind, epoch_us(ts) AS tus
+        |           FROM events WHERE user_id IS NOT NULL),
+        |s0 AS (SELECT k, MIN(CASE WHEN kind = 'signup' THEN tus END) AS t0
+        |       FROM b GROUP BY k),
+        |s1 AS (SELECT b.k, MIN(s0.t0) AS t0,
+        |         MIN(CASE WHEN b.kind = 'click' AND b.tus > s0.t0 THEN b.tus END) AS t1
+        |       FROM b JOIN s0 USING (k) GROUP BY b.k),
+        |s2 AS (SELECT b.k, MIN(s1.t0) AS t0, MIN(s1.t1) AS t1,
+        |         MIN(CASE WHEN b.kind = 'purchase' AND b.tus > s1.t1 THEN b.tus END) AS t2
+        |       FROM b JOIN s1 USING (k) GROUP BY b.k)
+        |SELECT 1 AS stage, 'signup' AS kind, COUNT(t0) AS n_keys FROM s2
+        |UNION ALL SELECT 2, 'click', COUNT(t1) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(t2) FROM s2
+        |ORDER BY stage""".stripMargin,
+    // q95: day periods by integer micro-epoch div; "offset" quoted
+    // (DuckDB keyword)
+    "q95_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS k,
+        |             epoch_us(ts) // 86400000000 AS period
+        |           FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT k, MIN(period) AS cohort FROM a GROUP BY k)
+        |SELECT CAST(f.cohort AS BIGINT) AS cohort,
+        |  CAST(a.period - f.cohort AS BIGINT) AS "offset",
+        |  COUNT(*) AS n_keys
+        |FROM a JOIN f USING (k) GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
     // q91: same integer midpoint key as the engine; "rank" quoted (DuckDB
     // reserves the bare word)
     "q91_interleave_order" ->
