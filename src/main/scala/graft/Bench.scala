@@ -46,6 +46,30 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
+    def load1(): Double =
+      try loadavg().split(" ").head.toDouble catch { case _: Throwable => -1.0 }
+    // Loadavg GATE before the timed passes: a bench recorded under heavy
+    // sibling-process contention is not a measurement (round 8's artifact
+    // started at loadavg 15.27 on a 32-core box and showed 6-30x phantom
+    // "regressions" on untouched code; the same build re-ran clean at
+    // 75.8 s vs the recorded 273.9 s). If the 1-minute load exceeds
+    // ~1/4 of the benched CPU count, sleep and re-check a bounded number
+    // of times; every decision lands in the artifact's "load_gate" field
+    // so the number is self-describing. If contention never clears we
+    // still run (an artifact must exist) but the field says "gave_up" —
+    // an explicit do-not-trust marker.
+    val gate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
+      .getOrElse(math.max(2.0, cpus.toDouble / 4.0))
+    val maxWaits = sys.env.get("SPARK_GRAFT_LOAD_RETRIES").map(_.toInt).getOrElse(10)
+    val gateLog = new scala.collection.mutable.ArrayBuffer[String]
+    var waits = 0
+    while (load1() > gate && waits < maxWaits) {
+      gateLog += f"wait:${load1()}%.2f"
+      waits += 1
+      Thread.sleep(60000L)
+    }
+    gateLog += (if (load1() > gate) f"gave_up:${load1()}%.2f"
+                else f"ok:${load1()}%.2f")
     val loadBefore = loadavg()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = (1 to 2).map { _ =>
@@ -76,7 +100,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":2,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":2,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_gate":"${gateLog.mkString(",")}"}"""
     println(full)
     // The full line above can exceed a log tail's capture window (round 6
     // recorded parsed:null after the driver's tail cut off its head). Tails

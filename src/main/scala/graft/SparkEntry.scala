@@ -1645,8 +1645,9 @@ object SparkEntry {
     * list_reduce re-encode) CTE blocks over the distinct-word frame,
     * then the per-doc rollup plus the merge table as a scalar-subquery
     * constant. Assumes the corpus supports `rounds` merges with
-    * cnt >= 2 (true at every driver SF; the engine's early-stop only
-    * engages past saturation). */
+    * cnt >= 2 — no longer a silent assumption: Bpe.trainRounds RAISES
+    * if the corpus saturates early, so a shorter merge table can never
+    * masquerade as a hash mismatch. */
   private def q84OracleSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -2452,7 +2453,9 @@ object SparkEntry {
         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q79: over-range groups (n·max|v| past the engine's exact bound
     // 1012333499 = √MaxLong/3) take the SAME fixed-tree double test the
-    // engine applies — identical IEEE op sequence, so the flags hash-match
+    // engine applies — identical IEEE op sequence, so the flags hash-match.
+    // The guard itself is exact integer (m > bound // n), mirroring
+    // Anomaly.flagOutliers' margin-free-at-the-bound fix.
     "q79_group_outliers" ->
       """WITH r AS (SELECT event_type AS grp, event_id AS row_id,
         |             CAST(floor(value * 100) AS BIGINT) AS v FROM events),
@@ -2463,7 +2466,7 @@ object SparkEntry {
         |SELECT r.grp, r.row_id, r.v, st.n, st.s
         |FROM r JOIN st USING (grp)
         |WHERE CASE
-        |  WHEN CAST(st.n AS DOUBLE) * CAST(st.m AS DOUBLE) > 1012333499.0
+        |  WHEN st.m > 1012333499 // st.n
         |  THEN (CAST(st.n AS DOUBLE) * CAST(r.v AS DOUBLE) - CAST(st.s AS DOUBLE))
         |       * (CAST(st.n AS DOUBLE) * CAST(r.v AS DOUBLE) - CAST(st.s AS DOUBLE))
         |     > 9.0 * (CAST(st.q AS DOUBLE) * CAST(st.n AS DOUBLE)

@@ -76,11 +76,17 @@ object Anomaly {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
         sum(col("v") * col("v")).as("q"), max(abs(col("v"))).as("m"))
     val dev = col("n") * col("v") - col("s")
-    // guards compare in double — approximate is fine for a safety
-    // margin, and they cannot themselves overflow
+    // over-range guard in EXACT integer arithmetic: n·m > bound ⟺
+    // m > bound div n for integral m — no products, so the guard itself
+    // cannot wrap, and there is no 1-ulp band where a double compare
+    // could admit a group whose exact test then overflows (the exact
+    // test's derivation is margin-free AT the bound)
     val nD = col("n").cast("double")
     val mD = col("m").cast("double")
-    val overRange = nD * mD > lit(nmBound(k).toDouble)
+    val overRange = col("m") > expr(s"${nmBound(k)}L div n")
+    // the stats-wrap guard stays double: 9.0e18 sits 2.4% under 2⁶³−1,
+    // a real safety margin (not ulp-thin), and n·m² has no division-free
+    // exact form that cannot itself overflow
     val statsWrap = nD * mD * mD > lit(9.0e18)
     val test = dev * dev > lit(k.toLong * k) * (col("q") * col("n") - col("s") * col("s"))
     // the float fallback: identical IEEE expression tree on both engines

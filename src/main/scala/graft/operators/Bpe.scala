@@ -43,8 +43,30 @@ import graft.functions.{TextFunctions => T}
   * Iterating the round N times IS the BPE trainer; each round is one
   * job over the vocab frame, so N merges cost N vocab-sized passes plus
   * the single corpus tokenize — the standard distributed formulation.
+  *
+  * Cache lifecycle (the [[Dedup]] convention): [[trainRounds]] and
+  * [[mergeRound]] persist the corpus token frame for the duration of
+  * the returned plan — callers running many operators in one session
+  * free those blocks with `spark.catalog.clearCache()` once results are
+  * materialized. [[train]]'s per-round checkpoints are dropped eagerly
+  * inside the loop as each round supersedes the last; only the FINAL
+  * round's blocks outlive the call (they back the returned frame) and
+  * are freed when that frame is garbage-collected — or eagerly via
+  * [[dropCheckpoint]]. `clearCache` does NOT cover RDD-level checkpoint
+  * blocks, hence the explicit management here.
   */
 object Bpe {
+
+  /** Eagerly drop a `localCheckpoint`'ed frame's cached blocks (they
+    * otherwise live until the backing RDD is garbage-collected;
+    * `spark.catalog.clearCache()` only covers cached QUERIES). No-op on
+    * non-checkpoint plans. */
+  def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Adjacent-pair counts over the symbol sequences of `words`
     * (word, freq): returns (l, r, cnt), cnt = Σ freq over positions. */
@@ -123,9 +145,11 @@ object Bpe {
     * [[Similarity]]'s codebook builds) — and re-applied as a literal
     * rule, so each round's plan is one vocab-sized aggregate plus one
     * vocab-sized fold. `localCheckpoint` truncates the growing fold
-    * lineage each round; N merges cost N vocab-sized passes and never
-    * touch the corpus. Stops early (and drops the round) if no pair
-    * repeats (best cnt < 2 — merging a count-1 pair learns noise). */
+    * lineage each round, and each round's blocks are dropped as soon as
+    * the next round's checkpoint materializes (object scaladoc's cache
+    * lifecycle); N merges cost N vocab-sized passes and never touch the
+    * corpus. Stops early (and drops the round) if no pair repeats (best
+    * cnt < 2 — merging a count-1 pair learns noise). */
   def train(words: DataFrame, rounds: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(rounds > 0, "rounds must be positive")
     var enc = words.select(col("word"), col("freq"),
@@ -141,7 +165,11 @@ object Bpe {
         val (l, r, c) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
           top(0).getAs[Long]("cnt"))
         merges += ((l, r, c))
-        enc = applyMerge(enc, l, r).localCheckpoint()
+        // localCheckpoint is eager: the next round is materialized
+        // before the superseded round's blocks are released
+        val next = applyMerge(enc, l, r).localCheckpoint()
+        dropCheckpoint(enc)
+        enc = next
       }
     }
     (merges.toSeq, enc)
@@ -163,6 +191,15 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val (merges, encoded) = train(words, rounds)
+    // the `rules` column (and any generated oracle mirroring it) encodes
+    // EXACTLY `rounds` merges — a corpus that saturates earlier would
+    // silently produce a shorter table and masquerade as an engine
+    // mismatch, so fail loudly instead; callers wanting the early-stop
+    // behavior use train() directly
+    if (merges.length != rounds) throw new IllegalStateException(
+      s"Bpe.trainRounds: corpus saturated after ${merges.length} of $rounds" +
+        " merge rounds (best pair count < 2); lower `rounds` or use" +
+        " Bpe.train, whose contract permits early stop")
     val rules = merges.map { case (l, r, c) => s"$l+$r:$c" }.mkString(",")
     val enc = encoded
       .withColumn("n_sym", size(split(col("enc"), " ")).cast("long"))

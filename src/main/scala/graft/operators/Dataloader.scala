@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   * hash-deterministic ranks, so layouts are reproducible across runs,
   * engines, and partitionings — the same discipline as [[Sampling]] and
   * [[Packing]].
+  *
+  * Scale shape (shared by both operators): the within-group (md5(key),
+  * key) rank is computed HASH-SHARDED, not with one window partition per
+  * group value — `Window.partitionBy(group)` alone would sort every
+  * group's full row set on a single task (parallelism = #groups; a
+  * 5-stratum 100 TB corpus would single-task-sort ~20 TB per stratum).
+  * Instead each group is split into 16^`shardDigits` sub-shards keyed by
+  * the md5 PREFIX — a prefix of the sort key, so concatenating shards in
+  * shard order reproduces the global (md5, key) order bit-exactly — the
+  * rank window runs partitioned by (group, shard), and per-(group, shard)
+  * base offsets come from an index-sized broadcast totals frame: the same
+  * pattern as [[Packing.packSequences]]'s per-shard sequence-id bases.
+  * Output is a pure function of the data — identical for any
+  * `shardDigits` (pinned in DataloaderSpec).
   */
 object Dataloader {
 
@@ -32,18 +46,19 @@ object Dataloader {
     * none is computed: a global row_number would serialize the corpus
     * through one task).
     *
-    * Scale: one window shuffle partitioned by stratum (rank + count),
-    * then scan-fused arithmetic. */
-  def interleaveOrder(df: DataFrame, key: Column, stratum: Column): DataFrame = {
-    val part = Window.partitionBy(col("stratum"))
-    val w = part.orderBy(col("__h").asc, col("id").asc)
-    df.select(key.as("id"), stratum.as("stratum"),
-        md5(key.cast("string")).as("__h"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("__s", count(lit(1)).over(part))
+    * Scale: one sharded rank window (object scaladoc) + one tiny
+    * broadcast join carrying both the shard base and the stratum total
+    * `s`; everything else is scan-fused arithmetic. Raise `shardDigits`
+    * until each (stratum, shard) slice is executor-sized (2 → 256 shards
+    * per stratum; 3 → 4096). */
+  def interleaveOrder(df: DataFrame, key: Column, stratum: Column,
+      shardDigits: Int = 2): DataFrame =
+    shardedRank(
+      df.select(key.as("id"), stratum.as("stratum"),
+        md5(key.cast("string")).as("__h")),
+      "stratum", shardDigits)
       .select(col("id"), col("stratum"), col("rank"),
         expr("((2 * rank - 1) * 1000000000) div (2 * __s)").as("okey"))
-  }
 
   /** Length-bucketed batching — group rows of similar `units` (token
     * counts) into fixed-size batches to bound padding waste (the
@@ -61,24 +76,53 @@ object Dataloader {
     * the exact waste the layout pays. batch_id is bucket-local;
     * (bucket, batch_id) is the global batch key.
     *
-    * Scale: one window shuffle partitioned by bucket + one
-    * map-side-combined groupBy on (bucket, batch_id). Rows with
-    * units <= 0 are dropped (nothing to batch). */
+    * Scale: one sharded rank window (object scaladoc — ~20–30 distinct
+    * buckets would otherwise bound parallelism) + one map-side-combined
+    * groupBy on (bucket, batch_id). Rows with units <= 0 are dropped
+    * (nothing to batch). */
   def lengthBucketBatches(df: DataFrame, key: Column, units: Column,
-      batchSize: Int): DataFrame = {
+      batchSize: Int, shardDigits: Int = 2): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
-    val w = Window.partitionBy(col("bucket"))
-      .orderBy(col("__h").asc, col("id").asc)
-    df.select(key.as("id"), units.cast("long").as("n"),
-        md5(key.cast("string")).as("__h"))
-      .filter(col("n") > 0L)
-      .withColumn("bucket", length(bin(col("n"))).cast("int"))
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("batch_id", expr(s"(__rn - 1) div $batchSize"))
+    shardedRank(
+      df.select(key.as("id"), units.cast("long").as("n"),
+          md5(key.cast("string")).as("__h"))
+        .filter(col("n") > 0L)
+        .withColumn("bucket", length(bin(col("n"))).cast("int")),
+      "bucket", shardDigits)
+      .withColumn("batch_id", expr(s"(rank - 1) div $batchSize"))
       .groupBy(col("bucket"), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("n")).as("max_units"),
         sum(col("n")).as("sum_units"))
       .withColumn("padding",
         col("n_docs") * col("max_units") - col("sum_units"))
+  }
+
+  /** Hash-sharded within-group rank (object scaladoc). `keyed` must carry
+    * `group`, `id`, and the md5 sort key `__h`; returns it plus `rank`
+    * (1-based (md5, key) rank within the group) and `__s` (group row
+    * count). Shard = first `shardDigits` hex chars of `__h` (0 → one
+    * shard, the unsharded plan); bases/totals come from a
+    * #groups × 16^`shardDigits`-row frame — index-sized, broadcast by
+    * construction. */
+  private def shardedRank(keyed: DataFrame, group: String,
+      shardDigits: Int): DataFrame = {
+    require(shardDigits >= 0 && shardDigits <= 8,
+      s"shardDigits must be in [0, 8], got $shardDigits")
+    val sharded = keyed
+      .withColumn("__shard", substring(col("__h"), 1, shardDigits))
+    val bases = sharded.groupBy(col(group), col("__shard"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col(group), col("__shard"),
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy(col(group)).orderBy(col("__shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__base"),
+        sum(col("__cnt")).over(Window.partitionBy(col(group))).as("__s"))
+    val w = Window.partitionBy(col(group), col("__shard"))
+      .orderBy(col("__h").asc, col("id").asc)
+    sharded
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(bases), Seq(group, "__shard"))
+      .withColumn("rank", col("__rn") + col("__base"))
   }
 }

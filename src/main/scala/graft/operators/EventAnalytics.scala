@@ -39,40 +39,53 @@ object EventAnalytics {
 
   /** Ordered FUNNEL — how far each key progresses through `stages`
     * (stage i counts only if it happens strictly AFTER the key's
-    * earliest completion of stage i−1). Returns one row per stage:
-    * (stage, kind, n_keys) — the classic conversion report.
+    * earliest completion of stage i−1; equivalently tᵢ =
+    * min(ts | kind = sᵢ ∧ ts > tᵢ₋₁)). Returns one row per stage:
+    * (stage, kind, n_keys) — the classic conversion report. `ts` must be
+    * integral (epoch micros, like [[debounce]]).
     *
-    * Two-phase, join-free per stage: stage 1's time is
-    * min(ts | kind = s₁); stage i's is min(ts | kind = sᵢ ∧ ts > tᵢ₋₁),
-    * computed as ONE conditional aggregate per stage in a single
-    * groupBy(key) pass — the whole funnel is one shuffle of (key, kind,
-    * ts) triples, however many stages. */
+    * ONE shuffle total, however many stages: the key's stage events are
+    * collected and time-sorted in a single groupBy(key), then a per-key
+    * `aggregate` fold advances a (progress, last-time) state through the
+    * sorted list — the greedy scan IS the conditional-min chain (the
+    * first sᵢ event after tᵢ₋₁ in time order is exactly
+    * min(ts | kind = sᵢ ∧ ts > tᵢ₋₁); strict `>` makes equal-timestamp
+    * tie order irrelevant). Stage counts then come from one scalar
+    * aggregate over the per-key progress values, unpivoted with `stack`
+    * — no per-stage passes anywhere. Per-key state is the key's
+    * stage-kind events only (non-stage kinds are filtered before the
+    * shuffle); a key hot enough to break that needs sessionization
+    * upstream, not a funnel. */
   def funnel(df: DataFrame, key: Column, kind: Column, ts: Column,
       stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel requires at least one stage")
-    val base = df.select(key.as("k"), kind.as("kind"), ts.as("tus"))
-      .filter(col("k").isNotNull)
-    // Chain of conditional mins: t_0 = min(ts | kind = s_0); then each
-    // t_i = min(ts | kind = s_i ∧ ts > t_(i-1)) needs t_(i-1) joined
-    // back before its aggregate — one (join + groupBy) per stage, every
-    // pass shuffling on the SAME key (AQE/exchange-reuse friendly), with
-    // earlier stage times carried through as per-key-constant mins. An
-    // unreachable stage (t_(i-1) null) makes the `>` predicate null →
-    // nothing aggregates → t_i null, exactly the funnel drop-off.
-    var times = base.groupBy(col("k"))
-      .agg(min(when(col("kind") === stages.head, col("tus"))).as("t0"))
-    for (i <- 1 until stages.size) {
-      val aggs = (0 until i).map(j => min(col(s"t$j")).as(s"t$j")) :+
-        min(when(col("kind") === stages(i) && col("tus") > col(s"t${i - 1}"),
-          col("tus"))).as(s"t$i")
-      times = base.join(times, Seq("k"))
-        .groupBy(col("k"))
-        .agg(aggs.head, aggs.tail: _*)
-    }
-    stages.indices.map { i =>
-      times.agg(count(col(s"t$i")).as("n_keys"))
-        .select(lit(i + 1).as("stage"), lit(stages(i)).as("kind"), col("n_keys"))
-    }.reduce(_ unionAll _)
+    val nS = stages.size
+    val stageArr = array(stages.map(lit): _*)
+    val progress = df
+      .select(key.as("k"), kind.as("kind"), ts.cast("long").as("tus"))
+      .filter(col("k").isNotNull && col("kind").isin(stages: _*))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(
+        struct(col("tus").as("t"), col("kind").as("knd")))).as("__evs"))
+      .select(aggregate(
+        col("__evs"),
+        struct(lit(0).as("p"), lit(Long.MinValue).as("lt")),
+        (st, ev) => {
+          val adv = st.getField("p") < lit(nS) &&
+            ev.getField("knd") === element_at(stageArr, st.getField("p") + 1) &&
+            (st.getField("p") === 0 || ev.getField("t") > st.getField("lt"))
+          struct(
+            (st.getField("p") + when(adv, 1).otherwise(0)).as("p"),
+            when(adv, ev.getField("t")).otherwise(st.getField("lt")).as("lt"))
+        },
+        st => st.getField("p")).as("p"))
+    val cexprs = stages.indices.map(i =>
+      count(when(col("p") >= i + 1, lit(1))).as(s"__c$i"))
+    val stackArgs = stages.indices.map { i =>
+      s"${i + 1}, '${stages(i).replace("'", "''")}', __c$i"
+    }.mkString(", ")
+    progress.agg(cexprs.head, cexprs.tail: _*)
+      .selectExpr(s"stack($nS, $stackArgs) AS (stage, kind, n_keys)")
   }
 
   /** RETENTION cohorts — keys grouped by first-activity period, counted

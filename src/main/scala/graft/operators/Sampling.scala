@@ -166,6 +166,14 @@ object Sampling {
     require(prefilterHexBound.isEmpty
         || prefilterHexBound.matches("[0-9a-f]{4}"),
       "prefilterHexBound is 4 lowercase hex chars, or empty to disable")
+    // __h/__rank (and the guard path's __s/__total/__got) are this
+    // operator's working columns; an input already carrying one would be
+    // silently overwritten or shadowed — same reserved-name discipline
+    // as Upsert.snapshotDiff's __o/__n.
+    val reserved = Set("__h", "__rank", "__s", "__total", "__got")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"exactNPerStratum input must not carry reserved columns ${clash.mkString(", ")}")
     val base = df.withColumn("__h", md5(key.cast("string")))
     val survivors =
       if (prefilterHexBound.isEmpty) base

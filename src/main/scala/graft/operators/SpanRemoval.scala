@@ -47,6 +47,11 @@ import graft.functions.{TextFunctions => T}
   *   - Reassembly is one groupBy(doc) over kept tokens; the collected
   *     list is document-sized, the same per-doc bound every rewriting
   *     pass carries.
+  *
+  * Cache lifecycle (the [[Dedup]] convention): the tokenized doc frame
+  * is persisted for the duration of the returned plan — callers running
+  * many operators in one session free it with
+  * `spark.catalog.clearCache()` once results are materialized.
   */
 object SpanRemoval {
 

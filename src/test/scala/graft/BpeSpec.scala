@@ -73,6 +73,17 @@ class BpeSpec extends SparkSpecBase {
     enc.collect().map(_.getAs[String]("enc")).sorted shouldBe Array("a b", "c d")
   }
 
+  test("trainRounds raises loudly when the corpus saturates early") {
+    // two docs of unique singleton words: no pair ever reaches cnt 2,
+    // so a 2-round training must fail, not return a short merge table
+    // (the q84 oracle replays exactly `rounds` merges)
+    val df = Seq((1L, "ab"), (2L, "cd")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Bpe.trainRounds(df, col("doc_id"), col("text"), rounds = 2).collect()
+    }
+    e.getMessage should include("saturated after 0 of 2")
+  }
+
   test("trainRounds(1) enc checksums agree with mergeRound") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
     val viaTrain = Bpe.trainRounds(docs, col("doc_id"), col("text"), rounds = 1)

@@ -61,4 +61,35 @@ class DataloaderSpec extends SparkSpecBase {
     Dataloader.lengthBucketBatches(Seq((1L, 0L), (2L, -5L)).toDF("id", "n"),
       col("id"), col("n"), 4).count() shouldBe 0L
   }
+
+  test("sharded rank is partitioning- and shard-count-invariant") {
+    // the layout is a pure function of the data: shardDigits=0 (one
+    // window partition per group — the unsharded plan) must produce
+    // bit-identical output to the default 256-way sharding, under any
+    // input partitioning (PackingSpec's invariance contract)
+    val df = ((1 to 120).map(i => (i.toLong, if (i % 3 == 0) "a" else "b")))
+      .toDF("id", "s")
+    def interleave(d: org.apache.spark.sql.DataFrame, digits: Int) =
+      Dataloader.interleaveOrder(d, col("id"), col("s"), shardDigits = digits)
+        .orderBy(col("okey"), col("stratum"), col("rank"))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum"),
+          r.getAs[Long]("rank"), r.getAs[Long]("okey"))).toSeq
+    val base = interleave(df, 0)
+    interleave(df, 2) shouldBe base
+    interleave(df.repartition(11), 1) shouldBe base
+    // ranks within each stratum are a dense 1..s permutation
+    base.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe (1L to rows.length.toLong)
+    }
+
+    val lens = (1L to 90L).map(i => (i, 5L + i % 11))
+    def batches(d: org.apache.spark.sql.DataFrame, digits: Int) =
+      Dataloader.lengthBucketBatches(d, col("id"), col("n"), 16,
+        shardDigits = digits)
+        .orderBy(col("bucket"), col("batch_id"))
+        .collect().map(_.toSeq).toSeq
+    val b0 = batches(lens.toDF("id", "n"), 0)
+    batches(lens.toDF("id", "n"), 2) shouldBe b0
+    batches(lens.toDF("id", "n").repartition(7), 3) shouldBe b0
+  }
 }

@@ -159,6 +159,15 @@ class QuantilesAndSamplingSpec extends SparkSpecBase {
       ungated.select("s", "id", "__rank").orderBy("s", "__rank").collect()
   }
 
+  test("exactNPerStratum rejects inputs carrying reserved working columns") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x")).toDF("id", "s", "__rank")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.exactNPerStratum(df, col("id"), col("s"), n = 1)
+    }
+    e.getMessage should include("__rank")
+  }
+
   test("exactNPerStratum raises when the prefilter under-provisions a stratum") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, "only")).toDF("id", "s")
