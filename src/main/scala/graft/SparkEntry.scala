@@ -1363,6 +1363,62 @@ object SparkEntry {
       col("user_id"), col("tus"), periodSeconds = 86400L)
       .orderBy(col("cohort"), col("offset"))
 
+  /** q96 — PII redaction (Redaction.scrubWithCounts): ordered
+    * dialect-portable regex scrub (email → ssn → card → phone → ip)
+    * plus per-rule match counts on the raw text. The fixture text
+    * carries no PII, so the query derives a deterministic PII-bearing
+    * suffix from doc_id (same derivation in the oracle) — every rule
+    * actually fires. Pure scan-fused projection, zero shuffles. */
+  def q96PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(coalesce(col("text"), lit("")),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example ph 555-123-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10.2.0."), (col("doc_id") % 250).cast("string"),
+      when(col("doc_id") % 3 === 0, lit(" ssn 987-65-4320")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" card 4111 1111 1111 1111"))
+        .otherwise(lit("")))
+    operators.Redaction.scrubWithCounts(
+      t(s, dir, "documents").select(col("doc_id"), raw.as("text")),
+      col("text"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("clean_md5"),
+        col("n_email"), col("n_ssn"), col("n_card"), col("n_phone"),
+        col("n_ip"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q97 — winnowing fingerprints (Winnowing.sharedFingerprintPairs):
+    * MOSS-style rolling-hash fingerprinting — sliding-window minima over
+    * 3-gram hashes, doc pairs sharing >= 2 fingerprints, docfreq-capped
+    * inverted index. The contiguous-overlap near-dup family next to
+    * MinHash/SimHash/shared-grams. */
+  def q97WinnowingPairs(s: SparkSession, dir: String): DataFrame =
+    operators.Winnowing.sharedFingerprintPairs(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      k = 3, w = 4, minShared = 2L, maxDf = 100L)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** q98 — KMV distinct sketch (Sketch.distinctEstimate): approximate
+    * COUNT(DISTINCT user) per event type with k=64 bounded state —
+    * deterministic md5-hash sketch, engine-portable integer estimate
+    * ((k−1)·2⁶⁰ div h_k), exact short-circuit below k. */
+  def q98KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    operators.Sketch.distinctEstimate(
+      Tables.events(s, dir).select(col("event_type"), col("user_id")),
+      col("event_type"), col("user_id"), k = 64)
+      .orderBy(col("grp"))
+
+  /** q99 — Z-order layout stats (Layout.zOrderStats): Morton-key
+    * clustering of lineitem on (partkey, suppkey), 64 key-range buckets
+    * with per-bucket min/max of both dimensions — the multi-dim file
+    * layout whose statistics prune scans on either column. */
+  def q99ZOrderLayout(s: SparkSession, dir: String): DataFrame =
+    operators.Layout.zOrderStats(
+      t(s, dir, "lineitem").select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk")),
+      col("pk"), col("sk"), bits = 16, buckets = 64)
+      .orderBy(col("bucket"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1458,7 +1514,11 @@ object SparkEntry {
     "q92_length_batches" -> (q92LengthBatches _),
     "q93_debounce" -> (q93Debounce _),
     "q94_funnel" -> (q94Funnel _),
-    "q95_retention" -> (q95Retention _)
+    "q95_retention" -> (q95Retention _),
+    "q96_pii_redaction" -> (q96PiiRedaction _),
+    "q97_winnowing_pairs" -> (q97WinnowingPairs _),
+    "q98_kmv_distinct" -> (q98KmvDistinct _),
+    "q99_zorder_layout" -> (q99ZOrderLayout _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1641,6 +1701,54 @@ object SparkEntry {
     * correctly-rounded (+,−,×,÷ on doubles; constants written `0.5e0` so
     * DuckDB parses them as DOUBLE, not DECIMAL), so scores match
     * bit-for-bit and the ranking hash-checks. */
+  /** q96's oracle, GENERATED from Redaction.piiRules — the scrub fold
+    * and per-rule counts are rendered from the same (tag, pattern) list
+    * the engine applies, so the two sides can never drift. Patterns are
+    * the dialect-portable subset (no lookaround/backrefs, ASCII classes)
+    * where Java regex and RE2 agree; DuckDB needs the explicit 'g'
+    * flag Spark's regexp_replace implies. */
+  private def q96OracleSql: String = {
+    val rules = operators.Redaction.piiRules
+    val scrub = rules.foldLeft("raw") { case (acc, (tag, pat)) =>
+      s"regexp_replace($acc, '$pat', '<$tag>', 'g')"
+    }
+    val counts = rules.map { case (tag, pat) =>
+      s"CAST(len(regexp_extract_all(raw, '$pat')) AS BIGINT) AS n_${tag.toLowerCase}"
+    }.mkString(",\n  ")
+    s"""WITH d AS (SELECT doc_id,
+       |  COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+       |  || '@mail.example ph 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |  || ' ip 10.2.0.' || CAST(doc_id % 250 AS VARCHAR)
+       |  || CASE WHEN doc_id % 3 = 0 THEN ' ssn 987-65-4320' ELSE '' END
+       |  || CASE WHEN doc_id % 5 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END AS raw
+       |FROM documents)
+       |SELECT doc_id, md5($scrub) AS clean_md5,
+       |  $counts
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  /** q99's oracle, generated: the same per-dimension min/max
+    * quantization and the Morton key's 32 bit-terms unrolled from the
+    * same loop Layout.zKey unrolls. */
+  private def q99OracleSql: String = {
+    val terms = (0 until 16).map(i =>
+      s"(((qx >> $i) & 1) << ${2 * i}) + (((qy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+       |             CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+       |st AS (SELECT MIN(x) AS xlo, MAX(x) AS xhi,
+       |         MIN(y) AS ylo, MAX(y) AS yhi FROM b),
+       |qv AS (SELECT x, y,
+       |        ((x - st.xlo) * 65536) // (st.xhi - st.xlo + 1) AS qx,
+       |        ((y - st.ylo) * 65536) // (st.yhi - st.ylo + 1) AS qy
+       |      FROM b, st),
+       |z AS (SELECT x, y, CAST($terms AS BIGINT) AS zk FROM qv)
+       |SELECT CAST((zk * 64) // 4294967296 AS BIGINT) AS bucket,
+       |  COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+       |  MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   /** q84's oracle, generated: `rounds` chained (pair-count → best-pair →
     * list_reduce re-encode) CTE blocks over the distinct-word frame,
     * then the per-doc rollup plus the merge table as a scalar-subquery
@@ -2980,6 +3088,51 @@ object SparkEntry {
         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |    CASE lang WHEN 'en' THEN '8000' ELSE 'g' END)
         |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
-        |FROM samp GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM samp GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q96: generated from Redaction.piiRules (engine and oracle share
+    // the pattern list)
+    "q96_pii_redaction" -> q96OracleSql,
+    // q97: positional 3-gram 60-bit hashes, sliding MIN over w=4, distinct
+    // per doc, docfreq-capped self-join on the fingerprint
+    "q97_winnowing_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+        |        CAST(('0x' || substr(md5(array_to_string(
+        |          t[CAST(u.i AS INTEGER):CAST(u.i + 2 AS INTEGER)], ' ')), 1, 15))::UBIGINT
+        |          AS BIGINT) AS h
+        |      FROM d, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |      WHERE len(t) >= 3),
+        |m AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g),
+        |f AS (SELECT DISTINCT doc_id, fp FROM m),
+        |kept AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 100),
+        |fk AS (SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM fk a JOIN fk b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q98: the k=64 smallest distinct 60-bit hashes per group via
+    // ROW_NUMBER over DISTINCT; estimate in HUGEINT ((k−1)·2⁶⁰ // h_k)
+    // mirroring the engine's DECIMAL div
+    "q98_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+        |      AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT grp, h,
+        |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+        |        COUNT(*) OVER (PARTITION BY grp) AS nd
+        |      FROM h)
+        |SELECT grp, CAST(LEAST(MAX(nd), 64) AS BIGINT) AS n_kept,
+        |  MAX(CASE WHEN rn = LEAST(nd, 64) THEN h END) AS kth_hash,
+        |  CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS BIGINT)
+        |    ELSE CAST((CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |      // CAST(MAX(CASE WHEN rn = 64 THEN h END) AS HUGEINT) AS BIGINT) END
+        |    AS est_distinct
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    // q99: generated 32-term Morton key (same unrolled loop as the engine)
+    "q99_zorder_layout" -> q99OracleSql
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.udaf
+
+/** KMV (k-minimum-values) distinct-count sketch — approximate
+  * COUNT(DISTINCT) with BOUNDED per-group state, the cardinality
+  * monitor that scales where exact distinct cannot: exact distinct
+  * shuffles every distinct value to its group; the sketch shuffles at
+  * most k 8-byte hashes per group per map partition, whatever the
+  * corpus size. Unlike HyperLogLog (whose register layouts differ per
+  * engine), KMV over the md5-prefix hash is DETERMINISTIC and
+  * ENGINE-PORTABLE: both engines keep the identical k smallest distinct
+  * 60-bit hashes, so the sketch — and the estimate, computed in integer
+  * arithmetic — hash-checks against the SQL oracle exactly ([[Sampling]]'s
+  * portable-hash discipline applied to cardinality estimation).
+  *
+  * Estimator (Bar-Yossef et al.): the k-th smallest of n distinct
+  * uniform hashes in [0, 2⁶⁰) sits near k/n of the range, so
+  * n̂ = (k−1)·2⁶⁰ div h₍ₖ₎ — the unbiased form, integer division. A
+  * group with fewer than k distinct values short-circuits: the sketch
+  * IS the value set, the estimate is exact.
+  *
+  * Scale shape: one scan computes the hash (fused), the KMV aggregator
+  * runs with map-side partial aggregation (k-bounded buffers, duplicate
+  * hashes collapse inside the buffer — no pre-distinct shuffle), and
+  * only sketch-sized state crosses the wire. The estimate is a per-group
+  * projection over the k-sized array.
+  */
+object Sketch {
+
+  /** Bounded distinct-min-k aggregator: buffer holds candidate hashes,
+    * trimmed to the k smallest DISTINCT whenever it exceeds 4k —
+    * amortized O(1) per row, exact after the final trim (any value a
+    * trim drops is strictly larger than the buffer's k-th smallest
+    * distinct, so it can never re-enter the final k). */
+  class KmvAggregator(k: Int)
+      extends Aggregator[Long, ArrayBuffer[Long], Seq[Long]] {
+    private def trim(b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+      val kept = b.distinct.sorted.take(k)
+      b.clear(); b ++= kept
+    }
+    override def zero: ArrayBuffer[Long] = ArrayBuffer.empty
+    override def reduce(b: ArrayBuffer[Long], a: Long): ArrayBuffer[Long] = {
+      b += a
+      if (b.length > 4 * k) trim(b) else b
+    }
+    override def merge(x: ArrayBuffer[Long], y: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+      x ++= y
+      if (x.length > 4 * k) trim(x) else x
+    }
+    override def finish(b: ArrayBuffer[Long]): Seq[Long] =
+      b.distinct.sorted.take(k).toSeq
+    override def bufferEncoder: Encoder[ArrayBuffer[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** `kmv(k)(hash)` → sorted array of the k smallest distinct hashes. */
+  def kmv(k: Int): Column => Column = {
+    val fn = udaf(new KmvAggregator(k), Encoders.scalaLong)
+    (hash: Column) => fn(hash)
+  }
+
+  /** The 60-bit md5-prefix hash of `v` — the engine-portable uniform
+    * hash every sketch here keys on (DuckDB:
+    * ('0x' || substr(md5(v), 1, 15))::UBIGINT). */
+  def hash60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-group approximate distinct count of `value`: (group, n_kept,
+    * kth_hash, est_distinct). `n_kept` < k means the group held fewer
+    * than k distinct values and `est_distinct` is exact (kth_hash is
+    * the largest kept hash, or NULL for an all-null group). */
+  def distinctEstimate(df: DataFrame, group: Column, value: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.select(group.as("grp"), hash60(value).as("__h"))
+      .filter(col("__h").isNotNull) // null value -> null hash -> not a value
+      .groupBy(col("grp"))
+      .agg(kmv(k)(col("__h")).as("__mins"))
+      // (k−1)·2⁶⁰ ≈ 2.9e20 at k=256 overflows int64, so the estimate's
+      // numerator is exact DECIMAL and `div` (IntegralDivide) brings it
+      // back to BIGINT — the oracle mirrors with HUGEINT `//`
+      .select(col("grp"),
+        size(col("__mins")).cast("long").as("n_kept"),
+        expr("element_at(__mins, size(__mins))").as("kth_hash"),
+        when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
+          .otherwise(expr(
+            s"(CAST(${k - 1} AS DECIMAL(28,0)) * CAST(1152921504606846976 AS DECIMAL(28,0)))" +
+              s" div element_at(__mins, $k)"))
+          .as("est_distinct"))
+  }
+}

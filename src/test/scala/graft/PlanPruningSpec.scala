@@ -96,4 +96,17 @@ class PlanPruningSpec extends SparkSpecBase {
   test("q92 length batches reads only (doc_id, text) from documents") {
     scanSchemas("q92_length_batches")("documents") shouldBe Set("doc_id", "text")
   }
+
+  test("q96 PII redaction reads only (doc_id, text) from documents") {
+    scanSchemas("q96_pii_redaction")("documents") shouldBe Set("doc_id", "text")
+  }
+
+  test("q97 winnowing reads only (doc_id, text) from documents") {
+    scanSchemas("q97_winnowing_pairs")("documents") shouldBe Set("doc_id", "text")
+  }
+
+  test("q99 z-order reads only (l_partkey, l_suppkey) from lineitem") {
+    scanSchemas("q99_zorder_layout")("lineitem") shouldBe
+      Set("l_partkey", "l_suppkey")
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Sketch}
+
+/** KMV distinct sketch (Sketch): exact short-circuit, estimator
+  * accuracy, duplicate collapse, partitioning invariance. Z-order
+  * layout (Layout): Morton key arithmetic, range guard, bucket
+  * clustering bounds. */
+class SketchAndLayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("kmv: below k the sketch is the value set and the estimate exact") {
+    val df = (1L to 40L).map(i => ("g", i % 10)).toDF("grp", "v")
+    val out = Sketch.distinctEstimate(df, col("grp"), col("v"), k = 64)
+      .collect().head
+    out.getAs[Long]("n_kept") shouldBe 10L
+    out.getAs[Long]("est_distinct") shouldBe 10L
+  }
+
+  test("kmv: estimator lands near the true cardinality past k") {
+    // 2000 distinct values, heavy duplication; k=64 -> expect within ~25%
+    // (1/sqrt(k) ~ 12.5% standard error; the fixed hash makes the exact
+    // value deterministic, the bound just documents the ballpark)
+    val df = (1L to 6000L).map(i => ("g", i % 2000)).toDF("grp", "v")
+    val out = Sketch.distinctEstimate(df, col("grp"), col("v"), k = 64)
+      .collect().head
+    out.getAs[Long]("n_kept") shouldBe 64L
+    val est = out.getAs[Long]("est_distinct")
+    est.toDouble shouldBe 2000.0 +- 500.0
+  }
+
+  test("kmv: sketch is partitioning-invariant (map-side merge is exact)") {
+    val df = (1L to 5000L).map(i => (s"g${i % 3}", i % 700)).toDF("grp", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketch.distinctEstimate(d, col("grp"), col("v"), k = 32)
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+    run(df.repartition(17)) shouldBe run(df.coalesce(1))
+  }
+
+  test("zKey interleaves bits; out-of-range raises") {
+    def z(x: Long, y: Long): Long =
+      Seq((x, y)).toDF("x", "y")
+        .select(Layout.zKey(col("x"), col("y"), bits = 4).as("z"))
+        .collect().head.getAs[Long]("z")
+    z(0L, 0L) shouldBe 0L
+    z(3L, 0L) shouldBe 5L   // x bits 0,1 -> positions 0,2
+    z(0L, 3L) shouldBe 10L  // y bits 0,1 -> positions 1,3
+    z(15L, 15L) shouldBe 255L
+    val e = intercept[Exception] {
+      Seq((16L, 0L)).toDF("x", "y")
+        .select(Layout.zKey(col("x"), col("y"), bits = 4)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("outside [0, 16)")), s"got: $e")
+  }
+
+  test("zOrderStats: buckets partition rows and bound BOTH dimensions") {
+    // uniform 64x64 grid; 16 equal key ranges = top 2 quantized bits of
+    // each dimension -> every bucket spans at most a quarter of each
+    // dimension's range (+1 for quantization rounding)
+    val df = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
+    val out = Layout.zOrderStats(df, col("x"), col("y"), bits = 6,
+      buckets = 16).collect()
+    out.map(_.getAs[Long]("n")).sum shouldBe 4096L
+    out.length shouldBe 16
+    out.foreach { r =>
+      (r.getAs[Long]("max_x") - r.getAs[Long]("min_x")) should be <= 16L
+      (r.getAs[Long]("max_y") - r.getAs[Long]("min_y")) should be <= 16L
+    }
+  }
+}
