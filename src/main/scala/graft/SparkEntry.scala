@@ -1419,6 +1419,20 @@ object SparkEntry {
       col("pk"), col("sk"), bits = 16, buckets = 64)
       .orderBy(col("bucket"))
 
+  /** q100 — stream-stream interval self-join (EventStreams
+    * .followedWithin): each view paired with the same user's clicks
+    * within 10 minutes, computed as a WATERMARKED STREAMING JOIN (both
+    * join-state buffers bounded by the watermarks + the time-range
+    * condition) and driven through the production-shaped append-mode
+    * file-sink harness; the oracle is the batch interval join — inner
+    * stream-stream joins emit exactly the batch multiset on a bounded
+    * replay (EventStreamsSpec pins the equivalence). */
+  def q100StreamStreamJoin(s: SparkSession, dir: String): DataFrame =
+    streaming.EventStreams.runToCompletionFileSink(s, s"$dir/events.parquet",
+      df => streaming.EventStreams.followedWithin(df, "view", "click",
+        withinMinutes = 10))
+      .orderBy(col("user_id"), col("first_id"), col("then_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1518,7 +1532,8 @@ object SparkEntry {
     "q96_pii_redaction" -> (q96PiiRedaction _),
     "q97_winnowing_pairs" -> (q97WinnowingPairs _),
     "q98_kmv_distinct" -> (q98KmvDistinct _),
-    "q99_zorder_layout" -> (q99ZOrderLayout _)
+    "q99_zorder_layout" -> (q99ZOrderLayout _),
+    "q100_stream_stream_join" -> (q100StreamStreamJoin _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -3133,6 +3148,19 @@ object SparkEntry {
         |    AS est_distinct
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
     // q99: generated 32-term Morton key (same unrolled loop as the engine)
-    "q99_zorder_layout" -> q99OracleSql
+    "q99_zorder_layout" -> q99OracleSql,
+    // q100: the batch form of the streaming interval join — inner
+    // stream-stream joins reproduce it exactly on a bounded replay
+    "q100_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |           FROM events WHERE user_id IS NOT NULL),
+        |a AS (SELECT user_id, event_id AS first_id, us FROM e
+        |      WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id AS then_id, us AS cus FROM e
+        |      WHERE event_type = 'click')
+        |SELECT a.user_id AS user_id, a.first_id, b.then_id
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND b.cus >= a.us AND b.cus <= a.us + 600000000
+        |ORDER BY a.user_id, first_id, then_id""".stripMargin
   )
 }
