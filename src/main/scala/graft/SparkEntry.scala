@@ -1433,6 +1433,62 @@ object SparkEntry {
         withinMinutes = 10))
       .orderBy(col("user_id"), col("first_id"), col("then_id"))
 
+  /** q101's literal merge table — shared by the engine entry and the
+    * generated oracle so the two can never drift. Rules chosen to fire
+    * on the fixture vocabulary ("table" → "tab le" under the chain). */
+  private val q101Rules: Seq[(String, String)] =
+    Seq(("t", "a"), ("ta", "b"), ("s", "c"))
+
+  /** q101 — BPE inference (Bpe.encodeCorpus): the corpus encoded under
+    * a FIXED literal merge table — train-once-encode-many, the
+    * production counterpart of q84's trainer. Heavy folds on the
+    * distinct-word frame only; per-doc checksums pin the result. */
+  def q101BpeEncode(s: SparkSession, dir: String): DataFrame =
+    operators.Bpe.encodeCorpus(
+      t(s, dir, "documents"), col("doc_id"), col("text"), q101Rules)
+      .orderBy(col("doc_id"))
+
+  /** q102 — stream-static enrichment (EventStreams
+    * .hourlyCategoryCounts): the event stream LEFT-joined to a static
+    * category dimension (stateless broadcast probe re-planned per
+    * micro-batch) feeding the windowed rollup, driven through the
+    * file-sink harness; oracle = the batch join + hourly rollup. */
+  def q102StreamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("view", "engagement"), ("click", "engagement"),
+      ("signup", "acquisition"), ("purchase", "commerce"), ("error", "ops"))
+      .toDF("event_type", "category")
+    streaming.EventStreams.runToCompletionFileSink(s, s"$dir/events.parquet",
+      df => streaming.EventStreams.hourlyCategoryCounts(df, dim))
+      .orderBy(col("hour"), col("category"))
+  }
+
+  /** q103 — LEFT OUTER stream-stream interval join (EventStreams
+    * .followedWithinOuter): q100 with unmatched-left emission — a view
+    * with no click inside the interval emits (user, first_id, NULL)
+    * once the watermark passes its join horizon. The harness' sentinel
+    * pushes the final watermark past every real row's horizon, so the
+    * bounded replay decides ALL rows and the batch LEFT join is the
+    * exact oracle (the emission-latency trade, closed). */
+  def q103StreamOuterJoin(s: SparkSession, dir: String): DataFrame =
+    streaming.EventStreams.runToCompletionFileSink(s, s"$dir/events.parquet",
+      df => streaming.EventStreams.followedWithinOuter(df, "view", "click",
+        withinMinutes = 10))
+      .orderBy(col("user_id"), col("first_id"), col("then_id"))
+
+  /** q104 — continuous rollup materialization (EventStreams
+    * .incrementalRollup): foreachBatch folding each micro-batch into a
+    * standing parquet rollup via the additive merge + crash-recovering
+    * staged swap (replayed batch ids skipped inside the swap). The
+    * read-back table must equal the batch rollup — the streaming sink
+    * form of the snapshot pipeline's refresh. */
+  def q104IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_rollup_").resolve("t").toString
+    streaming.EventStreams.incrementalRollup(s, s"$dir/events.parquet", target)
+    s.read.parquet(target).orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1533,7 +1589,11 @@ object SparkEntry {
     "q97_winnowing_pairs" -> (q97WinnowingPairs _),
     "q98_kmv_distinct" -> (q98KmvDistinct _),
     "q99_zorder_layout" -> (q99ZOrderLayout _),
-    "q100_stream_stream_join" -> (q100StreamStreamJoin _)
+    "q100_stream_stream_join" -> (q100StreamStreamJoin _),
+    "q101_bpe_encode" -> (q101BpeEncode _),
+    "q102_stream_static_enrich" -> (q102StreamStaticEnrich _),
+    "q103_stream_outer_join" -> (q103StreamOuterJoin _),
+    "q104_incremental_rollup" -> (q104IncrementalRollup _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1762,6 +1822,46 @@ object SparkEntry {
        |  COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
        |  MIN(y) AS min_y, MAX(y) AS max_y
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  /** q101's oracle, generated from q101Rules: q84's chained list_reduce
+    * CTEs with the trained best-pair subqueries replaced by the literal
+    * rules — the inference half of the trainer oracle. */
+  private def q101OracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |tok AS (SELECT doc_id, u.i AS pos, t[u.i] AS word
+        |        FROM d, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |w AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY 1),
+        |e0 AS (SELECT word, array_to_string(list_transform(
+        |         generate_series(1, len(word)),
+        |         i -> substr(word, CAST(i AS INTEGER), 1)), ' ') AS enc FROM w)""".stripMargin)
+    q101Rules.zipWithIndex.foreach { case ((l, r), idx) =>
+      val i = idx + 1
+      sb.append(
+        s""",
+           |e$i AS (SELECT word, list_reduce(string_split(enc, ' '),
+           |         (acc, z) -> CASE
+           |           WHEN acc = '$l' AND z = '$r' THEN '$l$r'
+           |           WHEN ends_with(acc, ' ' || '$l') AND z = '$r'
+           |             THEN substr(acc, 1, CAST(len(acc) - ${l.length} AS INTEGER))
+           |                  || '$l$r'
+           |           ELSE acc || ' ' || z END) AS enc
+           |       FROM e${i - 1})""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |ec AS (SELECT word, enc, len(string_split(enc, ' ')) AS n_sym
+         |       FROM e${q101Rules.size}),
+         |j AS (SELECT tok.doc_id, tok.pos, ec.enc, ec.n_sym
+         |      FROM tok JOIN ec USING (word))
+         |SELECT j.doc_id, COUNT(*) AS n_tok,
+         |  CAST(SUM(j.n_sym) AS BIGINT) AS n_sym,
+         |  md5(string_agg(j.enc, ' ' ORDER BY j.pos)) AS enc_md5
+         |FROM j GROUP BY j.doc_id ORDER BY j.doc_id""".stripMargin)
+    sb.toString
   }
 
   /** q84's oracle, generated: `rounds` chained (pair-count → best-pair →
@@ -3161,6 +3261,38 @@ object SparkEntry {
         |SELECT a.user_id AS user_id, a.first_id, b.then_id
         |FROM a JOIN b ON a.user_id = b.user_id
         |  AND b.cus >= a.us AND b.cus <= a.us + 600000000
-        |ORDER BY a.user_id, first_id, then_id""".stripMargin
+        |ORDER BY a.user_id, first_id, then_id""".stripMargin,
+    // q101: generated from q101Rules (engine and oracle share the table)
+    "q101_bpe_encode" -> q101OracleSql,
+    // q102: the batch form of the stream-static enrichment — left join
+    // to the same literal dimension, hourly rollup by category
+    "q102_stream_static_enrich" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('view', 'engagement'), ('click', 'engagement'),
+        |  ('signup', 'acquisition'), ('purchase', 'commerce'),
+        |  ('error', 'ops'))
+        |SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS hour,
+        |  dim.category, COUNT(*) AS events
+        |FROM events e LEFT JOIN dim USING (event_type)
+        |GROUP BY 1, 2 ORDER BY hour, category""".stripMargin,
+    // q103: batch LEFT join — the sentinel-advanced watermark decides
+    // every real row, so unmatched views emit their NULL exactly once
+    "q103_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |           FROM events WHERE user_id IS NOT NULL),
+        |a AS (SELECT user_id, event_id AS first_id, us FROM e
+        |      WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id AS then_id, us AS cus FROM e
+        |      WHERE event_type = 'click')
+        |SELECT a.user_id AS user_id, a.first_id, b.then_id
+        |FROM a LEFT JOIN b ON a.user_id = b.user_id
+        |  AND b.cus >= a.us AND b.cus <= a.us + 600000000
+        |ORDER BY a.user_id, first_id, then_id""".stripMargin,
+    // q104: the standing rollup after the full replay = the batch rollup
+    "q104_incremental_rollup" ->
+      """SELECT event_type, COUNT(*) AS events,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -175,6 +175,50 @@ object Bpe {
     (merges.toSeq, enc)
   }
 
+  /** INFERENCE: the initial character encoding of `words` folded
+    * through an ORDERED literal merge table — the apply-a-learned-
+    * tokenizer path ([[train]] without the pair counting; each rule is
+    * one vocab-sized [[applyMerge]] fold). Returns (word, freq, enc). */
+  def applyMerges(words: DataFrame,
+      rules: Seq[(String, String)]): DataFrame =
+    rules.foldLeft(
+      words.select(col("word"), col("freq"),
+        array_join(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), " ").as("enc"))) {
+      case (enc, (l, r)) => applyMerge(enc, l, r)
+    }
+
+  /** Corpus encoding under a FIXED merge table, rolled up per document:
+    * (doc_id, n_tok, n_sym, enc_md5) — [[trainRounds]]' artifact shape
+    * with the training replaced by [[applyMerges]] over caller-supplied
+    * rules (the production inference pass: train once, encode every
+    * corpus snapshot after). Same scale shape: heavy work on the
+    * distinct-word frame, corpus joined once ([[Dedup]]-convention
+    * cache lifecycle — the token frame persists for the plan's
+    * duration; clearCache() frees it). */
+  def encodeCorpus(df: DataFrame, id: Column, text: Column,
+      rules: Seq[(String, String)],
+      broadcastWords: Boolean = false): DataFrame = {
+    val toks = Parallelism.ensureMinPartitions(
+        df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks")),
+        col("doc_id"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val enc = applyMerges(words, rules)
+      .withColumn("n_sym", size(split(col("enc"), " ")).cast("long"))
+      .select(col("word"), col("enc"), col("n_sym"))
+    toks.join(if (broadcastWords) broadcast(enc) else enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("n_sym")).as("n_sym"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          s => s.getField("enc")), " ").cast("binary")).as("enc_md5"))
+  }
+
   /** `rounds`-round training rolled up per document: (doc_id, n_tok,
     * n_sym, enc_md5, rules) — symbol counts and the md5 of the doc's
     * encoded symbol stream after ALL merges, plus the ordered merge

@@ -190,18 +190,32 @@ object EventStreams {
 
   /** Shared body of [[followedWithin]]/[[followedWithinOuter]] — the two
     * differ ONLY in join type, and the interval condition + watermark
-    * handling must never diverge between them. */
+    * handling must never diverge between them.
+    *
+    * The watermark is assigned UPSTREAM of the event-type filters (one
+    * EventTimeWatermark node both join inputs derive from; the rename
+    * keeps the attribute's watermark metadata): every event advances
+    * the clock, including types the join never keeps — which is what
+    * lets an unrelated heartbeat/flush event (the file-sink harness'
+    * sentinel) close out outer-join state. A per-side post-filter
+    * watermark would freeze whenever that side's type stops arriving. */
   private def intervalJoin(events: DataFrame, firstType: String,
       thenType: String, withinMinutes: Int, watermark: String,
       joinType: String): DataFrame = {
-    val a = events.filter(col("event_type") === firstType && col("user_id").isNotNull)
+    val wm = events.filter(col("user_id").isNotNull)
+      .withWatermark("ts", watermark)
+    // the type filters must stay ABOVE the watermark node or the
+    // heartbeat contract breaks — Catalyst pushes any predicate not
+    // referencing the event-time column below EventTimeWatermark, so
+    // each filter is a non-splittable OR referencing `ts` (`ts` is
+    // never null after readEventStream's conversion: the disjunct is
+    // semantically inert, it exists to pin the filter's placement)
+    val a = wm.filter(col("event_type") === firstType || col("ts").isNull)
       .select(col("user_id").as("a_user"), col("event_id").as("first_id"),
         col("ts").as("first_ts"))
-      .withWatermark("first_ts", watermark)
-    val b = events.filter(col("event_type") === thenType && col("user_id").isNotNull)
+    val b = wm.filter(col("event_type") === thenType || col("ts").isNull)
       .select(col("user_id").as("b_user"), col("event_id").as("then_id"),
         col("ts").as("then_ts"))
-      .withWatermark("then_ts", watermark)
     a.join(b, col("a_user") === col("b_user") &&
         col("then_ts") >= col("first_ts") &&
         col("then_ts") <= col("first_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
@@ -359,10 +373,26 @@ object EventStreams {
     * The source file(s) are COPIED into a private landing dir (the
     * original path is never mutated); landing + checkpoint dirs are
     * removed on return, the `out` parquet dir backs the returned frame
-    * and is the caller's to keep or delete. */
+    * and is the caller's to keep or delete.
+    *
+    * `flushes` (default 1) is the number of staggered sentinel events
+    * (+7 days, +7 days 1 h, …). One suffices for every operator here —
+    * the post-sentinel no-data micro-batch re-evaluates window AND
+    * join state against the advanced watermark (verified for the outer
+    * interval join in EventStreamsSpec) — but the knob stays for
+    * stateful operators whose eviction only runs on data batches: each
+    * later sentinel's batch applies the previous one's watermark. Later
+    * sentinels stay 2 h inside the previous one's window horizon, so
+    * sentinel state never closes into the sink regardless of count.
+    * NOTE the contract this relies on: the agg must keep its
+    * event-time column flowing through the WATERMARK node for every
+    * input row, even rows its filters discard — see [[intervalJoin]]'s
+    * filter-placement comment. */
   def runToCompletionFileSink(spark: SparkSession, path: String,
       agg: DataFrame => DataFrame,
-      sentinelType: String = "__graft_flush"): DataFrame = {
+      sentinelType: String = "__graft_flush",
+      flushes: Int = 1): DataFrame = {
+    require(flushes >= 1 && flushes <= 4, "flushes must be in [1, 4]")
     import java.nio.file.Files
     val landing = Files.createTempDirectory("graft_stream_land_")
     val out = Files.createTempDirectory("graft_stream_out_")
@@ -401,20 +431,24 @@ object EventStreams {
         .agg(max(col("ts"))).collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       maxTs.foreach { t =>
-        val sentinel = spark.createDataFrame(
-          java.util.Arrays.asList(org.apache.spark.sql.Row(
-            -1L, t + 7L * 24 * 3600 * 1000000000L, -1L, sentinelType, 0.0,
-            null: String)),
-          eventSchema)
-        val tmp = Files.createTempDirectory("graft_stream_sentinel_")
-        sentinel.coalesce(1).write
-          .mode("overwrite").parquet(tmp.resolve("s").toString)
-        Option(tmp.resolve("s").toFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .foreach(f => Files.move(f.toPath,
-            landing.resolve("zz_sentinel.parquet")))
-        rmDir(tmp.toFile)
-        q.processAllAvailable()
+        (1 to flushes).foreach { n =>
+          val sentinel = spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(
+              -1L,
+              t + 7L * 24 * 3600 * 1000000000L
+                + (n - 1) * 3600L * 1000000000L,
+              -1L, sentinelType, 0.0, null: String)),
+            eventSchema)
+          val tmp = Files.createTempDirectory("graft_stream_sentinel_")
+          sentinel.coalesce(1).write
+            .mode("overwrite").parquet(tmp.resolve("s").toString)
+          Option(tmp.resolve("s").toFile.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .foreach(f => Files.move(f.toPath,
+              landing.resolve(s"zz_sentinel$n.parquet")))
+          rmDir(tmp.toFile)
+          q.processAllAvailable()
+        }
       }
       } finally q.stop()
     } finally {

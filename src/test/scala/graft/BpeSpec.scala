@@ -96,6 +96,29 @@ class BpeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("encodeCorpus under the trained rules reproduces trainRounds") {
+    // inference with the table the trainer learned must yield the same
+    // per-doc checksums as training itself (train-once-encode-many)
+    val docs = Seq((1L, "ab ab abc cd cd"), (2L, "ab abc"), (3L, "cd ab"))
+      .toDF("doc_id", "text")
+    val trained = Bpe.trainRounds(docs, col("doc_id"), col("text"), rounds = 2)
+      .orderBy("doc_id").collect()
+    val rules = trained.head.getAs[String]("rules").split(",").toSeq
+      .map { s => val Array(pair, _) = s.split(":");
+        (pair.substring(0, pair.indexOf('+')), pair.substring(pair.indexOf('+') + 1)) }
+    val inferred = Bpe.encodeCorpus(docs, col("doc_id"), col("text"), rules)
+      .orderBy("doc_id").collect()
+    inferred.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+      r.getAs[Long]("n_sym"), r.getAs[String]("enc_md5"))).toSeq shouldBe
+      trained.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("n_sym"), r.getAs[String]("enc_md5"))).toSeq
+    // an empty rule table is the identity encoding (chars, space-joined)
+    Bpe.encodeCorpus(Seq((1L, "ab")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Seq.empty)
+      .collect().head.getAs[Long]("n_sym") shouldBe 2L
+    spark.catalog.clearCache()
+  }
+
   test("mergeRound end to end; broadcast path ≡ shuffle path") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
     // words: ab freq 3, cd freq 1 -> pairs (a,b) 3, (c,d) 1 -> rule (a,b)

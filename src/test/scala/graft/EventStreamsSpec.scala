@@ -256,6 +256,34 @@ class EventStreamsSpec extends SparkSpecBase {
       .startsWith("__graft")).count() shouldBe 0L
   }
 
+  test("outer interval join through the file-sink harness is COMPLETE") {
+    import org.apache.spark.sql.functions._
+    // the harness' sentinel advances the watermark past every real
+    // row's join horizon (the type filters stay above the watermark
+    // node — intervalJoin's placement comment), so unlike the bounded
+    // memory-sink replay above, EVERY row gets its verdict and the
+    // result is exactly the batch LEFT join
+    val streamed = EventStreams.runToCompletionFileSink(spark,
+      "/root/testdata/sf0.001/events.parquet",
+      df => EventStreams.followedWithinOuter(df, "view", "click", 10))
+      .select("user_id", "first_id", "then_id")
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id").isNotNull)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("first_id"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("then_id"),
+        unix_micros(col("ts")).as("cus"))
+    val batch = views.join(clicks,
+        col("user_id") === col("cu") &&
+          col("cus") >= col("us") && col("cus") <= col("us") + 600000000L,
+        "left_outer")
+      .select("user_id", "first_id", "then_id")
+    streamed.exceptAll(batch).count() shouldBe 0L
+    batch.exceptAll(streamed).count() shouldBe 0L
+  }
+
   test("chained dedup → window agg collapses a duplicated feed to batch counts") {
     // at-least-once transport simulated by self-union: every event
     // delivered twice. The two-stateful-operator chain (dedup feeding
