@@ -1489,6 +1489,29 @@ object SparkEntry {
     s.read.parquet(target).orderBy(col("event_type"))
   }
 
+  /** q105 — fixed-stride frame sampling (MultimodalOps.sampleFrames):
+    * the blob-table form of documents sampled every 4th 64-byte frame —
+    * byte-range plan + slice checksums, the deterministic plumbing under
+    * a stubbed media decoder (the fixture text is pure ASCII, so the
+    * oracle's char slices are byte slices). Scan-fused, no shuffle. */
+  def q105FrameSample(s: SparkSession, dir: String): DataFrame =
+    operators.MultimodalOps.sampleFrames(
+      operators.MultimodalOps.asBlobTable(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", "text/plain"),
+      col("doc_id"), col("payload"), frameBytes = 64, stride = 4)
+      .orderBy(col("id"), col("frame_idx"))
+
+  /** q106 — deterministic span corruption (Corruption.spanMask):
+    * T5-style denoising prep — 3-token spans every 16 positions with a
+    * per-doc hash phase, runs collapsed to one sentinel; counts + the
+    * corrupted stream's md5 per document. No RNG anywhere. */
+  def q106SpanCorruption(s: SparkSession, dir: String): DataFrame =
+    operators.Corruption.spanMask(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      stride = 16, spanLen = 3)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1593,7 +1616,9 @@ object SparkEntry {
     "q101_bpe_encode" -> (q101BpeEncode _),
     "q102_stream_static_enrich" -> (q102StreamStaticEnrich _),
     "q103_stream_outer_join" -> (q103StreamOuterJoin _),
-    "q104_incremental_rollup" -> (q104IncrementalRollup _)
+    "q104_incremental_rollup" -> (q104IncrementalRollup _),
+    "q105_frame_sample" -> (q105FrameSample _),
+    "q106_span_corruption" -> (q106SpanCorruption _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -3293,6 +3318,37 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS events,
         |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS value_cents
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // q105: char slices = byte slices (fixture text is pure ASCII —
+    // verified octet_length = length); generate_series stride 4
+    "q105_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, length(text) // 64 AS nf
+        |           FROM documents WHERE text IS NOT NULL AND length(text) >= 64)
+        |SELECT f.doc_id AS id, CAST(u.i AS BIGINT) AS frame_idx,
+        |  CAST(u.i * 64 AS BIGINT) AS byte_from,
+        |  CAST(u.i * 64 + 64 AS BIGINT) AS byte_to,
+        |  md5(substr(f.text, CAST(u.i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+        |FROM f, UNNEST(generate_series(0, nf - 1, 4)) AS u(i)
+        |ORDER BY id, frame_idx""".stripMargin,
+    // q106: same (hash60(doc) + pos) % stride arithmetic; string_agg
+    // skips the NULL interior-masked tokens, ORDER BY pos pins the order
+    "q106_span_corruption" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |tok AS (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS word,
+        |          (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+        |             AS BIGINT) + (u.i - 1)) % 16 AS m
+        |        FROM d, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |e AS (SELECT doc_id, pos,
+        |        CASE WHEN m >= 3 THEN word
+        |             WHEN m = 0 OR pos = 0 THEN '<extra_id>' END AS out,
+        |        CASE WHEN m < 3 THEN 1 ELSE 0 END AS masked,
+        |        CASE WHEN m = 0 OR (pos = 0 AND m < 3) THEN 1 ELSE 0 END AS span
+        |      FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(masked) AS BIGINT) AS n_masked,
+        |  CAST(SUM(span) AS BIGINT) AS n_spans,
+        |  md5(string_agg(out, ' ' ORDER BY pos)) AS masked_md5
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -83,4 +83,34 @@ object MultimodalOps {
       col(payloadCol).cast("binary").as("payload"),
       struct(lit(mediaType).as("media_type"),
         length(col(payloadCol).cast("binary")).as("n_bytes")).as("meta"))
+
+  /** Fixed-stride FRAME SAMPLING over a blob column — the video/audio
+    * dataloader move (take every `stride`-th fixed-size frame) expressed
+    * as pure byte-range plumbing: one row per sampled frame with its
+    * [byte_from, byte_to) slice and the slice's md5. The frame DECODE
+    * stays behind the [[Decoder]] seam; this plans WHICH bytes each task
+    * reads, which is the part that must be deterministic and cheap at
+    * 100 TB (the explode is linear in sampled frames — corpus bytes /
+    * (frameBytes·stride) rows — and fuses into the scan; no shuffle).
+    * Trailing partial frames are not sampled (nothing complete to
+    * decode); blobs shorter than one frame produce no rows. */
+  def sampleFrames(df: DataFrame, id: org.apache.spark.sql.Column,
+      bin: org.apache.spark.sql.Column, frameBytes: Int,
+      stride: Int): DataFrame = {
+    require(frameBytes > 0, "frameBytes must be positive")
+    require(stride > 0, "stride must be positive")
+    df.select(id.as("id"), bin.cast("binary").as("__b"))
+      .select(col("id"), col("__b"),
+        // `div`, not `/`: Spark's `/` is double division
+        expr(s"CAST(length(__b) AS BIGINT) div $frameBytes").as("__nf"))
+      .filter(col("__nf") > 0)
+      .select(col("id"), col("__b"),
+        explode(sequence(lit(0L), col("__nf") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("byte_from"),
+        (col("frame_idx") * frameBytes + frameBytes).as("byte_to"),
+        md5(expr(s"substring(__b, CAST(frame_idx * $frameBytes + 1 AS INT)," +
+          s" $frameBytes)")).as("frame_md5"))
+  }
 }

@@ -105,6 +105,14 @@ class PlanPruningSpec extends SparkSpecBase {
     scanSchemas("q97_winnowing_pairs")("documents") shouldBe Set("doc_id", "text")
   }
 
+  test("q105 frame sampling reads only (doc_id, text) from documents") {
+    scanSchemas("q105_frame_sample")("documents") shouldBe Set("doc_id", "text")
+  }
+
+  test("q106 span corruption reads only (doc_id, text) from documents") {
+    scanSchemas("q106_span_corruption")("documents") shouldBe Set("doc_id", "text")
+  }
+
   test("q99 z-order reads only (l_partkey, l_suppkey) from lineitem") {
     scanSchemas("q99_zorder_layout")("lineitem") shouldBe
       Set("l_partkey", "l_suppkey")
