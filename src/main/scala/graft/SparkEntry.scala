@@ -1512,6 +1512,25 @@ object SparkEntry {
       stride = 16, spanLen = 3)
       .orderBy(col("doc_id"))
 
+  /** q107 — integer unigram surprisal (Keywords.unigramSurprisal): the
+    * perplexity-proxy quality score in whole bits — bitlen(N) −
+    * bitlen(freq) per token, no floats, no libm; vocab-frame heavy
+    * work, 1-row total broadcast, one doc rollup. */
+  def q107UnigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    operators.Keywords.unigramSurprisal(
+      t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  /** q108 — contrastive negatives (Dataloader.modularNegatives): 3
+    * deterministic negatives per doc from its language stratum at
+    * modular rank offsets — embedding-training pair generation as a
+    * pure function of the key set (sharded rank + one equi-join). */
+  def q108ModularNegatives(s: SparkSession, dir: String): DataFrame =
+    operators.Dataloader.modularNegatives(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), k = 3)
+      .orderBy(col("stratum"), col("id"), col("j"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1618,7 +1637,9 @@ object SparkEntry {
     "q103_stream_outer_join" -> (q103StreamOuterJoin _),
     "q104_incremental_rollup" -> (q104IncrementalRollup _),
     "q105_frame_sample" -> (q105FrameSample _),
-    "q106_span_corruption" -> (q106SpanCorruption _)
+    "q106_span_corruption" -> (q106SpanCorruption _),
+    "q107_unigram_surprisal" -> (q107UnigramSurprisal _),
+    "q108_modular_negatives" -> (q108ModularNegatives _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -3349,6 +3370,39 @@ object SparkEntry {
         |  CAST(SUM(masked) AS BIGINT) AS n_masked,
         |  CAST(SUM(span) AS BIGINT) AS n_spans,
         |  md5(string_agg(out, ' ' ORDER BY pos)) AS masked_md5
-        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q107: len(bin(n)) = bit length on both engines (the q92 idiom)
+    "q107_unigram_surprisal" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |tok AS (SELECT doc_id, t[u.i] AS word
+        |        FROM d, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |f AS (SELECT word, COUNT(*) AS fr FROM tok GROUP BY 1),
+        |n AS (SELECT SUM(fr) AS tot FROM f),
+        |sc AS (SELECT f.word,
+        |         CAST(len(bin(n.tot)) - len(bin(f.fr)) AS BIGINT) AS bits
+        |       FROM f, n)
+        |SELECT tok.doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(sc.bits) AS BIGINT) AS bits,
+        |  CAST((SUM(sc.bits) * 100) // COUNT(*) AS BIGINT) AS bits_per_tok_x100
+        |FROM tok JOIN sc USING (word)
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+    // q108: same rank + modular-offset arithmetic; rank via the plain
+    // window (oracle-side only — the engine shards it)
+    "q108_modular_negatives" ->
+      """WITH r AS (SELECT doc_id AS id, lang AS stratum,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS s
+        |  FROM documents),
+        |p AS (SELECT id, stratum, rk, s, CAST(u.j AS BIGINT) AS j
+        |      FROM r, UNNEST(generate_series(1, 3)) AS u(j)),
+        |n AS (SELECT id, stratum, j,
+        |        ((rk - 1 + (j * s) // 4) % s) + 1 AS nrank
+        |      FROM p)
+        |SELECT n.id, n.stratum, n.j, r2.id AS neg_id
+        |FROM n JOIN r r2 ON r2.stratum = n.stratum AND r2.rk = n.nrank
+        |WHERE r2.id <> n.id
+        |ORDER BY n.stratum, n.id, n.j""".stripMargin
   )
 }

@@ -97,6 +97,40 @@ object Dataloader {
         col("n_docs") * col("max_units") - col("sum_units"))
   }
 
+  /** Hash-deterministic CONTRASTIVE NEGATIVES — each row paired with `k`
+    * negatives from its stratum, chosen at modular rank offsets
+    * (neg_rank = (rank − 1 + ⌊j·s/(k+1)⌋) mod s + 1 for j = 1..k): the
+    * negative-pair generation contrastive/embedding training needs,
+    * without an RNG. The offsets are distinct and nonzero whenever
+    * s > k (no self-pairs, uniform coverage of the rank circle); since
+    * rank is the (md5, key) order, the pairing is a pure function of
+    * the stratum's key SET. Self-pairs arising in tiny strata (s ≤ k)
+    * are filtered; tiny strata may also repeat a negative across j
+    * (the circle is shorter than k — documented, deterministic).
+    * Returns (id, stratum, j, neg_id).
+    *
+    * Scale: the sharded rank (object scaladoc) + one explode(k) + one
+    * equi-join on (stratum, rank) — both sides shuffle-partitioned by
+    * the same key; no window wider than the sharded rank's. */
+  def modularNegatives(df: DataFrame, key: Column, stratum: Column,
+      k: Int, shardDigits: Int = 2): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val ranked = shardedRank(
+      df.select(key.as("id"), stratum.as("stratum"),
+        md5(key.cast("string")).as("__h")),
+      "stratum", shardDigits)
+      .select(col("id"), col("stratum"), col("rank"), col("__s"))
+    ranked
+      .select(col("id"), col("stratum"), col("rank"), col("__s"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .withColumn("__nrank",
+        expr(s"((rank - 1 + (j * __s) div ${k + 1}) % __s) + 1"))
+      .join(ranked.select(col("stratum"), col("rank").as("__nrank"),
+        col("id").as("neg_id")), Seq("stratum", "__nrank"))
+      .filter(col("neg_id") =!= col("id"))
+      .select(col("id"), col("stratum"), col("j"), col("neg_id"))
+  }
+
   /** Hash-sharded within-group rank (object scaladoc). `keyed` must carry
     * `group`, `id`, and the md5 sort key `__h`; returns it plus `rank`
     * (1-based (md5, key) rank within the group) and `__s` (group row

@@ -26,6 +26,42 @@ import graft.functions.{TextFunctions => T}
   */
 object Keywords {
 
+  /** Integer UNIGRAM SURPRISAL per document — the perplexity-proxy
+    * quality signal (gibberish and boilerplate sit at the surprisal
+    * extremes) computed with ZERO floats: each token's self-information
+    * −log₂ p(token) is approximated in whole bits as
+    * `bitlen(N) − bitlen(freq)` (bin-length of the corpus token total
+    * minus bin-length of the token's corpus frequency — exact for
+    * powers of two, within 1 bit otherwise, and monotone in 1/p, which
+    * is all a filter threshold needs). Engine-portable (`length(bin(n))`
+    * on both sides, the q92 idiom) where a float Σ−log p would be
+    * libm- and order-dependent.
+    *
+    * Returns (doc_id, n_tok, bits, bits_per_tok_x100): total surprisal
+    * bits and the centi-bits-per-token rate (integer: bits·100 div n).
+    *
+    * Scale shape: one tokenize+explode, one map-side-combined
+    * groupBy(word) for the vocab frequencies (vocab-sized, Zipf-
+    * bounded), a 1-row total broadcast, the word join back (broadcast
+    * knob = [[Vocab.encoded]]'s discipline), one groupBy(doc) rollup. */
+  def unigramSurprisal(docs: DataFrame, id: Column, text: Column,
+      broadcastWords: Boolean = false): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqs = toks.groupBy(col("word")).agg(count(lit(1)).as("__f"))
+    val total = freqs.agg(sum(col("__f")).as("__n"))
+    val scored = freqs.crossJoin(broadcast(total))
+      .select(col("word"),
+        (length(bin(col("__n"))) - length(bin(col("__f"))))
+          .cast("long").as("__bits"))
+    toks.join(if (broadcastWords) broadcast(scored) else scored, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("__bits")).as("bits"))
+      .withColumn("bits_per_tok_x100", expr("(bits * 100) div n_tok"))
+  }
+
   /** Top-k distinctive terms per document: (doc_id, term, tf, df, rnk). */
   def topTerms(docs: DataFrame, id: Column, text: Column,
       k: Int = 3): DataFrame = {

@@ -46,6 +46,22 @@ class ContaminationAndKeywordsSpec extends SparkSpecBase {
     plan should include("BroadcastHashJoin")
   }
 
+  test("unigramSurprisal: whole-bit self-information, exact on known freqs") {
+    import spark.implicits._
+    import graft.operators.Keywords
+    // freqs: a=5, b=2, c=1; N=8 -> bitlen(N)=4; bits(a)=1, bits(b)=2,
+    // bits(c)=3
+    val docs = Seq((1L, "a a a b"), (2L, "a a b c")).toDF("id", "text")
+    val out = Keywords.unigramSurprisal(docs, col("id"), col("text"))
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+      r.getAs[Long]("bits"), r.getAs[Long]("bits_per_tok_x100"))) shouldBe
+      Array((1L, 4L, 5L, 125L), (2L, 4L, 7L, 175L))
+    // rarer tokens -> strictly higher per-token surprisal
+    out(1).getAs[Long]("bits") should be > out(0).getAs[Long]("bits")
+    spark.catalog.clearCache()
+  }
+
   test("topTerms: tf-first ranking with df and term tie-breaks, k bound") {
     val docs = Seq(
       (1L, "cat cat cat dog dog fish"),

@@ -62,6 +62,38 @@ class DataloaderSpec extends SparkSpecBase {
       col("id"), col("n"), 4).count() shouldBe 0L
   }
 
+  test("modularNegatives: exact offsets, no self-pairs, invariance") {
+    // stratum of s=8 at k=3: offsets floor(j*8/4) = 2, 4, 6 around the
+    // rank circle; every id gets exactly 3 distinct negatives
+    val df = (1L to 8L).map(i => (i, "s")).toDF("id", "st")
+    val out = Dataloader.modularNegatives(df, col("id"), col("st"), k = 3)
+      .collect()
+    out.length shouldBe 24
+    out.foreach(r => r.getAs[Long]("neg_id") should not be r.getAs[Long]("id"))
+    // reconstruct via the rank order and check one row's negatives
+    val rankOrder = (1L to 8L).sortBy(i => (md5String(i.toString), i))
+    val rankOf = rankOrder.zipWithIndex.map { case (id, i) => (id, i + 1) }.toMap
+    val idAt = rankOrder.zipWithIndex.map { case (id, i) => (i + 1, id) }.toMap
+    val someId = 3L
+    val expected = Seq(2, 4, 6).map(off =>
+      idAt(((rankOf(someId) - 1 + off) % 8) + 1))
+    out.filter(_.getAs[Long]("id") == someId).sortBy(_.getAs[Long]("j"))
+      .map(_.getAs[Long]("neg_id")).toSeq shouldBe expected
+    // partitioning/shard invariance
+    val again = Dataloader.modularNegatives(df.repartition(5), col("id"),
+      col("st"), k = 3, shardDigits = 0).collect()
+    again.map(_.toSeq).toSet shouldBe out.map(_.toSeq).toSet
+    // tiny stratum (s <= k): self-pairs filtered, never emitted
+    val tiny = Dataloader.modularNegatives(
+      Seq((1L, "t"), (2L, "t")).toDF("id", "st"), col("id"), col("st"), k = 3)
+      .collect()
+    tiny.foreach(r => r.getAs[Long]("neg_id") should not be r.getAs[Long]("id"))
+  }
+
+  private def md5String(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("sharded rank is partitioning- and shard-count-invariant") {
     // the layout is a pure function of the data: shardDigits=0 (one
     // window partition per group — the unsharded plan) must produce

@@ -113,6 +113,14 @@ class PlanPruningSpec extends SparkSpecBase {
     scanSchemas("q106_span_corruption")("documents") shouldBe Set("doc_id", "text")
   }
 
+  test("q107 surprisal reads only (doc_id, text) from documents") {
+    scanSchemas("q107_unigram_surprisal")("documents") shouldBe Set("doc_id", "text")
+  }
+
+  test("q108 negatives reads only (doc_id, lang) from documents") {
+    scanSchemas("q108_modular_negatives")("documents") shouldBe Set("doc_id", "lang")
+  }
+
   test("q99 z-order reads only (l_partkey, l_suppkey) from lineitem") {
     scanSchemas("q99_zorder_layout")("lineitem") shouldBe
       Set("l_partkey", "l_suppkey")
