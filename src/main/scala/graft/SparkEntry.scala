@@ -1531,6 +1531,21 @@ object SparkEntry {
       col("doc_id"), col("lang"), k = 3)
       .orderBy(col("stratum"), col("id"), col("j"))
 
+  /** q109 — incremental admission (Dedup.admitNewDocs): a hash-split
+    * "new batch" (20% of docs) near-dup-checked against the standing
+    * 80% index, survivors deduped among themselves, admitted ids out —
+    * the don't-reclean-the-corpus ingest path. Same verified-Jaccard
+    * semantics and banding as q48's full rebuild. */
+  def q109IncrementalAdmit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    operators.Dedup.admitNewDocs(
+      docs.filter(isNew), docs.filter(!isNew),
+      col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 2,
+      threshold = 0.4)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1639,7 +1654,8 @@ object SparkEntry {
     "q105_frame_sample" -> (q105FrameSample _),
     "q106_span_corruption" -> (q106SpanCorruption _),
     "q107_unigram_surprisal" -> (q107UnigramSurprisal _),
-    "q108_modular_negatives" -> (q108ModularNegatives _)
+    "q108_modular_negatives" -> (q108ModularNegatives _),
+    "q109_incremental_admit" -> (q109IncrementalAdmit _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -3403,6 +3419,56 @@ object SparkEntry {
         |SELECT n.id, n.stratum, n.j, r2.id AS neg_id
         |FROM n JOIN r r2 ON r2.stratum = n.stratum AND r2.rk = n.nrank
         |WHERE r2.id <> n.id
-        |ORDER BY n.stratum, n.id, n.j""".stripMargin
+        |ORDER BY n.stratum, n.id, n.j""".stripMargin,
+    // q109: q48's banding CTEs split new/index by the id-hash prefix;
+    // new-vs-index match, survivor self-pairs, recursive components,
+    // admitted = unmatched survivor that is its component's min (or
+    // unpaired)
+    "q109_incremental_admit" ->
+      """WITH RECURSIVE d0 AS (SELECT doc_id, text,
+        |              substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccc' AS isnew
+        |            FROM documents),
+        |t1 AS (SELECT doc_id, isnew, string_split_regex(lower(trim(text)), '\s+') AS t
+        |       FROM d0 WHERE trim(COALESCE(text, '')) <> ''),
+        |sh AS (SELECT doc_id, isnew, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
+        |mh AS (SELECT s.doc_id, s.isnew, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, s.isnew, r.seed),
+        |bk AS (SELECT doc_id, isnew, seed // 2 AS band,
+        |         string_agg(m, '|' ORDER BY seed) AS bkey
+        |       FROM mh GROUP BY doc_id, isnew, seed // 2),
+        |xc AS (SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
+        |       FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
+        |       WHERE n.isnew AND NOT o.isnew),
+        |matched AS (SELECT DISTINCT c.id_n FROM xc c
+        |      JOIN sh sa ON sa.doc_id = c.id_n
+        |      JOIN sh sb ON sb.doc_id = c.id_o
+        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        |              AS DOUBLE) >= 0.4),
+        |sv AS (SELECT doc_id FROM sh WHERE isnew
+        |       AND doc_id NOT IN (SELECT id_n FROM matched)),
+        |c2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+        |         AND a.doc_id < b.doc_id
+        |       WHERE a.doc_id IN (SELECT doc_id FROM sv)
+        |         AND b.doc_id IN (SELECT doc_id FROM sv)),
+        |p AS (SELECT c.id_a, c.id_b FROM c2 c
+        |      JOIN sh sa ON sa.doc_id = c.id_a
+        |      JOIN sh sb ON sb.doc_id = c.id_b
+        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        |              AS DOUBLE) >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (SELECT src, src FROM edges
+        |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+        |SELECT sv.doc_id FROM sv LEFT JOIN comp ON comp.id = sv.doc_id
+        |WHERE comp.id IS NULL OR comp.comp = sv.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -51,33 +51,27 @@ object Dedup {
     * pre-filter trivial docs. Verification cost is per-candidate-pair only,
     * never all-pairs.
     */
-  def minhashNearDupPairs(df: DataFrame, id: Column, text: Column,
-      shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    // shingling is the per-doc heavy pass and this frame is referenced
-    // three times (band index + both verification joins) — cache it so the
-    // pass runs once. Keyed on the canonical plan: repeated calls share
-    // one entry. MEMORY_AND_DISK because shingle arrays are payload-sized.
-    // Tokens are projected SEPARATELY from the shingle transform — the
-    // HOF re-eval trap (T.tokenShingles scaladoc) otherwise re-splits the
-    // text once per shingle.
-    // The emptiness guard sits on TOKENS, not shingles: shingles are
-    // non-empty iff tokens are (tokenShingles yields the whole doc as one
-    // shingle below n tokens), and a filter on the shingle column would be
-    // predicate-pushed through the projection — re-evaluating the whole
-    // shingle transform once more per row just to test emptiness.
-    // Band keys are computed INSIDE the cached frame: the self-join's two
-    // branches carry different aliases, so exchange reuse cannot unify
-    // them and each branch would re-run the k·|shingles| md5 signature
-    // pass from the cache — banding from a cached `bands` column pays the
-    // signature exactly once per document, at cache fill.
-    // The signature gets ITS OWN projection before banding: bandKeys is a
-    // HOF whose lambda slices the signature, so an inline MinHashSig
-    // expression there re-runs the whole k·|shingles| md5 pass once per
-    // band (+ once per size() reference) — the same re-eval trap as the
-    // tokens→shingles boundary, one level up. As a bound attribute the
-    // lambda's slice is a row-field read.
-    val docs = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
+  /** The cached (doc_id, sh, bands) frame every MinHash path starts
+    * from. Shingling is the per-doc heavy pass and the frame is
+    * referenced several times (band index + verification joins) —
+    * persisted so the pass runs once, keyed on the canonical plan so
+    * repeated calls share one entry; MEMORY_AND_DISK because shingle
+    * arrays are payload-sized.
+    * Projection staging is deliberate, three HOF re-eval traps deep:
+    * tokens are projected SEPARATELY from the shingle transform (the
+    * T.tokenShingles scaladoc trap — inline, the text re-splits once
+    * per shingle); the emptiness guard sits on TOKENS, not shingles
+    * (a shingle-column filter would be predicate-pushed through the
+    * projection and re-run the whole transform per row); the signature
+    * gets ITS OWN projection before banding (bandKeys' lambda slices
+    * the signature — inline, the k·|shingles| md5 pass re-runs once
+    * per band). Band keys are computed INSIDE the cached frame: a
+    * self-join's branches carry different aliases, so exchange reuse
+    * cannot unify them, and each branch would otherwise re-run the
+    * signature pass from the cache. */
+  private def shingleBandFrame(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, k: Int, rowsPerBand: Int): DataFrame =
+    ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
       .select(col("doc_id"), T.tokens(lower(col("txt"))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), T.tokenShingles(col("toks"), shingleN).as("sh"))
@@ -85,6 +79,61 @@ object Dedup {
       .select(col("doc_id"), col("sh"),
         T.bandKeys(col("sig"), rowsPerBand).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Incremental ADMISSION — the don't-reclean-the-corpus ingest shape:
+    * a NEW batch of documents is near-dup-checked against the standing
+    * kept corpus (`indexDf`), survivors are then deduped among
+    * themselves (components over verified pairs, min-id
+    * representative), and the admitted ids come back. At 100 TB the
+    * index side's banded signatures are computed once per snapshot and
+    * persisted; each ingest pays only |new| shingling plus band joins
+    * whose volume is bounded by bucket collisions — never a rescan of
+    * the corpus text. Same verified-Jaccard semantics as
+    * [[minhashNearDupPairs]] (an admitted doc is one the full
+    * rebuild-from-scratch dedup would also keep, provided the index IS
+    * the kept set — the invariant the caller maintains by feeding
+    * admissions back). */
+  def admitNewDocs(newDf: DataFrame, indexDf: DataFrame, id: Column,
+      text: Column, shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val nw = shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand)
+    val ix = shingleBandFrame(indexDf, id, text, shingleN, k, rowsPerBand)
+    def jaccardOk(a: Column, b: Column): Column =
+      (size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double")) >= threshold
+    // new-vs-index: one band join, (band, id) pairs only; shingles join
+    // in for the surviving candidate set
+    val matched = nw.select(explode(col("bands")).as("band"),
+        col("doc_id").as("id_n"))
+      .join(ix.select(explode(col("bands")).as("band"),
+        col("doc_id").as("id_o")), Seq("band"))
+      .select(col("id_n"), col("id_o")).distinct()
+      .join(nw.select(col("doc_id").as("id_n"), col("sh").as("sh_n")), Seq("id_n"))
+      .join(ix.select(col("doc_id").as("id_o"), col("sh").as("sh_o")), Seq("id_o"))
+      .filter(jaccardOk(col("sh_n"), col("sh_o")))
+      .select(col("id_n")).distinct()
+    // survivors of the index check, deduped among themselves
+    val sv = nw.join(matched, nw("doc_id") === matched("id_n"), "left_anti")
+    val svb = sv.select(explode(col("bands")).as("band"), col("doc_id"))
+    val pairs = svb.select(col("band"), col("doc_id").as("id_a"))
+      .join(svb.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(sv.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sv.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(jaccardOk(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs, col("id_a"), col("id_b"))
+    sv.select(col("doc_id"))
+      .join(comps, sv("doc_id") === comps("id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .select(col("doc_id"))
+  }
+
+  def minhashNearDupPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = shingleBandFrame(df, id, text, shingleN, k, rowsPerBand)
     // the band self-join moves only (band, id) — candidate generation never
     // shuffles shingle payloads. At corpus scale the band index is a tiny
     // fraction of the documents' bytes, and the heavy arrays are attached

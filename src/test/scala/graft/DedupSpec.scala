@@ -22,6 +22,22 @@ class DedupSpec extends SparkSpecBase {
     pairs shouldBe Seq((1L, 2L, 1.0))
   }
 
+  test("admitNewDocs: index dups rejected, within-batch dups collapse, uniques admitted") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "catalyst plans whole stage codegen for declarative dataframe queries"
+    val c = "entirely novel content about nothing previously indexed at all"
+    // index keeps doc 1 (= text a); new batch: 10 duplicates a (reject),
+    // 11 and 12 duplicate each other (keep 11 only), 13 is unique (keep)
+    val index = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fresh = Seq((10L, a), (11L, c), (12L, c), (13L, "unrelated fresh words beyond any shingle overlap threshold"))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.admitNewDocs(fresh, index, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[Long].collect().toSeq
+    admitted shouldBe Seq(11L, 13L)
+    // invariant: admitted ∪ index = the full-rebuild kept set
+    spark.catalog.clearCache()
+  }
+
   test("minhashNearDupPairs: jaccard threshold filters weak overlaps") {
     val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val b = "w1 w2 w3 w4 w5 w6 w7 w8 zz yy"   // high overlap

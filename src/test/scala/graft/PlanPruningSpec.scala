@@ -22,6 +22,10 @@ class PlanPruningSpec extends SparkSpecBase {
       // AQE wraps plans in a leaf node collect() will not enter
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         allScans(a.executedPlan)
+      // an already-EXECUTED adaptive plan (an eager operator's cached
+      // frame) wraps each stage in another collect()-opaque leaf
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
     }.flatten
 
   private def scanSchemas(name: String): Map[String, Set[String]] = {
@@ -119,6 +123,10 @@ class PlanPruningSpec extends SparkSpecBase {
 
   test("q108 negatives reads only (doc_id, lang) from documents") {
     scanSchemas("q108_modular_negatives")("documents") shouldBe Set("doc_id", "lang")
+  }
+
+  test("q109 incremental admit reads only (doc_id, text) from documents") {
+    scanSchemas("q109_incremental_admit")("documents") shouldBe Set("doc_id", "text")
   }
 
   test("q99 z-order reads only (l_partkey, l_suppkey) from lineitem") {
