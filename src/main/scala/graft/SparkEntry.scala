@@ -1546,6 +1546,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q110 — overlapping token chunking (Chunking.overlappingChunks):
+    * 32-token windows every 24 tokens (8-token overlap) over documents
+    * — the RAG/embedding retrieval-prep split, exact integer coverage,
+    * scan-fused. */
+  def q110OverlappingChunks(s: SparkSession, dir: String): DataFrame =
+    operators.Chunking.overlappingChunks(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      width = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -1655,7 +1665,8 @@ object SparkEntry {
     "q106_span_corruption" -> (q106SpanCorruption _),
     "q107_unigram_surprisal" -> (q107UnigramSurprisal _),
     "q108_modular_negatives" -> (q108ModularNegatives _),
-    "q109_incremental_admit" -> (q109IncrementalAdmit _)
+    "q109_incremental_admit" -> (q109IncrementalAdmit _),
+    "q110_overlapping_chunks" -> (q110OverlappingChunks _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -3469,6 +3480,23 @@ object SparkEntry {
         |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
         |SELECT sv.doc_id FROM sv LEFT JOIN comp ON comp.id = sv.doc_id
         |WHERE comp.id IS NULL OR comp.comp = sv.doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q110: chunk count 1 + ceil(max(0, n−32)/24); DuckDB list slice is
+    // 1-based inclusive, so chunk i spans t[i*24+1 : min(i*24+32, n)]
+    "q110_overlapping_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+        |c AS (SELECT doc_id, t, len(t) AS n,
+        |        (greatest(len(t) - 32, 0) + 23) // 24 AS last
+        |      FROM d)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+        |  CAST(u.i * 24 AS BIGINT) AS tok_from,
+        |  CAST(least(u.i * 24 + 32, n) AS BIGINT) AS tok_to,
+        |  CAST(least(u.i * 24 + 32, n) - u.i * 24 AS BIGINT) AS n_tok,
+        |  md5(array_to_string(
+        |    t[CAST(u.i * 24 + 1 AS INTEGER):CAST(least(u.i * 24 + 32, n) AS INTEGER)],
+        |    ' ')) AS chunk_md5
+        |FROM c, UNNEST(generate_series(0, last)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

@@ -121,6 +121,40 @@ class PackingSpec extends SparkSpecBase {
     }
   }
 
+  test("overlappingChunks: exact tiling, overlap, clamps, checksums") {
+    import graft.operators.Chunking
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 10 tokens, width 4, stride 3 -> chunks [0,4) [3,7) [6,10): 3 chunks
+    val words = (0 until 10).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Chunking.overlappingChunks(df, col("doc_id"), col("text"),
+      width = 4, stride = 3).orderBy("doc_id", "chunk_id").collect()
+    val ranges = out.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(r => (r.getAs[Long]("tok_from"), r.getAs[Long]("tok_to")))
+    ranges shouldBe Array((0L, 4L), (3L, 7L), (6L, 10L))
+    // every token covered; adjacent chunks overlap by width - stride = 1
+    ranges.sliding(2).foreach { case Array((_, t1), (f2, _)) =>
+      (t1 - f2) shouldBe 1L }
+    out.find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("chunk_md5") shouldBe
+      md5Hex(words.take(4).mkString(" "))
+    // short doc -> single clamped chunk; empty doc -> no rows
+    val solo = out.filter(_.getAs[Long]("doc_id") == 2L)
+    solo.map(r => (r.getAs[Long]("tok_from"), r.getAs[Long]("tok_to"))) shouldBe
+      Array((0L, 1L))
+    out.count(_.getAs[Long]("doc_id") == 3L) shouldBe 0
+    // stride == width: disjoint exact tiling
+    val tiled = Chunking.overlappingChunks(df.filter(col("doc_id") === 1L),
+      col("doc_id"), col("text"), width = 5, stride = 5).collect()
+    tiled.map(r => (r.getAs[Long]("tok_from"), r.getAs[Long]("tok_to")))
+      .sorted shouldBe Array((0L, 5L), (5L, 10L))
+    intercept[IllegalArgumentException] {
+      Chunking.overlappingChunks(df, col("doc_id"), col("text"), 4, 5)
+    }
+  }
+
   test("single shard degenerates to one global stream") {
     val out = Packing.packSequences(fixture, col("doc_id"), col("n_tok"),
       budget = 512L, shards = 1).collect()

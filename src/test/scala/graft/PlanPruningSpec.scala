@@ -129,6 +129,10 @@ class PlanPruningSpec extends SparkSpecBase {
     scanSchemas("q109_incremental_admit")("documents") shouldBe Set("doc_id", "text")
   }
 
+  test("q110 chunking reads only (doc_id, text) from documents") {
+    scanSchemas("q110_overlapping_chunks")("documents") shouldBe Set("doc_id", "text")
+  }
+
   test("q99 z-order reads only (l_partkey, l_suppkey) from lineitem") {
     scanSchemas("q99_zorder_layout")("lineitem") shouldBe
       Set("l_partkey", "l_suppkey")
