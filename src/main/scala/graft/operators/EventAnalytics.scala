@@ -63,7 +63,14 @@ object EventAnalytics {
     val stageArr = array(stages.map(lit): _*)
     val progress = df
       .select(key.as("k"), kind.as("kind"), ts.cast("long").as("tus"))
-      .filter(col("k").isNotNull && col("kind").isin(stages: _*))
+      // tus IS NOT NULL: defends the 'ts must be integral' contract — a
+      // NULL timestamp would advance stage 1 (the p === 0 disjunct skips
+      // the t > lt check) and then wedge the fold with lt = NULL, where
+      // the conditional-min formulation (and the SQL oracle's MIN) simply
+      // ignores NULLs. Dropping them before the shuffle keeps the two
+      // formulations equivalent on dirty data too.
+      .filter(col("k").isNotNull && col("tus").isNotNull &&
+        col("kind").isin(stages: _*))
       .groupBy(col("k"))
       .agg(sort_array(collect_list(
         struct(col("tus").as("t"), col("kind").as("knd")))).as("__evs"))
