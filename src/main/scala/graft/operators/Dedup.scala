@@ -71,6 +71,24 @@ object Dedup {
     * signature pass from the cache. */
   private def shingleBandFrame(df: DataFrame, id: Column, text: Column,
       shingleN: Int, k: Int, rowsPerBand: Int): DataFrame =
+    nearDupIndex(df, id, text, shingleN, k, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The MATERIALIZABLE near-dup signature index: (doc_id, sh, bands) —
+    * per-document distinct shingle sets plus LSH band keys, the frame
+    * every banded near-dup operator starts from, exposed so a snapshot
+    * job can compute it ONCE and `.write.parquet` it. All three columns
+    * are plain Spark types (long, array<string>, array<string>), so the
+    * artifact round-trips through parquet losslessly; a later ingest
+    * reloads it and calls [[admitNewDocsWithIndex]], paying only
+    * |new batch| shingling — never a re-shingle of the standing corpus
+    * (the cross-job form of the "computed once per snapshot" contract).
+    * The (shingleN, k, rowsPerBand) parameters are part of the artifact's
+    * identity: probing with a batch hashed under different parameters is
+    * undefined — store them alongside the parquet (path or metadata) and
+    * pass the same values at probe time. */
+  def nearDupIndex(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame =
     ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
       .select(col("doc_id"), T.tokens(lower(col("txt"))).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -78,7 +96,6 @@ object Dedup {
       .select(col("doc_id"), col("sh"), T.minhashSignature(col("sh"), k).as("sig"))
       .select(col("doc_id"), col("sh"),
         T.bandKeys(col("sig"), rowsPerBand).as("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Incremental ADMISSION — the don't-reclean-the-corpus ingest shape:
     * a NEW batch of documents is near-dup-checked against the standing
@@ -95,9 +112,27 @@ object Dedup {
     * admissions back). */
   def admitNewDocs(newDf: DataFrame, indexDf: DataFrame, id: Column,
       text: Column, shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val nw = shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand)
-    val ix = shingleBandFrame(indexDf, id, text, shingleN, k, rowsPerBand)
+      threshold: Double = 0.5): DataFrame =
+    admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
+      shingleBandFrame(indexDf, id, text, shingleN, k, rowsPerBand), threshold)
+
+  /** [[admitNewDocs]] against a PRECOMPUTED [[nearDupIndex]] frame — the
+    * cross-job ingest path: the standing corpus's (doc_id, sh, bands)
+    * artifact is reloaded from parquet (no re-shingle of corpus text);
+    * only the new batch is hashed here, under the SAME
+    * (shingleN, k, rowsPerBand) the index was built with (caller
+    * contract — see [[nearDupIndex]]). The index frame is consumed
+    * as-is (twice: band probe + shingle verify), both reads
+    * column-pruned, so a parquet-backed index costs two pruned scans
+    * of sketch-sized data, never corpus text. */
+  def admitNewDocsWithIndex(newDf: DataFrame, indexFrame: DataFrame,
+      id: Column, text: Column, shingleN: Int = 3, k: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+    admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
+      indexFrame.select(col("doc_id"), col("sh"), col("bands")), threshold)
+
+  private def admitCore(nw: DataFrame, ix: DataFrame,
+      threshold: Double): DataFrame = {
     def jaccardOk(a: Column, b: Column): Column =
       (size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double")) >= threshold
