@@ -24,13 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw long nanos
-    * (legacy conf) and rebuild a proper timestamp via integer µs division —
-    * `ts div 1000` stays in long arithmetic (a double division would lose
-    * precision above 2^53 ns).
+  /** Schema-adaptive events loader. The shared fixture has shipped two
+    * physical encodings of `events.ts` across regenerations:
     *
-    * NOTE: the legacy conf is session-wide. Every session entry point
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]) unless the legacy conf surfaces it as raw
+    *    long nanos; we then rebuild a timestamp via integer µs division
+    *    (`ts div 1000` stays in long arithmetic — a double division would
+    *    lose precision above 2^53 ns);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it
+    *    natively as `timestamp_ntz`; with the session pinned to UTC a cast
+    *    to the session-TZ timestamp is wall-clock identity.
+    *
+    * Branching on the LOADED type (not a hard-coded assumption) keeps both
+    * encodings working; [[guardTs]] makes a silent unit mismatch — the
+    * failure mode where every event collapses into 1970 and windowed
+    * results are wrong without an error — fail loudly per row instead.
+    *
+    * NOTE: the legacy nanos conf is session-wide. Every session entry point
     * (Bench, Verify, SnapshotRunner, the test base) sets it at build time
     * so behavior never depends on loader call order; the set here is a
     * belt-and-braces for ad-hoc sessions. It cannot be unset before the
@@ -40,8 +51,38 @@ object Tables {
     * like this one. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.withColumn("ts", guardTs(eventTsToTimestamp(raw.schema("ts").dataType)))
+  }
+
+  /** Normalize a physical `ts` encoding to a session-TZ timestamp column.
+    * Shared with the streaming source ([[graft.streaming.EventStreams]])
+    * so batch and stream agree byte-for-byte on the conversion. */
+  def eventTsToTimestamp(physical: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    physical match {
+      case LongType          => expr("timestamp_micros(ts div 1000)") // raw nanos
+      case TimestampNTZType  => col("ts").cast(TimestampType)         // UTC session: identity wall-clock
+      case TimestampType     => col("ts")
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other (expected long nanos, timestamp_ntz, or timestamp)")
+    }
+  }
+
+  /** Plausibility guard on the converted event time: any non-null value
+    * before 2000-01-01 can only come from a unit/encoding mismatch in the
+    * loader (the fixture's events live in 2024), so raise instead of
+    * silently feeding corrupt times into windows/joins. NULL passes — the
+    * fixture deliberately contains NULL timestamps. Codegen'd per-row
+    * branch; no extra pass over the data. */
+  def guardTs(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(ts < to_timestamp(lit("2000-01-01 00:00:00")),
+      raise_error(concat(
+        lit("events.ts out of plausible range (timestamp unit/encoding mismatch in the loader?): "),
+        ts.cast(StringType)))
+      .cast(TimestampType))
+    .otherwise(ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

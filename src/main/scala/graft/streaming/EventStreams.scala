@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema (ts stored as raw nanos — see
-    * [[graft.sources.Tables.events]]). */
+  /** events.parquet logical layout with `ts` as raw long nanos — the
+    * LEGACY physical encoding (see [[graft.sources.Tables.events]] for the
+    * encodings the fixture has shipped). Kept public for specs that stage
+    * their own long-nanos landing files; production paths derive the
+    * schema from the landing files' actual footer via [[eventSchemaFor]]. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -27,6 +30,20 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)
   ))
+
+  /** [[eventSchema]] with `ts` swapped to the probed physical type. */
+  def eventSchemaFor(tsType: DataType): StructType =
+    StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+
+  /** Probe the physical type of `ts` from the landing files' parquet
+    * footers (a batch schema read — no data scan). A file stream source
+    * needs its schema up front, and hard-coding one silently corrupts
+    * timestamps when the encoding changes (long micros read "as nanos"
+    * land every event in 1970 — no error, wrong windows), so probe, don't
+    * assume. */
+  def probeTsType(spark: SparkSession, dir: String): DataType =
+    spark.read.parquet(dir).schema("ts").dataType
 
   /** Open the events table as a file stream (a directory of parquet files —
     * at scale, the landing zone a collector keeps appending to). A single
@@ -48,10 +65,12 @@ object EventStreams {
         stagedDirs.put(path, d.toFile)
         d.toString
       } else path
-    val reader = spark.readStream.schema(eventSchema)
+    val tsType = probeTsType(spark, dir)
+    val reader = spark.readStream.schema(eventSchemaFor(tsType))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     reader.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts",
+        graft.sources.Tables.guardTs(graft.sources.Tables.eventTsToTimestamp(tsType)))
   }
 
   /** Tumbling 1-hour windows per event_type: event counts + value sums
@@ -426,19 +445,34 @@ object EventStreams {
       try {
         q.processAllAvailable()
       // watermark flush: one sentinel event 7 days past the max real
-      // event time, staged as a parquet file the running source picks up
-      val maxTs = spark.read.schema(eventSchema).parquet(landing.toString)
-        .agg(max(col("ts"))).collect().headOption
+      // event time, staged as a parquet file the running source picks up.
+      // The sentinel file must carry the SAME physical ts encoding as the
+      // landing files (the running source reads with the probed schema),
+      // so normalize max-ts to long micros, then re-encode per type.
+      val tsType = probeTsType(spark, landing.toString)
+      val tsAsMicros = tsType match {
+        case LongType => expr("ts div 1000") // raw nanos
+        case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+        case _ => unix_micros(col("ts"))
+      }
+      val maxTs = spark.read.schema(eventSchemaFor(tsType))
+        .parquet(landing.toString)
+        .agg(max(tsAsMicros)).collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       maxTs.foreach { t =>
         (1 to flushes).foreach { n =>
-          val sentinel = spark.createDataFrame(
-            java.util.Arrays.asList(org.apache.spark.sql.Row(
-              -1L,
-              t + 7L * 24 * 3600 * 1000000000L
-                + (n - 1) * 3600L * 1000000000L,
-              -1L, sentinelType, 0.0, null: String)),
-            eventSchema)
+          val sentMicros = t + 7L * 24 * 3600 * 1000000L +
+            (n - 1) * 3600L * 1000000L
+          val sentTs = tsType match {
+            case LongType => lit(sentMicros * 1000L)
+            case TimestampNTZType =>
+              timestamp_micros(lit(sentMicros)).cast(TimestampNTZType)
+            case _ => timestamp_micros(lit(sentMicros))
+          }
+          val sentinel = spark.range(1).select(
+            lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
+            lit(sentinelType).as("event_type"), lit(0.0).as("value"),
+            lit(null).cast(StringType).as("props"))
           val tmp = Files.createTempDirectory("graft_stream_sentinel_")
           sentinel.coalesce(1).write
             .mode("overwrite").parquet(tmp.resolve("s").toString)

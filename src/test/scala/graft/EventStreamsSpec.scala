@@ -183,6 +183,34 @@ class EventStreamsSpec extends SparkSpecBase {
     spark.catalog.dropTempView("follow_outer_test")
   }
 
+  test("optimizer keeps the interval-join type filters above the watermark node") {
+    // the heartbeat contract (EventStreams.intervalJoin scaladoc): every
+    // event must advance the watermark clock, so no event_type predicate
+    // may sink below EventTimeWatermark. The filters carry an inert
+    // ts-referencing disjunct precisely to pin this placement — this spec
+    // makes an optimizer change that starts splitting the OR fail loudly.
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Filter}
+    val joined = EventStreams.followedWithin(
+      EventStreams.readEventStream(spark, "/root/testdata/sf0.001/events.parquet"),
+      "view", "click", withinMinutes = 10)
+    // a streaming frame can't go through batch queryExecution.optimizedPlan
+    // (UnsupportedOperationChecker) — run the shared optimizer directly on
+    // the analyzed plan, exactly what IncrementalExecution does per batch
+    val plan = spark.sessionState.optimizer.execute(joined.queryExecution.analyzed)
+    val wmNodes = plan.collect { case w: EventTimeWatermark => w }
+    wmNodes should not be empty
+    wmNodes.foreach { w =>
+      val sunk = w.child.collect {
+        case f: Filter if f.condition.references.exists(_.name == "event_type") => f
+      }
+      sunk shouldBe empty
+    }
+    val above = plan.collect {
+      case f: Filter if f.condition.references.exists(_.name == "event_type") => f
+    }
+    above.size should be >= 2
+  }
+
   test("incrementalRollup via foreachBatch equals the batch rollup across micro-batches") {
     import org.apache.spark.sql.functions._
     // two landing files forced into separate micro-batches → the additive
@@ -197,8 +225,10 @@ class EventStreamsSpec extends SparkSpecBase {
       maxFilesPerTrigger = Some(1))
 
     val got = spark.read.parquet(target)
-    val expected = spark.read.parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val rawExp = spark.read.parquet(landing.toString)
+    val expected = rawExp
+      .withColumn("ts",
+        graft.sources.Tables.eventTsToTimestamp(rawExp.schema("ts").dataType))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("events"),
         sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("value_cents"))
