@@ -56,19 +56,8 @@ object Dedup {
     * referenced several times (band index + verification joins) —
     * persisted so the pass runs once, keyed on the canonical plan so
     * repeated calls share one entry; MEMORY_AND_DISK because shingle
-    * arrays are payload-sized.
-    * Projection staging is deliberate, three HOF re-eval traps deep:
-    * tokens are projected SEPARATELY from the shingle transform (the
-    * T.tokenShingles scaladoc trap — inline, the text re-splits once
-    * per shingle); the emptiness guard sits on TOKENS, not shingles
-    * (a shingle-column filter would be predicate-pushed through the
-    * projection and re-run the whole transform per row); the signature
-    * gets ITS OWN projection before banding (bandKeys' lambda slices
-    * the signature — inline, the k·|shingles| md5 pass re-runs once
-    * per band). Band keys are computed INSIDE the cached frame: a
-    * self-join's branches carry different aliases, so exchange reuse
-    * cannot unify them, and each branch would otherwise re-run the
-    * signature pass from the cache. */
+    * arrays are payload-sized. Projection staging lives in
+    * [[nearDupIndex]] (the body this wraps). */
   private def shingleBandFrame(df: DataFrame, id: Column, text: Column,
       shingleN: Int, k: Int, rowsPerBand: Int): DataFrame =
     nearDupIndex(df, id, text, shingleN, k, rowsPerBand)
@@ -77,16 +66,30 @@ object Dedup {
   /** The MATERIALIZABLE near-dup signature index: (doc_id, sh, bands) —
     * per-document distinct shingle sets plus LSH band keys, the frame
     * every banded near-dup operator starts from, exposed so a snapshot
-    * job can compute it ONCE and `.write.parquet` it. All three columns
-    * are plain Spark types (long, array<string>, array<string>), so the
+    * job can compute it ONCE and `.write.parquet` it. All columns are
+    * plain Spark types (long, array<string>, array<string>, int), so the
     * artifact round-trips through parquet losslessly; a later ingest
     * reloads it and calls [[admitNewDocsWithIndex]], paying only
     * |new batch| shingling — never a re-shingle of the standing corpus
     * (the cross-job form of the "computed once per snapshot" contract).
     * The (shingleN, k, rowsPerBand) parameters are part of the artifact's
-    * identity: probing with a batch hashed under different parameters is
-    * undefined — store them alongside the parquet (path or metadata) and
-    * pass the same values at probe time. */
+    * identity, so they ride ALONG IN the artifact as constant columns
+    * (`p_shingle_n`, `p_k`, `p_rows_per_band` — bytes-free under parquet
+    * RLE) and [[admitNewDocsWithIndex]] fails fast on a mismatch instead
+    * of returning silently wrong admissions.
+    *
+    * Projection staging is deliberate, three HOF re-eval traps deep:
+    * tokens are projected SEPARATELY from the shingle transform (the
+    * T.tokenShingles scaladoc trap — inline, the text re-splits once
+    * per shingle); the emptiness guard sits on TOKENS, not shingles
+    * (a shingle-column filter would be predicate-pushed through the
+    * projection and re-run the whole transform per row); the signature
+    * gets ITS OWN projection before banding (bandKeys' lambda slices
+    * the signature — inline, the k·|shingles| md5 pass re-runs once
+    * per band). Band keys are computed INSIDE the cached/materialized
+    * frame: a self-join's branches carry different aliases, so exchange
+    * reuse cannot unify them, and each branch would otherwise re-run
+    * the signature pass from the cache. */
   def nearDupIndex(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame =
     ensureParallelism(df.select(id.as("doc_id"), text.as("txt")), col("doc_id"))
@@ -95,7 +98,9 @@ object Dedup {
       .select(col("doc_id"), T.tokenShingles(col("toks"), shingleN).as("sh"))
       .select(col("doc_id"), col("sh"), T.minhashSignature(col("sh"), k).as("sig"))
       .select(col("doc_id"), col("sh"),
-        T.bandKeys(col("sig"), rowsPerBand).as("bands"))
+        T.bandKeys(col("sig"), rowsPerBand).as("bands"),
+        lit(shingleN).as("p_shingle_n"), lit(k).as("p_k"),
+        lit(rowsPerBand).as("p_rows_per_band"))
 
   /** Incremental ADMISSION — the don't-reclean-the-corpus ingest shape:
     * a NEW batch of documents is near-dup-checked against the standing
@@ -120,16 +125,38 @@ object Dedup {
     * cross-job ingest path: the standing corpus's (doc_id, sh, bands)
     * artifact is reloaded from parquet (no re-shingle of corpus text);
     * only the new batch is hashed here, under the SAME
-    * (shingleN, k, rowsPerBand) the index was built with (caller
-    * contract — see [[nearDupIndex]]). The index frame is consumed
-    * as-is (twice: band probe + shingle verify), both reads
-    * column-pruned, so a parquet-backed index costs two pruned scans
-    * of sketch-sized data, never corpus text. */
+    * (shingleN, k, rowsPerBand) the index was built with. When the
+    * artifact carries its build parameters (every [[nearDupIndex]]
+    * since they were embedded), a mismatch throws here — one bounded
+    * single-row collect of RLE'd constants — instead of producing
+    * silently wrong admissions; parameter-less legacy artifacts skip
+    * the check (the caller's contract stands).
+    *
+    * The index frame is consumed as-is (twice: band probe + shingle
+    * verify), both reads column-pruned, so a PARQUET-BACKED index costs
+    * two pruned scans of sketch-sized data, never corpus text. A caller
+    * passing a freshly COMPUTED (non-source-backed) frame must persist
+    * or materialize it first — otherwise the full corpus re-shingles
+    * twice, exactly what this path exists to avoid. */
   def admitNewDocsWithIndex(newDf: DataFrame, indexFrame: DataFrame,
       id: Column, text: Column, shingleN: Int = 3, k: Int = 16,
-      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val paramCols = Seq("p_shingle_n", "p_k", "p_rows_per_band")
+    if (paramCols.forall(indexFrame.columns.contains)) {
+      indexFrame.select(paramCols.map(col): _*).limit(1).collect()
+        .headOption.foreach { r =>
+          val (in, ik, ir) = (r.getInt(0), r.getInt(1), r.getInt(2))
+          require(in == shingleN && ik == k && ir == rowsPerBand,
+            s"near-dup index was built under (shingleN=$in, k=$ik, " +
+              s"rowsPerBand=$ir) but probed with (shingleN=$shingleN, " +
+              s"k=$k, rowsPerBand=$rowsPerBand) — admissions would be " +
+              "silently wrong; rebuild the index or probe with the " +
+              "build-time parameters")
+        }
+    }
     admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
       indexFrame.select(col("doc_id"), col("sh"), col("bands")), threshold)
+  }
 
   private def admitCore(nw: DataFrame, ix: DataFrame,
       threshold: Double): DataFrame = {

@@ -204,4 +204,67 @@ class DedupSpec extends SparkSpecBase {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     Dedup.connectedComponentsStar(empty, col("id_a"), col("id_b")).count() shouldBe 0L
   }
+
+  test("admitNewDocsWithIndex over a parquet-roundtripped nearDupIndex ≡ admitNewDocs") {
+    // the cross-job ingest contract: computing the index once, writing it
+    // to parquet, reloading it, and probing with the same parameters must
+    // admit EXACTLY what the all-in-one text path admits
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    val (fresh, standing) = (docs.filter(isNew), docs.filter(!isNew))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixspec_")
+    try {
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(dir.resolve("ix").toString)
+      val reloaded = spark.read.parquet(dir.resolve("ix").toString)
+
+      val viaIndex = Dedup.admitNewDocsWithIndex(fresh, reloaded,
+          col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 2,
+          threshold = 0.4)
+        .orderBy("doc_id").as[Long].collect().toSeq
+      val viaText = Dedup.admitNewDocs(fresh, standing,
+          col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 2,
+          threshold = 0.4)
+        .orderBy("doc_id").as[Long].collect().toSeq
+
+      viaIndex shouldBe viaText
+      viaIndex.nonEmpty shouldBe true
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("admitNewDocsWithIndex fails fast when probe parameters differ from the artifact's") {
+    val standing = Seq((1L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((2L, "entirely novel content about nothing previously indexed"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixspec_param_")
+    try {
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(dir.resolve("ix").toString)
+      val reloaded = spark.read.parquet(dir.resolve("ix").toString)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.admitNewDocsWithIndex(fresh, reloaded,
+          col("doc_id"), col("text"), shingleN = 3, k = 16, rowsPerBand = 4)
+      }
+      e.getMessage should include("rowsPerBand=2")
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+      spark.catalog.clearCache()
+    }
+  }
 }
