@@ -1531,16 +1531,26 @@ object SparkEntry {
       col("doc_id"), col("lang"), k = 3)
       .orderBy(col("stratum"), col("id"), col("j"))
 
-  /** q109 — incremental admission (Dedup.admitNewDocs): a hash-split
-    * "new batch" (20% of docs) near-dup-checked against the standing
-    * 80% index, survivors deduped among themselves, admitted ids out —
-    * the don't-reclean-the-corpus ingest path. Same verified-Jaccard
-    * semantics and banding as q48's full rebuild. */
+  /** q109 — incremental admission through the MATERIALIZED index
+    * (Dedup.nearDupIndex → parquet → Dedup.admitNewDocsWithIndex): the
+    * standing 80% corpus's signature index is computed once, written to
+    * parquet, reloaded, and a hash-split "new batch" (20% of docs) is
+    * near-dup-checked against it — only the new batch is shingled at
+    * probe time, the cross-job don't-reclean-the-corpus ingest shape.
+    * Survivors dedup among themselves; admitted ids out. Same
+    * verified-Jaccard semantics and banding as q48's full rebuild, and
+    * identical output to the former all-in-one admitNewDocs form. */
   def q109IncrementalAdmit(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
-    operators.Dedup.admitNewDocs(
-      docs.filter(isNew), docs.filter(!isNew),
+    val ixDir = java.nio.file.Files
+      .createTempDirectory("graft_neardup_index_").resolve("ix")
+    operators.Dedup.nearDupIndex(docs.filter(!isNew), col("doc_id"),
+        col("text"), shingleN = 3, k = 8, rowsPerBand = 2)
+      .write.mode("overwrite").parquet(ixDir.toString)
+    ixDir.getParent.toFile.deleteOnExit()
+    operators.Dedup.admitNewDocsWithIndex(
+      docs.filter(isNew), s.read.parquet(ixDir.toString),
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 2,
       threshold = 0.4)
       .orderBy(col("doc_id"))
@@ -1555,6 +1565,50 @@ object SparkEntry {
       t(s, dir, "documents"), col("doc_id"), col("text"),
       width = 32, stride = 24)
       .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** q111 — mergeable KMV rollup (Sketch.shardedDistinctEstimate):
+    * per-(event_type, user-shard) sketches merged per event_type with
+    * kmvMerge. The oracle computes the DIRECT whole-group sketch (q98's
+    * SQL), so the hash match proves the mergeability law — sketch of
+    * shards merged ≡ sketch of the union — on real data. */
+  def q111KmvMergedShards(s: SparkSession, dir: String): DataFrame =
+    operators.Sketch.shardedDistinctEstimate(
+      Tables.events(s, dir).select(col("event_type"), col("user_id")),
+      col("event_type"), col("user_id"),
+      pmod(col("user_id"), lit(8)), k = 64)
+      .orderBy(col("grp"))
+
+  /** q112 — the END-TO-END training-data layout chain: corpus clean
+    * (q48's full gate→dedup→near-dup→sample composition) feeding BOTH
+    * sequence packing (q71's hash-sharded 512-token streams) and the
+    * proportional interleave order (q91), joined per surviving doc. This
+    * is the integration query that catches cross-operator column-contract
+    * drift — each stage consumes the previous stage's real output frame,
+    * and the oracle replays the whole chain as one composed CTE. The
+    * cleaned frame is persisted: pack and interleave both consume it, and
+    * the clean chain (shingle + components) is the expensive pass. */
+  def q112CleanPackInterleave(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = operators.CorpusPipeline.clean(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
+      stopwords = TF.DefaultLangMarkers("en"),
+      qualityThreshold = 0.5, jaccardThreshold = 0.5,
+      rowsPerBand = 2,
+      sampleBounds = Map("en" -> "8000"), defaultBound = "g")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val packed = operators.Packing.packSequences(
+      cleaned.select(col("doc_id"), TF.tokenCount(col("text")).as("n_tok")),
+      col("doc_id"), col("n_tok"), budget = 512L, shards = 4)
+    val order = operators.Dataloader.interleaveOrder(
+      cleaned.select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"))
+    order.join(packed.withColumnRenamed("id", "pid"),
+        order("id") === col("pid"), "left")
+      .select(col("id"), col("stratum"), col("rank"), col("okey"),
+        col("n_tokens"), col("shard"), col("seq_id"), col("seq_off"))
+      .orderBy(col("okey"), col("stratum"), col("rank"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
@@ -1666,7 +1720,9 @@ object SparkEntry {
     "q107_unigram_surprisal" -> (q107UnigramSurprisal _),
     "q108_modular_negatives" -> (q108ModularNegatives _),
     "q109_incremental_admit" -> (q109IncrementalAdmit _),
-    "q110_overlapping_chunks" -> (q110OverlappingChunks _)
+    "q110_overlapping_chunks" -> (q110OverlappingChunks _),
+    "q111_kmv_merged_shards" -> (q111KmvMergedShards _),
+    "q112_clean_pack_interleave" -> (q112CleanPackInterleave _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -3497,6 +3553,114 @@ object SparkEntry {
         |    t[CAST(u.i * 24 + 1 AS INTEGER):CAST(least(u.i * 24 + 32, n) AS INTEGER)],
         |    ' ')) AS chunk_md5
         |FROM c, UNNEST(generate_series(0, last)) AS u(i)
-        |ORDER BY doc_id, chunk_id""".stripMargin
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    // q111: the DIRECT whole-group KMV (q98's oracle) — the engine's
+    // sharded+merged sketch must equal it bit-for-bit (mergeability law)
+    "q111_kmv_merged_shards" ->
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+        |      AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT grp, h,
+        |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+        |        COUNT(*) OVER (PARTITION BY grp) AS nd
+        |      FROM h)
+        |SELECT grp, CAST(LEAST(MAX(nd), 64) AS BIGINT) AS n_kept,
+        |  MAX(CASE WHEN rn = LEAST(nd, 64) THEN h END) AS kth_hash,
+        |  CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS BIGINT)
+        |    ELSE CAST((CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |      // CAST(MAX(CASE WHEN rn = 64 THEN h END) AS HUGEINT) AS BIGINT) END
+        |    AS est_distinct
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    // q112: q48's clean chain (through samp, carrying text) feeding q71's
+    // pack CTEs and q91's interleave CTE, joined per surviving doc
+    "q112_clean_pack_interleave" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, lang, n_chars, COALESCE(text, '') AS text
+        |       FROM documents),
+        |f AS (SELECT doc_id, lang, n_chars, text,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS punct,
+        |  CASE WHEN trim(text) = '' THEN 0.0 ELSE
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','and','of','to','a','in','is','it','you','that'], x))) AS DOUBLE)
+        |    / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stopratio
+        |  FROM d0),
+        |qual AS (SELECT doc_id, lang, n_chars, text FROM f
+        |  WHERE floor((least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
+        |             + least(stopratio * 4.0, 1.0)
+        |             + greatest(1.0 - punct * 4.0, 0.0)) / 3.0 * 1e6) / 1e6 >= 0.5),
+        |ex AS (SELECT doc_id, lang, n_chars, text FROM qual
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |t1 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |       FROM ex WHERE trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
+        |mh AS (SELECT s.doc_id, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, r.seed),
+        |bk AS (SELECT doc_id, seed // 2 AS band,
+        |         string_agg(m, '|' ORDER BY seed) AS bkey
+        |       FROM mh GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b
+        |           ON a.band = b.band AND a.bkey = b.bkey
+        |           AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.id_a, c.id_b FROM cand c
+        |      JOIN sh sa ON sa.doc_id = c.id_a
+        |      JOIN sh sb ON sb.doc_id = c.id_b
+        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+        |              >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |surv AS (SELECT e.doc_id, e.lang, e.text FROM ex e
+        |         LEFT JOIN comp c ON e.doc_id = c.id
+        |         WHERE c.id IS NULL OR c.comp = e.doc_id),
+        |samp AS (SELECT * FROM surv
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |    CASE lang WHEN 'en' THEN '8000' ELSE 'g' END),
+        |pd AS (SELECT doc_id,
+        |         CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |       FROM samp),
+        |pf AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        md5(CAST(doc_id AS VARCHAR)) AS key,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+        |          % 4 AS BIGINT) AS shard
+        |      FROM pd WHERE n_tokens > 0),
+        |pc AS (SELECT doc_id, n_tokens, shard,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM pf),
+        |pt AS (SELECT shard, (SUM(n_tokens) + 511) // 512 AS nseq
+        |      FROM pf GROUP BY shard),
+        |pb AS (SELECT shard,
+        |        COALESCE(SUM(nseq) OVER (ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        |      FROM pt),
+        |pk AS (SELECT pc.doc_id, pc.n_tokens, pc.shard,
+        |        CAST(pb.base + pc.cum // 512 AS BIGINT) AS seq_id,
+        |        CAST(pc.cum % 512 AS BIGINT) AS seq_off
+        |      FROM pc JOIN pb USING (shard)),
+        |r AS (SELECT doc_id AS id, lang AS stratum,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS s
+        |  FROM samp)
+        |SELECT r.id, r.stratum, CAST(r.rk AS BIGINT) AS "rank",
+        |  CAST(((2 * rk - 1) * 1000000000) // (2 * s) AS BIGINT) AS okey,
+        |  pk.n_tokens, pk.shard, pk.seq_id, pk.seq_off
+        |FROM r LEFT JOIN pk ON pk.doc_id = r.id
+        |ORDER BY okey, stratum, "rank"""".stripMargin
   )
 }

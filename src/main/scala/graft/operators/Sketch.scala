@@ -66,6 +66,42 @@ object Sketch {
     (hash: Column) => fn(hash)
   }
 
+  /** SKETCH-MERGE aggregator: folds whole KMV arrays instead of raw
+    * hashes. The mergeability law — `kmvMerge(k)` over per-partition
+    * sketches ≡ `kmv(k)` over the union of their raw inputs — holds
+    * EXACTLY (not approximately): each input array is its partition's k
+    * smallest distinct hashes, any union-wide top-k hash is in its own
+    * partition's top-k, so concatenate + distinct + sort + take(k) loses
+    * nothing. This is what makes the sketch warehouse-able at 100 TB:
+    * per-day / per-shard sketch tables roll up to any coarser grain
+    * without revisiting raw data, shuffling only k-sized arrays. */
+  class KmvMergeAggregator(k: Int)
+      extends Aggregator[Seq[Long], ArrayBuffer[Long], Seq[Long]] {
+    private def trim(b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+      val kept = b.distinct.sorted.take(k)
+      b.clear(); b ++= kept
+    }
+    override def zero: ArrayBuffer[Long] = ArrayBuffer.empty
+    override def reduce(b: ArrayBuffer[Long], a: Seq[Long]): ArrayBuffer[Long] = {
+      if (a != null) b ++= a
+      if (b.length > 4 * k) trim(b) else b
+    }
+    override def merge(x: ArrayBuffer[Long], y: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+      x ++= y
+      if (x.length > 4 * k) trim(x) else x
+    }
+    override def finish(b: ArrayBuffer[Long]): Seq[Long] =
+      b.distinct.sorted.take(k).toSeq
+    override def bufferEncoder: Encoder[ArrayBuffer[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** `kmvMerge(k)(mins)` → the union sketch of the input sketch arrays. */
+  def kmvMerge(k: Int): Column => Column = {
+    val fn = udaf(new KmvMergeAggregator(k), ExpressionEncoder[Seq[Long]]())
+    (mins: Column) => fn(mins)
+  }
+
   /** The 60-bit md5-prefix hash of `v` — the engine-portable uniform
     * hash every sketch here keys on (DuckDB:
     * ('0x' || substr(md5(v), 1, 15))::UBIGINT). */
@@ -83,16 +119,40 @@ object Sketch {
       .filter(col("__h").isNotNull) // null value -> null hash -> not a value
       .groupBy(col("grp"))
       .agg(kmv(k)(col("__h")).as("__mins"))
-      // (k−1)·2⁶⁰ ≈ 2.9e20 at k=256 overflows int64, so the estimate's
-      // numerator is exact DECIMAL and `div` (IntegralDivide) brings it
-      // back to BIGINT — the oracle mirrors with HUGEINT `//`
-      .select(col("grp"),
-        size(col("__mins")).cast("long").as("n_kept"),
-        expr("element_at(__mins, size(__mins))").as("kth_hash"),
-        when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
-          .otherwise(expr(
-            s"(CAST(${k - 1} AS DECIMAL(28,0)) * CAST(1152921504606846976 AS DECIMAL(28,0)))" +
-              s" div element_at(__mins, $k)"))
-          .as("est_distinct"))
+      .select(estimateProjection(k): _*)
+  }
+
+  /** (grp, __mins) → (grp, n_kept, kth_hash, est_distinct).
+    * (k−1)·2⁶⁰ ≈ 2.9e20 at k=256 overflows int64, so the estimate's
+    * numerator is exact DECIMAL and `div` (IntegralDivide) brings it
+    * back to BIGINT — the oracle mirrors with HUGEINT `//`. */
+  private def estimateProjection(k: Int): Seq[Column] = Seq(
+    col("grp"),
+    size(col("__mins")).cast("long").as("n_kept"),
+    expr("element_at(__mins, size(__mins))").as("kth_hash"),
+    when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
+      .otherwise(expr(
+        s"(CAST(${k - 1} AS DECIMAL(28,0)) * CAST(1152921504606846976 AS DECIMAL(28,0)))" +
+          s" div element_at(__mins, $k)"))
+      .as("est_distinct"))
+
+  /** [[distinctEstimate]] computed the WAREHOUSE way: per-(group, shard)
+    * sketches first, then [[kmvMerge]] rolls shards up per group. By the
+    * mergeability law the result is bit-identical to the direct
+    * single-pass sketch — which is exactly how it's oracle-checked
+    * (q111's SQL computes the direct whole-group sketch; a hash match
+    * PROVES merge ≡ union on real data). At scale the first level is the
+    * once-per-ingest sketch table; the second runs on sketch-sized rows
+    * only. */
+  def shardedDistinctEstimate(df: DataFrame, group: Column, value: Column,
+      shard: Column, k: Int = 256): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.select(group.as("grp"), shard.as("__s"), hash60(value).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col("grp"), col("__s"))
+      .agg(kmv(k)(col("__h")).as("__pmins"))
+      .groupBy(col("grp"))
+      .agg(kmvMerge(k)(col("__pmins")).as("__mins"))
+      .select(estimateProjection(k): _*)
   }
 }

@@ -38,6 +38,35 @@ class SketchAndLayoutSpec extends SparkSpecBase {
     run(df.repartition(17)) shouldBe run(df.coalesce(1))
   }
 
+  test("kmvMerge: merged shard sketches equal the union sketch (mergeability law)") {
+    // 3 groups × 700 distinct values (> k), duplicated rows, sharded 5
+    // ways — the merged rollup must be BIT-identical to the direct
+    // single-pass sketch, including n_kept/kth_hash/est_distinct
+    val df = (1L to 5000L).map(i => (s"g${i % 3}", i % 700)).toDF("grp", "v")
+    val direct = Sketch.distinctEstimate(df, col("grp"), col("v"), k = 32)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val merged = Sketch.shardedDistinctEstimate(df, col("grp"), col("v"),
+        pmod(col("v"), lit(5)), k = 32)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    merged shouldBe direct
+  }
+
+  test("kmvMerge: shard-count invariant, including a below-k group and a 1-shard group") {
+    // g0 holds 8 distinct values (< k: sketch IS the value set, estimate
+    // exact through the merge); g1 spreads over many shards
+    val df = ((1L to 200L).map(i => ("g0", i % 8)) ++
+      (1L to 3000L).map(i => ("g1", i % 400))).toDF("grp", "v")
+    def run(shards: Int) =
+      Sketch.shardedDistinctEstimate(df, col("grp"), col("v"),
+          pmod(col("v"), lit(shards)), k = 64)
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+    val direct = Sketch.distinctEstimate(df, col("grp"), col("v"), k = 64)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    run(1) shouldBe direct
+    run(7) shouldBe direct
+    run(64) shouldBe direct
+  }
+
   test("zKey interleaves bits; out-of-range raises") {
     def z(x: Long, y: Long): Long =
       Seq((x, y)).toDF("x", "y")
