@@ -1578,6 +1578,39 @@ object SparkEntry {
       pmod(col("user_id"), lit(8)), k = 64)
       .orderBy(col("grp"))
 
+  /** q113 — 3-DIMENSIONAL Z-order layout (Layout.zOrderStatsN): lineitem
+    * clustered on (partkey, suppkey, quantity) at 10 bits each (30-bit
+    * Morton key, inside the 63 div 3 = 21-bit/dim budget), 64 key-range
+    * buckets — each bucket bounds ALL THREE dimensions (~1/∛buckets of
+    * each range), so min/max file stats prune predicates on any of the
+    * three columns. Oracle generated from the same unrolled bit loop. */
+  def q113ZOrder3d(s: SparkSession, dir: String): DataFrame =
+    operators.Layout.zOrderStatsN(
+      t(s, dir, "lineitem"),
+      Seq("partkey" -> col("l_partkey"), "suppkey" -> col("l_suppkey"),
+        "qty" -> col("l_quantity")),
+      bits = 10, buckets = 64)
+      .orderBy(col("bucket"))
+
+  /** q114 — corpus clean under the WINNOWING pair policy
+    * (CorpusPipeline.cleanWith + winnowingPolicy): the same gate →
+    * exact dedup → components → sample chain as q48 with candidate
+    * generation swapped to shared-fingerprint pairs (contiguous-overlap
+    * detection, q97's operator) — the policy seam exercised end to end
+    * against a composed oracle. */
+  def q114CleanWinnowing(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusPipeline.cleanWith(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
+      stopwords = TF.DefaultLangMarkers("en"),
+      qualityThreshold = 0.5,
+      operators.CorpusPipeline.winnowingPolicy(
+        k = 3, w = 4, minShared = 2L, maxDf = 100L),
+      sampleBounds = Map("en" -> "8000"), defaultBound = "g")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+
   /** q112 — the END-TO-END training-data layout chain: corpus clean
     * (q48's full gate→dedup→near-dup→sample composition) feeding BOTH
     * sequence packing (q71's hash-sharded 512-token streams) and the
@@ -1722,7 +1755,9 @@ object SparkEntry {
     "q109_incremental_admit" -> (q109IncrementalAdmit _),
     "q110_overlapping_chunks" -> (q110OverlappingChunks _),
     "q111_kmv_merged_shards" -> (q111KmvMergedShards _),
-    "q112_clean_pack_interleave" -> (q112CleanPackInterleave _)
+    "q112_clean_pack_interleave" -> (q112CleanPackInterleave _),
+    "q113_zorder_3d" -> (q113ZOrder3d _),
+    "q114_clean_winnowing" -> (q114CleanWinnowing _)
   )
 
   /** q28's oracle, generated: the SRP planes are a pure function of the
@@ -1950,6 +1985,33 @@ object SparkEntry {
        |SELECT CAST((zk * 64) // 4294967296 AS BIGINT) AS bucket,
        |  COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
        |  MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  /** q113's oracle, generated like q99's but for the 3-dim key: bit i of
+    * dimension j lands at key position 3i+j (the same i·d+j loop
+    * Layout.zKeyN unrolls), each dimension quantized by its own min/max
+    * to the 10-bit range. */
+  private def q113OracleSql: String = {
+    val bits = 10
+    val terms = (0 until bits).flatMap(i => (0 until 3).map(j =>
+      s"(((q$j >> $i) & 1) << ${3 * i + j})")).mkString(" + ")
+    s"""WITH b AS (SELECT CAST(l_partkey AS BIGINT) AS v0,
+       |             CAST(l_suppkey AS BIGINT) AS v1,
+       |             CAST(l_quantity AS BIGINT) AS v2 FROM lineitem),
+       |st AS (SELECT MIN(v0) AS lo0, MAX(v0) AS hi0,
+       |         MIN(v1) AS lo1, MAX(v1) AS hi1,
+       |         MIN(v2) AS lo2, MAX(v2) AS hi2 FROM b),
+       |qv AS (SELECT v0, v1, v2,
+       |        ((v0 - st.lo0) * ${1L << bits}) // (st.hi0 - st.lo0 + 1) AS q0,
+       |        ((v1 - st.lo1) * ${1L << bits}) // (st.hi1 - st.lo1 + 1) AS q1,
+       |        ((v2 - st.lo2) * ${1L << bits}) // (st.hi2 - st.lo2 + 1) AS q2
+       |      FROM b, st),
+       |z AS (SELECT v0, v1, v2, CAST($terms AS BIGINT) AS zk FROM qv)
+       |SELECT CAST((zk * 64) // ${1L << (3 * bits)} AS BIGINT) AS bucket,
+       |  COUNT(*) AS n, MIN(v0) AS min_partkey, MAX(v0) AS max_partkey,
+       |  MIN(v1) AS min_suppkey, MAX(v1) AS max_suppkey,
+       |  MIN(v2) AS min_qty, MAX(v2) AS max_qty
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
@@ -3378,6 +3440,10 @@ object SparkEntry {
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
     // q99: generated 32-term Morton key (same unrolled loop as the engine)
     "q99_zorder_layout" -> q99OracleSql,
+    // q113: 3-dim Morton key, generated from the same i·d+j bit loop
+    // (l_quantity is integral-valued double, so Spark's truncating cast
+    // and DuckDB's rounding cast agree)
+    "q113_zorder_3d" -> q113OracleSql,
     // q100: the batch form of the streaming interval join — inner
     // stream-stream joins reproduce it exactly on a bounded replay
     "q100_stream_stream_join" ->
@@ -3425,13 +3491,21 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // q105: char slices = byte slices (fixture text is pure ASCII —
     // verified octet_length = length); generate_series stride 4
+    // q105: the oracle slices CHARS while the engine slices BYTES — only
+    // equivalent on ASCII text, so the frame_md5 expression guards
+    // strlen = length (byte length = char length) per row, in the output
+    // expression where the optimizer cannot prune it: a non-ASCII fixture
+    // fails with a message instead of a silent hash mismatch
     "q105_frame_sample" ->
       """WITH f AS (SELECT doc_id, text, length(text) // 64 AS nf
         |           FROM documents WHERE text IS NOT NULL AND length(text) >= 64)
         |SELECT f.doc_id AS id, CAST(u.i AS BIGINT) AS frame_idx,
         |  CAST(u.i * 64 AS BIGINT) AS byte_from,
         |  CAST(u.i * 64 + 64 AS BIGINT) AS byte_to,
-        |  md5(substr(f.text, CAST(u.i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+        |  md5(CASE WHEN strlen(f.text) = length(f.text)
+        |        THEN substr(f.text, CAST(u.i * 64 + 1 AS INTEGER), 64)
+        |        ELSE error('q105 oracle requires ASCII text (char slice <> byte slice): doc ' || f.doc_id) END)
+        |    AS frame_md5
         |FROM f, UNNEST(generate_series(0, nf - 1, 4)) AS u(i)
         |ORDER BY id, frame_idx""".stripMargin,
     // q106: same (hash60(doc) + pos) % stride arithmetic; string_agg
@@ -3661,6 +3735,60 @@ object SparkEntry {
         |  CAST(((2 * rk - 1) * 1000000000) // (2 * s) AS BIGINT) AS okey,
         |  pk.n_tokens, pk.shard, pk.seq_id, pk.seq_off
         |FROM r LEFT JOIN pk ON pk.doc_id = r.id
-        |ORDER BY okey, stratum, "rank"""".stripMargin
+        |ORDER BY okey, stratum, "rank"""".stripMargin,
+    // q114: q48's gate/exact-dedup/components/sample chain with the
+    // minhash candidate CTEs swapped for q97's winnowing fingerprint CTEs
+    "q114_clean_winnowing" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, lang, n_chars, COALESCE(text, '') AS text
+        |       FROM documents),
+        |f AS (SELECT doc_id, lang, n_chars, text,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS punct,
+        |  CASE WHEN trim(text) = '' THEN 0.0 ELSE
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','and','of','to','a','in','is','it','you','that'], x))) AS DOUBLE)
+        |    / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stopratio
+        |  FROM d0),
+        |qual AS (SELECT doc_id, lang, n_chars, text FROM f
+        |  WHERE floor((least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
+        |             + least(stopratio * 4.0, 1.0)
+        |             + greatest(1.0 - punct * 4.0, 0.0)) / 3.0 * 1e6) / 1e6 >= 0.5),
+        |ex AS (SELECT doc_id, lang, n_chars, text FROM qual
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |t1 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |       FROM ex WHERE trim(text) <> ''),
+        |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+        |        CAST(('0x' || substr(md5(array_to_string(
+        |          t[CAST(u.i AS INTEGER):CAST(u.i + 2 AS INTEGER)], ' ')), 1, 15))::UBIGINT
+        |          AS BIGINT) AS h
+        |      FROM t1, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |      WHERE len(t) >= 3),
+        |m AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g),
+        |fd AS (SELECT DISTINCT doc_id, fp FROM m),
+        |kept AS (SELECT fp FROM fd GROUP BY fp HAVING COUNT(*) <= 100),
+        |fk AS (SELECT fd.doc_id, fd.fp FROM fd JOIN kept USING (fp)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM fk a JOIN fk b USING (fp)
+        |      WHERE a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |surv AS (SELECT e.doc_id, e.lang, e.n_chars FROM ex e
+        |         LEFT JOIN comp c ON e.doc_id = c.id
+        |         WHERE c.id IS NULL OR c.comp = e.doc_id),
+        |samp AS (SELECT * FROM surv
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |    CASE lang WHEN 'en' THEN '8000' ELSE 'g' END)
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM samp GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

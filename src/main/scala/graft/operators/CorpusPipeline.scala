@@ -37,10 +37,54 @@ object CorpusPipeline {
     * member of each cluster instead of the earliest-crawled. Min-id
     * stays the default because it is the id-stable policy
     * [[cleanIncremental]]'s append-only contract builds on. */
+  /** A near-dup PAIR POLICY: (docs, id, text) → verified duplicate pairs
+    * (id_a, id_b), id_a < id_b. The clustering, representative pick and
+    * sampling downstream of candidate generation are policy-independent,
+    * so [[cleanWith]] takes the generator as a value — MinHash (set
+    * similarity) and winnowing (contiguous-overlap) are the two shipped
+    * policies; any (DataFrame, Column, Column) ⇒ pairs frame plugs in. */
+  type PairPolicy = (DataFrame, Column, Column) => DataFrame
+
+  /** MinHash+LSH policy — [[Dedup.minhashNearDupPairs]]'s verified
+    * Jaccard pairs (the [[clean]] default). */
+  def minhashPolicy(shingleN: Int = 3, minhashK: Int = 8,
+      rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5): PairPolicy =
+    (df, id, text) => Dedup.minhashNearDupPairs(df, id, text,
+      shingleN, minhashK, rowsPerBand = rowsPerBand,
+      threshold = jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+
+  /** Winnowing policy — [[Winnowing.sharedFingerprintPairs]]: pairs
+    * sharing ≥ `minShared` fingerprints. Detects CONTIGUOUS overlap
+    * (any shared k+w−1-token run guarantees a shared fingerprint) where
+    * MinHash measures SET overlap — a long quote inside otherwise
+    * distinct documents pairs here and not there, and two documents
+    * with the same vocabulary in different order pair there and not
+    * here (the disagreement CorpusPipelineSpec pins). */
+  def winnowingPolicy(k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxDf: Long = 100L): PairPolicy =
+    (df, id, text) => Winnowing.sharedFingerprintPairs(df, id, text,
+      k, w, minShared, maxDf)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+
   def clean(docs: DataFrame, stopwords: Seq[String],
       qualityThreshold: Double = 0.5,
       shingleN: Int = 3, minhashK: Int = 8, jaccardThreshold: Double = 0.5,
       rowsPerBand: Int = 2,
+      sampleBounds: Map[String, String] = Map.empty,
+      defaultBound: String = "g",
+      keepBestByQuality: Boolean = false): DataFrame =
+    cleanWith(docs, stopwords, qualityThreshold,
+      minhashPolicy(shingleN, minhashK, rowsPerBand, jaccardThreshold),
+      sampleBounds, defaultBound, keepBestByQuality)
+
+  /** [[clean]] with a pluggable near-dup [[PairPolicy]] — the gate →
+    * exact dedup → candidate pairs → components → representative →
+    * sample chain with candidate generation swapped at the only seam
+    * where the families genuinely differ. */
+  def cleanWith(docs: DataFrame, stopwords: Seq[String],
+      qualityThreshold: Double,
+      pairPolicy: PairPolicy,
       sampleBounds: Map[String, String] = Map.empty,
       defaultBound: String = "g",
       keepBestByQuality: Boolean = false): DataFrame = {
@@ -59,11 +103,11 @@ object CorpusPipeline {
       col("doc_id") === col("keep_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup clusters over the exact-deduped survivors; empty docs have
-    // no shingles and skip this stage (they survive unless exact-dup'd)
-    val pairs = Dedup.minhashNearDupPairs(
+    // no shingles/fingerprints and skip this stage (they survive unless
+    // exact-dup'd)
+    val pairs = pairPolicy(
       exact.filter(trim(col("text")) =!= ""),
-      col("doc_id"), col("text"), shingleN, minhashK,
-      rowsPerBand = rowsPerBand, threshold = jaccardThreshold)
+      col("doc_id"), col("text"))
     val surv =
       if (!keepBestByQuality) {
         val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))

@@ -24,25 +24,36 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** The Morton key of `x` and `y` at `bits` bits each: bit i of x lands
-    * at position 2i, bit i of y at 2i+1 — a 2·bits-bit key. */
-  def zKey(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+  /** The d-dimensional Morton key: bit i of dimension j lands at key
+    * position i·d + j — a d·bits-bit key interleaving ALL dimensions.
+    * Bit budget is 63 div d (d·bits ≤ 63 keeps the key a positive
+    * long): 31 bits each for 2-D, 21 for 3-D, 15 for 4-D — the
+    * resolution/dimensionality trade every multi-dim layout pays. */
+  def zKeyN(dims: Seq[Column], bits: Int): Column = {
+    val d = dims.size
+    require(d >= 2, s"need at least 2 dimensions, got $d")
+    require(bits >= 1 && d * bits <= 63,
+      s"d*bits must fit a positive long: d=$d, bits=$bits (budget ${63 / d} bits/dim)")
     val bound = 1L << bits
     val guard = (v: Column) => when(
       v.isNull || v < 0 || v >= bound,
       raise_error(concat(lit(s"Layout.zKey: input "), v.cast("string"),
         lit(s" outside [0, $bound)"))).cast("long")).otherwise(v.cast("long"))
-    val gx = guard(x)
-    val gy = guard(y)
+    val gs = dims.map(guard)
     // unrolled fold over bit positions (shift distances are literals):
-    // Σ ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1) — one flat codegen'd
-    // expression, Catalyst CSE shares the guarded inputs across terms
+    // Σ_i Σ_j ((v_j>>i)&1)<<(i·d+j) — one flat codegen'd expression,
+    // Catalyst CSE shares the guarded inputs across terms
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc + shiftleft(shiftright(gx, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(gy, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      gs.zipWithIndex.foldLeft(acc) { case (a, (g, j)) =>
+        a + shiftleft(shiftright(g, i).bitwiseAND(lit(1L)), i * d + j)
+      }
     }
   }
+
+  /** The 2-D Morton key — [[zKeyN]] of (x, y): bit i of x lands at
+    * position 2i, bit i of y at 2i+1. */
+  def zKey(x: Column, y: Column, bits: Int = 16): Column =
+    zKeyN(Seq(x, y), bits)
 
   /** Per-bucket clustering report for a Z-ordered layout: each
     * dimension is first QUANTIZED to the full `bits` range by its own
@@ -62,24 +73,40 @@ object Layout {
     * (hi − lo + 1)·2^bits must fit int64 — ranges to 2^46 at the
     * default 16 bits. */
   def zOrderStats(df: DataFrame, x: Column, y: Column, bits: Int = 16,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64): DataFrame =
+    zOrderStatsN(df, Seq("x" -> x, "y" -> y), bits, buckets)
+
+  /** d-dimensional [[zOrderStats]]: dims are (name, column) pairs; the
+    * report carries min_<name>/max_<name> per dimension. Each dimension
+    * quantizes by its own min/max to the full `bits` range, rows key by
+    * the d-dim Morton key, bucket into `buckets` equal key ranges.
+    * Caller contract: (hi − lo + 1)·2^bits per dimension and
+    * 2^(d·bits)·buckets must both fit int64. */
+  def zOrderStatsN(df: DataFrame, dims: Seq[(String, Column)],
+      bits: Int = 16, buckets: Int = 64): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
-    val keyBits = 2 * bits
-    val base = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
-    val stats = base.agg(
-      min(col("__x")).as("__xlo"), max(col("__x")).as("__xhi"),
-      min(col("__y")).as("__ylo"), max(col("__y")).as("__yhi"))
-    base.crossJoin(broadcast(stats))
-      .withColumn("__qx",
-        expr(s"((__x - __xlo) * ${1L << bits}L) div (__xhi - __xlo + 1)"))
-      .withColumn("__qy",
-        expr(s"((__y - __ylo) * ${1L << bits}L) div (__yhi - __ylo + 1)"))
-      .withColumn("__z", zKey(col("__qx"), col("__qy"), bits))
+    val d = dims.size
+    val keyBits = d * bits
+    require(keyBits <= 62 && (BigInt(1) << keyBits) * buckets <= Long.MaxValue,
+      s"2^(d*bits)*buckets must fit int64 (d=$d, bits=$bits, buckets=$buckets)")
+    val base = df.select(dims.zipWithIndex.map {
+      case ((_, c), j) => c.cast("long").as(s"__v$j")
+    }: _*)
+    val statAggs = dims.indices.flatMap(j => Seq(
+      min(col(s"__v$j")).as(s"__lo$j"), max(col(s"__v$j")).as(s"__hi$j")))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val quantized = dims.indices.foldLeft(base.crossJoin(broadcast(stats))) {
+      (acc, j) => acc.withColumn(s"__q$j",
+        expr(s"((__v$j - __lo$j) * ${1L << bits}L) div (__hi$j - __lo$j + 1)"))
+    }
+    val dimAggs = dims.zipWithIndex.flatMap { case ((name, _), j) => Seq(
+      min(col(s"__v$j")).as(s"min_$name"), max(col(s"__v$j")).as(s"max_$name"))
+    }
+    quantized
+      .withColumn("__z", zKeyN(dims.indices.map(j => col(s"__q$j")), bits))
       .withColumn("bucket",
         expr(s"(__z * ${buckets}L) div ${1L << keyBits}L").cast("long"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
-        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+      .agg(count(lit(1)).as("n"), dimAggs: _*)
   }
 }

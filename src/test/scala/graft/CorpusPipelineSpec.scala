@@ -28,6 +28,46 @@ class CorpusPipelineSpec extends SparkSpecBase {
     out shouldBe Set(1L, 4L)
   }
 
+  test("cleanWith: winnowing and minhash policies disagree on a shared contiguous quote") {
+    import spark.implicits._
+    // docs 1 and 2 share a 12-token contiguous quote inside otherwise
+    // disjoint prose: winnowing (contiguous overlap, any shared k+w−1=6
+    // token run ⇒ shared fingerprint) pairs them; MinHash verified
+    // Jaccard over 3-shingles stays well under 0.5 (≈10 shared shingles
+    // of ≈30 union) and keeps both
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, "en", "one two three four five six seven eight nine ten " + quote),
+      (2L, "en", "uno dos tres cuatro cinco seis siete ocho nueve diez " + quote))
+      .map { case (id, l, t) => (id, l, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "text", "n_chars")
+    def run(policy: CorpusPipeline.PairPolicy): Set[Long] =
+      CorpusPipeline.cleanWith(docs,
+          stopwords = graft.functions.TextFunctions.DefaultLangMarkers("en"),
+          qualityThreshold = 0.0, policy)
+        .select("doc_id").as[Long].collect().toSet
+    run(CorpusPipeline.winnowingPolicy(minShared = 1L)) shouldBe Set(1L)
+    run(CorpusPipeline.minhashPolicy()) shouldBe Set(1L, 2L)
+    spark.catalog.clearCache()
+  }
+
+  test("clean ≡ cleanWith(minhashPolicy) — the default is the refactor's fixed point") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and it is a fine day in town you know that"
+    val docs = Seq((1L, "en", base), (2L, "en", base + " indeed"),
+      (3L, "en", "completely different prose about catalyst plans and shuffle exchanges it is"))
+      .map { case (id, l, t) => (id, l, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val sw = graft.functions.TextFunctions.DefaultLangMarkers("en")
+    val viaClean = CorpusPipeline.clean(docs, sw, qualityThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val viaWith = CorpusPipeline.cleanWith(docs, sw, qualityThreshold = 0.5,
+        CorpusPipeline.minhashPolicy())
+      .select("doc_id").as[Long].collect().toSet
+    viaWith shouldBe viaClean
+    spark.catalog.clearCache()
+  }
+
   test("clean(keepBestByQuality): each near-dup cluster keeps its cleanest member") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and it is a fine day in town you know that"

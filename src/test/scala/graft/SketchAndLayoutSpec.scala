@@ -99,4 +99,45 @@ class SketchAndLayoutSpec extends SparkSpecBase {
       (r.getAs[Long]("max_y") - r.getAs[Long]("min_y")) should be <= 16L
     }
   }
+
+  test("zKeyN: 3-dim interleave places bit i of dim j at position 3i+j; budget enforced") {
+    def z3(a: Long, b: Long, c: Long): Long =
+      Seq((a, b, c)).toDF("a", "b", "c")
+        .select(Layout.zKeyN(Seq(col("a"), col("b"), col("c")), bits = 4).as("z"))
+        .collect().head.getAs[Long]("z")
+    z3(1, 0, 0) shouldBe 1L   // bit 0 of dim 0 -> position 0
+    z3(0, 1, 0) shouldBe 2L   // bit 0 of dim 1 -> position 1
+    z3(0, 0, 1) shouldBe 4L   // bit 0 of dim 2 -> position 2
+    z3(2, 0, 0) shouldBe 8L   // bit 1 of dim 0 -> position 3
+    z3(15, 15, 15) shouldBe 4095L
+    // 2-D key is the d=2 specialization (backward compat)
+    Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zKey(col("x"), col("y"), bits = 4).as("z"))
+      .collect().head.getAs[Long]("z") shouldBe
+      Seq((3L, 5L)).toDF("x", "y")
+        .select(Layout.zKeyN(Seq(col("x"), col("y")), bits = 4).as("z"))
+        .collect().head.getAs[Long]("z")
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zKeyN(Seq(col("a"), col("b"), col("c")), bits = 22) // 66 > 63
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zKeyN(Seq(col("a")), bits = 4) // < 2 dims
+  }
+
+  test("zOrderStatsN: 3-dim buckets bound ALL THREE dimensions") {
+    // uniform 16x16x16 cube; 8 equal key ranges = top quantized bit of
+    // each dimension -> every bucket spans at most half of each
+    // dimension's range (+1 for quantization rounding)
+    val df = (0 until 4096)
+      .map(i => (i % 16, (i / 16) % 16, i / 256)).toDF("x", "y", "w")
+    val out = Layout.zOrderStatsN(df,
+      Seq("x" -> col("x"), "y" -> col("y"), "w" -> col("w")),
+      bits = 4, buckets = 8).collect()
+    out.map(_.getAs[Long]("n")).sum shouldBe 4096L
+    out.length shouldBe 8
+    out.foreach { r =>
+      (r.getAs[Long]("max_x") - r.getAs[Long]("min_x")) should be <= 8L
+      (r.getAs[Long]("max_y") - r.getAs[Long]("min_y")) should be <= 8L
+      (r.getAs[Long]("max_w") - r.getAs[Long]("min_w")) should be <= 8L
+    }
+  }
 }
