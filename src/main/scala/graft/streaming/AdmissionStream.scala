@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** STREAMING ADMISSION — the continuous form of the incremental-ingest
+  * dedup ([[Dedup.admitNewDocsWithIndex]]): a document stream lands in
+  * micro-batches, each batch is near-dup-checked against the standing
+  * corpus's materialized signature index, admitted docs append to the
+  * output table AND their signatures fold back into the index — so the
+  * next batch dedups against everything admitted before it, exactly the
+  * invariant the batch API documents ("the index IS the kept set,
+  * maintained by feeding admissions back").
+  *
+  * Engineered as `foreachBatch` over an append-only parquet index rather
+  * than `flatMapGroupsWithState`: admission state is the CORPUS-sized
+  * signature index, which belongs in storage shared across restarts, not
+  * in per-key executor state (there is no bounded key horizon to
+  * watermark it by — a duplicate can arrive years later). Each batch pays
+  * |batch| shingling plus band joins against the index — never a
+  * re-shingle of history — which is what makes the loop viable when the
+  * standing corpus is 100 TB and the stream is a firehose.
+  *
+  * Exactly-once: the index append and the admissions append are both
+  * keyed by `batchId` subdirectories; a replayed micro-batch (failure
+  * recovery re-runs the last uncommitted batch) overwrites its own
+  * subdirectory instead of double-admitting. Both tables are read with
+  * recursiveFileLookup (plain nested dirs, no partition-column
+  * inference), so a caller can seed `indexPath` with any subdirectory
+  * name — `seed/` by convention — holding the standing corpus's
+  * [[Dedup.nearDupIndex]].
+  */
+object AdmissionStream {
+
+  /** documents.parquet landing schema (the file stream source needs it
+    * up front). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Run a bounded document stream to completion, admitting each
+    * micro-batch against `indexPath` (a [[Dedup.nearDupIndex]] parquet
+    * dir, extended in place as batches admit). Admitted rows append
+    * under `outPath/batch-<id>/`. Returns the admitted docs frame. */
+  def runAdmission(spark: SparkSession, landingDir: String,
+      indexPath: String, outPath: String,
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_admit_ckpt_")
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch plan is re-evaluated by every consumer below
+        // (admission probe + verify + output write + index write) —
+        // localCheckpoint pins one evaluation of the scan
+        val docs = batch.select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+        val admittedIds = Dedup.admitNewDocsWithIndex(
+          docs,
+          spark.read.option("recursiveFileLookup", "true").parquet(indexPath),
+          col("doc_id"), col("text"), shingleN, k, rowsPerBand, threshold)
+        val admitted = docs.join(admittedIds, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        // batchId-keyed subdirs: a replayed batch overwrites itself
+        // (exactly-once) instead of appending duplicates
+        admitted.write.mode("overwrite")
+          .parquet(s"$outPath/batch-$batchId")
+        Dedup.nearDupIndex(admitted, col("doc_id"), col("text"),
+            shingleN, k, rowsPerBand)
+          .write.mode("overwrite").parquet(s"$indexPath/batch-$batchId")
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(ckpt.toFile)
+    spark.read.option("recursiveFileLookup", "true").parquet(outPath)
+  }
+}

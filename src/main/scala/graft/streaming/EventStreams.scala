@@ -54,13 +54,28 @@ object EventStreams {
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[String, java.io.File]
 
+  /** Scratch dir for harness state (landing staging, checkpoints,
+    * sentinels): tmpfs when the host offers it, java.io.tmpdir
+    * otherwise. The bounded-replay harnesses re-pay checkpoint/offset/
+    * state-store I/O on EVERY run — pure fixed cost that durability buys
+    * nothing for (the scratch is deleted on exit) — so keeping it off
+    * disk amortizes the ~2-3 s/query streaming-harness overhead. A real
+    * deployment puts the checkpoint on durable shared storage; that is
+    * exactly what this scratch is NOT. */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   def readEventStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val f = new java.io.File(path)
     val dir =
       if (f.isFile) {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+        val d = scratchDir("graft_stream_")
         java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
         stagedDirs.put(path, d.toFile)
         d.toString
@@ -303,8 +318,10 @@ object EventStreams {
     * micro-batch leaves the rollup byte-identical (EventStreamsSpec). */
   def incrementalRollup(spark: SparkSession, path: String, targetPath: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ckpt = scratchDir("graft_rollup_ckpt_")
     val q = readEventStream(spark, path, maxFilesPerTrigger)
       .writeStream
+      .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val agg = batch.groupBy(col("event_type"))
           .agg(count(lit(1)).as("events"),
@@ -316,8 +333,8 @@ object EventStreams {
         ()
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try { q.processAllAvailable() } finally q.stop()
+    rmDir(ckpt.toFile)
     stagedDirs.remove(path).foreach { d =>
       def rm(f: java.io.File): Unit = if (f.exists()) {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -345,6 +362,7 @@ object EventStreams {
     // real continuous deployment sizes this to key cardinality instead.)
     val shufflePartitionsKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shufflePartitionsKey)
+    val ckpt = scratchDir("graft_mem_ckpt_")
     try {
       spark.conf.set(shufflePartitionsKey,
         math.min(4, prevShuffle.toInt).toString)
@@ -352,11 +370,14 @@ object EventStreams {
         .writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("complete")
         .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set(shufflePartitionsKey, prevShuffle)
+      try { q.processAllAvailable() } finally q.stop()
+    } finally {
+      spark.conf.set(shufflePartitionsKey, prevShuffle)
+      rmDir(ckpt.toFile)
+    }
     val view = spark.table(name)
     val rows = view.collect().toIndexedSeq
     val schema = view.schema
@@ -413,9 +434,12 @@ object EventStreams {
       flushes: Int = 1): DataFrame = {
     require(flushes >= 1 && flushes <= 4, "flushes must be in [1, 4]")
     import java.nio.file.Files
-    val landing = Files.createTempDirectory("graft_stream_land_")
+    // landing + checkpoint are harness scratch (tmpfs-backed — see
+    // scratchDir); `out` is the caller's surviving artifact and stays in
+    // the regular temp dir
+    val landing = scratchDir("graft_stream_land_")
     val out = Files.createTempDirectory("graft_stream_out_")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
+    val ckpt = scratchDir("graft_stream_ckpt_")
     val src = new java.io.File(path)
     val srcFiles =
       if (src.isFile) Seq(src)
@@ -473,7 +497,7 @@ object EventStreams {
             lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
             lit(sentinelType).as("event_type"), lit(0.0).as("value"),
             lit(null).cast(StringType).as("props"))
-          val tmp = Files.createTempDirectory("graft_stream_sentinel_")
+          val tmp = scratchDir("graft_stream_sentinel_")
           sentinel.coalesce(1).write
             .mode("overwrite").parquet(tmp.resolve("s").toString)
           Option(tmp.resolve("s").toFile.listFiles()).getOrElse(Array.empty)

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.AdmissionStream
+
+/** Streaming admission ≡ the sequential batch admission loop: each
+  * micro-batch admits against standing index + all earlier admissions. */
+class AdmissionStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming admission equals sequential batch admission over the same file sequence") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")
+    val standing = docs.filter(!isNew).select(col("doc_id"), col("text"))
+    // the stream: two landing files in mod-time order, one per micro-batch
+    val splitA = pmod(col("doc_id"), lit(2)) === 0
+    val batchA = docs.filter(isNew && splitA)
+    val batchB = docs.filter(isNew && !splitA)
+
+    val root = Files.createTempDirectory("graft_admit_spec_")
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val indexPath = root.resolve("index").toString
+    val outPath = root.resolve("out").toString
+    def land(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+      val stage = Files.createTempDirectory("graft_admit_stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, landing.resolve(name))
+      landing.resolve(name).toFile.setLastModified(mod)
+      ()
+    }
+    land(batchA, "a.parquet", 1000000L)
+    land(batchB, "b.parquet", 2000000L)
+    try {
+      // seed: the standing corpus's materialized signature index
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$indexPath/seed")
+
+      val streamed = AdmissionStream.runAdmission(spark, landing.toString,
+          indexPath, outPath, shingleN = 3, k = 8, rowsPerBand = 2,
+          threshold = 0.4, maxFilesPerTrigger = Some(1))
+        .select("doc_id").as[Long].collect().toSet
+
+      // batch truth: admit A against the seed, fold A's admissions into
+      // the index, admit B against both
+      val ix0 = Dedup.nearDupIndex(standing, col("doc_id"), col("text"), 3, 8, 2)
+      val admitA = batchA.join(
+        Dedup.admitNewDocsWithIndex(batchA.select(col("doc_id"), col("text")),
+          ix0, col("doc_id"), col("text"), 3, 8, 2, 0.4),
+        Seq("doc_id"), "left_semi")
+      val ix1 = ix0.unionByName(
+        Dedup.nearDupIndex(admitA, col("doc_id"), col("text"), 3, 8, 2))
+      val admitB = Dedup.admitNewDocsWithIndex(
+        batchB.select(col("doc_id"), col("text")),
+        ix1, col("doc_id"), col("text"), 3, 8, 2, 0.4)
+      val expected = (admitA.select("doc_id").as[Long].collect() ++
+        admitB.select("doc_id").as[Long].collect()).toSet
+
+      streamed shouldBe expected
+      streamed.nonEmpty shouldBe true
+      // every admitted batch extended the index (seed + 2 batches)
+      new java.io.File(indexPath).listFiles().count(_.isDirectory) shouldBe 3
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+}
