@@ -1993,6 +1993,46 @@ private[graft] object Oracles {
         |  pk.n_tokens, pk.shard, pk.seq_id, pk.seq_off
         |FROM r LEFT JOIN pk ON pk.doc_id = r.id
         |ORDER BY okey, stratum, "rank"""".stripMargin,
+    // q115: q48's banding CTEs (8 seeds, 2 rows/band, ordered string_agg
+    // band keys) built per SIDE of the source split, candidates from the
+    // cross-table band equi-join, exact-Jaccard verification
+    "q115_fuzzy_join" ->
+      """WITH dl AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |            FROM documents WHERE trim(text) <> '' AND length(source) = 4),
+        |dr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |       FROM documents WHERE trim(text) <> '' AND length(source) = 5),
+        |shl AS (SELECT doc_id, list_distinct(list_transform(
+        |          generate_series(1, greatest(len(t) - 2, 1)),
+        |          i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM dl),
+        |shr AS (SELECT doc_id, list_distinct(list_transform(
+        |          generate_series(1, greatest(len(t) - 2, 1)),
+        |          i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM dr),
+        |mhl AS (SELECT s.doc_id, r.seed,
+        |          MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |        FROM shl s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |        GROUP BY s.doc_id, r.seed),
+        |mhr AS (SELECT s.doc_id, r.seed,
+        |          MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |        FROM shr s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |        GROUP BY s.doc_id, r.seed),
+        |bkl AS (SELECT doc_id, seed // 2 AS band,
+        |          string_agg(m, '|' ORDER BY seed) AS bkey
+        |        FROM mhl GROUP BY doc_id, seed // 2),
+        |bkr AS (SELECT doc_id, seed // 2 AS band,
+        |          string_agg(m, '|' ORDER BY seed) AS bkey
+        |        FROM mhr GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        |         FROM bkl l JOIN bkr r
+        |           ON l.band = r.band AND l.bkey = r.bkey),
+        |j AS (SELECT c.left_id, c.right_id,
+        |        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+        |          AS jaccard
+        |      FROM cand c
+        |      JOIN shl sa ON sa.doc_id = c.left_id
+        |      JOIN shr sb ON sb.doc_id = c.right_id)
+        |SELECT left_id, right_id, jaccard FROM j WHERE jaccard >= 0.4
+        |ORDER BY left_id, right_id""".stripMargin,
     // q114: q48's gate/exact-dedup/components/sample chain with the
     // minhash candidate CTEs swapped for q97's winnowing fingerprint CTEs
     "q114_clean_winnowing" ->

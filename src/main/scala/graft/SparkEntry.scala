@@ -1611,6 +1611,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("lang"))
 
+  /** q115 — cross-table MinHash fuzzy join (Dedup.minhashFuzzyJoin):
+    * record linkage between two document "sources" (the fixture's
+    * source column split by name length — 10 sources a side) by
+    * verified n-gram Jaccard, banded candidates only, never a cross
+    * product — the entity-resolution shape of the dedup stack. */
+  def q115FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Dedup.minhashFuzzyJoin(
+      docs.filter(length(col("source")) === 4),
+      docs.filter(length(col("source")) === 5),
+      col("doc_id"), col("text"), col("doc_id"), col("text"),
+      shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4)
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
   /** q112 — the END-TO-END training-data layout chain: corpus clean
     * (q48's full gate→dedup→near-dup→sample composition) feeding BOTH
     * sequence packing (q71's hash-sharded 512-token streams) and the
@@ -1757,7 +1772,8 @@ object SparkEntry {
     "q111_kmv_merged_shards" -> (q111KmvMergedShards _),
     "q112_clean_pack_interleave" -> (q112CleanPackInterleave _),
     "q113_zorder_3d" -> (q113ZOrder3d _),
-    "q114_clean_winnowing" -> (q114CleanWinnowing _)
+    "q114_clean_winnowing" -> (q114CleanWinnowing _),
+    "q115_fuzzy_join" -> (q115FuzzyJoin _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -192,6 +192,41 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** Cross-TABLE MinHash fuzzy join — record/entity linkage between two
+    * datasets by text similarity: (left_id, right_id, jaccard) for every
+    * pair whose verified n-gram Jaccard ≥ `threshold`. The self-dedup
+    * banding pointed across two tables: both sides hash under the SAME
+    * (shingleN, k, rowsPerBand), candidates come from the band equi-join
+    * (only rows sharing a band key ever meet — never a cross product),
+    * and the exact-Jaccard verification runs per candidate only. At
+    * scale the band join shuffles (band, id) pairs both ways — shingle
+    * payloads attach afterwards for the surviving candidate set — and
+    * either side can be the prior [[nearDupIndex]] artifact in spirit:
+    * the left frame is typically the standing reference set, the right
+    * the probe batch. */
+  def minhashFuzzyJoin(left: DataFrame, right: DataFrame,
+      idL: Column, textL: Column, idR: Column, textR: Column,
+      shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val li = shingleBandFrame(left, idL, textL, shingleN, k, rowsPerBand)
+    val ri = shingleBandFrame(right, idR, textR, shingleN, k, rowsPerBand)
+    val cand = li.select(explode(col("bands")).as("band"),
+        col("doc_id").as("left_id"))
+      .join(ri.select(explode(col("bands")).as("band"),
+        col("doc_id").as("right_id")), Seq("band"))
+      .select(col("left_id"), col("right_id")).distinct()
+    cand
+      .join(li.select(col("doc_id").as("left_id"), col("sh").as("sh_l")),
+        Seq("left_id"))
+      .join(ri.select(col("doc_id").as("right_id"), col("sh").as("sh_r")),
+        Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_l"), col("sh_r"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def minhashNearDupPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {

@@ -205,6 +205,22 @@ class DedupSpec extends SparkSpecBase {
     Dedup.connectedComponentsStar(empty, col("id_a"), col("id_b")).count() shouldBe 0L
   }
 
+  test("minhashFuzzyJoin links cross-table near-dups; disjoint texts and same-side dups don't pair") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "catalyst plans whole stage codegen for declarative dataframe queries"
+    val left = Seq((1L, a), (2L, b), (3L, b)).toDF("doc_id", "text")
+    val right = Seq((10L, a + " indeed"), (11L, "entirely unrelated words about nothing at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashFuzzyJoin(left, right,
+        col("doc_id"), col("text"), col("doc_id"), col("text"),
+        shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // 1↔10 near-dup across tables; 2 and 3 duplicate each other but that
+    // is a LEFT-side pair — a fuzzy JOIN must never emit same-side pairs
+    out shouldBe Set((1L, 10L))
+    spark.catalog.clearCache()
+  }
+
   test("admitNewDocsWithIndex over a parquet-roundtripped nearDupIndex ≡ admitNewDocs") {
     // the cross-job ingest contract: computing the index once, writing it
     // to parquet, reloading it, and probing with the same parameters must

@@ -137,4 +137,19 @@ class PlanPruningSpec extends SparkSpecBase {
     scanSchemas("q99_zorder_layout")("lineitem") shouldBe
       Set("l_partkey", "l_suppkey")
   }
+
+  test("q111 merged KMV reads only (event_type, user_id) from events") {
+    scanSchemas("q111_kmv_merged_shards")("events") shouldBe
+      Set("event_type", "user_id")
+  }
+
+  test("q113 3-dim z-order reads only its three lineitem columns") {
+    scanSchemas("q113_zorder_3d")("lineitem") shouldBe
+      Set("l_partkey", "l_suppkey", "l_quantity")
+  }
+
+  test("q115 fuzzy join reads only (doc_id, text, source) from documents") {
+    scanSchemas("q115_fuzzy_join")("documents") shouldBe
+      Set("doc_id", "text", "source")
+  }
 }
