@@ -1993,6 +1993,91 @@ private[graft] object Oracles {
         |  pk.n_tokens, pk.shard, pk.seq_id, pk.seq_off
         |FROM r LEFT JOIN pk ON pk.doc_id = r.id
         |ORDER BY okey, stratum, "rank"""".stripMargin,
+    // q116: q109's admission CTEs replayed TWICE against a growing index
+    // (stage 0 = standing corpus, stage 1 = first micro-batch, stage 2 =
+    // second; stage 2 probes standing ∪ stage-1 admissions — the
+    // fold-back invariant of the streaming ingest loop)
+    "q116_streaming_admission" ->
+      """WITH RECURSIVE d0 AS (SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 0
+        |         WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS stage
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, stage, string_split_regex(lower(trim(text)), '\s+') AS t
+        |       FROM d0 WHERE trim(COALESCE(text, '')) <> ''),
+        |sh AS (SELECT doc_id, stage, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
+        |mh AS (SELECT s.doc_id, s.stage, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, s.stage, r.seed),
+        |bk AS (SELECT doc_id, stage, seed // 2 AS band,
+        |         string_agg(m, '|' ORDER BY seed) AS bkey
+        |       FROM mh GROUP BY doc_id, stage, seed // 2),
+        |m1 AS (SELECT DISTINCT c.id_n FROM
+        |        (SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
+        |         FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
+        |         WHERE n.stage = 1 AND o.stage = 0) c
+        |       JOIN sh sa ON sa.doc_id = c.id_n
+        |       JOIN sh sb ON sb.doc_id = c.id_o
+        |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        |               AS DOUBLE) >= 0.4),
+        |sv1 AS (SELECT doc_id FROM sh WHERE stage = 1
+        |        AND doc_id NOT IN (SELECT id_n FROM m1)),
+        |c1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+        |         AND a.doc_id < b.doc_id
+        |       WHERE a.doc_id IN (SELECT doc_id FROM sv1)
+        |         AND b.doc_id IN (SELECT doc_id FROM sv1)),
+        |p1 AS (SELECT c.id_a, c.id_b FROM c1 c
+        |       JOIN sh sa ON sa.doc_id = c.id_a
+        |       JOIN sh sb ON sb.doc_id = c.id_b
+        |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        |               AS DOUBLE) >= 0.4),
+        |e1 AS (SELECT id_a AS src, id_b AS dst FROM p1
+        |       UNION SELECT id_b, id_a FROM p1),
+        |reach1(id, r) AS (SELECT src, src FROM e1
+        |  UNION SELECT e.src, r.r FROM e1 e JOIN reach1 r ON r.id = e.dst),
+        |comp1 AS (SELECT id, MIN(r) AS comp FROM reach1 GROUP BY id),
+        |adm1 AS (SELECT sv1.doc_id FROM sv1 LEFT JOIN comp1 ON comp1.id = sv1.doc_id
+        |         WHERE comp1.id IS NULL OR comp1.comp = sv1.doc_id),
+        |ix2 AS (SELECT doc_id FROM sh WHERE stage = 0
+        |        UNION ALL SELECT doc_id FROM adm1),
+        |m2 AS (SELECT DISTINCT c.id_n FROM
+        |        (SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
+        |         FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
+        |         WHERE n.stage = 2
+        |           AND o.doc_id IN (SELECT doc_id FROM ix2)) c
+        |       JOIN sh sa ON sa.doc_id = c.id_n
+        |       JOIN sh sb ON sb.doc_id = c.id_o
+        |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        |               AS DOUBLE) >= 0.4),
+        |sv2 AS (SELECT doc_id FROM sh WHERE stage = 2
+        |        AND doc_id NOT IN (SELECT id_n FROM m2)),
+        |c2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+        |         AND a.doc_id < b.doc_id
+        |       WHERE a.doc_id IN (SELECT doc_id FROM sv2)
+        |         AND b.doc_id IN (SELECT doc_id FROM sv2)),
+        |p2 AS (SELECT c.id_a, c.id_b FROM c2 c
+        |       JOIN sh sa ON sa.doc_id = c.id_a
+        |       JOIN sh sb ON sb.doc_id = c.id_b
+        |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        |               AS DOUBLE) >= 0.4),
+        |e2 AS (SELECT id_a AS src, id_b AS dst FROM p2
+        |       UNION SELECT id_b, id_a FROM p2),
+        |reach2(id, r) AS (SELECT src, src FROM e2
+        |  UNION SELECT e.src, r.r FROM e2 e JOIN reach2 r ON r.id = e.dst),
+        |comp2 AS (SELECT id, MIN(r) AS comp FROM reach2 GROUP BY id),
+        |adm2 AS (SELECT sv2.doc_id FROM sv2 LEFT JOIN comp2 ON comp2.id = sv2.doc_id
+        |         WHERE comp2.id IS NULL OR comp2.comp = sv2.doc_id)
+        |SELECT doc_id FROM (SELECT doc_id FROM adm1
+        |                    UNION ALL SELECT doc_id FROM adm2)
+        |ORDER BY doc_id""".stripMargin,
     // q115: q48's banding CTEs (8 seeds, 2 rows/band, ordered string_agg
     // band keys) built per SIDE of the source split, candidates from the
     // cross-table band equi-join, exact-Jaccard verification

@@ -1626,6 +1626,41 @@ object SparkEntry {
       .orderBy(col("left_id"), col("right_id"))
   }
 
+  /** q116 — STREAMING admission end to end (AdmissionStream
+    * .runAdmission): the new 20% of documents land as two mod-time-
+    * ordered files (split by doc_id parity), one micro-batch each; batch
+    * A admits against the standing corpus's seeded nearDupIndex, batch B
+    * against standing ∪ A's admissions (the fold-back invariant). The
+    * oracle replays both admission rounds in SQL against the growing
+    * index — streaming ≡ the sequential batch ingest loop, hash-checked. */
+  def q116StreamingAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    val root = java.nio.file.Files.createTempDirectory("graft_q116_")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    def land(df: DataFrame, name: String, mod: Long): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, landing.resolve(name))
+      landing.resolve(name).toFile.setLastModified(mod)
+      ()
+    }
+    land(docs.filter(isNew && col("doc_id") % 2 === 0), "a.parquet", 1000000L)
+    land(docs.filter(isNew && col("doc_id") % 2 =!= 0), "b.parquet", 2000000L)
+    operators.Dedup.nearDupIndex(docs.filter(!isNew),
+        col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 2)
+      .write.mode("overwrite").parquet(root.resolve("index/seed").toString)
+    streaming.AdmissionStream.runAdmission(s, landing.toString,
+        root.resolve("index").toString, root.resolve("out").toString,
+        shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+        maxFilesPerTrigger = Some(1))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q112 — the END-TO-END training-data layout chain: corpus clean
     * (q48's full gate→dedup→near-dup→sample composition) feeding BOTH
     * sequence packing (q71's hash-sharded 512-token streams) and the
@@ -1773,7 +1808,8 @@ object SparkEntry {
     "q112_clean_pack_interleave" -> (q112CleanPackInterleave _),
     "q113_zorder_3d" -> (q113ZOrder3d _),
     "q114_clean_winnowing" -> (q114CleanWinnowing _),
-    "q115_fuzzy_join" -> (q115FuzzyJoin _)
+    "q115_fuzzy_join" -> (q115FuzzyJoin _),
+    "q116_streaming_admission" -> (q116StreamingAdmission _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
