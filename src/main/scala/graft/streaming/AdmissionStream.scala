@@ -54,7 +54,7 @@ object AdmissionStream {
       shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_admit_ckpt_")
+    val ckpt = EventStreams.scratchDir("graft_admit_ckpt_")
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val q = reader.parquet(landingDir)

@@ -62,7 +62,7 @@ object EventStreams {
     * disk amortizes the ~2-3 s/query streaming-harness overhead. A real
     * deployment puts the checkpoint on durable shared storage; that is
     * exactly what this scratch is NOT. */
-  private def scratchDir(prefix: String): java.nio.file.Path = {
+  private[streaming] def scratchDir(prefix: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
       java.nio.file.Files.createTempDirectory(shm, prefix)

@@ -183,6 +183,35 @@ class EventStreamsSpec extends SparkSpecBase {
     spark.catalog.dropTempView("follow_outer_test")
   }
 
+  test("events loader raises on implausible converted timestamps (unit mismatch guard)") {
+    // a long-typed ts holding MICROS (not nanos) is exactly the silent
+    // corruption the r10 fixture change caused: div-1000 lands every
+    // event in 1970. The guard must turn that into a loud error.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_guard_")
+    try {
+      val micros = 1704067200L * 1000000L // 2024-01-01 as MICROS
+      spark.range(1).select(lit(1L).as("event_id"), lit(micros).as("ts"),
+          lit(1L).as("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("events.parquet").toString)
+      val e = intercept[Exception] {
+        graft.sources.Tables.events(spark, dir.toString).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      msgs should include("plausible range")
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("optimizer keeps the interval-join type filters above the watermark node") {
     // the heartbeat contract (EventStreams.intervalJoin scaladoc): every
     // event must advance the watermark clock, so no event_type predicate
