@@ -21,8 +21,18 @@ import graft.operators.{Classifier, Dedup, Similarity}
   */
 object SparkEntry {
 
+  /** Table access — the temporally-encoded tables route through their
+    * schema-adaptive loaders (Tables.events/orders/lineitem normalize and
+    * guard their timestamp column; see the r10 fixture-regeneration
+    * breakage in Tables.events' scaladoc), everything else is a plain
+    * scan. */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.table(s, dir, name)
+    name match {
+      case "events"   => Tables.events(s, dir)
+      case "orders"   => Tables.orders(s, dir)
+      case "lineitem" => Tables.lineitem(s, dir)
+      case _          => Tables.table(s, dir, name)
+    }
 
   /** Exact cross-engine sum of a 2-decimal money column, as integer cents.
     * `floor(x*100 + 0.5)` is pure IEEE arithmetic — identical in every

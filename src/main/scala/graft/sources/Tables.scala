@@ -22,8 +22,15 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** orders/lineitem: o_orderdate and l_shipdate get the same
+    * schema-adaptive normalization as events.ts — under the session-wide
+    * nanos conf a regenerated TIMESTAMP(NANOS) fixture would surface
+    * them as raw longs and break every consumer the same way r10's
+    * events change did. */
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "lineitem"), "l_shipdate")
   /** Schema-adaptive events loader. The shared fixture has shipped two
     * physical encodings of `events.ts` across regenerations:
     *
@@ -51,39 +58,51 @@ object Tables {
     * like this one. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.withColumn("ts", guardTs(eventTsToTimestamp(raw.schema("ts").dataType)))
+    normalizeTs(table(s, d, "events"), "ts")
   }
 
-  /** Normalize a physical `ts` encoding to a session-TZ timestamp column.
-    * Shared with the streaming source ([[graft.streaming.EventStreams]])
-    * so batch and stream agree byte-for-byte on the conversion. */
-  def eventTsToTimestamp(physical: DataType): org.apache.spark.sql.Column = {
+  /** Normalize a temporal column's physical encoding to a session-TZ
+    * timestamp. Shared by every temporal loader and the streaming source
+    * ([[graft.streaming.EventStreams]]) so batch and stream agree
+    * byte-for-byte on the conversion. */
+  def tsToTimestamp(physical: DataType, name: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     physical match {
-      case LongType          => expr("timestamp_micros(ts div 1000)") // raw nanos
-      case TimestampNTZType  => col("ts").cast(TimestampType)         // UTC session: identity wall-clock
-      case TimestampType     => col("ts")
+      case LongType          => expr(s"timestamp_micros($name div 1000)") // raw nanos
+      case TimestampNTZType  => col(name).cast(TimestampType) // UTC session: identity wall-clock
+      case TimestampType     => col(name)
       case other => throw new IllegalArgumentException(
-        s"events.ts: unsupported physical type $other (expected long nanos, timestamp_ntz, or timestamp)")
+        s"$name: unsupported physical type $other (expected long nanos, timestamp_ntz, or timestamp)")
     }
   }
 
-  /** Plausibility guard on the converted event time: any non-null value
-    * before 2000-01-01 can only come from a unit/encoding mismatch in the
-    * loader (the fixture's events live in 2024), so raise instead of
-    * silently feeding corrupt times into windows/joins. NULL passes — the
-    * fixture deliberately contains NULL timestamps. Codegen'd per-row
-    * branch; no extra pass over the data. */
+  /** [[tsToTimestamp]] for `events.ts` (the streaming source's entry). */
+  def eventTsToTimestamp(physical: DataType): org.apache.spark.sql.Column =
+    tsToTimestamp(physical, "ts")
+
+  /** Plausibility guard on a converted time: any non-null value before
+    * the floor (1980 — every fixture's temporal data lives in 1992+ for
+    * TPC-H and 2024 for events, while EVERY unit-mismatch failure mode
+    * collapses into January 1970) can only come from a unit/encoding
+    * mismatch in the loader, so raise instead of silently feeding
+    * corrupt times into windows/joins. NULL passes — the fixture
+    * deliberately contains NULL timestamps. Codegen'd per-row branch; no
+    * extra pass over the data. */
   def guardTs(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    when(ts < to_timestamp(lit("2000-01-01 00:00:00")),
+    when(ts < to_timestamp(lit("1980-01-01 00:00:00")),
       raise_error(concat(
-        lit("events.ts out of plausible range (timestamp unit/encoding mismatch in the loader?): "),
+        lit("timestamp out of plausible range (unit/encoding mismatch in the loader?): "),
         ts.cast(StringType)))
       .cast(TimestampType))
     .otherwise(ts)
   }
+
+  /** Schema-adaptive temporal normalization of one column: branch on the
+    * LOADED type (see [[events]] — the r10 fixture regeneration broke 20
+    * queries by changing one physical encoding) and guard the result. */
+  def normalizeTs(df: DataFrame, name: String): DataFrame =
+    df.withColumn(name, guardTs(tsToTimestamp(df.schema(name).dataType, name)))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
