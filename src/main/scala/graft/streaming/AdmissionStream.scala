@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.operators.Dedup
 
@@ -35,16 +34,6 @@ import graft.operators.Dedup
   */
 object AdmissionStream {
 
-  /** documents.parquet landing schema (the file stream source needs it
-    * up front). */
-  val docSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)
-  ))
-
   /** Run a bounded document stream to completion, admitting each
     * micro-batch against `indexPath` (a [[Dedup.nearDupIndex]] parquet
     * dir, extended in place as batches admit). Admitted rows append
@@ -55,7 +44,11 @@ object AdmissionStream {
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val ckpt = EventStreams.scratchDir("graft_admit_ckpt_")
-    val reader = spark.readStream.schema(docSchema)
+    // probe the landing files' actual footer schema rather than
+    // hard-coding one (the "probe, don't assume" rule EventStreams
+    // learned from the r10 events re-encoding — a batch schema read,
+    // no data scan)
+    val reader = spark.readStream.schema(spark.read.parquet(landingDir).schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val q = reader.parquet(landingDir)
       .writeStream
