@@ -123,6 +123,24 @@ class SketchAndLayoutSpec extends SparkSpecBase {
       Layout.zKeyN(Seq(col("a")), bits = 4) // < 2 dims
   }
 
+  test("zKeyN is a bijection: extracting every d-th key bit recovers each dimension (randomized)") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val keys = rows.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        Layout.zKeyN(Seq(col("x"), col("y"), col("w")), bits = 10).as("k"))
+      .collect()
+    def inv(k: Long, j: Int): Long =
+      (0 until 10).map(i => ((k >> (i * 3 + j)) & 1L) << i).sum
+    keys.foreach { r =>
+      val k = r.getAs[Long]("k")
+      inv(k, 0) shouldBe r.getAs[Long]("x")
+      inv(k, 1) shouldBe r.getAs[Long]("y")
+      inv(k, 2) shouldBe r.getAs[Long]("w")
+    }
+  }
+
   test("zOrderStatsN: 3-dim buckets bound ALL THREE dimensions") {
     // uniform 16x16x16 cube; 8 equal key ranges = top quantized bit of
     // each dimension -> every bucket spans at most half of each
