@@ -207,13 +207,30 @@ object Dedup {
   def minhashFuzzyJoin(left: DataFrame, right: DataFrame,
       idL: Column, textL: Column, idR: Column, textR: Column,
       shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBandDf: Option[Long] = None): DataFrame = {
     val li = shingleBandFrame(left, idL, textL, shingleN, k, rowsPerBand)
     val ri = shingleBandFrame(right, idR, textR, shingleN, k, rowsPerBand)
-    val cand = li.select(explode(col("bands")).as("band"),
-        col("doc_id").as("left_id"))
-      .join(ri.select(explode(col("bands")).as("band"),
-        col("doc_id").as("right_id")), Seq("band"))
+    val lb = li.select(explode(col("bands")).as("band"),
+      col("doc_id").as("left_id"))
+    val rb = ri.select(explode(col("bands")).as("band"),
+      col("doc_id").as("right_id"))
+    // optional boilerplate ceiling (the Winnowing.maxDf knob for this
+    // join): a band key held by more than `maxBandDf` docs on a side is
+    // template/boilerplate evidence, and its candidate volume is the
+    // product of the two sides' counts — capping each side bounds the
+    // join's quadratic term at maxBandDf² per band. Off by default
+    // (exact banded semantics); at corpus scale this is the knob that
+    // keeps one viral template from dominating the shuffle.
+    val (lk, rk) = maxBandDf match {
+      case None => (lb, rb)
+      case Some(cap) =>
+        def keep(b: DataFrame) = b.join(
+          b.groupBy(col("band")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= cap).select(col("band")),
+          Seq("band"))
+        (keep(lb), keep(rb))
+    }
+    val cand = lk.join(rk, Seq("band"))
       .select(col("left_id"), col("right_id")).distinct()
     cand
       .join(li.select(col("doc_id").as("left_id"), col("sh").as("sh_l")),

@@ -221,6 +221,25 @@ class DedupSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("minhashFuzzyJoin maxBandDf drops boilerplate bands, keeps distinct-band links") {
+    val tmpl = "standard legal boilerplate disclaimer text repeated across every single document"
+    val real = "the quick brown fox jumps over the lazy dog again and again"
+    // 4 boilerplate copies a side (band df 4) + one real cross-table pair
+    val left = (Seq((1L, real)) ++ (20L to 23L).map(i => (i, tmpl))).toDF("doc_id", "text")
+    val right = (Seq((10L, real + " indeed")) ++ (30L to 33L).map(i => (i, tmpl)))
+      .toDF("doc_id", "text")
+    def run(cap: Option[Long]) = Dedup.minhashFuzzyJoin(left, right,
+        col("doc_id"), col("text"), col("doc_id"), col("text"),
+        shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4, maxBandDf = cap)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val uncapped = run(None)
+    uncapped should contain((1L, 10L))
+    uncapped.count { case (l, _) => l >= 20L } shouldBe 16 // 4×4 boilerplate links
+    val capped = run(Some(2L))
+    capped shouldBe Set((1L, 10L)) // ceiling kills the quadratic band, keeps the real link
+    spark.catalog.clearCache()
+  }
+
   test("admitNewDocsWithIndex over a parquet-roundtripped nearDupIndex ≡ admitNewDocs") {
     // the cross-job ingest contract: computing the index once, writing it
     // to parquet, reloading it, and probing with the same parameters must
