@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_r11"
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails, passes, absent = [], [], []
+for name, sql in sorted(oracle.items()):
+    if only and name not in only: continue
+    d = f"{OUT}/{name}"
+    if not os.path.isdir(d):
+        absent.append(name); continue
+    try:
+        spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")]) \
+            if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
+        ora_df = con.execute(sql).df()
+        sc = sorted(spark_df.columns); oc = sorted(ora_df.columns)
+        if sc != oc:
+            fails.append((name, f"schema {sc} vs {oc}")); continue
+        if len(spark_df) != len(ora_df):
+            fails.append((name, f"rows {len(spark_df)} vs {len(ora_df)}")); continue
+        a = spark_df[sc].copy(); b = ora_df[sc].copy()
+        def norm(df):
+            for c in df.columns:
+                if df[c].dtype == object:
+                    df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+                elif str(df[c].dtype).startswith("float"):
+                    df[c] = df[c].round(6)
+                elif "datetime" in str(df[c].dtype):
+                    df[c] = df[c].astype("datetime64[us]").astype(str)
+            return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+        a, b = norm(a), norm(b)
+        try:
+            eq = a.equals(b)
+            if not eq:
+                # tolerate int vs float dtype mismatches by string compare
+                eq = a.astype(str).equals(b.astype(str))
+        except Exception:
+            eq = False
+        if eq: passes.append(name)
+        else:
+            fails.append((name, "hash mismatch"))
+    except Exception as e:
+        fails.append((name, f"ERR {type(e).__name__}: {str(e)[:200]}"))
+
+print(f"PASS {len(passes)}  FAIL {len(fails)}  ABSENT {len(absent)}")
+for n, why in fails: print(f"  FAIL {n}: {why}")
+for n in absent: print(f"  ABSENT {n}")
