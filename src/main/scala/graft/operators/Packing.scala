@@ -111,6 +111,9 @@ object Packing {
     // `div` (integer division), not `/`-then-cast: Spark's `/` is a
     // double-precision Divide, and a truncated double quotient can differ
     // from the oracle's exact integer `//` once cumsums approach 2^53.
+    // the unpartitioned running-sum window below runs on the per-SHARD
+    // totals frame — `shards` rows, not corpus rows — so the one-partition
+    // sort it implies is a constant-size driver-adjacent step by design
     val bases = keyed.groupBy(col("shard"))
       .agg(sum(col("n_tokens")).as("__tot"))
       .select(col("shard"),

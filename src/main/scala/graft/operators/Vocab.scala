@@ -39,7 +39,14 @@ object Vocab {
     * (cnt DESC, token ASC); tokens with cnt < `minCount` are excluded,
     * and with `maxSize` > 0 only the top `maxSize` ids are kept (the
     * standard vocab-size cap) — excluded tokens become OOV at encode
-    * time. The (count, token) tiebreak makes the cap deterministic. */
+    * time. The (count, token) tiebreak makes the cap deterministic.
+    *
+    * Scale: the global `row_number` window runs on the AGGREGATED
+    * distinct-token frame (vocab-sized — bounded by the token universe,
+    * not the corpus; the heavy per-token work is the map-side-combined
+    * count above it). A vocabulary fundamentally needs one global rank;
+    * single-partition sorting of a vocab-sized frame is the intended
+    * cost, never paid per corpus row. */
   def build(df: DataFrame, text: Column, minCount: Long = 1L,
       maxSize: Long = 0L): DataFrame = {
     val counts = df.select(explode(T.tokens(lower(text))).as("token"))
