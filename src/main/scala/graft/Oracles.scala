@@ -1993,6 +1993,45 @@ private[graft] object Oracles {
         |  pk.n_tokens, pk.shard, pk.seq_id, pk.seq_off
         |FROM r LEFT JOIN pk ON pk.doc_id = r.id
         |ORDER BY okey, stratum, "rank"""".stripMargin,
+    // q117: KMV set algebra — per-type k=64 sketches (q98's CTEs), union
+    // sketch per pair from sketch state only, integer intersection/union
+    // estimators ((k−1)·2⁶⁰ // kth in HUGEINT, est_inter = ni·eu // nk)
+    "q117_sketch_overlap" ->
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+        |      AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM h),
+        |sk AS (SELECT grp, h FROM r WHERE rn <= 64),
+        |g AS (SELECT DISTINCT grp FROM sk),
+        |pr AS (SELECT a.grp AS ga, b.grp AS gb FROM g a JOIN g b ON a.grp < b.grp),
+        |uh AS (SELECT DISTINCT pr.ga, pr.gb, s.h
+        |       FROM pr JOIN sk s ON s.grp = pr.ga OR s.grp = pr.gb),
+        |ur AS (SELECT ga, gb, h,
+        |        ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        |      FROM uh),
+        |uk AS (SELECT ga, gb, h FROM ur WHERE rn <= 64),
+        |agg AS (SELECT ga, gb, COUNT(*) AS nu, MAX(h) AS kth FROM uk GROUP BY ga, gb),
+        |ix AS (SELECT pr.ga, pr.gb, COUNT(*) AS ni
+        |       FROM pr
+        |       JOIN sk sa ON sa.grp = pr.ga
+        |       JOIN sk sb ON sb.grp = pr.gb AND sb.h = sa.h
+        |       JOIN agg ON agg.ga = pr.ga AND agg.gb = pr.gb
+        |       WHERE sa.h <= agg.kth
+        |       GROUP BY pr.ga, pr.gb),
+        |est AS (SELECT agg.ga, agg.gb, agg.nu, agg.kth,
+        |         COALESCE(ix.ni, 0) AS ni,
+        |         CASE WHEN agg.nu < 64 THEN CAST(agg.nu AS BIGINT)
+        |           ELSE CAST((CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |             // CAST(agg.kth AS HUGEINT) AS BIGINT) END AS eu
+        |       FROM agg LEFT JOIN ix ON ix.ga = agg.ga AND ix.gb = agg.gb)
+        |SELECT ga AS grp_a, gb AS grp_b,
+        |  CAST(nu AS BIGINT) AS n_union_kept, kth AS union_kth,
+        |  CAST(ni AS BIGINT) AS inter_topk, eu AS est_union,
+        |  CAST((CAST(ni AS HUGEINT) * CAST(eu AS HUGEINT))
+        |    // CAST(LEAST(nu, 64) AS HUGEINT) AS BIGINT) AS est_inter
+        |FROM est ORDER BY grp_a, grp_b""".stripMargin,
     // q116: q109's admission CTEs replayed TWICE against a growing index
     // (stage 0 = standing corpus, stage 1 = first micro-batch, stage 2 =
     // second; stage 2 probes standing ∪ stage-1 admissions — the

@@ -1697,6 +1697,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q117 — KMV set algebra (Sketch.sketchOverlap): pairwise
+    * distinct-user overlap between event types estimated from the
+    * sketches alone (union sketch from stored state, integer Jaccard →
+    * est_inter) — the audience-overlap query answered without raw data.
+    * k=64 as q98; below-k pairs short-circuit to exact counts. */
+  def q117SketchOverlap(s: SparkSession, dir: String): DataFrame =
+    operators.Sketch.sketchOverlap(
+      Tables.events(s, dir).select(col("event_type"), col("user_id")),
+      col("event_type"), col("user_id"), k = 64)
+      .orderBy(col("grp_a"), col("grp_b"))
+
   /** q112 — the END-TO-END training-data layout chain: corpus clean
     * (q48's full gate→dedup→near-dup→sample composition) feeding BOTH
     * sequence packing (q71's hash-sharded 512-token streams) and the
@@ -1845,7 +1856,8 @@ object SparkEntry {
     "q113_zorder_3d" -> (q113ZOrder3d _),
     "q114_clean_winnowing" -> (q114CleanWinnowing _),
     "q115_fuzzy_join" -> (q115FuzzyJoin _),
-    "q116_streaming_admission" -> (q116StreamingAdmission _)
+    "q116_streaming_admission" -> (q116StreamingAdmission _),
+    "q117_sketch_overlap" -> (q117SketchOverlap _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -136,6 +136,50 @@ object Sketch {
           s" div element_at(__mins, $k)"))
       .as("est_distinct"))
 
+  /** KMV SET ALGEBRA — pairwise distinct-set overlap estimated from the
+    * groups' sketches alone (Beyer et al.; the theta-sketch idea): for
+    * every group pair (ga < gb), the union's k smallest hashes are a
+    * subset of sketchA ∪ sketchB (each side holds its own k smallest),
+    * so the union sketch — and from it est_union — computes exactly from
+    * stored state; the Jaccard estimator is the fraction of the union's
+    * top-k also present in BOTH sketches, and est_inter = (inter_topk ·
+    * est_union) div min(n_union_kept, k) stays in integer arithmetic
+    * (hash-checkable). Groups smaller than k short-circuit to EXACT
+    * intersection counts (the sketch IS the set). At scale this is the
+    * audience-overlap / cross-contamination query answered without
+    * revisiting raw data: one sketch table, pairwise array ops on
+    * k-sized state.
+    *
+    * Returns (grp_a, grp_b, n_union_kept, union_kth, inter_topk,
+    * est_union, est_inter). */
+  def sketchOverlap(df: DataFrame, group: Column, value: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val sk = df.select(group.as("grp"), hash60(value).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col("grp"))
+      .agg(kmv(k)(col("__h")).as("__mins"))
+    val a = sk.select(col("grp").as("grp_a"), col("__mins").as("__ma"))
+    val b = sk.select(col("grp").as("grp_b"), col("__mins").as("__mb"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .withColumn("__u",
+        expr(s"slice(array_sort(array_distinct(concat(__ma, __mb))), 1, $k)"))
+      .withColumn("__nu", size(col("__u")).cast("long"))
+      .withColumn("__kth", expr("element_at(__u, size(__u))"))
+      .withColumn("__ni",
+        expr("size(filter(array_intersect(__ma, __mb), x -> x <= __kth))")
+          .cast("long"))
+      .withColumn("__eu",
+        when(col("__nu") < k, col("__nu"))
+          .otherwise(expr(
+            s"(CAST(${k - 1} AS DECIMAL(28,0)) * CAST(1152921504606846976 AS DECIMAL(28,0)))" +
+              s" div element_at(__u, $k)")))
+      .select(col("grp_a"), col("grp_b"),
+        col("__nu").as("n_union_kept"), col("__kth").as("union_kth"),
+        col("__ni").as("inter_topk"), col("__eu").as("est_union"),
+        expr(s"(__ni * __eu) div least(__nu, ${k}L)").as("est_inter"))
+  }
+
   /** [[distinctEstimate]] computed the WAREHOUSE way: per-(group, shard)
     * sketches first, then [[kmvMerge]] rolls shards up per group. By the
     * mergeability law the result is bit-identical to the direct

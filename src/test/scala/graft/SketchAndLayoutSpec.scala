@@ -67,6 +67,24 @@ class SketchAndLayoutSpec extends SparkSpecBase {
     run(64) shouldBe direct
   }
 
+  test("sketchOverlap: below-k pairs are exact; past-k estimates land near truth") {
+    // g0 = {0..29}, g1 = {20..49}: union 50 (< k) -> exact short-circuit
+    val small = ((0L until 30L).map(v => ("g0", v)) ++
+      (0L until 30L).map(v => ("g1", v + 20L))).toDF("grp", "v")
+    val ex = Sketch.sketchOverlap(small, col("grp"), col("v"), k = 64)
+      .collect().head
+    ex.getAs[Long]("est_union") shouldBe 50L
+    ex.getAs[Long]("est_inter") shouldBe 10L
+    // |A|=|B|=1200, |A∩B|=400, |A∪B|=2000 with k=64 — estimator within
+    // ~35% (deterministic given the fixed hash; bound documents ballpark)
+    val big = ((0L until 1200L).map(v => ("a", v)) ++
+      (0L until 1200L).map(v => ("b", v + 800L))).toDF("grp", "v")
+    val est = Sketch.sketchOverlap(big, col("grp"), col("v"), k = 64)
+      .collect().head
+    est.getAs[Long]("est_union").toDouble shouldBe 2000.0 +- 500.0
+    est.getAs[Long]("est_inter").toDouble shouldBe 400.0 +- 200.0
+  }
+
   test("zKey interleaves bits; out-of-range raises") {
     def z(x: Long, y: Long): Long =
       Seq((x, y)).toDF("x", "y")
