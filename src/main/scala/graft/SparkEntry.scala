@@ -1689,12 +1689,22 @@ object SparkEntry {
         ()
       }
     }
-    streaming.AdmissionStream.runAdmission(s, landing.toString,
+    val admitted = streaming.AdmissionStream.runAdmission(s, landing.toString,
         root.resolve("index").toString, root.resolve("out").toString,
         shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
         maxFilesPerTrigger = Some(1))
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
+      // pin the (admitted-ids-sized) result off the temp files so the
+      // corpus-index-sized scratch tree can be deleted NOW rather than
+      // leaking two trees per bench invocation
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(root.toFile)
+    admitted
   }
 
   /** q117 — KMV set algebra (Sketch.sketchOverlap): pairwise

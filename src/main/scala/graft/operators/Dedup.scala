@@ -128,9 +128,12 @@ object Dedup {
     * (shingleN, k, rowsPerBand) the index was built with. When the
     * artifact carries its build parameters (every [[nearDupIndex]]
     * since they were embedded), a mismatch throws here — one bounded
-    * single-row collect of RLE'd constants — instead of producing
-    * silently wrong admissions; parameter-less legacy artifacts skip
-    * the check (the caller's contract stands).
+    * collect of the DISTINCT parameter triples (RLE'd constants,
+    * map-side combined: rows ∝ artifact generations, not index size) —
+    * instead of producing silently wrong admissions; parameter-less
+    * legacy artifacts (or legacy FILES inside a mixed-schema dir,
+    * surfacing null params) skip the check (the caller's contract
+    * stands).
     *
     * The index frame is consumed as-is (twice: band probe + shingle
     * verify), both reads column-pruned, so a PARQUET-BACKED index costs
@@ -143,8 +146,18 @@ object Dedup {
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val paramCols = Seq("p_shingle_n", "p_k", "p_rows_per_band")
     if (paramCols.forall(indexFrame.columns.contains)) {
-      indexFrame.select(paramCols.map(col): _*).limit(1).collect()
-        .headOption.foreach { r =>
+      // distinct over RLE'd constant columns: map-side combine collapses
+      // each partition to its few distinct triples, so the collect is
+      // bounded by the number of artifact GENERATIONS in the dir, not
+      // rows — and it checks every generation, not one sampled file's.
+      // A mixed-schema dir (legacy parameter-less files read alongside
+      // new batches — exactly what a seeded AdmissionStream index is)
+      // surfaces the legacy rows as nulls: no evidence, skipped — not
+      // an NPE on getInt.
+      indexFrame.select(paramCols.map(col): _*)
+        .filter(paramCols.map(col(_).isNotNull).reduce(_ && _))
+        .distinct().collect()
+        .foreach { r =>
           val (in, ik, ir) = (r.getInt(0), r.getInt(1), r.getInt(2))
           require(in == shingleN && ik == k && ir == rowsPerBand,
             s"near-dup index was built under (shingleN=$in, k=$ik, " +

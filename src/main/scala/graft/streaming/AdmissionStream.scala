@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.operators.Dedup
 
@@ -26,7 +27,16 @@ import graft.operators.Dedup
   * Exactly-once: the index append and the admissions append are both
   * keyed by `batchId` subdirectories; a replayed micro-batch (failure
   * recovery re-runs the last uncommitted batch) overwrites its own
-  * subdirectory instead of double-admitting. Both tables are read with
+  * subdirectory instead of double-admitting — and the probe READS the
+  * index tree MINUS the batch's own `batch-<id>` subdir, so signatures
+  * a prior (failed or repeated) attempt of the SAME batch already wrote
+  * never band-match the batch against itself (every doc is Jaccard 1.0
+  * with its own signatures; probing them would reject the whole replay
+  * and the overwrite would then silently drop it). The self-exclusion
+  * makes the admission decision a pure function of the batch and the
+  * PRIOR batches' index — replays, including a full re-invocation of
+  * [[runAdmission]] against the same dirs (fresh checkpoint restarts
+  * batchIds at 0), land the same admissions. Both tables are read with
   * recursiveFileLookup (plain nested dirs, no partition-column
   * inference), so a caller can seed `indexPath` with any subdirectory
   * name — `seed/` by convention — holding the standing corpus's
@@ -34,21 +44,50 @@ import graft.operators.Dedup
   */
 object AdmissionStream {
 
+  /** The landing schema assumed when the landing dir holds no parquet
+    * file yet (footer probing needs at least one file): the admission
+    * document shape. A production firehose opens the stream BEFORE the
+    * first file lands, so the empty-dir case must not throw. */
+  val defaultLandingSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** The index tree minus one batch's own subdir — the replay-idempotence
+    * read (see the object scaladoc): top-level entries of `indexPath`
+    * except `batch-<excludeBatchId>`, read recursively. */
+  private def indexExcludingBatch(spark: SparkSession, indexPath: String,
+      excludeBatchId: Long): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = fs.listStatus(base)
+      .filterNot(st => st.isDirectory &&
+        st.getPath.getName == s"batch-$excludeBatchId")
+      .map(_.getPath.toString)
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
+  }
+
   /** Run a bounded document stream to completion, admitting each
     * micro-batch against `indexPath` (a [[Dedup.nearDupIndex]] parquet
     * dir, extended in place as batches admit). Admitted rows append
-    * under `outPath/batch-<id>/`. Returns the admitted docs frame. */
+    * under `outPath/batch-<id>/`. Returns the admitted docs frame.
+    * `schemaFallback` is used when the landing dir has no parquet file
+    * to probe yet ([[defaultLandingSchema]] if unset). */
   def runAdmission(spark: SparkSession, landingDir: String,
       indexPath: String, outPath: String,
       shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      schemaFallback: Option[StructType] = None): DataFrame = {
     val ckpt = EventStreams.scratchDir("graft_admit_ckpt_")
     // probe the landing files' actual footer schema rather than
     // hard-coding one (the "probe, don't assume" rule EventStreams
     // learned from the r10 events re-encoding — a batch schema read,
-    // no data scan)
-    val reader = spark.readStream.schema(spark.read.parquet(landingDir).schema)
+    // no data scan); an EMPTY landing dir (stream opened before the
+    // first file lands) falls back to the caller's schema
+    val landingSchema =
+      scala.util.Try(spark.read.parquet(landingDir).schema).toOption
+        .orElse(schemaFallback).getOrElse(defaultLandingSchema)
+    val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val q = reader.parquet(landingDir)
       .writeStream
@@ -61,7 +100,7 @@ object AdmissionStream {
           .localCheckpoint(true)
         val admittedIds = Dedup.admitNewDocsWithIndex(
           docs,
-          spark.read.option("recursiveFileLookup", "true").parquet(indexPath),
+          indexExcludingBatch(spark, indexPath, batchId),
           col("doc_id"), col("text"), shingleN, k, rowsPerBand, threshold)
         val admitted = docs.join(admittedIds, Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
@@ -81,6 +120,13 @@ object AdmissionStream {
       f.delete(); ()
     }
     rm(ckpt.toFile)
-    spark.read.option("recursiveFileLookup", "true").parquet(outPath)
+    // zero micro-batches (empty landing dir) never create outPath —
+    // the admitted set is simply empty, not an error
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    if (outP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outP))
+      spark.read.option("recursiveFileLookup", "true").parquet(outPath)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(landingSchema.filter(f => f.name == "doc_id" || f.name == "text")))
   }
 }

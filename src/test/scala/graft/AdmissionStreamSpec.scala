@@ -65,6 +65,46 @@ class AdmissionStreamSpec extends SparkSpecBase {
       streamed.nonEmpty shouldBe true
       // every admitted batch extended the index (seed + 2 batches)
       new java.io.File(indexPath).listFiles().count(_.isDirectory) shouldBe 3
+
+      // REPLAY idempotence (the exactly-once claim, exercised): a full
+      // re-invocation against the same index/out dirs restarts batchIds
+      // at 0, so every batch re-probes an index that ALREADY holds its
+      // own prior signatures — the probe's self-exclusion of
+      // batch-<id> is what keeps each doc from band-matching itself
+      // (Jaccard 1.0) and being silently dropped on the overwrite.
+      val replayed = AdmissionStream.runAdmission(spark, landing.toString,
+          indexPath, outPath, shingleN = 3, k = 8, rowsPerBand = 2,
+          threshold = 0.4, maxFilesPerTrigger = Some(1))
+        .select("doc_id").as[Long].collect().toSet
+      replayed shouldBe expected
+      // the replay overwrote its subdirs rather than appending new ones
+      new java.io.File(indexPath).listFiles().count(_.isDirectory) shouldBe 3
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("empty landing dir opens the stream under the fallback schema and admits nothing") {
+    val root = Files.createTempDirectory("graft_admit_empty_")
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val indexPath = root.resolve("index").toString
+    try {
+      // seed index must still exist (the probe reads it per batch; with
+      // zero batches it is never read, but the contract stands)
+      Dedup.nearDupIndex(
+          Seq((1L, "seed doc text only")).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$indexPath/seed")
+      val admitted = AdmissionStream.runAdmission(spark, landing.toString,
+        indexPath, root.resolve("out").toString,
+        shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4)
+      admitted.columns.toSeq shouldBe Seq("doc_id", "text")
+      admitted.count() shouldBe 0L
     } finally {
       def rm(f: java.io.File): Unit = if (f.exists()) {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

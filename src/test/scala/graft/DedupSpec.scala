@@ -302,4 +302,33 @@ class DedupSpec extends SparkSpecBase {
       spark.catalog.clearCache()
     }
   }
+
+  test("param fail-fast tolerates legacy null-param rows in a mixed-schema index") {
+    // a mixed dir (legacy parameter-less artifact + new batches — what a
+    // seeded AdmissionStream index looks like) surfaces the legacy rows
+    // with null p_* under the merged schema: no evidence → skipped, and
+    // the NON-null rows still carry the fail-fast
+    val standing = Seq((1L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((2L, "entirely novel content about nothing previously indexed"))
+      .toDF("doc_id", "text")
+    val ix = Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, rowsPerBand = 2)
+    val legacyRows = ix.select(col("doc_id"), col("sh"), col("bands"),
+      lit(null).cast("int").as("p_shingle_n"),
+      lit(null).cast("int").as("p_k"),
+      lit(null).cast("int").as("p_rows_per_band"))
+    val mixed = ix.unionByName(legacyRows)
+    // matching params: the null rows must not NPE and must not block
+    noException should be thrownBy
+      Dedup.admitNewDocsWithIndex(fresh, mixed,
+        col("doc_id"), col("text"), 3, 8, 2, 0.4).collect()
+    // mismatching params: the non-null generation still fails fast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.admitNewDocsWithIndex(fresh, mixed,
+        col("doc_id"), col("text"), 3, 16, 4)
+    }
+    e.getMessage should include("rowsPerBand=2")
+    spark.catalog.clearCache()
+  }
 }
