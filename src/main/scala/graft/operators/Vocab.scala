@@ -19,9 +19,12 @@ import graft.functions.{TextFunctions => T}
   *   - Ranking runs on the VOCABULARY, which is Zipf-bounded (a tokenized
   *     web crawl tops out in the low millions of distinct words while the
   *     corpus holds trillions of tokens) — the same index-not-corpus
-  *     argument as [[Keywords]]' df table. The rank window is
-  *     deliberately unpartitioned over that vocab-sized frame;
-  *     deterministic total order (count DESC, token ASC) is the point.
+  *     argument as [[Keywords]]' df table. Even so, an UNCAPPED raw-text
+  *     token universe can reach 10⁸–10⁹ rows, so the global rank is
+  *     computed SHARDED (range-partitioned on the sort key, per-shard
+  *     row_number + broadcast base offsets — see [[build]]); the
+  *     deterministic total order (count DESC, token ASC) is preserved
+  *     exactly.
   *   - Encoding joins the exploded corpus against the vocab — by default
   *     as a BROADCAST: no corpus shuffle, and hot tokens (the Zipf head)
   *     replicate with the broadcast instead of concentrating on one
@@ -41,19 +44,51 @@ object Vocab {
     * standard vocab-size cap) — excluded tokens become OOV at encode
     * time. The (count, token) tiebreak makes the cap deterministic.
     *
-    * Scale: the global `row_number` window runs on the AGGREGATED
-    * distinct-token frame (vocab-sized — bounded by the token universe,
-    * not the corpus; the heavy per-token work is the map-side-combined
-    * count above it). A vocabulary fundamentally needs one global rank;
-    * single-partition sorting of a vocab-sized frame is the intended
-    * cost, never paid per corpus row. */
+    * Scale: a vocabulary fundamentally needs ONE global rank, but a
+    * global `Window.orderBy` sorts the whole distinct-token frame in a
+    * single task — and a raw web corpus's token universe (typos, ids,
+    * urls) reaches 10⁸–10⁹ rows, far past what one task should sort. So
+    * the rank is SHARDED the way [[Dataloader]]'s within-group rank is,
+    * with the shard key made order-aligned by construction:
+    * `repartitionByRange` on the sort key itself (cnt DESC, token ASC)
+    * splits the frame into `rankShards` contiguous key ranges (partition
+    * i's rows all sort before partition i+1's), each shard ranks locally
+    * (`row_number` partitioned by shard, one task per shard), and each
+    * row adds its shard's cumulative base offset — a broadcast-joined
+    * frame of ≤`rankShards` rows whose cumulative sum is the one
+    * remaining unpartitioned window (shard-count-sized: the bounded-
+    * cardinality contract). Global ids are IDENTICAL to the
+    * single-window formulation for every shard count (VocabSpec pins
+    * shard invariance); the range partitioner's sampled boundaries only
+    * move work between shards, never reorder keys. The frame is
+    * persisted across its two consumers (base histogram + final rank) so
+    * the range exchange and partition ids are evaluated once — same
+    * cache lifecycle contract as [[graft.operators.Dedup]] (callers
+    * `clearCache()` when done). `rankShards` ≤ 0 uses the session's
+    * shuffle parallelism. */
   def build(df: DataFrame, text: Column, minCount: Long = 1L,
-      maxSize: Long = 0L): DataFrame = {
+      maxSize: Long = 0L, rankShards: Int = 0): DataFrame = {
     val counts = df.select(explode(T.tokens(lower(text))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    val ranked = counts.withColumn("id",
-      row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    val n =
+      if (rankShards > 0) rankShards
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = counts
+      .repartitionByRange(n, col("cnt").desc, col("token").asc)
+      .withColumn("__shard", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bases = parted.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("__shard"),
+        coalesce(sum(col("__cnt")).over(Window.orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__base"))
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    val ranked = parted
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(bases), Seq("__shard"))
+      .select(col("token"), col("cnt"), (col("__rn") + col("__base")).as("id"))
     if (maxSize > 0L) ranked.filter(col("id") <= maxSize) else ranked
   }
 

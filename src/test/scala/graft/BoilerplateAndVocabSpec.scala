@@ -84,6 +84,37 @@ class BoilerplateAndVocabSpec extends SparkSpecBase {
     stats(0) shouldBe ((1L, 6L, 1L, 24L))
   }
 
+  test("vocab build is shard-invariant: same global ids at every rankShards") {
+    import spark.implicits._
+    // mirror of DataloaderSpec's shard-invariance pin: the sharded rank
+    // (range repartition on the sort key + per-shard row_number +
+    // broadcast base offsets) must produce the EXACT single-window ids
+    // regardless of shard count — including shards ≫ vocab (empty
+    // shards) and shard boundaries landing mid-count-run
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val reference = Vocab.build(docs, col("text"), rankShards = 1)
+      .orderBy("id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    reference.length should be > 20 // fixture texts draw from a small word pool
+    // ids are a 1..|V| permutation ordered by (cnt desc, token asc)
+    reference.map(_._3) shouldBe (1L to reference.length.toLong).toArray
+    reference.sliding(2).foreach { case Array((ta, ca, _), (tb, cb, _)) =>
+      assert(ca > cb || (ca == cb && ta < tb))
+    }
+    for (shards <- Seq(3, 7, 1000)) {
+      val sharded = Vocab.build(docs, col("text"), rankShards = shards)
+        .orderBy("id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      sharded shouldBe reference
+    }
+    // the maxSize cap composes with the sharded rank
+    val capped = Vocab.build(docs, col("text"), maxSize = 10L, rankShards = 7)
+      .orderBy("id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    capped shouldBe reference.take(10)
+    spark.catalog.clearCache()
+  }
+
   test("boilerplate removal: shuffle-join path ≡ forced-broadcast path") {
     import spark.implicits._
     // the broadcast hint is a pure physical-strategy knob (object
