@@ -43,6 +43,66 @@ object Maintenance {
     * a hive-partitioned table is compacted per partition directory (run
     * this against each leaf), never whole-table — rewriting it flat would
     * discard the partitioning. */
+  /** Compact a NESTED parquet tree — the batch-keyed index layout
+    * [[graft.streaming.AdmissionStream]] accretes (`seed/`, `batch-0/`,
+    * `batch-1/`, …, one subdir per micro-batch) — into flat target-sized
+    * files at the tree root. Every top-level entry EXCEPT the names in
+    * `keepSubdirs` is folded; kept subdirs are carried over into the
+    * rewritten tree untouched, which is what lets the admission loop
+    * compact mid-stream without folding the CURRENT batch's own
+    * (possibly failed-attempt) signatures into the probed set — the
+    * replay-idempotence invariant.
+    *
+    * Same staged write-swap + crash recovery as [[compact]] (the whole
+    * tree swaps in one rename; [[Upsert.recoverStagedSwap]] restores a
+    * mid-swap crash). A kept subdir that existed only in the old tree at
+    * the moment of a crash is a replayed batch's uncommitted write — the
+    * stream rewrites it, so losing it is safe. Returns the target file
+    * count, or 0 when there was nothing to fold. */
+  def compactTree(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      keepSubdirs: Set[String] = Set.empty): Int = {
+    Upsert.recoverStagedSwap(path)
+    val target = new java.io.File(path)
+    val staged = new java.io.File(path + "__staged")
+    val old = new java.io.File(path + "__old")
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(old); rm(staged)
+    def dataBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(dataBytes).sum
+      else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+        f.length()
+      else 0L
+    val included = Option(target.listFiles()).getOrElse(Array.empty)
+      .filterNot(e => keepSubdirs.contains(e.getName))
+    if (included.isEmpty || included.map(dataBytes).sum == 0L) return 0
+    val bytes = included.map(dataBytes).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(included.map(_.getPath): _*)
+      .repartition(n)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged.getPath)
+    if (!target.renameTo(old))
+      throw new java.io.IOException(s"could not stage out $path")
+    keepSubdirs.foreach { name =>
+      val kept = new java.io.File(old, name)
+      if (kept.exists() && !kept.renameTo(new java.io.File(staged, name))) {
+        old.renameTo(target)
+        throw new java.io.IOException(s"could not carry $name over in $path")
+      }
+    }
+    if (!staged.renameTo(target)) {
+      old.renameTo(target)
+      throw new java.io.IOException(s"could not swap $path")
+    }
+    rm(old)
+    n
+  }
+
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
       clusterBy: Seq[String] = Nil): Int = {

@@ -71,13 +71,26 @@ object AdmissionStream {
     * dir, extended in place as batches admit). Admitted rows append
     * under `outPath/batch-<id>/`. Returns the admitted docs frame.
     * `schemaFallback` is used when the landing dir has no parquet file
-    * to probe yet ([[defaultLandingSchema]] if unset). */
+    * to probe yet ([[defaultLandingSchema]] if unset).
+    *
+    * Index lifecycle: every admitted batch adds one `batch-<id>` subdir,
+    * and every later batch re-lists the whole tree — at firehose cadence
+    * that is O(batches) file listings per batch, the classic small-files
+    * death. `compactEvery = Some(n)` bounds it: whenever a batch starts
+    * with ≥ n `batch-*` subdirs standing, the tree is folded into flat
+    * target-sized files first ([[graft.operators.Maintenance.compactTree]],
+    * staged-swap crash-safe), EXCLUDING the current batch's own subdir so
+    * a replayed batch still never probes its prior attempt's signatures.
+    * Listings stay O(n + files/128MB) per batch; admissions are unchanged
+    * (the probe reads the same signature rows, flat or nested — the spec
+    * pins compacted ≡ uncompacted). */
   def runAdmission(spark: SparkSession, landingDir: String,
       indexPath: String, outPath: String,
       shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None,
-      schemaFallback: Option[StructType] = None): DataFrame = {
+      schemaFallback: Option[StructType] = None,
+      compactEvery: Option[Int] = None): DataFrame = {
     val ckpt = EventStreams.scratchDir("graft_admit_ckpt_")
     // probe the landing files' actual footer schema rather than
     // hard-coding one (the "probe, don't assume" rule EventStreams
@@ -93,6 +106,21 @@ object AdmissionStream {
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fold the standing index BEFORE probing once enough batch
+        // subdirs accreted — never the current batch's own (see the
+        // index-lifecycle note above)
+        compactEvery.foreach { every =>
+          val base = new org.apache.hadoop.fs.Path(indexPath)
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val standingBatches = fs.listStatus(base).count(st =>
+            st.isDirectory && st.getPath.getName.startsWith("batch-") &&
+              st.getPath.getName != s"batch-$batchId")
+          if (standingBatches >= every) {
+            graft.operators.Maintenance.compactTree(spark, indexPath,
+              keepSubdirs = Set(s"batch-$batchId"))
+            ()
+          }
+        }
         // the batch plan is re-evaluated by every consumer below
         // (admission probe + verify + output write + index write) —
         // localCheckpoint pins one evaluation of the scan

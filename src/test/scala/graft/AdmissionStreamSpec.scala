@@ -89,6 +89,56 @@ class AdmissionStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("index compaction mid-stream leaves admissions identical and the tree bounded") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")
+    val standing = docs.filter(!isNew).select(col("doc_id"), col("text"))
+    val splitA = pmod(col("doc_id"), lit(2)) === 0
+    def stage(compactEvery: Option[Int]): (Set[Long], Int, Int) = {
+      val root = Files.createTempDirectory("graft_admit_compact_")
+      val landing = root.resolve("landing"); Files.createDirectory(landing)
+      val indexPath = root.resolve("index").toString
+      try {
+        def land(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+          val stage = Files.createTempDirectory("graft_admit_cstage_")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+          Files.move(part.toPath, landing.resolve(name))
+          landing.resolve(name).toFile.setLastModified(mod)
+          ()
+        }
+        land(docs.filter(isNew && splitA), "a.parquet", 1000000L)
+        land(docs.filter(isNew && !splitA), "b.parquet", 2000000L)
+        Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+            shingleN = 3, k = 8, rowsPerBand = 2)
+          .write.mode("overwrite").parquet(s"$indexPath/seed")
+        val admitted = AdmissionStream.runAdmission(spark, landing.toString,
+            indexPath, root.resolve("out").toString, shingleN = 3, k = 8,
+            rowsPerBand = 2, threshold = 0.4, maxFilesPerTrigger = Some(1),
+            compactEvery = compactEvery)
+          .select("doc_id").as[Long].collect().toSet
+        val top = new java.io.File(indexPath).listFiles()
+        (admitted, top.count(_.isDirectory),
+          top.count(f => f.isFile && f.getName.endsWith(".parquet")))
+      } finally {
+        def rm(f: java.io.File): Unit = if (f.exists()) {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root.toFile)
+        spark.catalog.clearCache()
+      }
+    }
+    val (plain, plainDirs, _) = stage(None)
+    val (compacted, compactedDirs, flatFiles) = stage(Some(1))
+    compacted shouldBe plain // folding the tree must not change one admission
+    plainDirs shouldBe 3 // seed + batch-0 + batch-1, unbounded growth
+    // batch 1 found one standing batch dir ≥ 1 → folded seed+batch-0 flat;
+    // only its own subdir remains nested
+    compactedDirs shouldBe 1
+    flatFiles should be >= 1
+  }
+
   test("empty landing dir opens the stream under the fallback schema and admits nothing") {
     val root = Files.createTempDirectory("graft_admit_empty_")
     val landing = root.resolve("landing"); Files.createDirectory(landing)
