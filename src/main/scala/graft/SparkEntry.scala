@@ -1576,10 +1576,11 @@ object SparkEntry {
   def q109IncrementalAdmit(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    // the PATH overload: probe parameters come from the artifact's
+    // embedded p_* columns, not re-supplied — mismatch impossible
     operators.Dedup.admitNewDocsWithIndex(
-      docs.filter(isNew), s.read.parquet(standingIndex(s, dir)),
-      col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 2,
-      threshold = 0.4)
+      docs.filter(isNew), standingIndex(s, dir),
+      col("doc_id"), col("text"), 0.4)
       .orderBy(col("doc_id"))
   }
 

@@ -140,7 +140,9 @@ object Dedup {
     * two pruned scans of sketch-sized data, never corpus text. A caller
     * passing a freshly COMPUTED (non-source-backed) frame must persist
     * or materialize it first — otherwise the full corpus re-shingles
-    * twice, exactly what this path exists to avoid. */
+    * twice, exactly what this path exists to avoid; the PATH overload
+    * (indexPath: String) is immune by construction and should be the
+    * default choice outside tests. */
   def admitNewDocsWithIndex(newDf: DataFrame, indexFrame: DataFrame,
       id: Column, text: Column, shingleN: Int = 3, k: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
@@ -169,6 +171,39 @@ object Dedup {
     }
     admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
       indexFrame.select(col("doc_id"), col("sh"), col("bands")), threshold)
+  }
+
+  /** The ARTIFACT form of [[admitNewDocsWithIndex]] — the easy path made
+    * the safe path: pass the parquet DIRECTORY a [[nearDupIndex]] was
+    * written to (nested batch subdirs welcome — read recursively, the
+    * [[graft.streaming.AdmissionStream]] layout), and the build
+    * parameters are READ FROM the artifact's embedded `p_*` columns
+    * rather than re-supplied, so a probe/build mismatch is impossible
+    * by construction, and the index is parquet-backed by construction —
+    * the two pruned index scans can never degenerate into the
+    * re-shingle-the-corpus-twice trap a freshly COMPUTED frame hits.
+    * Requires a parameter-carrying artifact with exactly one parameter
+    * generation (a legacy parameter-less or mixed-generation dir must go
+    * through the frame overload with explicit parameters). */
+  def admitNewDocsWithIndex(newDf: DataFrame, indexPath: String, id: Column,
+      text: Column, threshold: Double): DataFrame = {
+    val ix = newDf.sparkSession.read
+      .option("recursiveFileLookup", "true").parquet(indexPath)
+    val paramCols = Seq("p_shingle_n", "p_k", "p_rows_per_band")
+    require(paramCols.forall(ix.columns.contains),
+      s"near-dup index at $indexPath carries no build parameters " +
+        "(legacy artifact) — probe it through the frame overload with " +
+        "the build-time (shingleN, k, rowsPerBand)")
+    val gens = ix.select(paramCols.map(col): _*)
+      .filter(paramCols.map(col(_).isNotNull).reduce(_ && _))
+      .distinct().collect()
+    require(gens.length == 1,
+      s"near-dup index at $indexPath holds ${gens.length} parameter " +
+        "generations — a single generation is required to derive the " +
+        "probe parameters; rebuild or probe through the frame overload")
+    val g = gens.head
+    admitNewDocsWithIndex(newDf, ix, id, text,
+      g.getInt(0), g.getInt(1), g.getInt(2), threshold)
   }
 
   private def admitCore(nw: DataFrame, ix: DataFrame,

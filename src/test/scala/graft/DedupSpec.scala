@@ -303,6 +303,58 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("path overload derives probe params from the artifact and matches the frame path") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    val (fresh, standing) = (docs.filter(isNew), docs.filter(!isNew))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixspec_path_")
+    try {
+      val ixPath = dir.resolve("ix").toString
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(ixPath)
+      // no (shingleN, k, rowsPerBand) supplied — the artifact's own
+      // embedded parameters drive the probe
+      val viaPath = Dedup.admitNewDocsWithIndex(fresh, ixPath,
+          col("doc_id"), col("text"), 0.4)
+        .orderBy("doc_id").as[Long].collect().toSeq
+      val viaFrame = Dedup.admitNewDocsWithIndex(fresh,
+          spark.read.parquet(ixPath), col("doc_id"), col("text"), 3, 8, 2, 0.4)
+        .orderBy("doc_id").as[Long].collect().toSeq
+      viaPath shouldBe viaFrame
+      viaPath.nonEmpty shouldBe true
+
+      // a legacy artifact (no p_* columns) cannot drive the path form
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"), 3, 8, 2)
+        .drop("p_shingle_n", "p_k", "p_rows_per_band")
+        .write.mode("overwrite").parquet(dir.resolve("legacy").toString)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.admitNewDocsWithIndex(fresh, dir.resolve("legacy").toString,
+          col("doc_id"), col("text"), 0.4)
+      }
+      e.getMessage should include("legacy artifact")
+
+      // a mixed-generation dir is ambiguous — refuse rather than guess
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"), 3, 8, 2)
+        .write.mode("overwrite").parquet(dir.resolve("mixed").resolve("a").toString)
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"), 3, 16, 4)
+        .write.mode("overwrite").parquet(dir.resolve("mixed").resolve("b").toString)
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.admitNewDocsWithIndex(fresh, dir.resolve("mixed").toString,
+          col("doc_id"), col("text"), 0.4)
+      }
+      e2.getMessage should include("parameter")
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("param fail-fast tolerates legacy null-param rows in a mixed-schema index") {
     // a mixed dir (legacy parameter-less artifact + new batches — what a
     // seeded AdmissionStream index looks like) surfaces the legacy rows
