@@ -55,6 +55,33 @@ object Layout {
   def zKey(x: Column, y: Column, bits: Int = 16): Column =
     zKeyN(Seq(x, y), bits)
 
+  /** Append the self-quantized d-dim Morton key to a frame, preserving
+    * every input column: each dimension is scaled to the full `bits`
+    * range by its OWN min/max (one scan-fused 1-row aggregate broadcast
+    * back — the [[zOrderStatsN]] quantize pass), and `keyCol` holds
+    * [[zKeyN]] of the quantized values. This is the WRITE-path form: a
+    * compaction sorts by `keyCol` and drops it, turning the per-bucket
+    * bounds [[zOrderStatsN]] reports into actual parquet min/max file
+    * stats ([[Maintenance.compact]]'s `zOrderBy`). Caller contract
+    * matches [[zOrderStatsN]]: integer dims, (hi − lo + 1)·2^bits per
+    * dimension within int64. */
+  def withZKey(df: DataFrame, dims: Seq[Column], bits: Int = 16,
+      keyCol: String = "__z"): DataFrame = {
+    val vCols = dims.zipWithIndex.map { case (c, j) => c.cast("long").as(s"__v$j") }
+    val base = df.select(col("*") +: vCols: _*)
+    val statAggs = dims.indices.flatMap(j => Seq(
+      min(col(s"__v$j")).as(s"__lo$j"), max(col(s"__v$j")).as(s"__hi$j")))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val quantized = dims.indices.foldLeft(base.crossJoin(broadcast(stats))) {
+      (acc, j) => acc.withColumn(s"__q$j",
+        expr(s"((__v$j - __lo$j) * ${1L << bits}L) div (__hi$j - __lo$j + 1)"))
+    }
+    quantized
+      .withColumn(keyCol, zKeyN(dims.indices.map(j => col(s"__q$j")), bits))
+      .drop(dims.indices.flatMap(j =>
+        Seq(s"__v$j", s"__lo$j", s"__hi$j", s"__q$j")): _*)
+  }
+
   /** Per-bucket clustering report for a Z-ordered layout: each
     * dimension is first QUANTIZED to the full `bits` range by its own
     * min/max ((v − lo)·2^bits div (hi − lo + 1) — the range scaling

@@ -28,8 +28,14 @@ object Maintenance {
     * `repartitionByRange` + `sortWithinPartitions` on them — globally
     * range-clustered output, so each file owns a disjoint key range and
     * parquet min/max stats skip whole files for selective key predicates;
-    * without, a plain round-robin `repartition` (uniform file sizes, no
-    * ordering guarantee).
+    * with `zOrderBy` (≥2 integer columns), the same range-cluster runs on
+    * the self-quantized MORTON key ([[Layout.withZKey]], dropped before
+    * the write), so every file bounds ALL the named dimensions at once
+    * (~1/ᵈ√files of each range) and min/max stats prune predicates on ANY
+    * of them — the multi-dimensional layout [[Layout.zOrderStatsN]]
+    * reports, landed in actual file footers; without either, a plain
+    * round-robin `repartition` (uniform file sizes, no ordering
+    * guarantee).
     *
     * The rewrite goes through [[Upsert.mergeParquet]]'s staged write-swap,
     * so a crash mid-compaction never loses the table and the applied-batch
@@ -105,7 +111,11 @@ object Maintenance {
 
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil,
+      zOrderBy: Seq[String] = Nil,
+      zBits: Int = 16): Int = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are alternative layouts — pass one")
     // a prior run may have died between the swap renames — restore the
     // table BEFORE sizing/reading it, or a recoverable table fails the
     // read (mergeParquet would recover it, but only after these reads)
@@ -114,7 +124,13 @@ object Maintenance {
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val current = spark.read.parquet(path)
     val rewritten =
-      if (clusterBy.nonEmpty) {
+      if (zOrderBy.nonEmpty) {
+        val zc = "__graft_zkey"
+        Layout.withZKey(current, zOrderBy.map(current.col), zBits, zc)
+          .repartitionByRange(n, org.apache.spark.sql.functions.col(zc))
+          .sortWithinPartitions(zc)
+          .drop(zc)
+      } else if (clusterBy.nonEmpty) {
         val cols = clusterBy.map(current.col)
         current.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
       } else current.repartition(n)

@@ -68,4 +68,53 @@ class MaintenanceSpec extends SparkSpecBase {
     }
     spark.read.parquet(path).count() shouldBe 2000L
   }
+
+  test("compact(zOrderBy): file min/max stats prune on the SECOND dimension too") {
+    // a 64×64 (x, y) grid shuffled across small files: a single-column
+    // cluster on x makes every file span y's FULL range (no pruning on
+    // y); the Morton-key cluster bounds both, so a selective y predicate
+    // skips most files by footer stats alone — the q113 bucket report
+    // landed in an actual write path
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L }
+      yield (x, y, x * 64 + y)
+    def seed(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zcompact_").toString
+      val path = s"$dir/t"
+      grid.toDF("x", "y", "payload").orderBy(rand(7)) // kill any incidental order
+        .repartition(16).write.parquet(path)
+      path
+    }
+    // per-file [min,max] of a column; a file is PRUNED for predicate
+    // col = v when v falls outside its range — what footer stats give
+    def survivors(path: String, column: String, v: Long): Int =
+      partFiles(path).count { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min(column), max(column)).head
+        r.getLong(0) <= v && v <= r.getLong(1)
+      }
+
+    val xOnly = seed()
+    val bx = Maintenance.tableBytes(xOnly)
+    Maintenance.compact(spark, xOnly, targetFileBytes = bx / 16 + 1,
+      clusterBy = Seq("x")) should be >= 8
+    val zOrdered = seed()
+    val bz = Maintenance.tableBytes(zOrdered)
+    val n = Maintenance.compact(spark, zOrdered, targetFileBytes = bz / 16 + 1,
+      zOrderBy = Seq("x", "y"), zBits = 6)
+    n should be >= 8
+
+    val files = partFiles(zOrdered).size
+    // single-column layout: y stats are useless — every file survives a
+    // y predicate
+    survivors(xOnly, "y", 17L) shouldBe partFiles(xOnly).size
+    // z-order: BOTH dimensions prune by footer stats (≤ ~2/√files of
+    // the tree survives a point predicate on either axis)
+    survivors(zOrdered, "x", 17L) should be < files
+    val ySurvivors = survivors(zOrdered, "y", 17L)
+    ySurvivors should be < files
+    ySurvivors should be <= (files / 2)
+    // the rewrite is still the same table
+    spark.read.parquet(zOrdered).orderBy("payload").collect() shouldBe
+      grid.toDF("x", "y", "payload").orderBy("payload").collect()
+  }
 }
