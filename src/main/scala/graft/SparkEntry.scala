@@ -1661,32 +1661,57 @@ object SparkEntry {
     * against standing ∪ A's admissions (the fold-back invariant). The
     * oracle replays both admission rounds in SQL against the growing
     * index — streaming ≡ the sequential batch ingest loop, hash-checked. */
+  /** q116's landing files (the two mod-time-ordered micro-batch files),
+    * staged ONCE per fixture dir per JVM — the landing CONTENT is a pure
+    * function of the fixture, and rebuilding it per bench pass paid two
+    * coalesce(1) write jobs per run for identical bytes. Runs hard-link
+    * the staged files into their private landing dirs (mtime rides the
+    * shared inode, preserving the micro-batch order). */
+  private val q116LandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def q116Landing(s: SparkSession, dir: String): java.nio.file.Path =
+    q116LandingCache.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+      val root = java.nio.file.Files.createTempDirectory("graft_q116_stage_")
+      val landing = root.resolve("landing")
+      java.nio.file.Files.createDirectory(landing)
+      def land(df: DataFrame, name: String, mod: Long): Unit = {
+        val stage = root.resolve(s"stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, landing.resolve(name))
+        landing.resolve(name).toFile.setLastModified(mod)
+        ()
+      }
+      land(docs.filter(isNew && col("doc_id") % 2 === 0), "a.parquet", 1000000L)
+      land(docs.filter(isNew && col("doc_id") % 2 =!= 0), "b.parquet", 2000000L)
+      root.toFile.deleteOnExit()
+      landing
+    })
+
   def q116StreamingAdmission(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
     val root = java.nio.file.Files.createTempDirectory("graft_q116_")
     val landing = root.resolve("landing")
     java.nio.file.Files.createDirectory(landing)
-    def land(df: DataFrame, name: String, mod: Long): Unit = {
-      val stage = root.resolve(s"stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = stage.toFile.listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath, landing.resolve(name))
-      landing.resolve(name).toFile.setLastModified(mod)
+    // hard links into the per-fixture staged landing: per-run cost is
+    // two directory entries, not two Spark write jobs
+    java.nio.file.Files.list(q116Landing(s, dir)).forEach { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
       ()
     }
-    land(docs.filter(isNew && col("doc_id") % 2 === 0), "a.parquet", 1000000L)
-    land(docs.filter(isNew && col("doc_id") % 2 =!= 0), "b.parquet", 2000000L)
-    // seed = a file copy of the once-per-snapshot standing index artifact
-    // (runAdmission extends its index dir in place, so it gets its own
-    // copy rather than a reference to the shared one)
+    // seed = the once-per-snapshot standing index artifact, hard-linked
+    // (runAdmission extends its index dir in place but never rewrites
+    // the seed FILES, so runs can share the inodes; each run still gets
+    // its own index tree to grow)
     val seedSrc = java.nio.file.Paths.get(standingIndex(s, dir))
     val seedDst = root.resolve("index").resolve("seed")
     java.nio.file.Files.createDirectories(seedDst)
     java.nio.file.Files.list(seedSrc).forEach { p =>
       if (java.nio.file.Files.isRegularFile(p)) {
-        java.nio.file.Files.copy(p, seedDst.resolve(p.getFileName.toString))
+        java.nio.file.Files.createLink(seedDst.resolve(p.getFileName.toString), p)
         ()
       }
     }

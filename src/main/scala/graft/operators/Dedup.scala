@@ -143,19 +143,21 @@ object Dedup {
     * twice, exactly what this path exists to avoid; the PATH overload
     * (indexPath: String) is immune by construction and should be the
     * default choice outside tests. */
-  def admitNewDocsWithIndex(newDf: DataFrame, indexFrame: DataFrame,
-      id: Column, text: Column, shingleN: Int = 3, k: Int = 16,
-      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+  /** The [[admitNewDocsWithIndex]] parameter fail-fast, exposed so a
+    * LOOPING caller (the streaming admission, probing a growing index
+    * once per micro-batch under fixed parameters) can validate once up
+    * front instead of per batch. Distinct over RLE'd constant columns:
+    * map-side combine collapses each partition to its few triples, so
+    * the collect is bounded by the number of artifact GENERATIONS in
+    * the dir, not rows — and it checks every generation, not one
+    * sampled file's. A mixed-schema dir (legacy parameter-less files
+    * read alongside new batches — exactly what a seeded AdmissionStream
+    * index is) surfaces the legacy rows as nulls: no evidence, skipped
+    * — not an NPE on getInt. */
+  private[graft] def validateIndexParams(indexFrame: DataFrame,
+      shingleN: Int, k: Int, rowsPerBand: Int): Unit = {
     val paramCols = Seq("p_shingle_n", "p_k", "p_rows_per_band")
     if (paramCols.forall(indexFrame.columns.contains)) {
-      // distinct over RLE'd constant columns: map-side combine collapses
-      // each partition to its few distinct triples, so the collect is
-      // bounded by the number of artifact GENERATIONS in the dir, not
-      // rows — and it checks every generation, not one sampled file's.
-      // A mixed-schema dir (legacy parameter-less files read alongside
-      // new batches — exactly what a seeded AdmissionStream index is)
-      // surfaces the legacy rows as nulls: no evidence, skipped — not
-      // an NPE on getInt.
       indexFrame.select(paramCols.map(col): _*)
         .filter(paramCols.map(col(_).isNotNull).reduce(_ && _))
         .distinct().collect()
@@ -169,6 +171,22 @@ object Dedup {
               "build-time parameters")
         }
     }
+  }
+
+  /** [[admitNewDocsWithIndex]] minus the parameter fail-fast — for a
+    * caller that already ran [[validateIndexParams]] against the same
+    * artifact under the same parameters (the per-micro-batch probe
+    * loop; re-checking constants once per batch is a pure fixed cost). */
+  private[graft] def admitNewDocsPrechecked(newDf: DataFrame,
+      indexFrame: DataFrame, id: Column, text: Column, shingleN: Int,
+      k: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
+      indexFrame.select(col("doc_id"), col("sh"), col("bands")), threshold)
+
+  def admitNewDocsWithIndex(newDf: DataFrame, indexFrame: DataFrame,
+      id: Column, text: Column, shingleN: Int = 3, k: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    validateIndexParams(indexFrame, shingleN, k, rowsPerBand)
     admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
       indexFrame.select(col("doc_id"), col("sh"), col("bands")), threshold)
   }
@@ -202,8 +220,12 @@ object Dedup {
         "generations — a single generation is required to derive the " +
         "probe parameters; rebuild or probe through the frame overload")
     val g = gens.head
-    admitNewDocsWithIndex(newDf, ix, id, text,
-      g.getInt(0), g.getInt(1), g.getInt(2), threshold)
+    // params came FROM the artifact — the frame overload's mismatch
+    // check would re-scan them only to confirm a tautology, so go
+    // straight to the core
+    admitCore(
+      shingleBandFrame(newDf, id, text, g.getInt(0), g.getInt(1), g.getInt(2)),
+      ix.select(col("doc_id"), col("sh"), col("bands")), threshold)
   }
 
   private def admitCore(nw: DataFrame, ix: DataFrame,
@@ -222,8 +244,17 @@ object Dedup {
       .join(ix.select(col("doc_id").as("id_o"), col("sh").as("sh_o")), Seq("id_o"))
       .filter(jaccardOk(col("sh_n"), col("sh_o")))
       .select(col("id_n")).distinct()
-    // survivors of the index check, deduped among themselves
+    // survivors of the index check, deduped among themselves. The
+    // index-probe above (band join + Jaccard verify — the expensive
+    // stage) feeds every consumer below: the survivor self-join, BOTH
+    // shingle-verify joins, the components loop's edge materialization
+    // AND the final admitted-ids evaluation — without pinning, each
+    // action re-runs it (the probe ran 3-4x per admission batch).
+    // localCheckpoint is the components-loop idiom: survivors are
+    // batch-sized, and admit* is already an eager API (the components
+    // fixpoint below runs driver-side rounds).
     val sv = nw.join(matched, nw("doc_id") === matched("id_n"), "left_anti")
+      .localCheckpoint(true)
     val svb = sv.select(explode(col("bands")).as("band"), col("doc_id"))
     val pairs = svb.select(col("band"), col("doc_id").as("id_a"))
       .join(svb.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
@@ -511,6 +542,12 @@ object Dedup {
       .unionByName(pairs.select(idB.as("src"), idA.as("dst")))
       .distinct()
       .localCheckpoint()
+    // an empty pair graph (every doc its own cluster — the common case
+    // for small admission batches) needs no propagation rounds: the
+    // one isEmpty probe on the checkpointed edges replaces the loop's
+    // first join + aggregate + convergence actions
+    if (edges.isEmpty)
+      return edges.select(col("src").as("id"), col("dst").as("comp"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

@@ -100,6 +100,14 @@ object AdmissionStream {
     val landingSchema =
       scala.util.Try(spark.read.parquet(landingDir).schema).toOption
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
+    // parameter fail-fast ONCE, against the standing tree — the loop
+    // probes the same artifact under the same fixed parameters every
+    // batch, so re-collecting the RLE'd constants per batch is pure
+    // fixed cost (a stale batch subdir from a crashed attempt carries
+    // the same parameters; an empty tree has no evidence — both fine)
+    scala.util.Try(spark.read.option("recursiveFileLookup", "true")
+        .parquet(indexPath)).toOption
+      .foreach(ix => Dedup.validateIndexParams(ix, shingleN, k, rowsPerBand))
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val q = reader.parquet(landingDir)
@@ -126,7 +134,7 @@ object AdmissionStream {
         // localCheckpoint pins one evaluation of the scan
         val docs = batch.select(col("doc_id"), col("text"))
           .localCheckpoint(true)
-        val admittedIds = Dedup.admitNewDocsWithIndex(
+        val admittedIds = Dedup.admitNewDocsPrechecked(
           docs,
           indexExcludingBatch(spark, indexPath, batchId),
           col("doc_id"), col("text"), shingleN, k, rowsPerBand, threshold)

@@ -152,4 +152,48 @@ class PlanPruningSpec extends SparkSpecBase {
     scanSchemas("q115_fuzzy_join")("documents") shouldBe
       Set("doc_id", "text", "source")
   }
+
+  /** Per-scan pruning over a multi-scan chain: every documents scan must
+    * stay within the columns the chain consumes, and none may drag the
+    * unused `source` column along — asserted per scan because different
+    * stages rightly prune to different subsets (the shingle pass reads
+    * (doc_id, text); the gate reads the metadata columns). */
+  private def assertDocScansWithin(name: String, allowed: Set[String]): Unit = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    val docScans = allScans(df.queryExecution.sparkPlan).filter {
+      f => f.relation.location.rootPaths.head.getName.startsWith("documents")
+    }.map(_.requiredSchema.fieldNames.toSet)
+    docScans should not be empty
+    docScans.foreach(s => s.subsetOf(allowed) shouldBe true)
+    docScans.foreach(s => s should not contain "source")
+  }
+
+  test("q112 clean→pack→interleave never reads the unused source column") {
+    assertDocScansWithin("q112_clean_pack_interleave",
+      Set("doc_id", "lang", "text", "n_chars"))
+  }
+
+  test("q114 winnowing-policy clean never reads the unused source column") {
+    assertDocScansWithin("q114_clean_winnowing",
+      Set("doc_id", "lang", "text", "n_chars"))
+  }
+
+  test("q109 admission probe never rescans corpus text from the index artifact") {
+    // the no-corpus-rescan shape (shared by q116's per-batch probe, which
+    // runs this same operator against the same artifact layout): every
+    // scan of the standing signature index must prune to sketch columns —
+    // (doc_id, sh, bands) plus the embedded p_* params — and the corpus
+    // TEXT may only ever be read for the new batch, from documents
+    val df = SparkEntry.queries("q109_incremental_admit")(spark, "/root/testdata/sf0.001")
+    val indexScans = allScans(df.queryExecution.sparkPlan).filter {
+      f => !f.relation.location.rootPaths.head.getName.startsWith("documents")
+    }
+    indexScans should not be empty
+    val sketchCols =
+      Set("doc_id", "sh", "bands", "p_shingle_n", "p_k", "p_rows_per_band")
+    indexScans.foreach { f =>
+      f.requiredSchema.fieldNames.toSet.subsetOf(sketchCols) shouldBe true
+      f.requiredSchema.fieldNames.toSet should not contain "text"
+    }
+  }
 }
