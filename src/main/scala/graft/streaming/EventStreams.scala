@@ -440,6 +440,17 @@ object EventStreams {
   private val maxTsCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[Long]]
 
+  /** Staged sentinel parquet FILE, cached by (ts physical type, sentinel
+    * micros, sentinel type): the one-row flush file is a pure function of
+    * those three, and the replay harness flushes the SAME fixture's
+    * watermark for every file-sink query — writing it fresh was one
+    * coalesce(1) Spark job per query per pass for identical bytes. Files
+    * live in harness scratch and are COPIED into each query's private
+    * landing dir (the landing dir is deleted per run; the cached original
+    * survives the session). */
+  private val sentinelFileCache =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
   def runToCompletionFileSink(spark: SparkSession, path: String,
       agg: DataFrame => DataFrame,
       sentinelType: String = "__graft_flush",
@@ -508,18 +519,26 @@ object EventStreams {
               timestamp_micros(lit(sentMicros)).cast(TimestampNTZType)
             case _ => timestamp_micros(lit(sentMicros))
           }
-          val sentinel = spark.range(1).select(
-            lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
-            lit(sentinelType).as("event_type"), lit(0.0).as("value"),
-            lit(null).cast(StringType).as("props"))
-          val tmp = scratchDir("graft_stream_sentinel_")
-          sentinel.coalesce(1).write
-            .mode("overwrite").parquet(tmp.resolve("s").toString)
-          Option(tmp.resolve("s").toFile.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-            .foreach(f => Files.move(f.toPath,
-              landing.resolve(s"zz_sentinel$n.parquet")))
-          rmDir(tmp.toFile)
+          val staged = sentinelFileCache.getOrElseUpdate(
+            s"${tsType.simpleString}:$sentMicros:$sentinelType", {
+              val sentinel = spark.range(1).select(
+                lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
+                lit(sentinelType).as("event_type"), lit(0.0).as("value"),
+                lit(null).cast(StringType).as("props"))
+              val tmp = scratchDir("graft_stream_sentinel_")
+              sentinel.coalesce(1).write
+                .mode("overwrite").parquet(tmp.resolve("s").toString)
+              val part = Option(tmp.resolve("s").toFile.listFiles())
+                .getOrElse(Array.empty)
+                .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+                .head
+              val keep = scratchDir("graft_stream_sentcache_")
+                .resolve("sentinel.parquet")
+              Files.move(part.toPath, keep)
+              rmDir(tmp.toFile)
+              keep
+            })
+          Files.copy(staged, landing.resolve(s"zz_sentinel$n.parquet"))
           q.processAllAvailable()
         }
       }

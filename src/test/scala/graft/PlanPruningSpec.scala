@@ -125,8 +125,47 @@ class PlanPruningSpec extends SparkSpecBase {
     scanSchemas("q108_modular_negatives")("documents") shouldBe Set("doc_id", "lang")
   }
 
+  /** q109's probe pipeline EXECUTES eagerly (admitCore localCheckpoints
+    * the survivor frame), so the documents/index scans never appear in
+    * the returned frame's plan — they ran already. Harvest the physical
+    * scans from every execution instead: a QueryExecutionListener sees
+    * each action's executedPlan, including the eager checkpoint's.
+    * Listener delivery is async (the listener bus), hence the bounded
+    * poll after the action completes. */
+  private def executedScans(body: => Unit): Seq[FileSourceScanExec] = {
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[FileSourceScanExec]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        allScans(qe.executedPlan).foreach(captured.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (captured.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    captured.iterator().asScala.toSeq
+  }
+
   test("q109 incremental admit reads only (doc_id, text) from documents") {
-    scanSchemas("q109_incremental_admit")("documents") shouldBe Set("doc_id", "text")
+    val scans = executedScans {
+      SparkEntry.queries("q109_incremental_admit")(
+        spark, "/root/testdata/sf0.001").collect()
+      ()
+    }
+    val docScans = scans.filter(
+      _.relation.location.rootPaths.head.getName.startsWith("documents"))
+      .map(_.requiredSchema.fieldNames.toSet)
+    docScans should not be empty
+    docScans.foreach(s => s.subsetOf(Set("doc_id", "text")) shouldBe true)
   }
 
   test("q110 chunking reads only (doc_id, text) from documents") {
@@ -184,8 +223,12 @@ class PlanPruningSpec extends SparkSpecBase {
     // scan of the standing signature index must prune to sketch columns —
     // (doc_id, sh, bands) plus the embedded p_* params — and the corpus
     // TEXT may only ever be read for the new batch, from documents
-    val df = SparkEntry.queries("q109_incremental_admit")(spark, "/root/testdata/sf0.001")
-    val indexScans = allScans(df.queryExecution.sparkPlan).filter {
+    val scans = executedScans {
+      SparkEntry.queries("q109_incremental_admit")(
+        spark, "/root/testdata/sf0.001").collect()
+      ()
+    }
+    val indexScans = scans.filter {
       f => !f.relation.location.rootPaths.head.getName.startsWith("documents")
     }
     indexScans should not be empty
