@@ -489,6 +489,44 @@ private[graft] object Oracles {
       |  FROM comps c JOIN documents d0 ON d0.doc_id = c.id)
       |WHERE rn = 1 ORDER BY comp""".stripMargin
 
+  /** q119's oracle, generated like [[q28OracleSql]] (same planes, same
+    * multi-probe bucketing): the SRP approximate top-10 and the
+    * brute-force ground truth replayed side by side, folded to the
+    * per-query integer (truth, hits) recall report. */
+  private def q119OracleSql: String = {
+    val planes = VF.randomPlanes(6, 64, 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rnk
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5)
+       |  WHERE rnk <= 10),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+       |pr AS (SELECT query_id, qv,
+       |  unnest([qb, xor(qb,1), xor(qb,2), xor(qb,4), xor(qb,8), xor(qb,16), xor(qb,32)]) AS bucket
+       |  FROM q),
+       |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
+       |      THEN 0.0
+       |      ELSE list_inner_product(p.qv, c.v) /
+       |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
+       |  FROM pr p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.query_id),
+       |ap AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM cand) WHERE rnk <= 10)
+       |SELECT gt.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS truth,
+       |  CAST(COUNT(*) FILTER (WHERE ap.neighbor_id IS NOT NULL) AS BIGINT) AS hits
+       |FROM gt LEFT JOIN ap USING (query_id, neighbor_id)
+       |GROUP BY 1 ORDER BY query_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
     "q25_neardup_embedding" -> q25OracleSql,
@@ -2210,6 +2248,28 @@ private[graft] object Oracles {
         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |    CASE lang WHEN 'en' THEN '8000' ELSE 'g' END)
         |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
-        |FROM samp GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM samp GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q118: temperature mixture — all-integer threshold replay: floor-sqrt
+    // weights over integer char totals, integer normalizer, HUGEINT
+    // floor-division for the ppm thresholds (the exactness contract in
+    // Sampling.temperatureMixture's scaladoc: no order-dependent float
+    // summation anywhere)
+    "q118_temperature_mix" ->
+      """WITH tot AS (SELECT source AS s, CAST(SUM(n_chars) AS BIGINT) AS t
+        |             FROM documents GROUP BY 1 HAVING SUM(n_chars) > 0),
+        |w AS (SELECT s, t,
+        |        CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS wt FROM tot),
+        |n AS (SELECT CAST(SUM(wt) AS HUGEINT) AS norm FROM w),
+        |thr AS (SELECT s, LEAST(1000000,
+        |          CAST(CAST(300000 AS HUGEINT) * 1000000 * wt
+        |            // (CAST(t AS HUGEINT) * norm) AS BIGINT)) AS thr
+        |        FROM w, n),
+        |k AS (SELECT d.source, d.n_chars
+        |      FROM documents d JOIN thr ON thr.s = d.source
+        |      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+        |        % 1000000 < thr.thr)
+        |SELECT source, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q119_ann_recall" -> q119OracleSql
   )
 }

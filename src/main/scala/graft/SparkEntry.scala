@@ -1744,6 +1744,37 @@ object SparkEntry {
       col("event_type"), col("user_id"), k = 64)
       .orderBy(col("grp_a"), col("grp_b"))
 
+  /** q118 — temperature-smoothed data mixture (Sampling
+    * .temperatureMixture): per-source char budgets derived from the
+    * corpus itself at α = 1/2 (w ∝ √chars — dominant sources
+    * downweighted, tail kept closer to whole), applied as the
+    * scan-fused integer-ppm hash gate. All-integer threshold
+    * arithmetic (floor-sqrt weights, integer normalizer), so the kept
+    * set is bit-reproducible in the oracle. */
+  def q118TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.temperatureMixture(
+      t(s, dir, "documents"),
+      col("doc_id"), col("source"), col("n_chars"), budget = 300000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("source"))
+
+  /** q119 — ANN index-quality eval (Similarity.recallReport): the SRP
+    * approximate top-10 (q28's exact configuration) measured against
+    * the brute-force ground truth (q20's), per query — (query_id,
+    * truth, hits) in integers. The eval harness every approximate
+    * retrieval path runs before it is trusted; at scale the ground
+    * truth runs over a query SAMPLE, which is exactly the q20 shape
+    * (5 probe vectors against the full corpus). */
+  def q119AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    operators.Similarity.recallReport(
+      operators.Similarity.bruteForceTopK(q, e, 10),
+      operators.Similarity.srpTopK(q, e, 10, nBits = 6, dim = 64))
+      .orderBy(col("query_id"))
+  }
+
   /** q112 — the END-TO-END training-data layout chain: corpus clean
     * (q48's full gate→dedup→near-dup→sample composition) feeding BOTH
     * sequence packing (q71's hash-sharded 512-token streams) and the
@@ -1893,7 +1924,9 @@ object SparkEntry {
     "q114_clean_winnowing" -> (q114CleanWinnowing _),
     "q115_fuzzy_join" -> (q115FuzzyJoin _),
     "q116_streaming_admission" -> (q116StreamingAdmission _),
-    "q117_sketch_overlap" -> (q117SketchOverlap _)
+    "q117_sketch_overlap" -> (q117SketchOverlap _),
+    "q118_temperature_mix" -> (q118TemperatureMix _),
+    "q119_ann_recall" -> (q119AnnRecall _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

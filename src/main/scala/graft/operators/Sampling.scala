@@ -87,6 +87,47 @@ object Sampling {
     df.filter(ppmBucket(key) < bound)
   }
 
+  /** Temperature-smoothed pretraining mixture — [[mixtureSample]] with
+    * the target weights derived FROM the corpus itself: w_s ∝ T_s^α at
+    * α = 1/2, the standard multilingual/multi-source rebalancing move
+    * (dominant strata downweighted toward the tail, tail strata kept
+    * closer to whole) when no hand-tuned weight table exists.
+    *
+    * Exactness contract — why α is FIXED at 1/2: the weight is computed
+    * as the integer floor(sqrt(T_s)) over the integer per-stratum unit
+    * totals, and the normalizer S = Σ floor(sqrt(T_s)) is an INTEGER
+    * sum, so the per-stratum ppm threshold
+    * min(10⁶, ⌊budget · 10⁶ · w_s / (T_s · S)⌋) is all-integer
+    * arithmetic after one correctly-rounded IEEE sqrt (whose floor is
+    * exact for totals ≪ 2^52) — bit-reproducible in any engine. A
+    * free-α form would need pow() plus an ORDER-DEPENDENT float
+    * summation for S, which no SQL engine guarantees to replay our way.
+    *
+    * Same two-pass shape as [[mixtureSample]]: one stratum-sized
+    * aggregate collected driver-side, then a literal CASE over
+    * [[ppmBucket]] that fuses into the scan — no join, no shuffle on
+    * the data pass, membership a pure function of (key, stratum). */
+  def temperatureMixture(df: DataFrame, key: Column, stratum: Column,
+      unit: Column, budget: Long): DataFrame = {
+    require(budget > 0L, "budget must be positive")
+    val totals = df.select(stratum.cast("string").as("__s"),
+        unit.cast("long").as("__u"))
+      .groupBy(col("__s")).agg(sum(col("__u")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter { case (_, t) => t > 0L }
+    val w = totals.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
+    val norm = w.values.sum
+    val thresholds = totals.map { case (s, t) =>
+      s -> math.min(1000000L,
+        (BigInt(budget) * 1000000 * w(s) / (BigInt(t) * norm)).toLong)
+    }
+    val bound = thresholds.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (s, r)) =>
+        when(stratum === s, lit(r)).otherwise(acc)
+      }
+    df.filter(ppmBucket(key) < bound)
+  }
+
   /** Stratified deterministic sample: a different keep-fraction per value
     * of `stratum` (hex bound per stratum; `defaultBound` for unlisted
     * strata, "0000" = drop them). The standard corpus-rebalancing move —

@@ -636,6 +636,28 @@ object Similarity {
     finishAdc(scored, k, refine, queries, corpus)
   }
 
+  /** Per-query recall REPORT of `approx` against `exact` (both in the
+    * topK output shape): (query_id, truth, hits) with truth = the exact
+    * top-k's size and hits = |approx ∩ exact| — the index-quality eval
+    * every ANN deployment runs before trusting an approximate path, as
+    * an oracle-checkable table ([[recallAtK]] is the scalar fold of
+    * this). All-integer output: no float recall column, so the result
+    * hashes identically in any engine; callers divide if they want the
+    * ratio. Scale: both inputs are k-bounded per query (the ground
+    * truth is the expensive side — a brute-force pass over a SAMPLE of
+    * queries is the standard production form; this operator is linear
+    * in the frames it is given). */
+  def recallReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   /** Recall@k of `approx` against `exact` (both in topK output shape):
     * |approx ∩ exact| / |exact| per query, averaged. */
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {

@@ -98,6 +98,36 @@ class QuantilesAndSamplingSpec extends SparkSpecBase {
     out.exceptAll(again).count() shouldBe 0L
   }
 
+  test("temperatureMixture: sqrt-weights rebalance toward the tail, integer thresholds") {
+    import spark.implicits._
+    // "big" 64000 units / "small" 1000 units: proportional shares
+    // 98.5%/1.5%; floor-sqrt weights 252/31 → 89%/11% of budget
+    val df = ((0L until 6400L).map(k => (k, "big", 10L)) ++
+      (100000L until 100100L).map(k => (k, "small", 10L)))
+      .toDF("k", "s", "u")
+    val out = Sampling.temperatureMixture(df, col("k"), col("s"), col("u"),
+      budget = 4500L)
+    val units = out.groupBy("s").agg(sum("u").as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small's target 4500·(31/283)≈493 units (rate ~0.49); big's
+    // 4500·(252/283)≈4007 of 64000 (rate ~0.063). Plain proportional
+    // allocation would give small only ~69 units — α=1/2 lifts the
+    // tail ~7× at the dominant stratum's expense.
+    units("small").toDouble should (be > 350.0 and be < 650.0)
+    units("big").toDouble should (be > 3300.0 and be < 4700.0)
+    // reproducible: pure function of (key, stratum)
+    val again = Sampling.temperatureMixture(df, col("k"), col("s"), col("u"),
+      budget = 4500L)
+    out.exceptAll(again).count() shouldBe 0L
+    // a stratum smaller than its target keeps everything (threshold caps
+    // at 10⁶) and zero-total strata drop
+    val capped = Sampling.temperatureMixture(
+      df.unionByName(Seq((200000L, "empty", 0L)).toDF("k", "s", "u")),
+      col("k"), col("s"), col("u"), budget = 1000000L)
+    capped.filter(col("s") === "small").count() shouldBe 100L
+    capped.filter(col("s") === "empty").count() shouldBe 0L
+  }
+
   test("keepTopFraction: exact integer cut per stratum, deterministic ties, edge ppm") {
     import spark.implicits._
     // stratum a: 8 rows scores 1..8; stratum b: 3 rows with tied scores

@@ -112,6 +112,34 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     Similarity.recallAtK(exact, approx) should be >= 0.6
   }
 
+  test("recallReport: per-query integers, consistent with the scalar recallAtK") {
+    val rnd = new Random(5)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val corpus = vecDF(cluster(1f, 50, 0L) ++ cluster(-1f, 50, 100L))
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+    val approx = Similarity.srpTopK(queries, corpus, 5, nBits = 4, dim = 8)
+    val rep = Similarity.recallReport(exact, approx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rep.map(_._1).toSet shouldBe Set(0L, 100L)       // one row per query
+    rep.foreach { case (_, truth, hits) =>
+      truth shouldBe 5L                              // full top-k ground truth
+      hits should be <= truth
+      hits should be >= 0L
+    }
+    // the scalar recall is exactly the report's fold
+    val folded = rep.map(_._3).sum.toDouble / rep.map(_._2).sum.toDouble
+    Similarity.recallAtK(exact, approx) shouldBe folded
+    // an approx frame missing one query entirely scores hits=0, not a
+    // dropped row (the LEFT join + coalesce contract)
+    val oneQuery = approx.filter(col("query_id") === 0L)
+    val partial = Similarity.recallReport(exact, oneQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    partial.keySet shouldBe Set(0L, 100L)
+    partial(100L) shouldBe 0L
+  }
+
   test("ivfTopK: KMeans-cell probing recovers cluster neighbors") {
     val rnd = new Random(13)
     def cluster(base: Float, n: Int, off: Long) =
