@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 
@@ -23,11 +22,15 @@ import graft.functions.{TextFunctions => T}
   * pass is deterministic — no seeds.
   *
   * Scale shape:
-  *   - Gram hashing is a scan-fused positional transform + explode,
-  *     linear in corpus tokens (the [[SpanRemoval]] shape).
-  *   - The sliding min is a window PARTITIONED BY doc over gram
-  *     positions — work and skew bounded by document length, never by
-  *     corpus size or gram popularity.
+  *   - Gram hashing AND the sliding min are ONE scan-fused array
+  *     pipeline per document row: the k-gram hashes are generated in
+  *     position order inside the row, so each window's minimum is an
+  *     `array_min` over a slice — no positional explode, no shuffle, no
+  *     per-doc window sort. (The first cut used a window PARTITIONED BY
+  *     doc over exploded gram positions: correct, but it shuffled and
+  *     sorted corpus-tokens rows to compute minima the row already had
+  *     locally — at 100 TB that shuffle is the whole cost.) Work is
+  *     O(tokens · w) per document with w small and constant.
   *   - Pair detection inverts fingerprints into an index and joins on
   *     the fingerprint value — banded by construction (only docs sharing
   *     a fingerprint ever meet), with the same docfreq ceiling knob as
@@ -46,20 +49,22 @@ object Winnowing {
     require(w > 0, "w must be positive")
     val toks = df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
       .filter(size(col("toks")) >= k)
-    // positional k-grams -> 60-bit md5-prefix hash per position
-    val grams = toks.select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => conv(substring(md5(array_join(
-            slice(col("toks"), i, lit(k)), " ").cast("binary")), 1, 15), 16, 10)
-            .cast("long"))))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
-    // sliding window min over w consecutive gram hashes, then distinct
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
-    grams
-      .select(col("doc_id"), min(col("h")).over(win).as("fp"))
-      .distinct()
+    // positional k-gram 60-bit md5-prefix hashes, in position order
+    // within the row — then every window minimum is an array_min over a
+    // slice (slice clamps at the array end, so tail windows shrink
+    // exactly like a rowsBetween(0, w-1) frame would). array_distinct
+    // before the explode: doc_id is constant per row, so per-row
+    // distinct IS the (doc_id, fp) distinct — no shuffle anywhere.
+    toks
+      .withColumn("__h", transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => conv(substring(md5(array_join(
+          slice(col("toks"), i, lit(k)), " ").cast("binary")), 1, 15), 16, 10)
+          .cast("long")))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__h"))),
+          j => array_min(slice(col("__h"), j, lit(w)))))).as("fp"))
   }
 
   /** Document pairs sharing at least `minShared` fingerprints:

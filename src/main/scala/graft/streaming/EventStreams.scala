@@ -457,11 +457,13 @@ object EventStreams {
       flushes: Int = 1): DataFrame = {
     require(flushes >= 1 && flushes <= 4, "flushes must be in [1, 4]")
     import java.nio.file.Files
-    // landing + checkpoint are harness scratch (tmpfs-backed — see
-    // scratchDir); `out` is the caller's surviving artifact and stays in
-    // the regular temp dir
+    // landing + checkpoint + out are all harness scratch (tmpfs-backed —
+    // see scratchDir): `out` backs the RETURNED frame, whose lifetime is
+    // this session (callers persist real artifacts themselves; a
+    // deployed stream writes its sink to durable storage, which this
+    // bounded-replay harness is exactly not)
     val landing = scratchDir("graft_stream_land_")
-    val out = Files.createTempDirectory("graft_stream_out_")
+    val out = scratchDir("graft_stream_out_")
     val ckpt = scratchDir("graft_stream_ckpt_")
     val src = new java.io.File(path)
     val srcFiles =
