@@ -7,23 +7,54 @@ import org.apache.spark.sql.functions._
   *
   * Synthesizes a `SPARK_GRAFT_SCALE`× (default 10×) documents blow-up:
   * replica 0 is the fixture verbatim (its true near-dup structure
-  * intact); each further replica keeps every document's exact token
-  * MULTISET but re-orders it by a per-replica hash
-  * (array_sort by md5(token:replica)), so
-  *   - token-level statistics (counts, stopword ratios, lengths) are
-  *     unchanged — quality gates treat every replica like the base;
-  *   - intra-replica near-dup structure survives (two docs sharing most
-  *     tokens still share most of their hash-sorted sequence);
-  *   - inter-replica shingle overlap is destroyed (different sort key
-  *     per replica) — no replica pairs with another, so duplicate
-  *     DENSITY per unit data is preserved.
+  * intact); each further replica rewrites every token through a
+  * per-replica PERMUTATION OF THE VOCABULARY, drawn within groups of
+  * (token length, is-stopword) and seeded by md5(token:replica), so
+  *   - token-level statistics (counts, lengths, n_chars, stopword
+  *     ratios) are unchanged — quality gates treat every replica like
+  *     the base;
+  *   - intra-replica near-dup structure is preserved EXACTLY: renaming
+  *     tokens consistently within a replica is an isomorphism of the
+  *     shingle/fingerprint relation, so each replica reproduces the
+  *     base fixture's pair structure, no more and no less;
+  *   - inter-replica shingle overlap is scrambled (different
+  *     permutation per replica), so replicas do not pair with each
+  *     other and duplicate DENSITY per unit data is preserved.
   * The result is N independent copies of the original dedup problem: a
   * genuinely banded operator should grow ~linearly (ratio ≲ N·overhead),
   * while any hidden all-pairs term grows ~N².
   *
+  * (The first cut of this synthesizer re-ORDERED each document's tokens
+  * by a per-replica hash instead. On this fixture's ~40-word vocabulary
+  * that collapses every permuted document into the same run-grouped
+  * sorted sequence — a manufactured all-pairs-duplicate corpus whose
+  * verified PAIR OUTPUT is quadratic by construction, which no banding
+  * can bound. Vocabulary renaming keeps the output linear because the
+  * base fixture's pair structure is.)
+  *
   * Runs each family query twice per scale (min, clearCache between) and
   * writes BENCH_SCALE.json: per-query base/scaled seconds + ratio. */
 object BenchScale {
+
+  /** Per-replica vocabulary mapping: tokens grouped by (length,
+    * is-stopword), each group permuted by md5(token:replica) rank —
+    * deterministic, length- and stopword-preserving, identity for
+    * replica 0. Returned as one Map per replica. */
+  private[graft] def vocabPermutations(vocab: Seq[String],
+      stopwords: Set[String], replicas: Int): IndexedSeq[Map[String, String]] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until replicas).map { r =>
+      if (r == 0) Map.empty[String, String]
+      else vocab.groupBy(t => (t.length, stopwords.contains(t)))
+        .valuesIterator.flatMap { group =>
+          val sorted = group.sorted
+          val shuffled = sorted.sortBy(t => md5hex(s"$t:$r"))
+          sorted.zip(shuffled)
+        }.toMap
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -41,18 +72,33 @@ object BenchScale {
     val scaledRoot = java.nio.file.Files.createTempDirectory("graft_scale_")
     val docs = sources.Tables.documents(spark, sfDir)
     val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1L
-    val permuted = concat_ws(" ",
-      transform(
-        array_sort(transform(split(col("text"), " "),
-          tk => struct(
-            md5(concat(tk, lit(":"), col("replica").cast("string"))).as("k"),
-            tk.as("v")))),
-        p => p.getField("v")))
+    // the fixture vocabulary (bounded collect — synthetic fixtures carry
+    // tens of distinct tokens; the guard keeps the literal maps sane)
+    val vocab = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("tk"))
+      .filter(col("tk") =!= "").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(vocab.size <= 100000,
+      s"vocabulary ${vocab.size} too large for literal replica maps")
+    val stop = graft.functions.TextFunctions.DefaultLangMarkers("en").toSet
+    val perms = vocabPermutations(vocab, stop, replicas)
+    // one literal map per replica, applied token-by-token: a CASE chain
+    // over the replica picks the map, element_at renames (identity
+    // fallback keeps unknown/cased tokens verbatim)
+    val renamed = concat_ws(" ",
+      transform(split(col("text"), " "), tk => {
+        val mapped = perms.zipWithIndex.drop(1)
+          .foldLeft(tk) { case (acc, (m, r)) =>
+            when(col("replica") === r.toLong,
+              coalesce(element_at(typedLit(m), lower(tk)), tk)).otherwise(acc)
+          }
+        mapped
+      }))
     spark.range(replicas.toLong).select(col("id").as("replica"))
       .crossJoin(docs)
       .select(
         (col("doc_id") + col("replica") * maxId).as("doc_id"),
-        when(col("replica") === 0L, col("text")).otherwise(permuted).as("text"),
+        when(col("replica") === 0L, col("text")).otherwise(renamed).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .repartition(cpus.toInt)
       .write.mode("overwrite")
@@ -90,7 +136,7 @@ object BenchScale {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_stress","replicas":$replicas,"base":"$sfDir",""" +
-        s""""salt":"md5-permuted token order per replica; replica 0 verbatim",""" +
+        s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim",""" +
         s""""queries":$qs}"""
     println(line)
     val artifact = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")

@@ -458,9 +458,11 @@ private[graft] object Oracles {
       |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
       |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
       |       GROUP BY s.doc_id, r.seed),
+      |bs AS (SELECT seed, m FROM mh GROUP BY seed, m HAVING COUNT(*) <= 30),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM mh a JOIN mh b
-      |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+      |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id
+      |         JOIN bs ON bs.seed = a.seed AND bs.m = a.m),
       |p AS (SELECT c.id_a, c.id_b
       |      FROM cand c
       |      JOIN sh sa ON sa.doc_id = c.id_a
@@ -762,9 +764,11 @@ private[graft] object Oracles {
         |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
         |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
         |       GROUP BY s.doc_id, r.seed),
+        |bs AS (SELECT seed, m FROM mh GROUP BY seed, m HAVING COUNT(*) <= 30),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |         FROM mh a JOIN mh b
-        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id),
+        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id
+        |         JOIN bs ON bs.seed = a.seed AND bs.m = a.m),
         |j AS (SELECT c.id_a, c.id_b,
         |        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
         |        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)

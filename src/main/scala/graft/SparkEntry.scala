@@ -295,12 +295,14 @@ object SparkEntry {
   /** q23 — MinHash+LSH near-duplicate pairs with exact Jaccard
     * verification (LLM-pipeline near-dup; Dedup operator). rowsPerBand=1
     * keeps candidate generation deterministic for the oracle (candidate ⇔
-    * any of the k MinHashes agree). */
+    * any of the k MinHashes agree); maxBandDf=30 is the boilerplate-band
+    * ceiling (oracle-mirrored) that keeps single-hash banding linear
+    * under corpus growth — see the operator scaladoc and BENCH_SCALE. */
   def q23NearDupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(
       t(s, dir, "documents").filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
-      threshold = 0.4)
+      threshold = 0.4, maxBandDf = Some(30L))
       .orderBy(col("id_a"), col("id_b"))
 
   /** q24 — SimHash near-dup pairs (Hamming-blocked self-join). The token
@@ -588,7 +590,7 @@ object SparkEntry {
     val pairs = Dedup.minhashNearDupPairs(
       t(s, dir, "documents").filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
-      threshold = 0.4)
+      threshold = 0.4, maxBandDf = Some(30L))
     Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
       .orderBy(col("id"))
   }
@@ -734,7 +736,7 @@ object SparkEntry {
     val pairs = Dedup.minhashNearDupPairs(
       t(s, dir, "documents").filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
-      threshold = 0.4)
+      threshold = 0.4, maxBandDf = Some(30L))
     Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
       .orderBy(col("id"))
   }
@@ -837,7 +839,8 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
       .filter(trim(col("text")) =!= "")
     val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
-      shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4)
+      shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4,
+      maxBandDf = Some(30L))
     Dedup.bestRepresentative(docs, pairs, col("doc_id"), col("n_chars"))
       .orderBy(col("comp"))
   }

@@ -323,15 +323,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** `maxBandDf`: drop band buckets holding more than this many docs
+    * before pairing — same ceiling as [[minhashFuzzyJoin]]'s. A band
+    * shared by far more docs than any real duplicate cluster is
+    * boilerplate evidence, not similarity (at low band resolution —
+    * rowsPerBand=1 — a single frequent shingle, e.g. a stopword-only
+    * trigram, becomes the min for swaths of unrelated docs and pools
+    * them into one bucket whose candidate count is quadratic in corpus
+    * growth; the 10× scale stress measured 90× candidate growth
+    * unceiled vs ~10× with the ceiling). Bounds the join at ceil² per
+    * band. None = exact banding (every bucket pairs). */
   def minhashNearDupPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBandDf: Option[Long] = None): DataFrame = {
     val docs = shingleBandFrame(df, id, text, shingleN, k, rowsPerBand)
     // the band self-join moves only (band, id) — candidate generation never
     // shuffles shingle payloads. At corpus scale the band index is a tiny
     // fraction of the documents' bytes, and the heavy arrays are attached
     // afterwards for the (much smaller) surviving candidate set only.
-    val banded = docs.select(explode(col("bands")).as("band"), col("doc_id"))
+    val all = docs.select(explode(col("bands")).as("band"), col("doc_id"))
+    val banded = maxBandDf.fold(all) { cap =>
+      all.join(
+        all.groupBy(col("band")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("band")),
+        Seq("band"))
+    }
     val cand = banded.select(col("band"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))

@@ -240,6 +240,24 @@ class DedupSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("minhashNearDupPairs maxBandDf drops boilerplate bands, keeps small-band pairs") {
+    val tmpl = "standard legal boilerplate disclaimer text repeated across every single document"
+    val real = "the quick brown fox jumps over the lazy dog again and again"
+    // 6 boilerplate copies (every band df 6) + one real near-dup pair
+    val docs = (Seq((1L, real), (2L, real + " indeed")) ++
+      (20L to 25L).map(i => (i, tmpl))).toDF("doc_id", "text")
+    def run(cap: Option[Long]) = Dedup.minhashNearDupPairs(docs,
+        col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
+        threshold = 0.4, maxBandDf = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = run(None)
+    uncapped should contain((1L, 2L))
+    uncapped.count { case (a, _) => a >= 20L } shouldBe 15 // C(6,2) boilerplate pairs
+    val capped = run(Some(3L))
+    capped shouldBe Set((1L, 2L)) // ceiling kills the quadratic band, keeps the real pair
+    spark.catalog.clearCache()
+  }
+
   test("admitNewDocsWithIndex over a parquet-roundtripped nearDupIndex ≡ admitNewDocs") {
     // the cross-job ingest contract: computing the index once, writing it
     // to parquet, reloading it, and probing with the same parameters must
