@@ -46,12 +46,16 @@ object CorpusPipeline {
   type PairPolicy = (DataFrame, Column, Column) => DataFrame
 
   /** MinHash+LSH policy — [[Dedup.minhashNearDupPairs]]'s verified
-    * Jaccard pairs (the [[clean]] default). */
+    * Jaccard pairs (the [[clean]] default). `maxBandDf` is the
+    * boilerplate-band ceiling (see the operator scaladoc) — set it when
+    * cleaning web-scale corpora where frequent shingles pool unrelated
+    * docs into degenerate band buckets. */
   def minhashPolicy(shingleN: Int = 3, minhashK: Int = 8,
-      rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5): PairPolicy =
+      rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5,
+      maxBandDf: Option[Long] = None): PairPolicy =
     (df, id, text) => Dedup.minhashNearDupPairs(df, id, text,
       shingleN, minhashK, rowsPerBand = rowsPerBand,
-      threshold = jaccardThreshold)
+      threshold = jaccardThreshold, maxBandDf = maxBandDf)
       .select(col("id_a"), col("id_b"))
 
   /** Winnowing policy — [[Winnowing.sharedFingerprintPairs]]: pairs
