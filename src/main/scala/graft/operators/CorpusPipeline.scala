@@ -13,7 +13,9 @@ import graft.functions.{TextFunctions => T}
   *      uniform-hash shuffle;
   *   3. near-dup cluster dedup: MinHash+LSH candidate pairs
   *      ([[Dedup.minhashNearDupPairs]]) → connected components
-  *      ([[Dedup.connectedComponents]]) → keep each cluster's minimum id;
+  *      ([[Dedup.connectedComponentsStar]] — label-identical to the plain
+  *      iterative variant, proven by spec and shared oracle, and faster
+  *      on candidate-pair graphs) → keep each cluster's minimum id;
   *   4. stratified downsample ([[Sampling.stratifiedSample]]) — per-row
   *      predicate, deterministic in (doc_id, stratum).
   *
@@ -114,7 +116,7 @@ object CorpusPipeline {
       col("doc_id"), col("text"))
     val surv =
       if (!keepBestByQuality) {
-        val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        val comps = Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
         exact
           .join(comps, col("doc_id") === col("id"), "left")
           .filter(col("id").isNull || col("comp") === col("doc_id"))
@@ -125,7 +127,7 @@ object CorpusPipeline {
         // ONCE and shared by the representative pick and the membership
         // anti-join — the iterative components job is the expensive
         // stage of this branch.
-        val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        val comps = Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
         val reps = Dedup.bestRepresentativeIn(
           exact.select(col("doc_id"), col("quality")), comps,
           col("doc_id"), col("quality"))
@@ -193,7 +195,7 @@ object CorpusPipeline {
       pool.filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN, minhashK,
       rowsPerBand = rowsPerBand, threshold = jaccardThreshold)
-    val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
     val survNew = newExact
       .join(comps, col("doc_id") === col("id"), "left")
       .filter(col("id").isNull || col("comp") === col("doc_id"))

@@ -264,7 +264,7 @@ object Dedup {
       .join(sv.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .filter(jaccardOk(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"))
-    val comps = connectedComponents(pairs, col("id_a"), col("id_b"))
+    val comps = connectedComponentsStar(pairs, col("id_a"), col("id_b"))
     sv.select(col("doc_id"))
       .join(comps, sv("doc_id") === comps("id"), "left")
       .filter(col("comp").isNull || col("comp") === col("doc_id"))
@@ -609,7 +609,7 @@ object Dedup {
   def bestRepresentative(docs: DataFrame, pairs: DataFrame, id: Column,
       score: Column, maxIter: Int = 25): DataFrame =
     bestRepresentativeIn(docs,
-      connectedComponents(pairs, col("id_a"), col("id_b"), maxIter), id, score)
+      connectedComponentsStar(pairs, col("id_a"), col("id_b"), maxIter), id, score)
 
   /** As [[bestRepresentative]], over an ALREADY-COMPUTED (id, comp)
     * labeling. Callers that also need the membership frame itself (e.g.
