@@ -2274,6 +2274,9 @@ private[graft] object Oracles {
         |        % 1000000 < thr.thr)
         |SELECT source, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
-    "q119_ann_recall" -> q119OracleSql
+    "q119_ann_recall" -> q119OracleSql,
+    // q120: the artifact probe must equal the direct IVF-flat answer —
+    // its oracle IS q49's (build→write→reload→probe ≡ compute)
+    "q120_ann_index_probe" -> q49OracleSql
   )
 }

@@ -636,6 +636,72 @@ object Similarity {
     finishAdc(scored, k, refine, queries, corpus)
   }
 
+  /** The MATERIALIZABLE IVF-flat index — the ANN stack's analog of
+    * [[Dedup.nearDupIndex]]'s build-once-probe-many artifact: cell
+    * assignments land under `path/assignments/` PARTITIONED BY cell
+    * (each cell is its own parquet directory, so a probe's scan prunes
+    * to the probed cells' files — probe I/O is ∝ cells touched, never
+    * corpus size), and the centroid table under `path/centroids/`
+    * (nLists rows — the bounded driver-side part of the artifact).
+    * Centroids are [[hashCentroids]] (deterministic, engine-derivable),
+    * so the whole build→write→reload→probe loop stays oracle-checkable
+    * and [[ivfFlatProbe]] over the artifact returns EXACTLY
+    * [[ivfFlatTopK]]'s direct answer. The corpus L2 norm is computed at
+    * build time and stored — a probe never re-reduces corpus vectors
+    * beyond the dot product it must do. */
+  def writeIvfFlatIndex(corpus: DataFrame, nLists: Int, path: String): Unit = {
+    val centroids = hashCentroids(corpus, nLists)
+    val spark = corpus.sparkSession
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("c_norm", V.l2Norm(col("embedding")))
+      .withColumn("cell",
+        array_min(cellStructs(col("embedding"), centroids))
+          .getField("idx").cast("int"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assignments")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a [[writeIvfFlatIndex]] artifact: nearest-`nProbe` cells per
+    * query from the reloaded centroid table (one bounded collect of
+    * nLists rows), then exact cosine against ONLY those cells'
+    * assignment partitions. The probed cell ids are collected (≤ nLists
+    * values by construction — cells, not queries) and pushed as a
+    * literal IN filter so partition pruning reaches the parquet scan
+    * statically. Output ≡ [[ivfFlatTopK]] with the same centroids. */
+  def ivfFlatProbe(queries: DataFrame, indexPath: String, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell"))
+      .collect().map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
+      .toSeq
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
+      .withColumn("probe",
+        slice(array_sort(cellStructs(col("q_vec"), centroids)), 1, nProbe))
+      .withColumn("cell", explode(col("probe").getField("idx")))
+      .drop("probe")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probedCells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(s"$indexPath/assignments")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"), col("c_norm"))
+    val denom = col("q_norm") * col("c_norm")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(denom === 0.0, 0.0)
+          .otherwise(V.dot(col("q_vec"), col("c_vec")) / denom).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(scored, k)
+  }
+
   /** Per-query recall REPORT of `approx` against `exact` (both in the
     * topK output shape): (query_id, truth, hits) with truth = the exact
     * top-k's size and hits = |approx ∩ exact| — the index-quality eval

@@ -112,6 +112,41 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     Similarity.recallAtK(exact, approx) should be >= 0.6
   }
 
+  test("ivfFlatProbe over a written index ≡ ivfFlatTopK; scan prunes to probed cells") {
+    val rnd = new Random(7)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val corpus = vecDF(cluster(1f, 40, 0L) ++ cluster(-1f, 40, 100L) ++ cluster(0.3f, 40, 200L))
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annix_")
+    dir.toFile.deleteOnExit()
+    Similarity.writeIvfFlatIndex(corpus, nLists = 4, dir.toString)
+    val probe = Similarity.ivfFlatProbe(queries, dir.toString, 5, nProbe = 2)
+    val direct = Similarity.ivfFlatTopK(queries, corpus, 5,
+      Similarity.hashCentroids(corpus, 4), nProbe = 2)
+    probe.orderBy("query_id", "rnk").collect().toSeq shouldBe
+      direct.orderBy("query_id", "rnk").collect().toSeq
+    // partition pruning: a single query probing nProbe=2 cells must READ
+    // at most 2 of the 4 cell directories — asserted on the executed
+    // scan's partitions-read metric (inputFiles lists pre-pruning)
+    val one = Similarity.ivfFlatProbe(
+      queries.filter(col("vec_id") === 0L), dir.toString, 5, nProbe = 2)
+    one.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    val cellScans = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    cellScans should not be empty
+    cellScans.map(_.metrics("numPartitions").value).sum should be <= 2L
+    spark.catalog.clearCache()
+  }
+
   test("recallReport: per-query integers, consistent with the scalar recallAtK") {
     val rnd = new Random(5)
     def cluster(base: Float, n: Int, off: Long) =
