@@ -92,6 +92,40 @@ private[graft] object Oracles {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
       |  FROM cand) WHERE rnk <= 10""".stripMargin
 
+  /** q121's oracle — q49's retrieval with the quantizer FROZEN on the
+    * standing (md5-hash < cccc) 80%: centroids come from that subset
+    * only, every vector (standing + appended batch) is assigned under
+    * them, the probe runs over the union — exactly what
+    * build → append → probe produces over the artifact. */
+  private val q121OracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |st AS (SELECT * FROM e
+      |       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'cccc'),
+      |ctr AS (SELECT v AS cv,
+      |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+      |        FROM st
+      |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+      |asg AS (SELECT e.vec_id, e.v, c.idx,
+      |          list_inner_product(e.v, e.v)
+      |            - 2.0 * list_inner_product(e.v, c.cv)
+      |            + list_inner_product(c.cv, c.cv) AS d
+      |        FROM e CROSS JOIN ctr c),
+      |cell AS (SELECT vec_id, v, idx AS cell FROM asg
+      |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+      |pr AS (SELECT vec_id AS query_id, v AS qv, idx AS cell FROM asg
+      |       WHERE vec_id < 5
+      |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
+      |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+      |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
+      |      THEN 0.0
+      |      ELSE list_inner_product(p.qv, c.v) /
+      |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
+      |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, rnk FROM (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM cand) WHERE rnk <= 10""".stripMargin
+
   /** q62's oracle: the q49 retrieval subquery joined to document
     * metadata (DuckDB allows WITH inside a derived table). */
   private def q62OracleSql: String =
@@ -2277,6 +2311,7 @@ private[graft] object Oracles {
     "q119_ann_recall" -> q119OracleSql,
     // q120: the artifact probe must equal the direct IVF-flat answer —
     // its oracle IS q49's (build→write→reload→probe ≡ compute)
-    "q120_ann_index_probe" -> q49OracleSql
+    "q120_ann_index_probe" -> q49OracleSql,
+    "q121_ann_index_append" -> q121OracleSql
   )
 }

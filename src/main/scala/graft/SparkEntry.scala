@@ -1810,6 +1810,41 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Standing-then-appended IVF index per fixture (the ANN ingest
+    * lifecycle artifact for q121): built over the hash-split 80% of
+    * embeddings, then the 20% "new batch" appended under the FROZEN
+    * build-time centroids. Once per JVM, like [[standingAnnIndex]]. */
+  private val annAppendIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def standingAnnAppendIndex(s: SparkSession, dir: String): String =
+    annAppendIndexCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val isNew = substring(md5(col("vec_id").cast("string")), 1, 4) >= "cccc"
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_append_").resolve("ix")
+      operators.Similarity.writeIvfFlatIndex(
+        e.filter(!isNew), nLists = 8, ixDir.toString)
+      operators.Similarity.appendToIvfFlatIndex(e.filter(isNew), ixDir.toString)
+      ixDir.getParent.toFile.deleteOnExit()
+      ixDir.toString
+    })
+
+  /** q121 — ANN index APPEND lifecycle (writeIvfFlatIndex →
+    * appendToIvfFlatIndex → ivfFlatProbe): the standing 80% builds the
+    * index and freezes its hash-centroid quantizer; the 20% batch
+    * appends under those centroids; the probe then retrieves over
+    * standing ∪ appended. The oracle replays the identical split —
+    * centroids from the standing subset only, assignments for every
+    * vector under them — so the append path is hash-checked end to
+    * end (the retrieval analog of q109's incremental admission). */
+  def q121AnnIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    operators.Similarity.ivfFlatProbe(
+      e.filter(col("vec_id") < 5), standingAnnAppendIndex(s, dir), 10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** q112 — the END-TO-END training-data layout chain: corpus clean
     * (q48's full gate→dedup→near-dup→sample composition) feeding BOTH
     * sequence packing (q71's hash-sharded 512-token streams) and the
@@ -1962,7 +1997,8 @@ object SparkEntry {
     "q117_sketch_overlap" -> (q117SketchOverlap _),
     "q118_temperature_mix" -> (q118TemperatureMix _),
     "q119_ann_recall" -> (q119AnnRecall _),
-    "q120_ann_index_probe" -> (q120AnnIndexProbe _)
+    "q120_ann_index_probe" -> (q120AnnIndexProbe _),
+    "q121_ann_index_append" -> (q121AnnIndexAppend _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -665,6 +665,37 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** The artifact's frozen quantizer, read back: nLists rows — the
+    * bounded driver-side half of every probe/append. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell"))
+      .collect().map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
+      .toSeq
+
+  /** Append a NEW batch of vectors into a standing [[writeIvfFlatIndex]]
+    * artifact — the ingest shape for retrieval: assignments are computed
+    * under the ARTIFACT's centroids (read back, never re-derived — the
+    * quantizer is frozen at build time, which is what makes append
+    * well-defined) and written into the same cell-partitioned layout in
+    * append mode. Each ingest pays |batch| assignment work; a probe
+    * afterwards sees standing ∪ appended exactly as if the index had
+    * been built over the union under the same centroids. Quantizer
+    * drift (a corpus whose distribution moves away from the frozen
+    * centroids) is the caller's rebuild/compaction policy — the same
+    * lifecycle contract as the near-dup signature index. */
+  def appendToIvfFlatIndex(newVecs: DataFrame, indexPath: String): Unit = {
+    val centroids = readCentroids(newVecs.sparkSession, indexPath)
+    newVecs.select(col("vec_id"), col("embedding"))
+      .withColumn("c_norm", V.l2Norm(col("embedding")))
+      .withColumn("cell",
+        array_min(cellStructs(col("embedding"), centroids))
+          .getField("idx").cast("int"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/assignments")
+  }
+
   /** Probe a [[writeIvfFlatIndex]] artifact: nearest-`nProbe` cells per
     * query from the reloaded centroid table (one bounded collect of
     * nLists rows), then exact cosine against ONLY those cells'
@@ -675,10 +706,7 @@ object Similarity {
   def ivfFlatProbe(queries: DataFrame, indexPath: String, k: Int,
       nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell"))
-      .collect().map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
-      .toSeq
+    val centroids = readCentroids(spark, indexPath)
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
       .withColumn("probe",

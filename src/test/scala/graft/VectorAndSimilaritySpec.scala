@@ -147,6 +147,31 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("appendToIvfFlatIndex under frozen centroids ≡ direct retrieval over the union") {
+    val rnd = new Random(11)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val standing = vecDF(cluster(1f, 30, 0L) ++ cluster(-1f, 30, 100L))
+    val batch = vecDF(cluster(1f, 10, 300L) ++ cluster(-1f, 10, 400L))
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annappend_")
+    dir.toFile.deleteOnExit()
+    Similarity.writeIvfFlatIndex(standing, nLists = 4, dir.toString)
+    Similarity.appendToIvfFlatIndex(batch, dir.toString)
+    val probe = Similarity.ivfFlatProbe(queries, dir.toString, 5, nProbe = 2)
+    // the reference: retrieval over the UNION corpus under the STANDING
+    // corpus's centroids — the exact contract append freezes
+    val direct = Similarity.ivfFlatTopK(queries, standing.unionByName(batch), 5,
+      Similarity.hashCentroids(standing, 4), nProbe = 2)
+    probe.orderBy("query_id", "rnk").collect().toSeq shouldBe
+      direct.orderBy("query_id", "rnk").collect().toSeq
+    // appended vectors are retrievable (the batch's cluster members
+    // outrank nothing here, but at least one 300-block id must appear
+    // when probing its home cluster's cell)
+    probe.filter(col("neighbor_id") >= 300L).count() should be > 0L
+    spark.catalog.clearCache()
+  }
+
   test("recallReport: per-query integers, consistent with the scalar recallAtK") {
     val rnd = new Random(5)
     def cluster(base: Float, n: Int, off: Long) =
