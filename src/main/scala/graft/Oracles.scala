@@ -2312,6 +2312,9 @@ private[graft] object Oracles {
     // q120: the artifact probe must equal the direct IVF-flat answer —
     // its oracle IS q49's (build→write→reload→probe ≡ compute)
     "q120_ann_index_probe" -> q49OracleSql,
-    "q121_ann_index_append" -> q121OracleSql
+    "q121_ann_index_append" -> q121OracleSql,
+    // q122: streaming ingest lands the same final index state as q121's
+    // batch append — same oracle (streaming ≡ batch, hash-checked)
+    "q122_streaming_ann_ingest" -> q121OracleSql
   )
 }

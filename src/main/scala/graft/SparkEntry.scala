@@ -1845,6 +1845,101 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Pristine standing-80% ANN index per fixture (q122's seed): unlike
+    * [[standingAnnAppendIndex]] it is never mutated — each q122 run
+    * hard-links it into a private root and streams the 20% into THAT
+    * copy. Once per JVM. */
+  private val ann80Cache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def standingAnn80Index(s: SparkSession, dir: String): String =
+    ann80Cache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val isNew = substring(md5(col("vec_id").cast("string")), 1, 4) >= "cccc"
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft_ann80_").resolve("ix")
+      operators.Similarity.writeIvfFlatIndex(
+        e.filter(!isNew), nLists = 8, ixDir.toString)
+      ixDir.getParent.toFile.deleteOnExit()
+      ixDir.toString
+    })
+
+  /** q122's landing files (the two mod-time-ordered micro-batch files of
+    * new embeddings), staged once per fixture per JVM — the q116Landing
+    * pattern: runs hard-link the staged files into private landing dirs. */
+  private val q122LandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def q122Landing(s: SparkSession, dir: String): java.nio.file.Path =
+    q122LandingCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val isNew = substring(md5(col("vec_id").cast("string")), 1, 4) >= "cccc"
+      val root = java.nio.file.Files.createTempDirectory("graft_q122_stage_")
+      val landing = root.resolve("landing")
+      java.nio.file.Files.createDirectory(landing)
+      def land(df: DataFrame, name: String, mod: Long): Unit = {
+        val stage = root.resolve(s"stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, landing.resolve(name))
+        landing.resolve(name).toFile.setLastModified(mod)
+        ()
+      }
+      land(e.filter(isNew && col("vec_id") % 2 === 0), "a.parquet", 1000000L)
+      land(e.filter(isNew && col("vec_id") % 2 =!= 0), "b.parquet", 2000000L)
+      root.toFile.deleteOnExit()
+      landing
+    })
+
+  /** Recursive hard-link copy: directories recreated, files linked (the
+    * runs share inodes with the staged artifact — per-run cost is
+    * directory entries, not bytes). */
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dst)
+    java.nio.file.Files.list(src).forEach { p =>
+      val target = dst.resolve(p.getFileName.toString)
+      if (java.nio.file.Files.isDirectory(p)) linkTree(p, target)
+      else { java.nio.file.Files.createLink(target, p); () }
+    }
+  }
+
+  /** q122 — STREAMING ANN ingest end to end (AnnIngest.runIngest): the
+    * new 20% of embeddings land as two mod-time-ordered files, one
+    * micro-batch each; each batch is cell-assigned under the standing
+    * 80% index's frozen centroids and appended through the exactly-once
+    * streaming file sink; the probe then retrieves over standing ∪
+    * streamed as one index. Final state ≡ the batch append path, so the
+    * oracle IS q121's — streaming ingest hash-checks against the batch
+    * ingest loop (the ANN analog of q116 ≡ q109). */
+  def q122StreamingAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q122_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix")
+    linkTree(java.nio.file.Paths.get(standingAnn80Index(s, dir)), ix)
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    java.nio.file.Files.list(q122Landing(s, dir)).forEach { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    streaming.AnnIngest.runIngest(s, landing.toString, ix.toString,
+      maxFilesPerTrigger = Some(1))
+    val res = operators.Similarity.ivfFlatProbe(
+        t(s, dir, "embeddings").filter(col("vec_id") < 5), ix.toString,
+        10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      // pin the k-bounded result off the temp index so the scratch tree
+      // can be deleted now rather than leaking per bench pass
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(root.toFile)
+    res
+  }
+
   /** q112 — the END-TO-END training-data layout chain: corpus clean
     * (q48's full gate→dedup→near-dup→sample composition) feeding BOTH
     * sequence packing (q71's hash-sharded 512-token streams) and the
@@ -1998,7 +2093,8 @@ object SparkEntry {
     "q118_temperature_mix" -> (q118TemperatureMix _),
     "q119_ann_recall" -> (q119AnnRecall _),
     "q120_ann_index_probe" -> (q120AnnIndexProbe _),
-    "q121_ann_index_append" -> (q121AnnIndexAppend _)
+    "q121_ann_index_append" -> (q121AnnIndexAppend _),
+    "q122_streaming_ann_ingest" -> (q122StreamingAnnIngest _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

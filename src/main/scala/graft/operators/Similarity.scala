@@ -652,11 +652,7 @@ object Similarity {
   def writeIvfFlatIndex(corpus: DataFrame, nLists: Int, path: String): Unit = {
     val centroids = hashCentroids(corpus, nLists)
     val spark = corpus.sparkSession
-    corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("c_norm", V.l2Norm(col("embedding")))
-      .withColumn("cell",
-        array_min(cellStructs(col("embedding"), centroids))
-          .getField("idx").cast("int"))
+    assignCells(corpus, centroids)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assignments")
     import spark.implicits._
@@ -666,8 +662,8 @@ object Similarity {
   }
 
   /** The artifact's frozen quantizer, read back: nLists rows — the
-    * bounded driver-side half of every probe/append. */
-  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+    * bounded driver-side half of every probe/append/ingest. */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Seq[Seq[Double]] =
     spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell"))
@@ -685,16 +681,21 @@ object Similarity {
     * drift (a corpus whose distribution moves away from the frozen
     * centroids) is the caller's rebuild/compaction policy — the same
     * lifecycle contract as the near-dup signature index. */
-  def appendToIvfFlatIndex(newVecs: DataFrame, indexPath: String): Unit = {
-    val centroids = readCentroids(newVecs.sparkSession, indexPath)
-    newVecs.select(col("vec_id"), col("embedding"))
+  def appendToIvfFlatIndex(newVecs: DataFrame, indexPath: String): Unit =
+    assignCells(newVecs, readCentroids(newVecs.sparkSession, indexPath))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/assignments")
+
+  /** The index row shape under a FIXED centroid set: (vec_id, embedding,
+    * c_norm, cell) — one scan-fused projection, shared by build, append
+    * and the streaming ingest. */
+  private[graft] def assignCells(vecs: DataFrame,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"))
       .withColumn("c_norm", V.l2Norm(col("embedding")))
       .withColumn("cell",
         array_min(cellStructs(col("embedding"), centroids))
           .getField("idx").cast("int"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexPath/assignments")
-  }
 
   /** Probe a [[writeIvfFlatIndex]] artifact: nearest-`nProbe` cells per
     * query from the reloaded centroid table (one bounded collect of
@@ -716,10 +717,24 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedCells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val c = spark.read.parquet(s"$indexPath/assignments")
-      .filter(col("cell").isin(probedCells: _*))
-      .select(col("cell"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_vec"), col("c_norm"))
+    // the batch-written assignments plus — when a streaming ingest has
+    // landed vectors — the file sink's `assignments_stream/` table; the
+    // streamed dir is read through its `_spark_metadata` commit log, so
+    // uncommitted attempt files are invisible. Both scans carry the
+    // literal probed-cell filter (partition pruning on each).
+    def cellsOf(path: String) =
+      spark.read.parquet(path)
+        .filter(col("cell").isin(probedCells: _*))
+        .select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_vec"), col("c_norm"))
+    val streamed = new org.apache.hadoop.fs.Path(s"$indexPath/assignments_stream")
+    val hasStreamed = streamed
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(streamed)
+    val c =
+      if (hasStreamed)
+        cellsOf(s"$indexPath/assignments")
+          .unionByName(cellsOf(s"$indexPath/assignments_stream"))
+      else cellsOf(s"$indexPath/assignments")
     val denom = col("q_norm") * col("c_norm")
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

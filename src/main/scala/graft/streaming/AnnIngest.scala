@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.operators.Similarity
+
+/** STREAMING ANN INGEST — the continuous form of
+  * [[Similarity.appendToIvfFlatIndex]], completing the index-lifecycle
+  * symmetry with the dedup stack ([[AdmissionStream]] : incremental
+  * admission :: this : incremental index append): embedding vectors land
+  * in micro-batches, each batch is assigned a cell under the standing
+  * artifact's FROZEN centroids, and the assignments append to
+  * `indexPath/assignments_stream/` — which [[Similarity.ivfFlatProbe]]
+  * reads alongside the batch-built `assignments/` as one index.
+  *
+  * Engineering shape: unlike admission, ingest needs NO per-batch probe
+  * or state — cell assignment is a pure per-row function of the frozen
+  * centroids — so the whole loop is one scan-fused projection into
+  * Structured Streaming's transactional FILE SINK (partitioned by cell).
+  * No foreachBatch, no state store, no watermark, no shuffle; the
+  * micro-batch is embarrassingly parallel and the sink's `_spark_metadata`
+  * commit log provides exactly-once (a replayed micro-batch's files
+  * commit once; batch readers resolve the directory THROUGH the log, so
+  * partial attempt files are invisible).
+  *
+  * Exactly-once contract is the file sink's: the CHECKPOINT owns the
+  * output log. Resuming with the same checkpoint never double-commits;
+  * re-invoking against the same sink with a FRESH checkpoint would
+  * re-ingest (the log gains new batch ids). Keep checkpoint and sink
+  * together — the standard file-sink deployment rule (this differs from
+  * [[AdmissionStream]]'s batchId-keyed overwrites, which make even a
+  * fresh-checkpoint replay idempotent: admission must pay a probe per
+  * batch anyway, ingest's zero-state design buys its idempotence from
+  * the sink instead). */
+object AnnIngest {
+
+  /** Landing schema fallback when the dir holds no parquet file yet
+    * (a production firehose opens the stream before the first file
+    * lands): the embeddings shape. */
+  val defaultLandingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Run a bounded embedding stream to completion, appending each
+    * micro-batch's cell assignments into `indexPath`'s streamed
+    * assignment table. The index must be a [[Similarity.writeIvfFlatIndex]]
+    * artifact (its centroid table is the frozen quantizer). */
+  def runIngest(spark: SparkSession, landingDir: String, indexPath: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      schemaFallback: Option[StructType] = None): Unit = {
+    val centroids = Similarity.readCentroids(spark, indexPath)
+    require(centroids.nonEmpty,
+      s"no centroid table under $indexPath — not a writeIvfFlatIndex artifact")
+    val ckpt = EventStreams.scratchDir("graft_annin_ckpt_")
+    val landingSchema =
+      scala.util.Try(spark.read.parquet(landingDir).schema).toOption
+        .orElse(schemaFallback).getOrElse(defaultLandingSchema)
+    val reader = spark.readStream.schema(landingSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val q = Similarity.assignCells(reader.parquet(landingDir), centroids)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$indexPath/assignments_stream")
+      .option("checkpointLocation", ckpt.toString)
+      .partitionBy("cell")
+      .outputMode("append")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(ckpt.toFile)
+  }
+}

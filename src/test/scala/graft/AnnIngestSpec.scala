@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.streaming.AnnIngest
+
+/** Streaming ANN ingest ≡ the batch append path: micro-batched vectors
+  * assigned under frozen centroids land the same index state, probed
+  * identically. */
+class AnnIngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecDF(vs: Seq[(Long, Seq[Float])]) =
+    vs.toDF("vec_id", "embedding")
+
+  test("streaming ingest equals batch append; sink commits exactly the batch rows") {
+    val rnd = new Random(3)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val standing = vecDF(cluster(1f, 30, 0L) ++ cluster(-1f, 30, 100L))
+    val newVecs = cluster(1f, 8, 300L) ++ cluster(-1f, 8, 400L)
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+
+    // streaming path: standing index + two mod-time-ordered landing files
+    val root = Files.createTempDirectory("graft_annin_spec_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    Similarity.writeIvfFlatIndex(standing, nLists = 4, ix)
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    def land(vs: Seq[(Long, Seq[Float])], name: String, mod: Long): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      vecDF(vs).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, landing.resolve(name))
+      landing.resolve(name).toFile.setLastModified(mod)
+      ()
+    }
+    val (a, b) = newVecs.partition(_._1 % 2 == 0)
+    land(a, "a.parquet", 1000000L)
+    land(b, "b.parquet", 2000000L)
+    AnnIngest.runIngest(spark, landing.toString, ix, maxFilesPerTrigger = Some(1))
+
+    // batch path: same standing index, same batch, plain append
+    val ix2 = root.resolve("ix2").toString
+    Similarity.writeIvfFlatIndex(standing, nLists = 4, ix2)
+    Similarity.appendToIvfFlatIndex(vecDF(newVecs), ix2)
+
+    val streamed = Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val batch = Similarity.ivfFlatProbe(queries, ix2, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    streamed shouldBe batch
+
+    // the sink committed exactly the batch's rows (no duplicates, no
+    // loss), readable through its _spark_metadata log
+    spark.read.parquet(s"$ix/assignments_stream").count() shouldBe
+      newVecs.size.toLong
+    spark.catalog.clearCache()
+  }
+
+  test("ingest requires a centroid artifact and tolerates an empty landing dir") {
+    val root = Files.createTempDirectory("graft_annin_spec2_")
+    root.toFile.deleteOnExit()
+    // no artifact → loud failure, not silent wrong assignment
+    intercept[Exception] {
+      AnnIngest.runIngest(spark, root.resolve("nothing").toString,
+        root.resolve("noix").toString)
+    }
+    // empty landing dir (stream opened before first file lands) → clean
+    // no-op under the schema fallback
+    val ix = root.resolve("ix").toString
+    val standing = vecDF((0L until 20L).map(i => (i, Seq.fill(8)(1f))))
+    Similarity.writeIvfFlatIndex(standing, nLists = 2, ix)
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    AnnIngest.runIngest(spark, landing.toString, ix)
+    val streamedDir = new java.io.File(s"$ix/assignments_stream")
+    // zero batches: either no dir at all or an empty (metadata-only) table
+    if (streamedDir.exists())
+      scala.util.Try(spark.read.parquet(streamedDir.getPath).count())
+        .getOrElse(0L) shouldBe 0L
+    spark.catalog.clearCache()
+  }
+}
