@@ -697,6 +697,57 @@ object Similarity {
         array_min(cellStructs(col("embedding"), centroids))
           .getField("idx").cast("int"))
 
+  /** Fold the streamed assignment table back into the batch one — the
+    * index's compaction. A continuous [[graft.streaming.AnnIngest]]
+    * accretes one file set per micro-batch under `assignments_stream/`
+    * plus a growing `_spark_metadata` log: the classic small-files
+    * death at firehose cadence (every probe lists and logs-resolves the
+    * whole history). Compaction reads BOTH tables, dedups on `vec_id`
+    * (the index's primary key — one row per vector, so re-running a
+    * crashed compaction, or compacting after a replayed append, is
+    * idempotent rather than duplicate-baking), rewrites the union
+    * cell-partitioned into a staged dir, swaps it in (the
+    * [[Maintenance.compactTree]] staged-rename discipline —
+    * `__staged`/`__old` with [[Upsert.recoverStagedSwap]] run first to
+    * finish any earlier half-swap), and drops the streamed table.
+    * Probe results are identical before and after (pinned by spec);
+    * run it between ingest sessions, not concurrently with one. */
+  def compactIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val assignments = s"$indexPath/assignments"
+    Upsert.recoverStagedSwap(assignments)
+    val streamedDir = new java.io.File(s"$indexPath/assignments_stream")
+    if (!streamedDir.exists()) return
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val staged = new java.io.File(assignments + "__staged")
+    val old = new java.io.File(assignments + "__old")
+    rm(staged); rm(old)
+    val cols = Seq("vec_id", "embedding", "c_norm", "cell")
+    val union = spark.read.parquet(assignments).select(cols.map(col): _*)
+      .unionByName(
+        spark.read.parquet(streamedDir.getPath).select(cols.map(col): _*))
+      .dropDuplicates("vec_id")
+    val bytes = math.max(1L, Maintenance.tableBytes(assignments))
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // repartition BY cell: each cell's rows land in one task, so the
+    // compacted layout is ~one file per (cell, 128MB) — not n files
+    // per cell from a round-robin split
+    union.repartition(n, col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(staged.getPath)
+    val target = new java.io.File(assignments)
+    if (!target.renameTo(old))
+      throw new java.io.IOException(s"could not stage out $assignments")
+    if (!staged.renameTo(target)) {
+      old.renameTo(target)
+      throw new java.io.IOException(s"could not swap in $assignments")
+    }
+    rm(old); rm(streamedDir)
+  }
+
   /** Probe a [[writeIvfFlatIndex]] artifact: nearest-`nProbe` cells per
     * query from the reloaded centroid table (one bounded collect of
     * nLists rows), then exact cosine against ONLY those cells'

@@ -64,6 +64,39 @@ class AnnIngestSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("compactIvfFlatIndex folds the stream table, probe unchanged, idempotent") {
+    val rnd = new Random(5)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val standing = vecDF(cluster(1f, 30, 0L) ++ cluster(-1f, 30, 100L))
+    val newVecs = vecDF(cluster(1f, 8, 300L) ++ cluster(-1f, 8, 400L))
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+    val root = Files.createTempDirectory("graft_anncompact_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    Similarity.writeIvfFlatIndex(standing, nLists = 4, ix)
+    // streamed table via the batch append API writing into the stream dir
+    // shape (runIngest's sink layout) — a plain parquet write suffices for
+    // the fold semantics under test
+    Similarity.assignCells(newVecs, Similarity.readCentroids(spark, ix))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$ix/assignments_stream")
+    val before = Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    Similarity.compactIvfFlatIndex(spark, ix)
+    new java.io.File(s"$ix/assignments_stream").exists() shouldBe false
+    val after = Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    after shouldBe before
+    // one row per vector survived the fold
+    spark.read.parquet(s"$ix/assignments").count() shouldBe 76L
+    // idempotent: a second run (nothing streamed) is a no-op
+    Similarity.compactIvfFlatIndex(spark, ix)
+    Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq shouldBe before
+    spark.catalog.clearCache()
+  }
+
   test("ingest requires a centroid artifact and tolerates an empty landing dir") {
     val root = Files.createTempDirectory("graft_annin_spec2_")
     root.toFile.deleteOnExit()
