@@ -172,6 +172,20 @@ class PlanPruningSpec extends SparkSpecBase {
     scanSchemas("q110_overlapping_chunks")("documents") shouldBe Set("doc_id", "text")
   }
 
+  test("q118 temperature mix never reads the unused text column") {
+    // the gate + final agg need (doc_id, source, n_chars) only — text
+    // dragging along would make a scan-fused sampler corpus-bytes-bound
+    scanSchemas("q118_temperature_mix")("documents") shouldBe
+      Set("doc_id", "source", "n_chars")
+  }
+
+  test("ANN queries prune the unused label column from embeddings") {
+    for (q <- Seq("q20_knn_bruteforce", "q28_ann_srp", "q119_ann_recall")) {
+      val s = scanSchemas(q)("embeddings")
+      s.subsetOf(Set("vec_id", "embedding")) shouldBe true
+    }
+  }
+
   test("q99 z-order reads only (l_partkey, l_suppkey) from lineitem") {
     scanSchemas("q99_zorder_layout")("lineitem") shouldBe
       Set("l_partkey", "l_suppkey")
