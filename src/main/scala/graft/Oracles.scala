@@ -563,6 +563,40 @@ private[graft] object Oracles {
        |GROUP BY 1 ORDER BY query_id""".stripMargin
   }
 
+  /** q123's oracle, generated: the 16x64 projection planes embed as
+    * double-array literals (the q28 pattern), the reduced-space exact
+    * retrieval replays against the full-space ground truth, folded to
+    * the per-query (truth, hits) recall report. */
+  private def q123OracleSql: String = {
+    val planes = VF.randomPlanes(16, 64, 7L)
+    val proj = planes.map(p =>
+      s"list_inner_product(v, ${p.mkString("[", ", ", "]")})")
+      .mkString("[", ",\n   ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |gt AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rnk
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5)
+       |  WHERE rnk <= 10),
+       |red AS (SELECT vec_id, $proj AS r FROM e),
+       |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(list_inner_product(q.r, q.r)) * sqrt(list_inner_product(c.r, c.r)) = 0
+       |      THEN 0.0
+       |      ELSE list_inner_product(q.r, c.r) /
+       |        (sqrt(list_inner_product(q.r, q.r)) * sqrt(list_inner_product(c.r, c.r))) END AS cos
+       |  FROM red q JOIN red c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5),
+       |ap AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM sc) WHERE rnk <= 10)
+       |SELECT gt.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS truth,
+       |  CAST(COUNT(*) FILTER (WHERE ap.neighbor_id IS NOT NULL) AS BIGINT) AS hits
+       |FROM gt LEFT JOIN ap USING (query_id, neighbor_id)
+       |GROUP BY 1 ORDER BY query_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
     "q25_neardup_embedding" -> q25OracleSql,
@@ -2315,6 +2349,7 @@ private[graft] object Oracles {
     "q121_ann_index_append" -> q121OracleSql,
     // q122: streaming ingest lands the same final index state as q121's
     // batch append — same oracle (streaming ≡ batch, hash-checked)
-    "q122_streaming_ann_ingest" -> q121OracleSql
+    "q122_streaming_ann_ingest" -> q121OracleSql,
+    "q123_reduced_ann_recall" -> q123OracleSql
   )
 }

@@ -1940,6 +1940,27 @@ object SparkEntry {
     res
   }
 
+  /** q123 — dimensionality-reduction recall (Similarity.projectVecs →
+    * recallReport): the corpus and queries projected 64→16 dims through
+    * the seeded plane matrix (one scan-fused pass of 16 native dots per
+    * row), exact retrieval re-run in the REDUCED space, and its
+    * per-query recall measured against the full-space ground truth —
+    * the Johnson–Lindenstrauss cost/recall trade quantified as an
+    * oracle-checked table. At 100 TB this is the first lever pulled
+    * before ANN: 4× smaller vectors cut every downstream dot product
+    * and candidate payload byte. */
+  def q123ReducedAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val planes = VF.randomPlanes(16, 64, 7L)
+    val red = operators.Similarity.projectVecs(
+      e, col("vec_id"), col("embedding"), planes)
+    operators.Similarity.recallReport(
+      operators.Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 10),
+      operators.Similarity.bruteForceTopK(
+        red.filter(col("vec_id") < 5), red, 10))
+      .orderBy(col("query_id"))
+  }
+
   /** q112 — the END-TO-END training-data layout chain: corpus clean
     * (q48's full gate→dedup→near-dup→sample composition) feeding BOTH
     * sequence packing (q71's hash-sharded 512-token streams) and the
@@ -2094,7 +2115,8 @@ object SparkEntry {
     "q119_ann_recall" -> (q119AnnRecall _),
     "q120_ann_index_probe" -> (q120AnnIndexProbe _),
     "q121_ann_index_append" -> (q121AnnIndexAppend _),
-    "q122_streaming_ann_ingest" -> (q122StreamingAnnIngest _)
+    "q122_streaming_ann_ingest" -> (q122StreamingAnnIngest _),
+    "q123_reduced_ann_recall" -> (q123ReducedAnnRecall _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -796,6 +796,22 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Random-projection dimensionality reduction: y_j = ⟨v, plane_j⟩
+    * over a literal plane matrix ([[graft.functions.VectorFunctions
+    * .randomPlanes]] — seeded, engine-derivable, the same planes the
+    * SRP bucketing uses for its signs). The standard cost lever BEFORE
+    * similarity search: a 64→16 projection cuts every downstream dot
+    * product 4× and the candidate payload bytes with it, at a recall
+    * cost [[recallReport]] measures (Johnson–Lindenstrauss is the
+    * published bound). One scan-fused projection — outDims native dot
+    * products per row, no shuffle; output is (vec_id, embedding) in
+    * array<double>, drop-in for every topK operator here. */
+  def projectVecs(df: DataFrame, id: Column, vec: Column,
+      planes: Seq[Seq[Double]]): DataFrame =
+    df.select(id.as("vec_id"),
+      array(planes.map(p => V.dot(vec, array(p.map(lit): _*))): _*)
+        .as("embedding"))
+
   /** Per-query recall REPORT of `approx` against `exact` (both in the
     * topK output shape): (query_id, truth, hits) with truth = the exact
     * top-k's size and hits = |approx ∩ exact| — the index-quality eval

@@ -172,6 +172,35 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("projectVecs: native dots match the HOF fold; exact neighbors survive reduction") {
+    val rnd = new Random(9)
+    val vs = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecDF(vs)
+    val planes = VF.randomPlanes(4, 16, 7L)
+    val proj = Similarity.projectVecs(df, col("vec_id"), col("embedding"), planes)
+    // each output dim is exactly the HOF-fold dot with the same plane
+    val viaHof = df.select(col("vec_id"),
+      array(planes.map(p => VF.dotHof(col("embedding"),
+        array(p.map(lit): _*))): _*).as("embedding"))
+    proj.orderBy("vec_id").collect().toSeq shouldBe
+      viaHof.orderBy("vec_id").collect().toSeq
+    // exact neighbors survive ANY projection: clones of the query are
+    // cosine 1.0 in both spaces (projection preserves colinearity), so
+    // the reduced-space top-5 recalls the full-space top-5 exactly —
+    // while random distractors cannot reach 1.0 (measure-zero)
+    val qa = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val qb = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val corpus = vecDF(
+      (0L until 5L).map(i => (i, qa)) ++ (100L until 105L).map(i => (i, qb)) ++
+        (500L until 530L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))))
+    val queries = vecDF(Seq((1000L, qa), (2000L, qb)))
+    val ground = Similarity.bruteForceTopK(queries, corpus, 5)
+    val redC = Similarity.projectVecs(corpus, col("vec_id"), col("embedding"), planes)
+    val redQ = Similarity.projectVecs(queries, col("vec_id"), col("embedding"), planes)
+    val approx = Similarity.bruteForceTopK(redQ, redC, 5)
+    Similarity.recallAtK(ground, approx) shouldBe 1.0
+  }
+
   test("recallReport: per-query integers, consistent with the scalar recallAtK") {
     val rnd = new Random(5)
     def cluster(base: Float, n: Int, off: Long) =
