@@ -2,8 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Superlinear-tail stress for the banded dedup family, past the sf0.1
-  * fixture cap where a 2× bar cannot see quadratic terms.
+/** Superlinear-tail stress for the banded dedup AND blocked ANN
+  * families, past the sf0.1 fixture cap where a 2× bar cannot see
+  * quadratic terms.
   *
   * Synthesizes a `SPARK_GRAFT_SCALE`× (default 10×) documents blow-up:
   * replica 0 is the fixture verbatim (its true near-dup structure
@@ -104,10 +105,47 @@ object BenchScale {
       .write.mode("overwrite")
       .parquet(scaledRoot.resolve("documents.parquet").toString)
 
-    // ---- the banded family (documents-only inputs) ----
+    // ---- synthesize the blown-up embeddings table ----
+    // per-replica DIMENSION permutation (seeded shuffle of the 64 dims):
+    // permutations are orthogonal, so dot(Pv, Pw) = dot(v, w) — each
+    // replica's internal cosine/neighbor structure is EXACTLY the
+    // base's — while against the FIXED SRP planes / centroids /
+    // codebooks a permuted vector looks unrelated, so replicas spread
+    // across buckets and cells instead of piling into the base's.
+    // Replica 0 verbatim, ids offset.
+    val embs = sources.Tables.embeddings(spark, sfDir)
+    val maxVecId = embs.agg(max("vec_id")).head.getLong(0) + 1L
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
+    val dimPerms: IndexedSeq[Seq[Int]] = (0 until replicas).map { r =>
+      if (r == 0) (0 until dim).toSeq
+      else (0 until dim).sortBy(j => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$r".getBytes("UTF-8"))
+        md.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      })
+    }
+    val permutedVec = dimPerms.zipWithIndex.drop(1)
+      .foldLeft(col("embedding")) { case (acc, (perm, r)) =>
+        when(col("replica") === r.toLong,
+          array(perm.map(j => col("embedding").getItem(j)): _*)).otherwise(acc)
+      }
+    spark.range(replicas.toLong).select(col("id").as("replica"))
+      .crossJoin(embs)
+      .select(
+        (col("vec_id") + col("replica") * maxVecId).as("vec_id"),
+        when(col("replica") === 0L, col("embedding")).otherwise(permutedVec)
+          .as("embedding"),
+        col("label"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite")
+      .parquet(scaledRoot.resolve("embeddings.parquet").toString)
+
+    // ---- the banded/blocked family (documents + embeddings inputs) ----
     val family = Seq(
       "q23_neardup_minhash", "q51_dedup_components_star", "q55_dup_ngrams",
-      "q97_winnowing_pairs", "q114_clean_winnowing", "q115_fuzzy_join")
+      "q97_winnowing_pairs", "q114_clean_winnowing", "q115_fuzzy_join",
+      "q20_knn_bruteforce", "q25_neardup_embedding", "q28_ann_srp",
+      "q49_ann_ivf_flat", "q57_ann_pq")
 
     // JIT/codegen warmup on the smallest sibling
     val warm = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
