@@ -2350,6 +2350,52 @@ private[graft] object Oracles {
     // q122: streaming ingest lands the same final index state as q121's
     // batch append — same oracle (streaming ≡ batch, hash-checked)
     "q122_streaming_ann_ingest" -> q121OracleSql,
-    "q123_reduced_ann_recall" -> q123OracleSql
+    "q123_reduced_ann_recall" -> q123OracleSql,
+    // q124: Count-Min heavy hitters — cells and point estimates rebuilt
+    // from the same md5-salted row hashes (r || ':' || item), min over
+    // the 4 rows; est_cnt >= exact_cnt is the one-sided CMS guarantee
+    "q124_cms_heavy_hitters" ->
+      """WITH tok AS (SELECT w FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents WHERE trim(text) <> '') WHERE length(w) >= 4),
+        |cells AS (SELECT g.r,
+        |    CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' || w), 1, 15))::UBIGINT
+        |      % 256 AS BIGINT) AS c,
+        |    COUNT(*) AS cnt
+        |  FROM tok CROSS JOIN UNNEST([0, 1, 2, 3]) AS g(r) GROUP BY 1, 2),
+        |top AS (SELECT w AS word, COUNT(*) AS exact_cnt FROM tok
+        |        GROUP BY 1 ORDER BY exact_cnt DESC, word LIMIT 20),
+        |est AS (SELECT t.word, MIN(cl.cnt) AS est_cnt
+        |  FROM top t CROSS JOIN UNNEST([0, 1, 2, 3]) AS g(r)
+        |  JOIN cells cl ON cl.r = g.r AND cl.c =
+        |    CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' || t.word), 1, 15))::UBIGINT
+        |      % 256 AS BIGINT)
+        |  GROUP BY 1)
+        |SELECT t.word, t.exact_cnt, e.est_cnt
+        |FROM top t JOIN est e USING (word)
+        |ORDER BY exact_cnt DESC, word""".stripMargin,
+    // q125: streaming CMS ≡ batch CMS — the standing sketch merged over
+    // 3 micro-batches must equal the direct batch sketch of all events
+    // (CMS additivity), so the oracle computes the batch sketch and the
+    // same top-10 point queries
+    "q125_streaming_heavy_hitters" ->
+      """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events
+        |            WHERE user_id IS NOT NULL),
+        |cells AS (SELECT g.r,
+        |    CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' || u), 1, 15))::UBIGINT
+        |      % 512 AS BIGINT) AS c,
+        |    COUNT(*) AS cnt
+        |  FROM ev CROSS JOIN UNNEST([0, 1, 2, 3]) AS g(r) GROUP BY 1, 2),
+        |top AS (SELECT u AS uid, COUNT(*) AS exact_cnt FROM ev
+        |        GROUP BY 1 ORDER BY exact_cnt DESC, uid LIMIT 10),
+        |est AS (SELECT t.uid, MIN(cl.cnt) AS est_cnt
+        |  FROM top t CROSS JOIN UNNEST([0, 1, 2, 3]) AS g(r)
+        |  JOIN cells cl ON cl.r = g.r AND cl.c =
+        |    CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' || t.uid), 1, 15))::UBIGINT
+        |      % 512 AS BIGINT)
+        |  GROUP BY 1)
+        |SELECT t.uid, t.exact_cnt, e.est_cnt
+        |FROM top t JOIN est e USING (uid)
+        |ORDER BY exact_cnt DESC, uid""".stripMargin
   )
 }

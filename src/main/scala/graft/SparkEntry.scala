@@ -1993,6 +1993,75 @@ object SparkEntry {
       .orderBy(col("okey"), col("stratum"), col("rank"))
   }
 
+  /** q124 — Count-Min heavy hitters (Sketch.cmsCells/cmsEstimate): the
+    * documents token stream folded into a 4×256 CMS cell table (one
+    * scan, map-side partial aggregation — ≤ 1024 cells cross the wire
+    * whatever the corpus), then the exact top-20 tokens point-queried
+    * against the sketch. Output (word, exact_cnt, est_cnt) makes the
+    * one-sided error auditable row by row: est ≥ exact always, equality
+    * where the item's least-loaded cell has no collisions. At 100 TB
+    * the exact top-20 leg is the expensive audit this sketch replaces —
+    * frequency monitoring pays depth·width state, not a token shuffle. */
+  def q124CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(TF.tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = operators.Sketch.cmsCells(toks, col("w"), depth = 4, width = 256)
+    val top = toks.groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("word"))
+      .limit(20)
+    val est = operators.Sketch.cmsEstimate(cells, top, col("word"),
+      depth = 4, width = 256)
+    top.join(
+        est.withColumnRenamed("item", "word").withColumnRenamed("est", "est_cnt"),
+        Seq("word"))
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+
+  /** q125 — STREAMING heavy hitters (EventStreams.streamingCmsCells):
+    * the event firehose split into 3 landing files → 3 micro-batches,
+    * each folded into a per-batch 4×512 CMS and additively merged into
+    * the standing parquet sketch (batchId-keyed exactly-once staged
+    * swap, as q104). The standing cells after the replay equal the
+    * batch sketch of all events — the CMS additivity law end-to-end —
+    * and the exact top-10 users point-query against them. Per-batch
+    * cost: one batch scan + a ≤2048-row merge; NO per-item state store
+    * (a streaming groupBy(user) would hold the user universe in state
+    * forever — the sketch holds 2048 cells at any item cardinality). */
+  def q125StreamingHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q125_")
+    root.toFile.deleteOnExit()
+    val landing = root.resolve("landing").toString
+    t(s, dir, "events").repartition(3).write.parquet(landing)
+    val target = root.resolve("cms").toString
+    streaming.EventStreams.streamingCmsCells(s, landing, target,
+      col("user_id"), depth = 4, width = 512, maxFilesPerTrigger = Some(1))
+    val cells = s.read.parquet(target).select("r", "c", "cnt")
+    val top = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").cast("string").as("uid"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("uid"))
+      .limit(10)
+    val est = operators.Sketch.cmsEstimate(cells, top, col("uid"),
+      depth = 4, width = 512)
+    val res = top
+      .join(est.withColumnRenamed("item", "uid").withColumnRenamed("est", "est_cnt"),
+        Seq("uid"))
+      .orderBy(col("exact_cnt").desc, col("uid"))
+      // pin the 10-row result off the temp sketch so the scratch tree
+      // can be deleted now rather than leaking per bench pass
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2116,7 +2185,9 @@ object SparkEntry {
     "q120_ann_index_probe" -> (q120AnnIndexProbe _),
     "q121_ann_index_append" -> (q121AnnIndexAppend _),
     "q122_streaming_ann_ingest" -> (q122StreamingAnnIngest _),
-    "q123_reduced_ann_recall" -> (q123ReducedAnnRecall _)
+    "q123_reduced_ann_recall" -> (q123ReducedAnnRecall _),
+    "q124_cms_heavy_hitters" -> (q124CmsHeavyHitters _),
+    "q125_streaming_heavy_hitters" -> (q125StreamingHeavyHitters _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -199,4 +199,85 @@ object Sketch {
       .agg(kmvMerge(k)(col("__pmins")).as("__mins"))
       .select(estimateProjection(k): _*)
   }
+
+  // ------------------------------------------------------------------
+  // COUNT-MIN SKETCH — approximate per-item FREQUENCIES in fixed
+  // depth×width state (Cormode & Muthukrishnan), the frequency
+  // complement of KMV's cardinality sketch. Exact per-item counts
+  // shuffle every distinct item; the CMS shuffles at most depth·width
+  // pre-aggregated cells per map partition whatever the item universe
+  // (heavy-hitter monitoring over a 100 TB token stream in kilobytes
+  // of state). Estimates only ever OVER-count (each cell is a sum over
+  // the item plus its hash collisions; min over depth rows picks the
+  // least-collided one), and the sketch is ADDITIVE: cell-wise sum of
+  // two sketches ≡ the sketch of the concatenated streams — the same
+  // warehouse-rollup law as [[kmvMerge]], which is what lets per-shard
+  // / per-day CMS tables fold into any coarser grain (and lets a
+  // streaming ingest maintain one via additive merge) without
+  // revisiting raw data. All hashing is the portable md5 idiom, so the
+  // sketch — cells and estimates — hash-checks against a SQL oracle.
+  // ------------------------------------------------------------------
+
+  /** Row-`r` cell position of `item` in a width-`width` CMS row:
+    * the [[hash60]] of `"r:item"` mod width (md5-salted per row — depth
+    * independent hash functions from one primitive; DuckDB:
+    * ('0x' || substr(md5(r || ':' || item), 1, 15))::UBIGINT % width).
+    * The 60-bit prefix is non-negative, so `%` needs no pmod. */
+  def cmsPos(r: Int, item: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$r:"), item.cast("string"))), 1, 15),
+      16, 10).cast("long") % width
+
+  /** The CMS cell table of an item stream: (r, c, cnt) with
+    * r ∈ [0, depth), c ∈ [0, width), cnt = Σ weight of items hashing
+    * there — at most depth·width rows however many items. One scan
+    * computes all depth positions fused (`posexplode` of the position
+    * array), and the groupBy partial-aggregates map-side, so the
+    * shuffle carries ≤ depth·width·partitions cells, never the stream.
+    * Null items don't count (no row). `weight` defaults to 1 per row;
+    * pass a count column to sketch pre-aggregated data. */
+  def cmsCells(df: DataFrame, item: Column, depth: Int, width: Int,
+      weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    require(width >= 2, "width must be >= 2")
+    val base = df
+      .select(item.cast("string").as("__it"), weight.cast("long").as("__w"))
+      .filter(col("__it").isNotNull)
+    val positions = array((0 until depth).map(r =>
+      cmsPos(r, col("__it"), width)): _*)
+    base.select(col("__w"), posexplode(positions).as(Seq("r", "c")))
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Cell-wise additive merge: the sketch of the union stream from the
+    * shards' sketches. Runs on sketch-sized frames only (≤ depth·width
+    * rows each) — the rollup leg of the mergeability law, proven
+    * bit-identical to the direct sketch by spec and (end-to-end, via a
+    * streaming ingest) by the driver oracle. */
+  def cmsMerge(shards: DataFrame*): DataFrame =
+    shards.reduce(_.unionByName(_))
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query estimates for `queries`' items against a cell table:
+    * (item, est) with est = min over the depth rows of the item's cell
+    * count (0 where a cell is absent — an item the sketch never saw).
+    * est ≥ the item's true count ALWAYS (the one-sided CMS guarantee;
+    * spec-pinned). The cell table is depth·width rows, so it broadcasts:
+    * the probe is a scan-fused position explode + broadcast join —
+    * query cost scales with |queries|, never with the sketched stream. */
+  def cmsEstimate(cells: DataFrame, queries: DataFrame, item: Column,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    require(width >= 2, "width must be >= 2")
+    val q = queries.select(item.cast("string").as("__it"))
+      .filter(col("__it").isNotNull).distinct()
+    val positions = array((0 until depth).map(r =>
+      cmsPos(r, col("__it"), width)): _*)
+    q.select(col("__it"), posexplode(positions).as(Seq("r", "c")))
+      .join(broadcast(cells), Seq("r", "c"), "left")
+      .groupBy(col("__it"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .withColumnRenamed("__it", "item")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -330,6 +330,47 @@ object EventStreams {
           batchId = Some(batchId))(
           graft.operators.Upsert.additiveMerge(_, _,
             keys = Seq("event_type"), metrics = Seq("events", "value_cents")))
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    rmDir(ckpt.toFile)
+    stagedDirs.remove(path).foreach { d =>
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+  }
+
+  /** Streaming Count-Min maintenance — [[incrementalRollup]]'s shape
+    * applied to a SKETCH: each micro-batch is folded into its own CMS
+    * cell table ([[graft.operators.Sketch.cmsCells]], ≤ depth·width
+    * rows) and additively merged into the standing parquet sketch. The
+    * CMS additivity law (cell-wise sum ≡ sketch of the concatenated
+    * streams) is exactly [[graft.operators.Upsert.additiveMerge]]'s
+    * contract, so the standing table after any replay equals the batch
+    * sketch of everything ingested — which is how the driver oracle
+    * checks it. This is the firehose frequency monitor: per-batch cost
+    * is one scan of the batch plus a depth·width-sized merge, state
+    * never grows past depth·width rows, and no per-item state store
+    * exists at all (a streaming groupBy over item would hold the item
+    * universe in state). Exactly-once via the batchId-keyed staged swap,
+    * same as the rollup. */
+  def streamingCmsCells(spark: SparkSession, path: String, targetPath: String,
+      item: Column, depth: Int, width: Int,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ckpt = scratchDir("graft_cms_ckpt_")
+    val q = readEventStream(spark, path, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cells = graft.operators.Sketch.cmsCells(batch, item, depth, width)
+        graft.operators.Upsert.mergeParquet(spark, targetPath, cells,
+          batchId = Some(batchId))(
+          graft.operators.Upsert.additiveMerge(_, _,
+            keys = Seq("r", "c"), metrics = Seq("cnt")))
         ()
       }
       .start()

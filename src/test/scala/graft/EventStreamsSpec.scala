@@ -277,6 +277,35 @@ class EventStreamsSpec extends SparkSpecBase {
     after shouldBe before
   }
 
+  test("streamingCmsCells: sketch merged over micro-batches equals the batch CMS; replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    // two micro-batches of the SAME file: the standing sketch must be the
+    // batch sketch of the doubled stream (additivity), and a full stream
+    // re-run must change nothing (batchId exactly-once)
+    val src = Paths.get("/root/testdata/sf0.001/events.parquet")
+    val landing = Files.createTempDirectory("graft_cms_landing_")
+    Files.copy(src, landing.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, landing.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val target = Files.createTempDirectory("graft_cms_out_").resolve("cms").toString
+
+    EventStreams.streamingCmsCells(spark, landing.toString, target,
+      col("user_id"), depth = 3, width = 128, maxFilesPerTrigger = Some(1))
+
+    val got = spark.read.parquet(target).select("r", "c", "cnt")
+      .orderBy("r", "c").collect().map(_.toSeq).toSeq
+    val expected = graft.operators.Sketch.cmsCells(
+        spark.read.parquet(landing.toString), col("user_id"),
+        depth = 3, width = 128)
+      .orderBy("r", "c").collect().map(_.toSeq).toSeq
+    got shouldBe expected
+
+    EventStreams.streamingCmsCells(spark, landing.toString, target,
+      col("user_id"), depth = 3, width = 128, maxFilesPerTrigger = Some(1))
+    val after = spark.read.parquet(target).select("r", "c", "cnt")
+      .orderBy("r", "c").collect().map(_.toSeq).toSeq
+    after shouldBe got
+  }
+
   test("hourlyCategoryCounts: stream-static broadcast enrichment equals the batch join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -85,6 +85,60 @@ class SketchAndLayoutSpec extends SparkSpecBase {
     est.getAs[Long]("est_inter").toDouble shouldBe 400.0 +- 200.0
   }
 
+  test("cms: estimates are one-sided (est >= exact for every item) and bounded state") {
+    // 200 distinct items into a 4x32 sketch — collisions certain; the
+    // CMS guarantee is over-counting only, never under
+    val df = (1L to 3000L).map(i => s"item${i % 200}").toDF("it")
+    val cells = Sketch.cmsCells(df, col("it"), depth = 4, width = 32)
+    cells.count() should be <= (4L * 32L)
+    val exact = df.groupBy("it").count()
+    val est = Sketch.cmsEstimate(cells, df, col("it"), depth = 4, width = 32)
+    val joined = exact.join(est, col("it") === col("item")).collect()
+    joined.length shouldBe 200
+    joined.foreach { r =>
+      r.getAs[Long]("est") should be >= r.getAs[Long]("count")
+    }
+  }
+
+  test("cms: exact in a collision-free sketch; unseen items estimate 0") {
+    val df = (1L to 900L).map(i => s"w${i % 9}").toDF("it")
+    val cells = Sketch.cmsCells(df, col("it"), depth = 4, width = 4096)
+    // 9 items in 4096 cells x 4 rows: at least one row collision-free is
+    // overwhelmingly likely and, under the fixed md5 hash, deterministic
+    val est = Sketch.cmsEstimate(cells, df, col("it"), depth = 4, width = 4096)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("est")).toMap
+    (0 until 9).foreach { i => est(s"w$i") shouldBe 100L }
+    val unseen = Sketch.cmsEstimate(cells, Seq("ghost").toDF("it"), col("it"),
+      depth = 4, width = 4096).collect()
+    unseen.head.getAs[Long]("est") shouldBe 0L
+  }
+
+  test("cms: cell table is partitioning-invariant and additive (merge law)") {
+    val all = (1L to 4000L).map(i => s"t${i % 300}").toDF("it")
+    def cellSeq(d: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsCells(d, col("it"), depth = 3, width = 64)
+        .orderBy("r", "c").collect().map(_.toSeq).toSeq
+    cellSeq(all.repartition(13)) shouldBe cellSeq(all.coalesce(1))
+    // additivity: shard the stream 3 ways, sketch each, cell-wise merge
+    val shards = (0 until 3).map(s =>
+      Sketch.cmsCells(all.filter(pmod(xxhash64(col("it")), lit(3)) === s),
+        col("it"), depth = 3, width = 64))
+    val merged = Sketch.cmsMerge(shards: _*)
+      .orderBy("r", "c").collect().map(_.toSeq).toSeq
+    merged shouldBe cellSeq(all)
+  }
+
+  test("cms: weighted build over pre-aggregated counts equals the raw-stream sketch") {
+    val raw = (1L to 2500L).map(i => s"k${i % 40}").toDF("it")
+    val pre = raw.groupBy("it").agg(count(lit(1)).as("n"))
+    val a = Sketch.cmsCells(raw, col("it"), depth = 4, width = 48)
+      .orderBy("r", "c").collect().map(_.toSeq).toSeq
+    val b = Sketch.cmsCells(pre, col("it"), depth = 4, width = 48,
+        weight = col("n"))
+      .orderBy("r", "c").collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
+
   test("zKey interleaves bits; out-of-range raises") {
     def z(x: Long, y: Long): Long =
       Seq((x, y)).toDF("x", "y")
