@@ -2396,6 +2396,38 @@ private[graft] object Oracles {
         |  GROUP BY 1)
         |SELECT t.uid, t.exact_cnt, e.est_cnt
         |FROM top t JOIN est e USING (uid)
-        |ORDER BY exact_cnt DESC, uid""".stripMargin
+        |ORDER BY exact_cnt DESC, uid""".stripMargin,
+    // q126: Bloom pre-screen vs exact contamination — bit positions
+    // rebuilt from the same salted md5 idiom (j || ':' || gram) % 2048;
+    // a gram "maybe" matches iff all 3 positions are set (COUNT = 3
+    // against the distinct position set); bloom_matched >= matched
+    "q126_bloom_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |b AS (SELECT DISTINCT u.sv AS gram FROM sh, UNNEST(sh.shingles) AS u(sv)
+        |      WHERE doc_id % 97 = 0),
+        |pos AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || gram), 1, 15))::UBIGINT
+        |      % 2048 AS BIGINT) AS p
+        |  FROM b CROSS JOIN UNNEST([0, 1, 2]) AS g(j)),
+        |c AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 97 <> 0),
+        |cg AS (SELECT doc_id, u.sv AS gram FROM c, UNNEST(c.shingles) AS u(sv)),
+        |bm AS (SELECT cg.doc_id, cg.gram
+        |  FROM cg CROSS JOIN UNNEST([0, 1, 2]) AS g(j)
+        |  JOIN pos ON pos.p =
+        |    CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || cg.gram), 1, 15))::UBIGINT
+        |      % 2048 AS BIGINT)
+        |  GROUP BY 1, 2 HAVING COUNT(*) = 3),
+        |bmc AS (SELECT doc_id, COUNT(*) AS bloom_matched FROM bm GROUP BY 1),
+        |m AS (SELECT doc_id, COUNT(*) AS matched FROM cg
+        |      WHERE gram IN (SELECT gram FROM b) GROUP BY 1)
+        |SELECT c.doc_id, COALESCE(m.matched, 0) AS matched,
+        |  COALESCE(bmc.bloom_matched, 0) AS bloom_matched,
+        |  CAST(len(c.shingles) AS BIGINT) AS total
+        |FROM c LEFT JOIN m USING (doc_id) LEFT JOIN bmc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

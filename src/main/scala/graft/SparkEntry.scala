@@ -2062,6 +2062,31 @@ object SparkEntry {
     res
   }
 
+  /** q126 — Bloom-filter contamination pre-screen (Contamination.
+    * bloomBits/bloomNgramOverlap): q53's benchmark-overlap audit with
+    * the gram-set broadcast compressed to a 2048-bit Bloom filter —
+    * the probe is a zero-join scan-fused k-bit test per gram (the m-bit
+    * array rides the plan as one literal), which is what survives when
+    * the benchmark suite's gram set itself is too big to broadcast.
+    * Output joins the exact and Bloom counts per doc: bloom_matched ≥
+    * matched in EVERY row (false positives only add — the one-sided
+    * guarantee that makes the pre-filter safe: nothing contaminated
+    * escapes a Bloom screen). */
+  def q126BloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val cand = docs.filter(col("doc_id") % 97 =!= 0)
+    val exact = operators.Contamination.ngramOverlap(
+        cand, bench, col("doc_id"), col("text"), n = 3, denomFactor = 2)
+      .select(col("doc_id"), col("matched"), col("total"))
+    val bits = operators.Contamination.bloomBits(bench, col("text"),
+      n = 3, m = 2048, k = 3)
+    val bloom = operators.Contamination.bloomNgramOverlap(
+        cand, bits, col("doc_id"), col("text"), n = 3, k = 3)
+      .select(col("doc_id"), col("bloom_matched"))
+    exact.join(bloom, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2187,7 +2212,8 @@ object SparkEntry {
     "q122_streaming_ann_ingest" -> (q122StreamingAnnIngest _),
     "q123_reduced_ann_recall" -> (q123ReducedAnnRecall _),
     "q124_cms_heavy_hitters" -> (q124CmsHeavyHitters _),
-    "q125_streaming_heavy_hitters" -> (q125StreamingHeavyHitters _)
+    "q125_streaming_heavy_hitters" -> (q125StreamingHeavyHitters _),
+    "q126_bloom_contamination" -> (q126BloomContamination _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

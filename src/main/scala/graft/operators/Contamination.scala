@@ -64,6 +64,61 @@ object Contamination {
           .as("contaminated"))
   }
 
+  /** Build the m-bit Bloom filter of `benchmark`'s n-gram set: bit
+    * `hash60(j + ":" + gram) % m` set for each of the k salted hashes
+    * (the identical md5 position idiom as [[Sketch.cmsPos]] — a Bloom
+    * filter is the 1-bit Count-Min). Driver-side collect of the DISTINCT
+    * set positions only (≤ m booleans however large the benchmark) —
+    * index-build class, same as IVF centroids. The point at 100 TB:
+    * [[ngramOverlap]] broadcasts the benchmark's gram STRINGS (gigabytes
+    * for a large benchmark suite); the filter compresses that broadcast
+    * to m bits with a bounded, auditable false-positive rate (~(1-e^(-kn/m))^k),
+    * and the probe becomes a scan-fused O(k) bit test per gram — no join
+    * at all. False positives only ever ADD matches, so the pre-filter is
+    * safe for contamination screening: nothing contaminated escapes. */
+  def bloomBits(benchmark: DataFrame, text: Column, n: Int = 3,
+      m: Int = 2048, k: Int = 3): Seq[Boolean] = {
+    require(m >= 2, "m must be >= 2")
+    require(k >= 1, "k must be >= 1")
+    val grams = benchmark
+      .select(T.tokens(lower(text)).as("toks"))
+      .select(explode(T.tokenShingles(col("toks"), n)).as("gram"))
+      .distinct()
+    val positions = grams
+      .select(explode(array((0 until k).map(j =>
+        Sketch.cmsPos(j, col("gram"), m)): _*)).as("p"))
+      .distinct()
+      .collect().map(_.getLong(0).toInt)
+    val bits = Array.fill(m)(false)
+    positions.foreach(bits(_) = true)
+    bits.toSeq
+  }
+
+  /** [[ngramOverlap]]'s counting leg run against a Bloom filter instead
+    * of the exact gram set: (doc_id, bloom_matched, total) where
+    * `bloom_matched` counts the doc's distinct n-grams whose k bits are
+    * ALL set — a superset of the exact matched count (one-sided, like
+    * the CMS estimate; the driver query q126 pins bloom ≥ exact row by
+    * row against the same split). The probe is zero-join: the m-bit
+    * array rides the plan as ONE array literal and each gram pays k
+    * md5+element_at tests fused into the scan — candidate documents
+    * never shuffle and nothing is broadcast but the bits. */
+  def bloomNgramOverlap(candidates: DataFrame, bits: Seq[Boolean],
+      id: Column, text: Column, n: Int = 3, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val m = bits.size
+    val bitsLit = typedlit(bits)
+    val cand = candidates
+      .select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+      .select(col("doc_id"), T.tokenShingles(col("toks"), n).as("sh"))
+    val maybe = (g: Column) => (0 until k)
+      .map(j => element_at(bitsLit, (Sketch.cmsPos(j, g, m) + lit(1L)).cast("int")))
+      .reduce(_ && _)
+    cand.select(col("doc_id"),
+      size(filter(col("sh"), maybe)).cast("long").as("bloom_matched"),
+      size(col("sh")).cast("long").as("total"))
+  }
+
   /** Cross-split near-duplicate leakage — the OTHER contamination axis:
     * [[ngramOverlap]] audits a corpus against an external benchmark;
     * this audits a corpus against its OWN train/val/test split, finding

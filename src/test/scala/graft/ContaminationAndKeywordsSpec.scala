@@ -46,6 +46,49 @@ class ContaminationAndKeywordsSpec extends SparkSpecBase {
     plan should include("BroadcastHashJoin")
   }
 
+  test("bloom: no false negatives — every exact match bloom-matches; superset per doc") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "zz yy xx ww vv"),
+      (3L, "alpha beta gamma nine ten eleven")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val bits = Contamination.bloomBits(bench, col("text"), n = 3, m = 2048, k = 3)
+    bits.size shouldBe 2048
+    val bloom = Contamination.bloomNgramOverlap(docs, bits, col("doc_id"),
+        col("text"), n = 3, k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val exact = Contamination.ngramOverlap(docs, bench, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    bloom.zip(exact).foreach { case ((id, bm, tot), (eid, em, etot, _)) =>
+      id shouldBe eid
+      tot shouldBe etot
+      bm should be >= em // one-sided: false positives only ever ADD
+    }
+    // at m=2048 with 4 benchmark trigrams, doc 1's 2 exact matches and
+    // doc 2's 0 must come back exactly (no collision in a near-empty filter
+    // under the fixed md5 hash — deterministic)
+    bloom.map(t => (t._1, t._2)) shouldBe Seq((1L, 2L), (2L, 0L), (3L, 1L))
+  }
+
+  test("bloom: a saturated tiny filter over-matches but never under-matches") {
+    val docs = Seq((1L, "one two three four"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    // m=8 with 16 benchmark trigrams × 2 hashes: essentially all bits set,
+    // so disjoint docs still "match" — the false-positive side made visible
+    val bits = Contamination.bloomBits(bench, col("text"), n = 3, m = 8, k = 2)
+    val out = Contamination.bloomNgramOverlap(docs, bits, col("doc_id"),
+        col("text"), n = 3, k = 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val exactMatched = Contamination.ngramOverlap(docs, bench, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().map(_._2)
+    out.map(_._2).zip(exactMatched).foreach { case (bm, em) => bm should be >= em }
+    out.map(_._2).sum should be > 0L // saturation produced false positives
+  }
+
   test("unigramSurprisal: whole-bit self-information, exact on known freqs") {
     import spark.implicits._
     import graft.operators.Keywords
