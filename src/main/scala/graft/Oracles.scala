@@ -2428,6 +2428,37 @@ private[graft] object Oracles {
         |  COALESCE(bmc.bloom_matched, 0) AS bloom_matched,
         |  CAST(len(c.shingles) AS BIGINT) AS total
         |FROM c LEFT JOIN m USING (doc_id) LEFT JOIN bmc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q127: SemDeDup — hash-chosen centroids (q49's ctr CTE at 16),
+    // argmin cell assignment, within-cell exact-cosine pairs, recursive
+    // min-label closure (q43's reach pattern)
+    "q127_semantic_dedup" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ctr AS (SELECT v AS cv,
+        |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+        |        FROM e
+        |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (SELECT e.vec_id, e.v, c.idx,
+        |          list_inner_product(e.v, e.v)
+        |            - 2.0 * list_inner_product(e.v, c.cv)
+        |            + list_inner_product(c.cv, c.cv) AS d
+        |        FROM e CROSS JOIN ctr c),
+        |cell AS (SELECT vec_id, v, idx AS cell FROM asg
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE CASE WHEN sqrt(list_inner_product(a.v, a.v))
+        |                      * sqrt(list_inner_product(b.v, b.v)) = 0 THEN 0.0
+        |            ELSE list_inner_product(a.v, b.v) /
+        |              (sqrt(list_inner_product(a.v, a.v))
+        |                * sqrt(list_inner_product(b.v, b.v))) END >= 0.35),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.r FROM edges e2 JOIN reach r ON r.id = e2.dst)
+        |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
   )
 }

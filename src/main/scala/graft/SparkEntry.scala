@@ -2087,6 +2087,22 @@ object SparkEntry {
     exact.join(bloom, Seq("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** q127 — SemDeDup semantic dedup clusters (Dedup.semanticNearDupPairs
+    * → connectedComponentsStar): paraphrase-class duplicates found in
+    * EMBEDDING space — cluster under the 16 hash-chosen centroids,
+    * compare within cells only (the cross product demoted to per-cell),
+    * exact cosine ≥ 0.35, then the pair graph contracted to components
+    * (keep-min-id = each cluster's representative is its component
+    * label). The blocking, the cosine arithmetic, and the recursive
+    * closure all replay in the oracle — the whole approximate pipeline
+    * hash-checks. */
+  def q127SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.semanticNearDupPairs(
+      t(s, dir, "embeddings"), nCells = 16, threshold = 0.35)
+    Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+      .orderBy(col("id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2213,7 +2229,8 @@ object SparkEntry {
     "q123_reduced_ann_recall" -> (q123ReducedAnnRecall _),
     "q124_cms_heavy_hitters" -> (q124CmsHeavyHitters _),
     "q125_streaming_heavy_hitters" -> (q125StreamingHeavyHitters _),
-    "q126_bloom_contamination" -> (q126BloomContamination _)
+    "q126_bloom_contamination" -> (q126BloomContamination _),
+    "q127_semantic_dedup" -> (q127SemanticDedup _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -714,4 +714,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), V.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): cluster
+    * the embedding space and compare WITHIN CLUSTERS only — the dedup
+    * move for paraphrases and re-renderings that share no n-grams (so
+    * MinHash can't see them) but sit on top of each other in embedding
+    * space. The quantizer is [[Similarity.hashCentroids]] — the
+    * training-free deterministic centroid pick — so the whole path
+    * (assignment argmin, within-cell pairs, exact cosine threshold)
+    * hash-checks against a SQL oracle; swap in k-means centroids at
+    * production scale, the pair semantics don't change.
+    *
+    * Scale: the cross product is demoted to per-cell — with nCells sized
+    * ~N/1000 each cell compares ~10⁶ pairs however big the corpus, and
+    * cells are independent shuffle keys. Norms ride the assignment pass
+    * (one sqrt per VECTOR, not per pair — the [[Similarity]] scored-join
+    * idiom). Input must carry (vec_id, embedding); returns
+    * (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold. */
+  def semanticNearDupPairs(embeddings: DataFrame, nCells: Int,
+      threshold: Double = 0.95): DataFrame = {
+    require(nCells >= 1, "nCells must be >= 1")
+    val centroids = Similarity.hashCentroids(embeddings, nCells)
+    val asg = Similarity.assignCells(embeddings, centroids)
+    val a = asg.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"), col("c_norm").as("n_a"))
+    val b = asg.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"), col("c_norm").as("n_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("denom", col("n_a") * col("n_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("denom") === 0.0, 0.0)
+          .otherwise(V.dot(col("v_a"), col("v_b")) / col("denom")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

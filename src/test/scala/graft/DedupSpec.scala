@@ -401,4 +401,41 @@ class DedupSpec extends SparkSpecBase {
     e.getMessage should include("rowsPerBand=2")
     spark.catalog.clearCache()
   }
+
+  test("semanticNearDupPairs: nCells=1 equals the exact all-pairs cosine threshold") {
+    // 2-d toy embeddings: two near-parallel pairs and an orthogonal loner
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.05f, 0.98f)),
+      (5L, Seq(-1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticNearDupPairs(e, nCells = 1, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSeq
+    got shouldBe Seq((1L, 2L), (3L, 4L))
+  }
+
+  test("semanticNearDupPairs: cell blocking compares within cells only") {
+    // 40 vectors in two tight antipodal clusters: with 2 centroids every
+    // cross-cluster pair is blocked, and within-cluster cosines pass
+    val e = (0L until 40L).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Seq(sign * 1.0f, sign * (0.9f + (i % 5) * 0.02f)))
+    }.toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDupPairs(e, nCells = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    pairs should not be empty
+    // no pair straddles the parity split (opposite-sign vectors have
+    // cosine ~ -1 anyway, but the BLOCKING must keep them from pairing:
+    // assert via cell purity — every pair shares its endpoints' parity)
+    pairs.foreach { case (a, b, cos) =>
+      (a % 2) shouldBe (b % 2)
+      cos should be >= 0.9
+    }
+    // the exact all-pairs answer at the same threshold is identical here
+    // (clusters are antipodal, so blocking loses nothing)
+    val exact = Dedup.semanticNearDupPairs(e, nCells = 1, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    pairs.sorted shouldBe exact
+  }
 }
