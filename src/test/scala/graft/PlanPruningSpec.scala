@@ -28,14 +28,16 @@ class PlanPruningSpec extends SparkSpecBase {
         allScans(q.plan)
     }.flatten
 
-  private def scanSchemas(name: String): Map[String, Set[String]] = {
-    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+  private def scanSchemasOf(
+      df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
     allScans(df.queryExecution.sparkPlan).map { f =>
       val table = f.relation.location.rootPaths.head.getName
         .stripSuffix(".parquet")
       table -> f.requiredSchema.fieldNames.toSet
     }.toMap
-  }
+
+  private def scanSchemas(name: String): Map[String, Set[String]] =
+    scanSchemasOf(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
 
   test("q26 language-ID reads only (text, lang) from documents") {
     scanSchemas("q26_language_id")("documents") shouldBe Set("text", "lang")
@@ -184,6 +186,26 @@ class PlanPruningSpec extends SparkSpecBase {
       val s = scanSchemas(q)("embeddings")
       s.subsetOf(Set("vec_id", "embedding")) shouldBe true
     }
+  }
+
+  test("q124 CMS heavy hitters reads only text from documents") {
+    scanSchemas("q124_cms_heavy_hitters")("documents") shouldBe Set("text")
+  }
+
+  test("q126 Bloom pre-screen reads only (doc_id, text) from documents") {
+    scanSchemas("q126_bloom_contamination")("documents") shouldBe
+      Set("doc_id", "text")
+  }
+
+  test("q127 semantic pair join prunes the unused label column from embeddings") {
+    // the driver query's components stage localCheckpoints (truncating
+    // lineage), so the pruning contract is pinned on the PAIR stage —
+    // the one that actually scans the corpus
+    val pairs = graft.operators.Dedup.semanticNearDupPairs(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      nCells = 4, threshold = 0.35)
+    scanSchemasOf(pairs)("embeddings")
+      .subsetOf(Set("vec_id", "embedding")) shouldBe true
   }
 
   test("q99 z-order reads only (l_partkey, l_suppkey) from lineitem") {
