@@ -514,6 +514,75 @@ private[graft] object Oracles {
   private val dedupComponentsOracle: String = dedupClosureCtes +
     "\nSELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id"
 
+  /** q128's oracle — the two-round STREAMING SEMANTIC admission replayed
+    * in SQL: stage 0 = the standing 80% (md5 split, q121's), stages 1/2
+    * the two mod-time-ordered micro-batches; centroids from stage 0
+    * ONLY (the frozen quantizer), every vector assigned under them; per
+    * round, batch-vs-index cell-blocked cosine matches, then
+    * within-batch pairs → recursive min-label closure → min-id
+    * representatives; round 2's index includes round 1's admissions.
+    * The cosine condition is interpolated once (exactly q127's IEEE
+    * tree), so the two sides cannot drift. */
+  private def q128OracleSql: String = {
+    def cos(a: String, b: String): String =
+      s"CASE WHEN sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)) = 0 " +
+        s"THEN 0.0 ELSE list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) " +
+        s"* sqrt(list_inner_product($b, $b))) END"
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'cccc' THEN 0
+       |             WHEN vec_id % 2 = 0 THEN 1 ELSE 2 END AS stage
+       |      FROM embeddings),
+       |ctr AS (SELECT v AS cv,
+       |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+       |        FROM e WHERE stage = 0
+       |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+       |asg AS (SELECT e.vec_id, e.stage, e.v, c.idx,
+       |          list_inner_product(e.v, e.v)
+       |            - 2.0 * list_inner_product(e.v, c.cv)
+       |            + list_inner_product(c.cv, c.cv) AS d
+       |        FROM e CROSS JOIN ctr c),
+       |cell AS (SELECT vec_id, stage, v, idx AS cell FROM asg
+       |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+       |m1 AS (SELECT DISTINCT n.vec_id FROM cell n JOIN cell o ON n.cell = o.cell
+       |       WHERE n.stage = 1 AND o.stage = 0 AND ${cos("n.v", "o.v")} >= 0.35),
+       |sv1 AS (SELECT vec_id FROM cell WHERE stage = 1
+       |        AND vec_id NOT IN (SELECT vec_id FROM m1)),
+       |p1 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       WHERE a.vec_id IN (SELECT vec_id FROM sv1)
+       |         AND b.vec_id IN (SELECT vec_id FROM sv1)
+       |         AND ${cos("a.v", "b.v")} >= 0.35),
+       |e1 AS (SELECT id_a AS src, id_b AS dst FROM p1
+       |       UNION SELECT id_b, id_a FROM p1),
+       |reach1(id, r) AS (SELECT src, src FROM e1
+       |  UNION SELECT e2.src, r.r FROM e1 e2 JOIN reach1 r ON r.id = e2.dst),
+       |comp1 AS (SELECT id, MIN(r) AS comp FROM reach1 GROUP BY id),
+       |adm1 AS (SELECT sv1.vec_id FROM sv1 LEFT JOIN comp1 ON comp1.id = sv1.vec_id
+       |         WHERE comp1.id IS NULL OR comp1.comp = sv1.vec_id),
+       |ix2 AS (SELECT vec_id FROM cell WHERE stage = 0
+       |        UNION ALL SELECT vec_id FROM adm1),
+       |m2 AS (SELECT DISTINCT n.vec_id FROM cell n JOIN cell o ON n.cell = o.cell
+       |       WHERE n.stage = 2 AND o.vec_id IN (SELECT vec_id FROM ix2)
+       |         AND ${cos("n.v", "o.v")} >= 0.35),
+       |sv2 AS (SELECT vec_id FROM cell WHERE stage = 2
+       |        AND vec_id NOT IN (SELECT vec_id FROM m2)),
+       |p2 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       WHERE a.vec_id IN (SELECT vec_id FROM sv2)
+       |         AND b.vec_id IN (SELECT vec_id FROM sv2)
+       |         AND ${cos("a.v", "b.v")} >= 0.35),
+       |e2x AS (SELECT id_a AS src, id_b AS dst FROM p2
+       |        UNION SELECT id_b, id_a FROM p2),
+       |reach2(id, r) AS (SELECT src, src FROM e2x
+       |  UNION SELECT e3.src, r.r FROM e2x e3 JOIN reach2 r ON r.id = e3.dst),
+       |comp2 AS (SELECT id, MIN(r) AS comp FROM reach2 GROUP BY id),
+       |adm2 AS (SELECT sv2.vec_id FROM sv2 LEFT JOIN comp2 ON comp2.id = sv2.vec_id
+       |         WHERE comp2.id IS NULL OR comp2.comp = sv2.vec_id)
+       |SELECT vec_id FROM adm1 UNION ALL SELECT vec_id FROM adm2
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private val keepBestOracle: String = dedupClosureCtes +
     """,
       |comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
@@ -2459,6 +2528,7 @@ private[graft] object Oracles {
         |  SELECT src, src FROM edges
         |  UNION
         |  SELECT e2.src, r.r FROM edges e2 JOIN reach r ON r.id = e2.dst)
-        |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
+        |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q128_streaming_semantic_admission" -> q128OracleSql
   )
 }

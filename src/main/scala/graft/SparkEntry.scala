@@ -2103,6 +2103,43 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** q128 — STREAMING SEMANTIC admission (SemanticAdmission.runAdmission):
+    * the SemDeDup ingest gate run continuously — the new 20% of
+    * embeddings stream in two micro-batches against the standing 80%'s
+    * IVF index artifact (q122's fixtures, hard-linked); each batch is
+    * cosine-near-dup checked in the frozen centroids' cells, survivors
+    * dedup among themselves (star components, min-id), and admitted
+    * index rows fold back so batch 2 dedups against batch 1's
+    * admissions. The oracle replays both rounds in SQL — cells,
+    * cosines, recursive closures, and the growing index — so the
+    * streaming loop hash-checks end to end (the embedding-space q116). */
+  def q128StreamingSemanticAdmission(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q128_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix")
+    linkTree(java.nio.file.Paths.get(standingAnn80Index(s, dir)), ix)
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    java.nio.file.Files.list(q122Landing(s, dir)).forEach { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    val admitted = streaming.SemanticAdmission.runAdmission(s, landing.toString,
+        ix.toString, root.resolve("out").toString,
+        threshold = 0.35, maxFilesPerTrigger = Some(1))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+      // pin the admitted-ids-sized result off the temp trees so the
+      // index-sized scratch can be deleted now rather than leaking
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(root.toFile)
+    admitted
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2230,7 +2267,8 @@ object SparkEntry {
     "q124_cms_heavy_hitters" -> (q124CmsHeavyHitters _),
     "q125_streaming_heavy_hitters" -> (q125StreamingHeavyHitters _),
     "q126_bloom_contamination" -> (q126BloomContamination _),
-    "q127_semantic_dedup" -> (q127SemanticDedup _)
+    "q127_semantic_dedup" -> (q127SemanticDedup _),
+    "q128_streaming_semantic_admission" -> (q128StreamingSemanticAdmission _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -735,7 +735,11 @@ object Dedup {
       threshold: Double = 0.95): DataFrame = {
     require(nCells >= 1, "nCells must be >= 1")
     val centroids = Similarity.hashCentroids(embeddings, nCells)
-    val asg = Similarity.assignCells(embeddings, centroids)
+    // both sides of the self-join read the assignment — persisted so the
+    // argmin pass runs once (the shingle-frame cache-lifecycle contract:
+    // caller clears when done)
+    val asg = Similarity.assignCellsTable(embeddings, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = asg.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("v_a"), col("c_norm").as("n_a"))
     val b = asg.select(col("cell"), col("vec_id").as("id_b"),
@@ -747,5 +751,52 @@ object Dedup {
         when(col("denom") === 0.0, 0.0)
           .otherwise(V.dot(col("v_a"), col("v_b")) / col("denom")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** SEMANTIC incremental admission — [[admitNewDocs]]'s contract moved
+    * into embedding space: a new batch of vectors is near-dup-checked
+    * (cosine ≥ threshold, [[semanticNearDupPairs]]' cell blocking under
+    * the CALLER's frozen centroids) against the standing index rows,
+    * survivors dedup among themselves (within-batch same-cell pairs →
+    * star components → min-id representative), and the admitted vec_ids
+    * come back. `standing` is index-shaped — (cell, vec_id, embedding,
+    * c_norm), exactly what [[Similarity.writeIvfFlatIndex]] materializes
+    * — so each ingest pays |batch| assignment + cell-bounded probes,
+    * never a rescan of the standing corpus beyond the probed cells' rows.
+    * The centroids MUST be the ones the standing rows were assigned
+    * under (the artifact's frozen quantizer): assigning the batch under
+    * different centroids silently mis-blocks the probe. */
+  def admitNewVecs(newVecs: DataFrame, standing: DataFrame,
+      centroids: Seq[Seq[Double]], threshold: Double = 0.95): DataFrame = {
+    def cos(va: Column, vb: Column, na: Column, nb: Column): Column = {
+      val denom = na * nb
+      when(denom === 0.0, 0.0).otherwise(V.dot(va, vb) / denom)
+    }
+    // the batch plan feeds the probe, the survivor self-join AND the
+    // final admitted evaluation — pin one evaluation (admitCore's idiom)
+    val asg = Similarity.assignCellsTable(newVecs, centroids).localCheckpoint(true)
+    val ix = standing.select(col("cell"), col("embedding").as("v_o"),
+      col("c_norm").as("n_o"))
+    val matched = asg
+      .select(col("cell"), col("vec_id").as("id_n"),
+        col("embedding").as("v_n"), col("c_norm").as("n_n"))
+      .join(ix, Seq("cell"))
+      .filter(cos(col("v_n"), col("v_o"), col("n_n"), col("n_o")) >= threshold)
+      .select(col("id_n")).distinct()
+    val sv = asg.join(matched, asg("vec_id") === matched("id_n"), "left_anti")
+      .localCheckpoint(true)
+    val a = sv.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"), col("c_norm").as("n_a"))
+    val b = sv.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"), col("c_norm").as("n_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cos(col("v_a"), col("v_b"), col("n_a"), col("n_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+    sv.select(col("vec_id"))
+      .join(comps, sv("vec_id") === comps("id"), "left")
+      .filter(col("comp").isNull || col("comp") === sv("vec_id"))
+      .select(sv("vec_id"))
   }
 }

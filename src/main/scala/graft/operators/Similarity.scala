@@ -697,6 +697,42 @@ object Similarity {
         array_min(cellStructs(col("embedding"), centroids))
           .getField("idx").cast("int"))
 
+  /** [[assignCells]] with the centroid set as ONE table literal — the
+    * past-the-codegen-cliff form ([[pqTopKTable]]'s lesson applied to
+    * assignment): [[cellStructs]] unrolls nCells struct branches ×
+    * dim-literal arrays into the generated source, and Janino
+    * compilation cost grows superlinearly with that — measured at 64
+    * centroids × 64 dims the assignment STAGE spends seconds compiling
+    * a multi-megabyte method (the argmin itself is milliseconds). Here
+    * the centroids ride the plan as one array-of-arrays literal plus a
+    * driver-computed self-dot table ([[leftFoldDot]], the exact fold),
+    * and the argmin is a `transform` over it — an O(1)-node plan at any
+    * nCells. The distances are the IDENTICAL IEEE tree
+    * (`(v·v − 2.0·(v·c)) + c·c`, HOF dot ≡ native VecDot is
+    * spec-pinned), so cells and norms are bit-equal to [[assignCells]]
+    * — asserted by spec, and by every oracle downstream of a caller. */
+  private[graft] def assignCellsTable(vecs: DataFrame,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val ctrTable = typedlit(centroids)
+    val selfDots = typedlit(centroids.map(c => leftFoldDot(c, c)))
+    val v = col("embedding")
+    // the per-centroid dot rides the lambda as the NATIVE VecDot (its
+    // interpreted eval is a tight array loop — HOF-composed aggregate/
+    // zip_with lambdas cost ~5× per element); v·v is loop-invariant and
+    // hoisted into its own projection so the transform doesn't recompute
+    // it nCells× per row
+    val structs = transform(ctrTable, (c, i) =>
+      struct(
+        ((col("__vv") - lit(2.0) * V.dot(v, c))
+          + element_at(selfDots, i + 1)).as("d"),
+        i.as("idx")))
+    vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("c_norm", V.l2Norm(col("embedding")))
+      .withColumn("__vv", V.dot(v, v))
+      .withColumn("cell", array_min(structs).getField("idx").cast("int"))
+      .drop("__vv")
+  }
+
   /** Fold the streamed assignment table back into the batch one — the
     * index's compaction. A continuous [[graft.streaming.AnnIngest]]
     * accretes one file set per micro-batch under `assignments_stream/`

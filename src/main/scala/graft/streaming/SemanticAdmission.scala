@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.operators.{Dedup, Similarity}
+
+/** STREAMING SEMANTIC ADMISSION — [[AdmissionStream]]'s continuous-ingest
+  * loop moved into embedding space, composed with the ANN index artifact:
+  * a vector stream lands in micro-batches, each batch is cosine-near-dup
+  * checked ([[Dedup.admitNewVecs]] — cell blocking under the artifact's
+  * FROZEN centroids) against the standing [[Similarity.writeIvfFlatIndex]]
+  * assignments, admitted vectors append to the output table AND their
+  * index rows fold back — so the next batch dedups against everything
+  * admitted before it. This is the SemDeDup ingest gate: a paraphrase of
+  * an already-admitted document is rejected even though it shares no
+  * n-grams with it (the case [[AdmissionStream]]'s MinHash gate cannot
+  * see).
+  *
+  * Same state discipline as the text loop: admission state is the
+  * corpus-sized index in shared storage, not executor state (no key
+  * horizon bounds a years-later duplicate); each batch pays |batch|
+  * assignment plus probes bounded by the touched cells' rows. Exactly-once
+  * is the batchId-subdir pattern — output and fold-back rows land under
+  * `batch-<id>` (a replayed batch overwrites itself), and the probe reads
+  * the streamed tree MINUS the batch's own subdir, so a prior attempt's
+  * rows never self-match the replay (every vector is cosine 1.0 with
+  * itself; probing them would reject the whole batch and the overwrite
+  * would silently drop it — the [[AdmissionStream]] lesson).
+  *
+  * Index layout: `indexPath/centroids` + `indexPath/assignments` are the
+  * seeded artifact (untouched); admissions fold into
+  * `indexPath/stream/batch-<id>/` with `cell` as a DATA column — probe
+  * pruning on the streamed rows is row-group min/max, not directory
+  * partitioning. At firehose cadence the streamed tree accretes one
+  * subdir per batch; [[Similarity.compactIvfFlatIndex]]'s fold-back is
+  * the maintenance shape (run between ingest sessions).
+  */
+object SemanticAdmission {
+
+  /** Landing schema fallback for an empty landing dir (stream opened
+    * before the first file lands — footer probing needs a file). */
+  val defaultLandingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** The streamed index rows minus one batch's own subdir — the
+    * replay-idempotence read. Empty (None) when no batch has landed. */
+  private def streamedExcludingBatch(spark: SparkSession, indexPath: String,
+      excludeBatchId: Long): Option[DataFrame] = {
+    val base = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else {
+      val paths = fs.listStatus(base)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName != s"batch-$excludeBatchId")
+        .map(_.getPath.toString)
+      if (paths.isEmpty) None
+      else Some(spark.read.parquet(paths.toIndexedSeq: _*)
+        .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm")))
+    }
+  }
+
+  /** Run a bounded vector stream to completion, admitting each
+    * micro-batch against the `indexPath` artifact (seeded by
+    * [[Similarity.writeIvfFlatIndex]]; extended under `stream/` as
+    * batches admit). Admitted rows land under `outPath/batch-<id>/`;
+    * returns the admitted vectors frame. */
+  def runAdmission(spark: SparkSession, landingDir: String,
+      indexPath: String, outPath: String,
+      threshold: Double = 0.95,
+      maxFilesPerTrigger: Option[Int] = None,
+      schemaFallback: Option[StructType] = None): DataFrame = {
+    val ckpt = EventStreams.scratchDir("graft_semadmit_ckpt_")
+    val landingSchema =
+      scala.util.Try(spark.read.parquet(landingDir).schema).toOption
+        .orElse(schemaFallback).getOrElse(defaultLandingSchema)
+    // the frozen quantizer: read ONCE — the loop assigns every batch
+    // under the artifact's centroids, never re-derives them
+    val centroids = Similarity.readCentroids(spark, indexPath)
+    val seedAsg = spark.read.parquet(s"$indexPath/assignments")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
+    val reader = spark.readStream.schema(landingSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val vecs = batch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val standing = streamedExcludingBatch(spark, indexPath, batchId)
+          .map(seedAsg.unionByName(_)).getOrElse(seedAsg)
+        val admittedIds = Dedup.admitNewVecs(vecs, standing, centroids, threshold)
+        val admitted = vecs.join(admittedIds, Seq("vec_id"), "left_semi")
+          .localCheckpoint(true)
+        admitted.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+        Similarity.assignCellsTable(admitted, centroids)
+          .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
+          .write.mode("overwrite").parquet(s"$indexPath/stream/batch-$batchId")
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(ckpt.toFile)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    if (outP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outP))
+      spark.read.option("recursiveFileLookup", "true").parquet(outPath)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(landingSchema.filter(f =>
+          f.name == "vec_id" || f.name == "embedding")))
+  }
+}

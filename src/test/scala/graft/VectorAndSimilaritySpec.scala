@@ -292,6 +292,21 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     approx.exceptAll(again).count() shouldBe 0L
   }
 
+  test("assignCellsTable is bit-identical to the struct-form assignment") {
+    // the table-literal form exists because the struct form's generated
+    // source grows with nCells × dim (the Janino cliff) — the contract
+    // is identical cells, norms, and rows at ANY centroid count
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    for (n <- Seq(1, 8, 64)) {
+      val ctr = Similarity.hashCentroids(e, n)
+      val a = Similarity.assignCells(e, ctr).orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      val b = Similarity.assignCellsTable(e, ctr).orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      b shouldBe a
+    }
+  }
+
   test("lloydRefine: deterministic, moves non-empty cells, keeps empty-cell seeds") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val seeds = Similarity.hashCentroids(e, 8)
