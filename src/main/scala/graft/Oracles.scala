@@ -2529,6 +2529,47 @@ private[graft] object Oracles {
         |  UNION
         |  SELECT e2.src, r.r FROM edges e2 JOIN reach r ON r.id = e2.dst)
         |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
-    "q128_streaming_semantic_admission" -> q128OracleSql
+    "q128_streaming_semantic_admission" -> q128OracleSql,
+    // q129: two chained Lloyd rounds — hash seeds (q33's ctr0), argmin
+    // assignment, q56's integer-quantized means, floor-of-double-division
+    // next centroids (portable where integral div truncates negatives)
+    // with empty-cell seed fallback, then the second round's means
+    "q129_kmeans_train" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ctr0 AS (SELECT v AS cv,
+        |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+        |         FROM e
+        |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |asg0 AS (SELECT e.vec_id, e.v, c.idx,
+        |           list_inner_product(e.v, e.v)
+        |             - 2.0 * list_inner_product(e.v, c.cv)
+        |             + list_inner_product(c.cv, c.cv) AS d
+        |         FROM e CROSS JOIN ctr0 c),
+        |cell0 AS (SELECT vec_id, v, idx AS cell FROM asg0
+        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+        |sums0 AS (SELECT cell, r.i AS pos0,
+        |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
+        |            COUNT(*) AS n
+        |          FROM cell0, range(64) AS r(i) GROUP BY 1, 2),
+        |c1 AS (SELECT cell,
+        |         list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+        |              / 1000000.0 ORDER BY pos0) AS cv
+        |       FROM sums0 GROUP BY cell),
+        |ctr1 AS (SELECT s.idx, COALESCE(c.cv, s.cv) AS cv
+        |         FROM ctr0 s LEFT JOIN c1 c ON c.cell = s.idx),
+        |asg1 AS (SELECT e.vec_id, e.v, c.idx,
+        |           list_inner_product(e.v, e.v)
+        |             - 2.0 * list_inner_product(e.v, c.cv)
+        |             + list_inner_product(c.cv, c.cv) AS d
+        |         FROM e CROSS JOIN ctr1 c),
+        |cell1 AS (SELECT vec_id, v, idx AS cell FROM asg1
+        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+        |sums1 AS (SELECT cell, r.i AS pos0,
+        |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
+        |            COUNT(*) AS n
+        |          FROM cell1, range(64) AS r(i) GROUP BY 1, 2)
+        |SELECT CAST(cell AS INTEGER) AS cell, CAST(pos0 + 1 AS INTEGER) AS pos,
+        |  CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS centroid_q, n
+        |FROM sums1 ORDER BY cell, pos""".stripMargin
   )
 }

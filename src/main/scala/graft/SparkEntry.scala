@@ -2140,6 +2140,20 @@ object SparkEntry {
     admitted
   }
 
+  /** q129 — distributed k-means training (Similarity.lloydTrain): two
+    * full Lloyd rounds over the embeddings with centroids as a broadcast
+    * FRAME — assignment argmin collapses map-side, means are the exact
+    * integer-quantized aggregation, nothing is collected after the
+    * bounded seed pick. The oracle chains both rounds as CTEs (seed →
+    * assign → quantized means → floor-div centroids with empty-cell
+    * fallback → assign → means), so the trainer — the piece that turns
+    * the IVF family's hash seeds into data-fitted quantizers at 100 TB
+    * — hash-checks end to end. */
+  def q129KmeansTrain(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.lloydTrain(
+      t(s, dir, "embeddings"), nCells = 8, rounds = 2)
+      .orderBy(col("cell"), col("pos"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2268,7 +2282,8 @@ object SparkEntry {
     "q125_streaming_heavy_hitters" -> (q125StreamingHeavyHitters _),
     "q126_bloom_contamination" -> (q126BloomContamination _),
     "q127_semantic_dedup" -> (q127SemanticDedup _),
-    "q128_streaming_semantic_admission" -> (q128StreamingSemanticAdmission _)
+    "q128_streaming_semantic_admission" -> (q128StreamingSemanticAdmission _),
+    "q129_kmeans_train" -> (q129KmeansTrain _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -226,6 +226,75 @@ object Similarity {
         floor(col("sum_q").cast("double") / col("n").cast("double"))
           .cast("long").as("centroid_q"))
 
+  /** Fully-DISTRIBUTED iterated Lloyd training — the 100 TB form of
+    * [[lloydRefine]]: centroids live in a FRAME broadcast per round
+    * (nothing is ever collected after the bounded seed pick), assignment
+    * is a broadcast join + per-vector struct-argmin whose partial min
+    * collapses map-side (one corpus-row shuffle per round), and the new
+    * means are [[quantizedCentroids]]' integer aggregation — exact,
+    * order-independent, engine-portable. Rounds chain through
+    * `localCheckpoint` (the components-loop idiom). Next-round centroid
+    * components are `floor(Σ floor(x·scale) / n) / scale` — integer
+    * floor-of-double-division (the q56 idiom, portable for negative
+    * sums where integral `div` truncates) then ONE IEEE division — so
+    * the whole trainer replays as chained SQL CTEs (q129's oracle).
+    * Cells that attract no vectors keep their previous centroid, as in
+    * [[lloydRefine]]. Returns the FINAL round's quantized means:
+    * (cell, pos, centroid_q, n) with 1-based pos — feed
+    * `centroid_q / scale` to [[ivfFlatTopK]] as trained centroids. */
+  def lloydTrain(corpus: DataFrame, nCells: Int, rounds: Int = 2,
+      scale: Double = 1e6): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ctr = hashCentroids(corpus, nCells).zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "cv")
+    var sums: DataFrame = null
+    for (r <- 1 to rounds) {
+      val withC = vecs.crossJoin(
+        broadcast(ctr.withColumn("cc", V.dot(col("cv"), col("cv")))))
+      val d = (V.dot(col("v"), col("v")) - lit(2.0) * V.dot(col("v"), col("cv"))) +
+        col("cc")
+      val asg = withC
+        .select(col("vec_id"), col("v"),
+          struct(d.as("d"), col("cell").as("c")).as("dc"))
+        .groupBy(col("vec_id"))
+        // every row of a vec_id group carries the identical v — first()
+        // is deterministic here and avoids grouping on an array key
+        .agg(min(col("dc")).as("m"), first(col("v")).as("v"))
+        .select(col("vec_id"), col("m.c").as("cell"), col("v"))
+      sums = asg
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos0", "x")))
+        .groupBy(col("cell"), col("pos0"))
+        .agg(sum(floor(col("x") * scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      if (r < rounds) {
+        val next = sums
+          .select(col("cell"), col("pos0"),
+            (floor(col("s").cast("double") / col("n").cast("double"))
+              .cast("long").cast("double") / scale).as("cx"))
+          .groupBy(col("cell"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos0"), col("cx")))),
+            s => s.getField("cx")).as("new_cv"))
+        ctr = ctr.select(col("cell"), col("cv").as("seed_cv"))
+          .join(next, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("new_cv"), col("seed_cv")).as("cv"))
+          .localCheckpoint()
+      }
+    }
+    vecs.unpersist()
+    sums.select(col("cell"), (col("pos0") + 1).as("pos"),
+      floor(col("s").cast("double") / col("n").cast("double"))
+        .cast("long").as("centroid_q"),
+      col("n"))
+  }
+
   /** IVF with FIXED centroids (no training): every vector is assigned to
     * its nearest centroid by squared L2; queries probe their `nProbe`
     * nearest cells. The deterministic, oracle-checkable counterpart of

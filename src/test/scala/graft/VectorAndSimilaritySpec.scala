@@ -307,6 +307,28 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("lloydTrain: two clear clusters converge to their exact quantized means; deterministic") {
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.1f, 0.1f)), (3L, Seq(0.9f, -0.1f)),
+      (4L, Seq(-1.0f, 5.0f)), (5L, Seq(-1.1f, 5.1f)), (6L, Seq(-0.9f, 4.9f)))
+    val e = pts.toDF("vec_id", "embedding")
+    def run() = Similarity.lloydTrain(e, nCells = 2, rounds = 2)
+      .orderBy("cell", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val out = run()
+    out.size shouldBe 4 // 2 cells × 2 dims
+    out.foreach { case (_, _, _, n) => n shouldBe 3L }
+    // expected quantized means per cluster, via the operator's own
+    // integer formula over the exact float values
+    def q(x: Float) = math.floor(x.toDouble * 1e6).toLong
+    def mean(xs: Seq[Float]) = math.floor(xs.map(q).sum.toDouble / xs.size).toLong
+    val a = Seq(mean(Seq(1.0f, 1.1f, 0.9f)), mean(Seq(0.0f, 0.1f, -0.1f)))
+    val b = Seq(mean(Seq(-1.0f, -1.1f, -0.9f)), mean(Seq(5.0f, 5.1f, 4.9f)))
+    val byCell = out.groupBy(_._1).values.map(_.sortBy(_._2).map(_._3)).toSet
+    byCell shouldBe Set(a, b)
+    run() shouldBe out // deterministic end to end
+  }
+
   test("lloydRefine: deterministic, moves non-empty cells, keeps empty-cell seeds") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val seeds = Similarity.hashCentroids(e, 8)
