@@ -818,10 +818,12 @@ object Similarity {
     * Probe results are identical before and after (pinned by spec);
     * run it between ingest sessions, not concurrently with one. */
   def compactIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, targetFileBytes: Long = 128L << 20): Unit = {
+      indexPath: String, targetFileBytes: Long = 128L << 20,
+      streamedSubdir: String = "assignments_stream",
+      recursiveStreamed: Boolean = false): Unit = {
     val assignments = s"$indexPath/assignments"
     Upsert.recoverStagedSwap(assignments)
-    val streamedDir = new java.io.File(s"$indexPath/assignments_stream")
+    val streamedDir = new java.io.File(s"$indexPath/$streamedSubdir")
     if (!streamedDir.exists()) return
     def rm(f: java.io.File): Unit = if (f.exists()) {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -831,9 +833,16 @@ object Similarity {
     val old = new java.io.File(assignments + "__old")
     rm(staged); rm(old)
     val cols = Seq("vec_id", "embedding", "c_norm", "cell")
+    // the file-sink table (cell-partitioned) reads plain; the admission
+    // stream's batch-<id> subdirs carry cell as a data column and need
+    // the recursive lookup
+    val streamedReader =
+      if (recursiveStreamed)
+        spark.read.option("recursiveFileLookup", "true")
+      else spark.read
     val union = spark.read.parquet(assignments).select(cols.map(col): _*)
       .unionByName(
-        spark.read.parquet(streamedDir.getPath).select(cols.map(col): _*))
+        streamedReader.parquet(streamedDir.getPath).select(cols.map(col): _*))
       .dropDuplicates("vec_id")
     val bytes = math.max(1L, Maintenance.tableBytes(assignments))
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt

@@ -63,6 +63,20 @@ object SemanticAdmission {
     }
   }
 
+  /** Fold the streamed admission rows (`stream/batch-*`) into the
+    * artifact's cell-partitioned `assignments` table and drop the
+    * streamed tree — [[Similarity.compactIvfFlatIndex]]'s staged-swap
+    * fold pointed at this loop's layout. Bounds the O(batches) subdir
+    * listing growth; admissions afterwards are identical (the standing
+    * set is seed ∪ admitted either way — pinned by spec). Run BETWEEN
+    * ingest sessions, never concurrently with one: a mid-stream fold
+    * would move a replaying batch's own prior rows into `assignments`,
+    * where the self-exclusion cannot see them. */
+  def compactStream(spark: SparkSession, indexPath: String,
+      targetFileBytes: Long = 128L << 20): Unit =
+    Similarity.compactIvfFlatIndex(spark, indexPath, targetFileBytes,
+      streamedSubdir = "stream", recursiveStreamed = true)
+
   /** Run a bounded vector stream to completion, admitting each
     * micro-batch against the `indexPath` artifact (seeded by
     * [[Similarity.writeIvfFlatIndex]]; extended under `stream/` as

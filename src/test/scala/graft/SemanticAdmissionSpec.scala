@@ -63,6 +63,66 @@ class SemanticAdmissionSpec extends SparkSpecBase {
     again shouldBe streamed
   }
 
+  test("compactStream between sessions: fold clears the tree, admissions unchanged") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isNew = substring(md5(col("vec_id").cast("string")), 1, 4) >= "cccc"
+    val b1 = e.filter(isNew && col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    val b2 = e.filter(isNew && col("vec_id") % 2 =!= 0).select("vec_id", "embedding")
+    def stage(root: java.nio.file.Path, name: String,
+        df: org.apache.spark.sql.DataFrame, mod: Long): String = {
+      val landing = root.resolve(s"landing_$name")
+      Files.createDirectory(landing)
+      val tmp = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, landing.resolve(s"$name.parquet"))
+      landing.resolve(s"$name.parquet").toFile.setLastModified(mod)
+      landing.toString
+    }
+    // control: ONE session over both files
+    val rootA = Files.createTempDirectory("graft_semcompact_a_")
+    val ixA = rootA.resolve("ix").toString
+    Similarity.writeIvfFlatIndex(e.filter(!isNew), nLists = 4, ixA)
+    val landA = rootA.resolve("landing")
+    Files.createDirectory(landA)
+    def landInto(dir: java.nio.file.Path, name: String,
+        df: org.apache.spark.sql.DataFrame, mod: Long): Unit = {
+      val tmp = rootA.resolve(s"st_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, dir.resolve(name))
+      dir.resolve(name).toFile.setLastModified(mod)
+      ()
+    }
+    landInto(landA, "a.parquet", b1, 1000000L)
+    landInto(landA, "b.parquet", b2, 2000000L)
+    val control = SemanticAdmission.runAdmission(spark, landA.toString, ixA,
+        rootA.resolve("out").toString, threshold = 0.35,
+        maxFilesPerTrigger = Some(1))
+      .select(col("vec_id")).as[Long].collect().toSeq.sorted
+
+    // compacted: session 1 (file 1) → fold → session 2 (file 2); the
+    // fold is what makes session 2's batch-id restart at 0 SAFE (its
+    // batch-0 write cannot clobber session 1's, which now lives in
+    // assignments)
+    val rootB = Files.createTempDirectory("graft_semcompact_b_")
+    val ixB = rootB.resolve("ix").toString
+    Similarity.writeIvfFlatIndex(e.filter(!isNew), nLists = 4, ixB)
+    val l1 = stage(rootB, "s1", b1, 1000000L)
+    val adm1 = SemanticAdmission.runAdmission(spark, l1, ixB,
+        rootB.resolve("out1").toString, threshold = 0.35)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    SemanticAdmission.compactStream(spark, ixB)
+    new java.io.File(s"$ixB/stream").exists() shouldBe false
+    val l2 = stage(rootB, "s2", b2, 2000000L)
+    val adm2 = SemanticAdmission.runAdmission(spark, l2, ixB,
+        rootB.resolve("out2").toString, threshold = 0.35)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    (adm1 ++ adm2).sorted shouldBe control
+  }
+
   test("empty landing dir admits nothing and does not throw") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val root = Files.createTempDirectory("graft_semadmit_empty_")
