@@ -514,6 +514,37 @@ private[graft] object Oracles {
   private val dedupComponentsOracle: String = dedupClosureCtes +
     "\nSELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id"
 
+  /** q130's oracle — generated with the stand-in weight table rendered
+    * as a list literal (q28's planes discipline); the md5-salted bucket
+    * arithmetic mirrors [[graft.operators.Sketch.cmsPos]] and every sum
+    * is integer. */
+  private def q130OracleSql: String = {
+    val w = SparkEntry.q130Weights.mkString("[", ", ", "]")
+    def bucket(salt: Int, g: String): String =
+      s"CAST(('0x' || substr(md5('$salt:' || $g), 1, 15))::UBIGINT % 1024 AS INT) + 1"
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+       |  FROM documents),
+       |sh AS (SELECT doc_id, t,
+       |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_distinct(list_transform(
+       |           generate_series(1, greatest(len(t) - 1, 1)),
+       |           i -> array_to_string(t[i:i+1], ' '))) END AS bi
+       |  FROM d),
+       |wt AS (SELECT $w AS w),
+       |u AS (SELECT doc_id, SUM(w[${bucket(0, "tk")}]) AS s
+       |      FROM sh, wt, UNNEST(sh.t) AS x(tk) GROUP BY doc_id),
+       |b AS (SELECT doc_id, SUM(w[${bucket(1, "g")}]) AS s
+       |      FROM sh, wt, UNNEST(sh.bi) AS y(g) GROUP BY doc_id)
+       |SELECT sh.doc_id,
+       |  CAST(len(sh.t) + len(sh.bi) AS BIGINT) AS n_feats,
+       |  CAST(COALESCE(u.s, 0) + COALESCE(b.s, 0) AS BIGINT) AS score_micros,
+       |  (COALESCE(u.s, 0) + COALESCE(b.s, 0)) >= 0 AS kept
+       |FROM sh LEFT JOIN u USING (doc_id) LEFT JOIN b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q128's oracle — the two-round STREAMING SEMANTIC admission replayed
     * in SQL: stage 0 = the standing 80% (md5 split, q121's), stages 1/2
     * the two mod-time-ordered micro-batches; centroids from stage 0
@@ -2534,6 +2565,12 @@ private[graft] object Oracles {
     // assignment, q56's integer-quantized means, floor-of-double-division
     // next centroids (portable where integral div truncates negatives)
     // with empty-cell seed fallback, then the second round's means
+    // q130: the hashed linear quality model replayed in SQL — the
+    // weight vector rendered as a list literal from the SAME constant
+    // the engine folds over (SparkEntry.q130Weights); unigram bag sums
+    // every token instance, bigrams are distinct windows; all-integer,
+    // so the model score hash-checks exactly
+    "q130_model_quality_gate" -> q130OracleSql,
     "q129_kmeans_train" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ctr0 AS (SELECT v AS cv,

@@ -2154,6 +2154,23 @@ object SparkEntry {
       t(s, dir, "embeddings"), nCells = 8, rounds = 2)
       .orderBy(col("cell"), col("pos"))
 
+  /** q130's stand-in model weights — shared with the generated oracle
+    * (the q28-planes discipline: one constant, two renderings). */
+  private[graft] val q130Weights: Seq[Long] =
+    operators.QualityModel.hashWeights(1024, 7L)
+
+  /** q130 — model-based quality gate (QualityModel.score): the
+    * fastText-shaped hashed linear classifier — unigram bag + distinct
+    * bigrams hashed into 1024 buckets, one integer-micro weight vector
+    * riding the plan as a literal, the score an `aggregate` fold per
+    * row. Zero joins, zero shuffles: the model-filter pass costs one
+    * corpus scan at any scale, and the integer dot product hash-checks
+    * (a float model score could not). */
+  def q130ModelQualityGate(s: SparkSession, dir: String): DataFrame =
+    operators.QualityModel.score(t(s, dir, "documents"),
+      col("doc_id"), col("text"), q130Weights, bias = 0L)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2283,7 +2300,8 @@ object SparkEntry {
     "q126_bloom_contamination" -> (q126BloomContamination _),
     "q127_semantic_dedup" -> (q127SemanticDedup _),
     "q128_streaming_semantic_admission" -> (q128StreamingSemanticAdmission _),
-    "q129_kmeans_train" -> (q129KmeansTrain _)
+    "q129_kmeans_train" -> (q129KmeansTrain _),
+    "q130_model_quality_gate" -> (q130ModelQualityGate _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
