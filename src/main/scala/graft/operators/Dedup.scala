@@ -775,7 +775,14 @@ object Dedup {
     // the batch plan feeds the probe, the survivor self-join AND the
     // final admitted evaluation — pin one evaluation (admitCore's idiom)
     val asg = Similarity.assignCellsTable(newVecs, centroids).localCheckpoint(true)
-    val ix = standing.select(col("cell"), col("embedding").as("v_o"),
+    // probe only the cells the batch touches — a bounded collect (≤
+    // nCells ints, the ivfFlatProbe discipline) pushed as a literal IN,
+    // so a cell-partitioned standing table partition-prunes instead of
+    // scanning every cell for every batch
+    val batchCells = asg.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val ix = standing.filter(col("cell").isin(batchCells: _*))
+      .select(col("cell"), col("embedding").as("v_o"),
       col("c_norm").as("n_o"))
     val matched = asg
       .select(col("cell"), col("vec_id").as("id_n"),
