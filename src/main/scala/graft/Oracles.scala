@@ -2565,6 +2565,38 @@ private[graft] object Oracles {
     // assignment, q56's integer-quantized means, floor-of-double-division
     // next centroids (portable where integral div truncates negatives)
     // with empty-cell seed fallback, then the second round's means
+    // q131: banded recall vs exact all-pairs ground truth on the audit
+    // slice — same banding CTEs as the q43 family (r=1, df<=30), truth
+    // from the quadratic verified join the banding replaces
+    "q131_dedup_recall" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |      FROM documents WHERE trim(text) <> '' AND doc_id % 3 = 0),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |tp AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |       WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |             CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |               AS DOUBLE) >= 0.4),
+        |mh AS (SELECT s.doc_id, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, r.seed),
+        |bs AS (SELECT seed, m FROM mh GROUP BY seed, m HAVING COUNT(*) <= 30),
+        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |         FROM mh a JOIN mh b
+        |           ON a.seed = b.seed AND a.m = b.m AND a.doc_id < b.doc_id
+        |         JOIN bs ON bs.seed = a.seed AND bs.m = a.m),
+        |bp AS (SELECT c.ia, c.ib FROM cand c
+        |       JOIN sh sa ON sa.doc_id = c.ia
+        |       JOIN sh sb ON sb.doc_id = c.ib
+        |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        |               AS DOUBLE) >= 0.4)
+        |SELECT (SELECT COUNT(*) FROM tp) AS truth_pairs,
+        |       (SELECT COUNT(*) FROM bp) AS banded_pairs,
+        |       (SELECT COUNT(*) FROM tp) - (SELECT COUNT(*) FROM bp) AS missed""".stripMargin,
     // q130: the hashed linear quality model replayed in SQL — the
     // weight vector rendered as a list literal from the SAME constant
     // the engine folds over (SparkEntry.q130Weights); unigram bag sums

@@ -2171,6 +2171,19 @@ object SparkEntry {
       col("doc_id"), col("text"), q130Weights, bias = 0L)
       .orderBy(col("doc_id"))
 
+  /** q131 — banded-dedup recall audit (Dedup.bandedRecallReport): the
+    * exact all-pairs ground truth computed on a deliberate audit slice
+    * (doc_id ≡ 0 mod 3) against the SAME banding parameters the q43
+    * component pipeline runs at corpus scale — verification makes the
+    * banding precision-1, so the one number that needs watching is
+    * `missed`. The dedup-side counterpart of q119's ANN recall eval. */
+  def q131DedupRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandedRecallReport(
+      t(s, dir, "documents")
+        .filter(trim(col("text")) =!= "" && col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
+      threshold = 0.4, maxBandDf = Some(30L))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2301,7 +2314,8 @@ object SparkEntry {
     "q127_semantic_dedup" -> (q127SemanticDedup _),
     "q128_streaming_semantic_admission" -> (q128StreamingSemanticAdmission _),
     "q129_kmeans_train" -> (q129KmeansTrain _),
-    "q130_model_quality_gate" -> (q130ModelQualityGate _)
+    "q130_model_quality_gate" -> (q130ModelQualityGate _),
+    "q131_dedup_recall" -> (q131DedupRecall _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

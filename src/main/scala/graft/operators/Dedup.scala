@@ -753,6 +753,43 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Banded-dedup RECALL report — the ANN family's measure-before-trust
+    * discipline ([[Similarity.recallReport]]) pointed at the near-dup
+    * stack: exact-Jaccard verification makes the banded operators
+    * precision-1 (every emitted pair is verified true), so their ONLY
+    * error mode is MISSES — true pairs whose signatures never collide
+    * in any band (plus pairs a `maxBandDf` ceiling dropped). This counts
+    * them against the exact all-pairs ground truth:
+    * (truth_pairs, banded_pairs, missed), one row.
+    *
+    * The ground-truth leg is DELIBERATELY quadratic — run it on a
+    * capped audit slice (the caller's responsibility), never the
+    * corpus. The report is what justifies the (k, rowsPerBand,
+    * maxBandDf) the corpus-scale run then uses — the same before/after
+    * contract as the ANN recall eval. */
+  def bandedRecallReport(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBandDf: Option[Long] = None): DataFrame = {
+    val sh = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")),
+        col("doc_id"))
+      .select(col("doc_id"), T.tokens(lower(col("txt"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), T.tokenShingles(col("toks"), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .filter((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")) >= threshold)
+      .agg(count(lit(1)).as("truth_pairs"))
+    val banded = minhashNearDupPairs(df, id, text, shingleN, k,
+        rowsPerBand, threshold, maxBandDf)
+      .agg(count(lit(1)).as("banded_pairs"))
+    truth.crossJoin(banded)
+      .select(col("truth_pairs"), col("banded_pairs"),
+        (col("truth_pairs") - col("banded_pairs")).as("missed"))
+  }
+
   /** SEMANTIC incremental admission — [[admitNewDocs]]'s contract moved
     * into embedding space: a new batch of vectors is near-dup-checked
     * (cosine ≥ threshold, [[semanticNearDupPairs]]' cell blocking under

@@ -402,6 +402,32 @@ class DedupSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("bandedRecallReport: verified banding can only miss; ceiling-induced misses are counted") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five"),
+      (4L, "one two three four five"),
+      (5L, "p q r s t u"),
+      (6L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    // identical docs share every band — full recall without a ceiling
+    val full = Dedup.bandedRecallReport(docs, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4).collect().head
+    full.getAs[Long]("truth_pairs") shouldBe 2L
+    full.getAs[Long]("banded_pairs") shouldBe 2L
+    full.getAs[Long]("missed") shouldBe 0L
+    // a band-df ceiling of 1 drops every shared band (each has df 2), so
+    // the banding misses both true pairs — the report surfaces exactly that
+    val capped = Dedup.bandedRecallReport(docs, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4,
+      maxBandDf = Some(1L)).collect().head
+    capped.getAs[Long]("truth_pairs") shouldBe 2L
+    capped.getAs[Long]("banded_pairs") shouldBe 0L
+    capped.getAs[Long]("missed") shouldBe 2L
+    spark.catalog.clearCache()
+  }
+
   test("semanticNearDupPairs: nCells=1 equals the exact all-pairs cosine threshold") {
     // 2-d toy embeddings: two near-parallel pairs and an orthogonal loner
     val e = Seq(
