@@ -208,6 +208,20 @@ class PlanPruningSpec extends SparkSpecBase {
       .subsetOf(Set("vec_id", "embedding")) shouldBe true
   }
 
+  test("q130 model gate reads only (doc_id, text) from documents") {
+    scanSchemas("q130_model_quality_gate")("documents") shouldBe
+      Set("doc_id", "text")
+  }
+
+  test("q131 recall audit: every documents scan prunes to ⊆ (doc_id, text)") {
+    val df = SparkEntry.queries("q131_dedup_recall")(spark, "/root/testdata/sf0.001")
+    val scans = allScans(df.queryExecution.sparkPlan).filter(
+      _.relation.location.rootPaths.head.getName.startsWith("documents"))
+    scans should not be empty
+    scans.foreach(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "text")) shouldBe true)
+  }
+
   test("q99 z-order reads only (l_partkey, l_suppkey) from lineitem") {
     scanSchemas("q99_zorder_layout")("lineitem") shouldBe
       Set("l_partkey", "l_suppkey")
