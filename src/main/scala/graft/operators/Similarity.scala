@@ -302,11 +302,14 @@ object Similarity {
     * training passes (see [[cellStructs]] for the portable distance). */
   def ivfFlatTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
-    val c = Parallelism.ensureMinPartitions(
-        corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
-      .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_vec"), V.l2Norm(col("embedding")).as("c_norm"))
-      .withColumn("cell", array_min(cellStructs(col("c_vec"), centroids)).getField("idx"))
+    // corpus-side assignment via the table-literal form (bit-identical;
+    // safe at production centroid counts) — the query side keeps the
+    // unrolled sort/slice: it needs the full (d, idx) ordering for
+    // nProbe and runs on query-count rows only
+    val c = assignCellsTable(Parallelism.ensureMinPartitions(
+        corpus.select(col("vec_id"), col("embedding")), col("vec_id")), centroids)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+        col("c_norm"), col("cell"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
       .withColumn("probe", slice(array_sort(cellStructs(col("q_vec"), centroids)), 1, nProbe))
@@ -757,8 +760,19 @@ object Similarity {
 
   /** The index row shape under a FIXED centroid set: (vec_id, embedding,
     * c_norm, cell) — one scan-fused projection, shared by build, append
-    * and the streaming ingest. */
+    * and the streaming ingest. Delegates to the table-literal form so
+    * every corpus-side assignment is safe at production centroid counts
+    * (the unrolled form keeps the executable spec of the semantics —
+    * bit-equality is asserted across 1/8/64 centroids). */
   private[graft] def assignCells(vecs: DataFrame,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    assignCellsTable(vecs, centroids)
+
+  /** The UNROLLED assignment — [[cellStructs]] argmin, nCells struct
+    * branches in the generated source. Kept as the reference
+    * implementation [[assignCellsTable]] is spec-checked against; do
+    * not use on a corpus side at large nCells (the Janino cliff). */
+  private[graft] def assignCellsUnrolled(vecs: DataFrame,
       centroids: Seq[Seq[Double]]): DataFrame =
     vecs.select(col("vec_id"), col("embedding"))
       .withColumn("c_norm", V.l2Norm(col("embedding")))

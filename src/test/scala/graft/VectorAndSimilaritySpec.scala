@@ -299,7 +299,7 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     for (n <- Seq(1, 8, 64)) {
       val ctr = Similarity.hashCentroids(e, n)
-      val a = Similarity.assignCells(e, ctr).orderBy("vec_id")
+      val a = Similarity.assignCellsUnrolled(e, ctr).orderBy("vec_id")
         .collect().map(_.toSeq).toSeq
       val b = Similarity.assignCellsTable(e, ctr).orderBy("vec_id")
         .collect().map(_.toSeq).toSeq
