@@ -54,6 +54,23 @@ object VectorFunctions {
       when(dot(vec, plane) >= 0.0, math.pow(2.0, i).toLong).otherwise(0L)
     }.reduce(_ + _)
 
+  /** [[srpBucket]] with the plane matrix as ONE table literal — the
+    * past-the-codegen-cliff form for production plane counts (the
+    * unrolled form's generated source grows with nBits × dim; see
+    * [[graft.operators.Similarity.assignCellsTable]]). The sign bits
+    * sum as longs (associative), the per-plane dot is the native
+    * [[dot]] inside the lambda, so the bucket id is BIT-IDENTICAL to
+    * the unrolled form at any plane count (spec-pinned). */
+  def srpBucketTable(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.size <= 62, "srpBucketTable: at most 62 sign bits fit a long")
+    val t = typedlit(planes)
+    val pows = typedlit(planes.indices.map(i => 1L << i))
+    aggregate(
+      transform(t, (p, i) =>
+        when(dot(vec, p) >= 0.0, element_at(pows, i + 1)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+  }
+
   /** Deterministic pseudo-random hyperplanes (xorshift-free: splitmix-ish
     * integer mix of (seed, plane, dim) → uniform in [-1, 1]). */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =

@@ -706,7 +706,7 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val planes = V.randomPlanes(nBits, dim, seed)
     val bucketed = ensureParallelism(df.select(id.as("vid"), vec.as("v")), col("vid"))
-      .select(col("vid"), col("v"), V.srpBucket(col("v"), planes).as("bucket"))
+      .select(col("vid"), col("v"), V.srpBucketTable(col("v"), planes).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

@@ -69,7 +69,7 @@ object Similarity {
         corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_vec"),
-        V.srpBucket(col("embedding"), planes).as("bucket"))
+        V.srpBucketTable(col("embedding"), planes).as("bucket"))
     // query probes: own bucket + every 1-bit flip (nBits+1 probes)
     val probes = array((0 to nBits).map { i =>
       if (i == 0) col("q_bucket")
@@ -77,7 +77,7 @@ object Similarity {
     }: _*)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"),
-      V.srpBucket(col("embedding"), planes).as("q_bucket"))
+      V.srpBucketTable(col("embedding"), planes).as("q_bucket"))
       .withColumn("bucket", explode(probes))
       .drop("q_bucket")
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -936,9 +936,11 @@ object Similarity {
     * array<double>, drop-in for every topK operator here. */
   def projectVecs(df: DataFrame, id: Column, vec: Column,
       planes: Seq[Seq[Double]]): DataFrame =
+    // plane matrix as one table literal (outDims × dim literals unrolled
+    // would re-grow the Janino cliff this family keeps meeting); the
+    // native dot in the lambda keeps each projection a tight array loop
     df.select(id.as("vec_id"),
-      array(planes.map(p => V.dot(vec, array(p.map(lit): _*))): _*)
-        .as("embedding"))
+      transform(typedlit(planes), p => V.dot(vec, p)).as("embedding"))
 
   /** Per-query recall REPORT of `approx` against `exact` (both in the
     * topK output shape): (query_id, truth, hits) with truth = the exact

@@ -73,6 +73,18 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     buckets(0) should not be buckets(2) // opposite vector → all bits flip
   }
 
+  test("srpBucketTable is bit-identical to the unrolled srpBucket at several plane counts") {
+    val rnd = new Random(13)
+    val df = vecDF((0L until 80L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))))
+    for (nBits <- Seq(1, 6, 24)) {
+      val planes = VF.randomPlanes(nBits, 16, seed = 9L)
+      df.select((VF.srpBucket(col("embedding"), planes) =!=
+          VF.srpBucketTable(col("embedding"), planes)).as("neq"))
+        .filter(col("neq")).count() shouldBe 0L
+    }
+  }
+
   test("bruteForceTopK matches window ranking exactly") {
     val rnd = new Random(11)
     val vs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
