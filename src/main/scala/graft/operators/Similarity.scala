@@ -312,7 +312,7 @@ object Similarity {
         col("c_norm"), col("cell"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
-      .withColumn("probe", slice(array_sort(cellStructs(col("q_vec"), centroids)), 1, nProbe))
+      .withColumn("probe", slice(array_sort(probeStructsTable(col("q_vec"), centroids)), 1, nProbe))
       .withColumn("cell", explode(col("probe").getField("idx")))
       .drop("probe")
     val denom = col("q_norm") * col("c_norm")
@@ -570,7 +570,7 @@ object Similarity {
       nProbe: Int = 2, refine: Int = 0): DataFrame = {
     val q = adcQuerySide(queries, codebooks)
       .withColumn("cell",
-        explode(slice(array_sort(cellStructs(col("embedding"), centroids)),
+        explode(slice(array_sort(probeStructsTable(col("embedding"), centroids)),
           1, nProbe).getField("idx")))
       .drop("embedding")
     val scored = withReconNorm(
@@ -696,7 +696,7 @@ object Similarity {
       nProbe: Int = 2, refine: Int = 0): DataFrame = {
     val q = adcQuerySideTable(queries, codebooks)
       .withColumn("cell",
-        explode(slice(array_sort(cellStructs(col("embedding"), centroids)),
+        explode(slice(array_sort(probeStructsTable(col("embedding"), centroids)),
           1, nProbe).getField("idx")))
       .drop("embedding")
     val scored = withReconNormTable(
@@ -779,6 +779,23 @@ object Similarity {
       .withColumn("cell",
         array_min(cellStructs(col("embedding"), centroids))
           .getField("idx").cast("int"))
+
+  /** The PROBE-side (d, idx) struct array over a table-literal centroid
+    * set — `array_sort(...)` of this replaces
+    * `array_sort(cellStructs(...))` bit-identically (the per-struct
+    * distance keeps [[cellStructs]]' exact tree, v·v inline included —
+    * probe rows are query-count-few, the cliff is COMPILE-time and
+    * depends on plan size, not row count). */
+  private def probeStructsTable(vec: Column,
+      centroids: Seq[Seq[Double]]): Column = {
+    val ctrTable = typedlit(centroids)
+    val selfDots = typedlit(centroids.map(c => leftFoldDot(c, c)))
+    transform(ctrTable, (c, i) =>
+      struct(
+        ((V.dot(vec, vec) - lit(2.0) * V.dot(vec, c))
+          + element_at(selfDots, i + 1)).as("d"),
+        i.as("idx")))
+  }
 
   /** [[assignCells]] with the centroid set as ONE table literal — the
     * past-the-codegen-cliff form ([[pqTopKTable]]'s lesson applied to
@@ -890,7 +907,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
       .withColumn("probe",
-        slice(array_sort(cellStructs(col("q_vec"), centroids)), 1, nProbe))
+        slice(array_sort(probeStructsTable(col("q_vec"), centroids)), 1, nProbe))
       .withColumn("cell", explode(col("probe").getField("idx")))
       .drop("probe")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
