@@ -188,6 +188,19 @@ object Bpe {
       case (enc, (l, r)) => applyMerge(enc, l, r)
     }
 
+  /** [[applyMerges]] as ONE native expression per word
+    * ([[graft.expressions.BpeEncode]]) — the production-inference form:
+    * the fold builds one Catalyst `aggregate` PER RULE, so a real
+    * tokenizer's tens of thousands of merges would compile (and re-scan
+    * every word through) tens of thousands of chained folds; the native
+    * expression holds the table as state — one plan node at any size,
+    * one O(rules × |word|) JVM loop per word. Byte-identical to
+    * [[applyMerges]] (spec-pinned). */
+  def applyMergesNative(words: DataFrame,
+      rules: Seq[(String, String)]): DataFrame =
+    words.select(col("word"), col("freq"),
+      graft.expressions.BpeEncode(col("word"), rules).as("enc"))
+
   /** Corpus encoding under a FIXED merge table, rolled up per document:
     * (doc_id, n_tok, n_sym, enc_md5) — [[trainRounds]]' artifact shape
     * with the training replaced by [[applyMerges]] over caller-supplied
@@ -207,7 +220,9 @@ object Bpe {
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    val enc = applyMerges(words, rules)
+    // the native single-expression encode (byte-identical to the fold;
+    // the fold's per-rule plans don't survive production rule tables)
+    val enc = applyMergesNative(words, rules)
       .withColumn("n_sym", size(split(col("enc"), " ")).cast("long"))
       .select(col("word"), col("enc"), col("n_sym"))
     toks.join(if (broadcastWords) broadcast(enc) else enc, Seq("word"))

@@ -119,6 +119,48 @@ class BpeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("applyMergesNative is byte-identical to the fold, including cascading rule tables") {
+    val words = Seq(
+      ("aaaa", 3L), ("abab", 2L), ("banana", 1L), ("a", 5L),
+      ("aabb", 1L), ("bbbb", 1L), ("abcabc", 2L)
+    ).toDF("word", "freq")
+    // rules deliberately cascade: later rules consume earlier merges
+    val tables = Seq(
+      Seq(("a", "a")),
+      Seq(("a", "a"), ("aa", "aa")),
+      Seq(("a", "b"), ("ab", "ab"), ("abab", "c")),
+      Seq(("b", "a"), ("n", "a"), ("ba", "na")))
+    tables.foreach { rules =>
+      val fold = Bpe.applyMerges(words, rules)
+        .orderBy("word").collect().map(_.toSeq).toSeq
+      val native = Bpe.applyMergesNative(words, rules)
+        .orderBy("word").collect().map(_.toSeq).toSeq
+      native shouldBe fold
+    }
+    // randomized words over a small alphabet: the two paths must agree
+    // on every (word, rule-table) combination
+    val rnd = new scala.util.Random(17)
+    val randWords = (0 until 60)
+      .map(i => (Seq.fill(1 + rnd.nextInt(10))(('a' + rnd.nextInt(3)).toChar).mkString, 1L))
+      .distinct.toDF("word", "freq")
+    val rules = Seq(("a", "b"), ("b", "c"), ("ab", "c"), ("a", "a"), ("aa", "bc"))
+    Bpe.applyMergesNative(randWords, rules).orderBy("word")
+      .collect().map(_.toSeq).toSeq shouldBe
+      Bpe.applyMerges(randWords, rules).orderBy("word")
+        .collect().map(_.toSeq).toSeq
+  }
+
+  test("applyMergesNative handles a production-sized rule table in one plan node") {
+    // 2000 rules — the fold form would build 2000 chained aggregates;
+    // the native expression is one node and one pass per rule in-JVM
+    val words = Seq(("abcabcabc", 1L), ("aaabbbccc", 1L)).toDF("word", "freq")
+    val bigRules = (0 until 2000).map(i => (s"x$i", s"y$i")) ++ Seq(("a", "b"))
+    val out = Bpe.applyMergesNative(words, bigRules)
+      .orderBy("word").collect().map(r => r.getString(2)).toSeq
+    // only the one applicable rule fires
+    out shouldBe Seq("a a ab b b c c c", "ab c ab c ab c")
+  }
+
   test("mergeRound end to end; broadcast path ≡ shuffle path") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
     // words: ab freq 3, cd freq 1 -> pairs (a,b) 3, (c,d) 1 -> rule (a,b)
