@@ -815,7 +815,7 @@ object SparkEntry {
       .orderBy(col("label"), col("pos"))
 
   /** q57 — product-quantization ANN by asymmetric-distance computation
-    * (Similarity.pqTopK, refine=0): hash-chosen codebooks (16 codewords ×
+    * (Similarity.pqTopKTable, refine=0): hash-chosen codebooks (16 codewords ×
     * 8 subspaces over the 64-dim embeddings), corpus encoded to 8 codes
     * per vector, queries scored via their broadcast lookup tables. The
     * memory-compression path of billion-scale ANN (32× smaller scored
@@ -825,7 +825,7 @@ object SparkEntry {
   def q57AnnPq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val books = Similarity.pqCodebooks(e, m = 8, codewords = 16)
-    Similarity.pqTopK(e.filter(col("vec_id") < 5), e, 10, books)
+    Similarity.pqTopKTable(e.filter(col("vec_id") < 5), e, 10, books)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
@@ -845,7 +845,7 @@ object SparkEntry {
       .orderBy(col("comp"))
   }
 
-  /** q59 — IVF-PQ ANN (Similarity.ivfPqTopK): the composed billion-scale
+  /** q59 — IVF-PQ ANN (Similarity.ivfPqTopKTable): the composed billion-scale
     * architecture — q49's hash-chosen coarse cells bound WHICH rows each
     * query scores (nProbe=2 of 8 cells), q57's PQ codes compress WHAT is
     * scored (8 codes + table lookups). Both halves are deterministic and
@@ -854,7 +854,7 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     val centroids = Similarity.hashCentroids(e, 8)
     val books = Similarity.pqCodebooks(e, m = 8, codewords = 16)
-    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, 10, centroids, books,
+    Similarity.ivfPqTopKTable(e.filter(col("vec_id") < 5), e, 10, centroids, books,
       nProbe = 2)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
@@ -1069,7 +1069,7 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     val centroids = Similarity.hashCentroids(e, 8)
     val books = Similarity.pqCodebooks(e, m = 8, codewords = 16)
-    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, 10, centroids, books,
+    Similarity.ivfPqTopKTable(e.filter(col("vec_id") < 5), e, 10, centroids, books,
       nProbe = 2, refine = 2)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
