@@ -123,15 +123,16 @@ object Similarity {
       .setFeaturesCol("feat").setPredictionCol("list_id").fit(train)
     val c = model.transform(c0).select(col("neighbor_id"), col("c_vec"),
       col("list_id"), V.l2Norm(col("c_vec")).as("c_norm"))
-    // query-side probe list: distance to every centroid as a literal
-    // array, keep the nProbe nearest cells
-    val cells = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
-      struct(V.l2Sq(col("q_vec"), array(ctr.toArray.map(lit): _*)).as("d"),
-        lit(i).as("list_id"))
-    }
+    // query-side probe list: distance to every centroid over ONE
+    // centroid-table literal (an unrolled struct per cell re-grows with
+    // nLists × dim — the family's codegen cliff), keep the nProbe
+    // nearest cells
+    val ctrTable = typedlit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    val cells = transform(ctrTable, (c, i) =>
+      struct(V.l2Sq(col("q_vec"), c).as("d"), i.as("list_id")))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
       V.l2Norm(col("embedding")).as("q_norm"))
-      .withColumn("probe", slice(array_sort(array(cells: _*)), 1, nProbe))
+      .withColumn("probe", slice(array_sort(cells), 1, nProbe))
       .withColumn("list_id", explode(col("probe").getField("list_id")))
       .drop("probe")
     val denom = col("q_norm") * col("c_norm")
