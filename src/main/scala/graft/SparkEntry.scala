@@ -2030,13 +2030,36 @@ object SparkEntry {
     * cost: one batch scan + a ≤2048-row merge; NO per-item state store
     * (a streaming groupBy(user) would hold the user universe in state
     * forever — the sketch holds 2048 cells at any item cardinality). */
+  /** q125's 3-file event landing, staged once per fixture per JVM (the
+    * q116Landing pattern) — runs hard-link the staged files into private
+    * landing dirs instead of paying a Spark write job per invocation. */
+  private val q125LandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def q125Landing(s: SparkSession, dir: String): java.nio.file.Path =
+    q125LandingCache.getOrElseUpdate(dir, {
+      val stageRoot = java.nio.file.Files.createTempDirectory("graft_q125_stage_")
+      stageRoot.toFile.deleteOnExit()
+      val landing = stageRoot.resolve("landing")
+      t(s, dir, "events").repartition(3).write
+        .parquet(landing.toString)
+      landing
+    })
+
   def q125StreamingHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_q125_")
     root.toFile.deleteOnExit()
-    val landing = root.resolve("landing").toString
-    t(s, dir, "events").repartition(3).write.parquet(landing)
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    java.nio.file.Files.list(q125Landing(s, dir)).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+        ()
+      }
+    }
     val target = root.resolve("cms").toString
-    streaming.EventStreams.streamingCmsCells(s, landing, target,
+    streaming.EventStreams.streamingCmsCells(s, landing.toString, target,
       col("user_id"), depth = 4, width = 512, maxFilesPerTrigger = Some(1))
     val cells = s.read.parquet(target).select("r", "c", "cnt")
     val top = t(s, dir, "events")

@@ -762,25 +762,40 @@ object Dedup {
     * them against the exact all-pairs ground truth:
     * (truth_pairs, banded_pairs, missed), one row.
     *
-    * The ground-truth leg is DELIBERATELY quadratic — run it on a
-    * capped audit slice (the caller's responsibility), never the
-    * corpus. The report is what justifies the (k, rowsPerBand,
-    * maxBandDf) the corpus-scale run then uses — the same before/after
-    * contract as the ANN recall eval. */
+    * The ground-truth leg is EXACT but not all-pairs: a zero-ceiling
+    * inverted-index join counts each candidate pair's shared DISTINCT
+    * shingles (|∩|), and |∪| = |A| + |B| − |∩| — identical integers to
+    * the array formulation, so the Jaccard test is the same IEEE
+    * division, while pairs sharing nothing never materialize (their
+    * Jaccard is 0, below any threshold > 0 — `threshold > 0` is
+    * required). Still run it on a capped audit slice: with NO df
+    * ceiling (exactness forbids one) a boilerplate shingle shared by D
+    * docs contributes D² candidate pairs. The report is what justifies
+    * the (k, rowsPerBand, maxBandDf) the corpus-scale run then uses —
+    * the same before/after contract as the ANN recall eval. */
   def bandedRecallReport(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBandDf: Option[Long] = None): DataFrame = {
+    require(threshold > 0.0,
+      "bandedRecallReport: threshold must be > 0 (zero-overlap pairs never materialize)")
     val sh = ensureParallelism(df.select(id.as("doc_id"), text.as("txt")),
         col("doc_id"))
       .select(col("doc_id"), T.tokens(lower(col("txt"))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), T.tokenShingles(col("toks"), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val truth = a.join(b, col("id_a") < col("id_b"))
-      .filter((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double")) >= threshold)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = ex.select(col("g"), col("doc_id").as("id_a"))
+      .join(ex.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ni")) // shingle sets are distinct per doc
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("ns"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), Seq("id_b"))
+      .filter((col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")).cast("double")) >= threshold)
       .agg(count(lit(1)).as("truth_pairs"))
     val banded = minhashNearDupPairs(df, id, text, shingleN, k,
         rowsPerBand, threshold, maxBandDf)

@@ -73,6 +73,14 @@ object AdmissionStream {
     * `schemaFallback` is used when the landing dir has no parquet file
     * to probe yet ([[defaultLandingSchema]] if unset).
     *
+    * Across SESSIONS: a fresh checkpoint restarts batch ids at 0, so a
+    * NEW ingest session over a standing index whose `batch-0` came from
+    * a PRIOR session would overwrite that earlier fold-back. Compact
+    * the tree between sessions ([[graft.operators.Maintenance.compactTree]],
+    * or let `compactEvery` fold it during the run) — folded signatures
+    * live in flat files no batch id can clobber, which is what makes the
+    * next session's id restart safe (the [[SemanticAdmission]] contract).
+    *
     * Index lifecycle: every admitted batch adds one `batch-<id>` subdir,
     * and every later batch re-lists the whole tree — at firehose cadence
     * that is O(batches) file listings per batch, the classic small-files
