@@ -833,7 +833,10 @@ object Dedup {
     // scanning every cell for every batch
     val batchCells = asg.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val ix = standing.filter(col("cell").isin(batchCells: _*))
+    // an empty micro-batch (replay edge) touches no cells — make that
+    // explicit rather than leaning on `isin()` with zero values
+    val ix = (if (batchCells.isEmpty) standing.filter(lit(false))
+      else standing.filter(col("cell").isin(batchCells: _*)))
       .select(col("cell"), col("embedding").as("v_o"),
       col("c_norm").as("n_o"))
     val matched = asg
