@@ -681,14 +681,21 @@ object Dedup {
     var edges = pairs.select(idA.as("u"), idB.as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+    // an empty pair graph needs no contraction rounds (the common case
+    // for small admission batches — the min-label loop's early exit,
+    // applied here too: one probe on the checkpointed edges replaces a
+    // full round's contraction + convergence jobs)
+    if (edges.isEmpty)
+      return edges.select(col("u").as("id"), col("v").as("comp"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // fixpoint = star forest: the edge set stops changing. Both frames
-      // are edge-sized; the symmetric-difference check is one join each
-      // way on already-checkpointed inputs.
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // are edge-sized and checkpointed; BOTH symmetric-difference legs
+      // ride one union so convergence costs ONE job per round, not two.
+      converged = next.exceptAll(edges)
+        .unionAll(edges.exceptAll(next)).isEmpty
       edges = next
       i += 1
     }
