@@ -147,7 +147,7 @@ object BenchScale {
       "q20_knn_bruteforce", "q25_neardup_embedding", "q28_ann_srp",
       "q49_ann_ivf_flat", "q57_ann_pq",
       "q124_cms_heavy_hitters", "q126_bloom_contamination",
-      "q127_semantic_dedup")
+      "q127_semantic_dedup", "q130_model_quality_gate", "q131_dedup_recall")
 
     // q127's cell count is a DEPLOYMENT knob (SemDeDup sizes clusters
     // ~N/cluster-budget): at fixed nCells a 10× corpus puts 10× vectors
