@@ -514,6 +514,58 @@ private[graft] object Oracles {
   private val dedupComponentsOracle: String = dedupClosureCtes +
     "\nSELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id"
 
+  /** q132's oracle — the dataset card composed from the q130 scoring
+    * CTEs (same shared weight constant), the q98 KMV estimator per
+    * source, and plain volume aggregates. */
+  private def q132OracleSql: String = {
+    val w = SparkEntry.q130Weights.mkString("[", ", ", "]")
+    def bucket(salt: Int, g: String): String =
+      s"CAST(('0x' || substr(md5('$salt:' || $g), 1, 15))::UBIGINT % 1024 AS INT) + 1"
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+       |    CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+       |  FROM documents),
+       |sh AS (SELECT doc_id, t,
+       |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_distinct(list_transform(
+       |           generate_series(1, greatest(len(t) - 1, 1)),
+       |           i -> array_to_string(t[i:i+1], ' '))) END AS bi
+       |  FROM d),
+       |wt AS (SELECT $w AS w),
+       |u AS (SELECT doc_id, SUM(w[${bucket(0, "tk")}]) AS s
+       |      FROM sh, wt, UNNEST(sh.t) AS x(tk) GROUP BY doc_id),
+       |b AS (SELECT doc_id, SUM(w[${bucket(1, "g")}]) AS s
+       |      FROM sh, wt, UNNEST(sh.bi) AS y(g) GROUP BY doc_id),
+       |score AS (SELECT sh.doc_id,
+       |    COALESCE(u.s, 0) + COALESCE(b.s, 0) AS sc
+       |  FROM sh LEFT JOIN u USING (doc_id) LEFT JOIN b USING (doc_id)),
+       |base AS (SELECT source, COUNT(*) AS docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |    CAST(SUM(len(t)) AS BIGINT) AS tokens
+       |  FROM d GROUP BY 1),
+       |hv AS (SELECT DISTINCT source AS grp,
+       |    CAST(('0x' || substr(md5(w2), 1, 15))::UBIGINT AS BIGINT) AS h
+       |  FROM d, UNNEST(d.t) AS z(w2)),
+       |r AS (SELECT grp, h,
+       |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+       |        COUNT(*) OVER (PARTITION BY grp) AS nd FROM hv),
+       |est AS (SELECT grp,
+       |    CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS BIGINT)
+       |      ELSE CAST((CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+       |        // CAST(MAX(CASE WHEN rn = 64 THEN h END) AS HUGEINT) AS BIGINT) END
+       |      AS est_distinct_tokens
+       |  FROM r GROUP BY grp),
+       |gate AS (SELECT d.source,
+       |    CAST(SUM(s.sc) AS BIGINT) AS model_score_micros,
+       |    CAST(COUNT(*) FILTER (WHERE s.sc >= 0) AS BIGINT) AS kept_docs
+       |  FROM d JOIN score s USING (doc_id) GROUP BY 1)
+       |SELECT base.source, docs, chars, tokens,
+       |  est.est_distinct_tokens, gate.model_score_micros, gate.kept_docs
+       |FROM base LEFT JOIN est ON est.grp = base.source
+       |LEFT JOIN gate ON gate.source = base.source
+       |ORDER BY base.source""".stripMargin
+  }
+
   /** q130's oracle — generated with the stand-in weight table rendered
     * as a list literal (q28's planes discipline); the md5-salted bucket
     * arithmetic mirrors [[graft.operators.Sketch.cmsPos]] and every sum
@@ -2568,6 +2620,9 @@ private[graft] object Oracles {
     // q131: banded recall vs exact all-pairs ground truth on the audit
     // slice — same banding CTEs as the q43 family (r=1, df<=30), truth
     // from the quadratic verified join the banding replaces
+    // q132: the dataset card — q130's scoring CTEs + q98's KMV per
+    // source + volume aggregates, one row per source
+    "q132_dataset_card" -> q132OracleSql,
     "q131_dedup_recall" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |      FROM documents WHERE trim(text) <> '' AND doc_id % 3 = 0),

@@ -2207,6 +2207,38 @@ object SparkEntry {
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
       threshold = 0.4, maxBandDf = Some(30L))
 
+  /** q132 — the DATASET CARD (composition): the per-source release
+    * summary every corpus ships with — volume (docs, chars, tokens),
+    * vocabulary richness (KMV distinct-token estimate, k=64 — bounded
+    * state per source however big the stream), and the model-quality
+    * aggregate (q130's integer gate summed + kept counts). One
+    * documents scan feeds three integer-deterministic aggregate legs;
+    * everything joins on the 5-row source dimension, so the card costs
+    * three bounded shuffles at any corpus size and the whole artifact
+    * hash-checks. */
+  def q132DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_chars")).cast("long").as("chars"),
+      sum(TF.tokenCount(col("text"))).cast("long").as("tokens"))
+    val vocabEst = operators.Sketch.distinctEstimate(
+        docs.select(col("source"), explode(TF.tokens(lower(col("text")))).as("w")),
+        col("source"), col("w"), k = 64)
+      .select(col("grp").as("source"),
+        col("est_distinct").as("est_distinct_tokens"))
+    val gate = operators.QualityModel.score(docs, col("doc_id"), col("text"),
+        q130Weights)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("score_micros")).as("model_score_micros"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+    base.join(vocabEst, Seq("source"), "left")
+      .join(gate, Seq("source"), "left")
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2338,7 +2370,8 @@ object SparkEntry {
     "q128_streaming_semantic_admission" -> (q128StreamingSemanticAdmission _),
     "q129_kmeans_train" -> (q129KmeansTrain _),
     "q130_model_quality_gate" -> (q130ModelQualityGate _),
-    "q131_dedup_recall" -> (q131DedupRecall _)
+    "q131_dedup_recall" -> (q131DedupRecall _),
+    "q132_dataset_card" -> (q132DatasetCard _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
