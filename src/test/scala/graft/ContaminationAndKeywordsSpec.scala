@@ -89,6 +89,23 @@ class ContaminationAndKeywordsSpec extends SparkSpecBase {
     out.map(_._2).sum should be > 0L // saturation produced false positives
   }
 
+  test("bloom property: no false negatives over randomized corpora (seeded trials)") {
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (m <- Seq(64, 512)) {
+      val bench = (100L until 104L).map(i => (i, doc(8 + rnd.nextInt(12)))).toDF("doc_id", "text")
+      val docs = (1L until 13L).map(i => (i, doc(5 + rnd.nextInt(20)))).toDF("doc_id", "text")
+      val bits = Contamination.bloomBits(bench, col("text"), n = 3, m = m, k = 3)
+      val bloom = Contamination.bloomNgramOverlap(docs, bits, col("doc_id"),
+          col("text"), n = 3, k = 3)
+        .orderBy("doc_id").collect().map(_.getAs[Long]("bloom_matched"))
+      val exact = Contamination.ngramOverlap(docs, bench, col("doc_id"), col("text"))
+        .orderBy("doc_id").collect().map(_.getAs[Long]("matched"))
+      bloom.zip(exact).foreach { case (bm, em) => bm should be >= em }
+    }
+  }
+
   test("unigramSurprisal: whole-bit self-information, exact on known freqs") {
     import spark.implicits._
     import graft.operators.Keywords

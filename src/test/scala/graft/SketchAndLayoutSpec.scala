@@ -128,6 +128,29 @@ class SketchAndLayoutSpec extends SparkSpecBase {
     merged shouldBe cellSeq(all)
   }
 
+  test("cms property: one-sided and additive over randomized streams (seeded trials)") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 3) {
+      val nItems = 50 + rnd.nextInt(250)
+      val stream = Seq.fill(1500)(s"i${rnd.nextInt(nItems)}")
+      val df = stream.toDF("it")
+      val depth = 2 + rnd.nextInt(3)
+      val width = 16 << rnd.nextInt(3)
+      val cells = Sketch.cmsCells(df, col("it"), depth, width)
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = Sketch.cmsEstimate(cells, df, col("it"), depth, width)
+        .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("est")).toMap
+      exact.foreach { case (it, n) => est(it) should be >= n }
+      // additivity against a random 2-way split of the same stream
+      val (s1, s2) = stream.splitAt(1 + rnd.nextInt(stream.size - 1))
+      val merged = Sketch.cmsMerge(
+          Sketch.cmsCells(s1.toDF("it"), col("it"), depth, width),
+          Sketch.cmsCells(s2.toDF("it"), col("it"), depth, width))
+        .orderBy("r", "c").collect().map(_.toSeq).toSeq
+      merged shouldBe cells.orderBy("r", "c").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("cms: weighted build over pre-aggregated counts equals the raw-stream sketch") {
     val raw = (1L to 2500L).map(i => s"k${i % 40}").toDF("it")
     val pre = raw.groupBy("it").agg(count(lit(1)).as("n"))
