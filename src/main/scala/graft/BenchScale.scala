@@ -157,10 +157,14 @@ object BenchScale {
     // other entries run their driver parameters verbatim.
     def run(n: String, dir: String): Unit = n match {
       case "q127_semantic_dedup" =>
+        // the driver query end to end (pairs + star components) — only
+        // the cell count is scaled
         val cells = if (dir == sfDir) 64 else 64 * replicas
-        operators.Dedup.semanticNearDupPairs(
+        val pairs = operators.Dedup.semanticNearDupPairs(
           sources.Tables.embeddings(spark, dir),
-          nCells = cells, threshold = 0.35).count()
+          nCells = cells, threshold = 0.35)
+        operators.Dedup.connectedComponentsStar(
+          pairs, col("id_a"), col("id_b")).count()
         ()
       case _ => SparkEntry.queries(n)(spark, dir).count(); ()
     }

@@ -27,8 +27,16 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; null-safe 0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
+  def cosine(a: Column, b: Column): Column =
+    cosineFromNorms(a, b, l2Norm(a), l2Norm(b))
+
+  /** [[cosine]] from PRECOMPUTED norms — the scored-join form the
+    * blocked pair/probe paths use (one sqrt per vector, not per pair).
+    * The zero-denominator guard and the IEEE tree live HERE once; the
+    * oracles interpolate the same tree, so a guard tweak in one place
+    * cannot silently drift from the others. */
+  def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
     when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
   }
 

@@ -131,7 +131,12 @@ object Bpe {
       (acc, x) => when(acc === "", x)
         .when(acc === lit(l) && x === lit(r), lit(l + r))
         .when(acc.endsWith(lit(" " + l)) && x === lit(r),
-          concat(acc.substr(lit(1), length(acc) - lit(l.length)),
+          // Spark length()/substr() count CODEPOINTS — strip the left
+          // symbol by its codepoint count, not java.lang.String.length
+          // (a supplementary-plane symbol is 1 codepoint but 2 UTF-16
+          // units; the UTF-16 count would eat the separator too)
+          concat(acc.substr(lit(1),
+              length(acc) - lit(l.codePointCount(0, l.length))),
             lit(l + r)))
         .otherwise(concat(acc, lit(" "), x))))
 

@@ -753,10 +753,9 @@ object Dedup {
       col("embedding").as("v_b"), col("c_norm").as("n_b"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("denom", col("n_a") * col("n_b"))
       .select(col("id_a"), col("id_b"),
-        when(col("denom") === 0.0, 0.0)
-          .otherwise(V.dot(col("v_a"), col("v_b")) / col("denom")).as("cosine"))
+        V.cosineFromNorms(col("v_a"), col("v_b"),
+          col("n_a"), col("n_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -827,10 +826,6 @@ object Dedup {
     * different centroids silently mis-blocks the probe. */
   def admitNewVecs(newVecs: DataFrame, standing: DataFrame,
       centroids: Seq[Seq[Double]], threshold: Double = 0.95): DataFrame = {
-    def cos(va: Column, vb: Column, na: Column, nb: Column): Column = {
-      val denom = na * nb
-      when(denom === 0.0, 0.0).otherwise(V.dot(va, vb) / denom)
-    }
     // the batch plan feeds the probe, the survivor self-join AND the
     // final admitted evaluation — pin one evaluation (admitCore's idiom)
     val asg = Similarity.assignCellsTable(newVecs, centroids).localCheckpoint(true)
@@ -850,7 +845,8 @@ object Dedup {
       .select(col("cell"), col("vec_id").as("id_n"),
         col("embedding").as("v_n"), col("c_norm").as("n_n"))
       .join(ix, Seq("cell"))
-      .filter(cos(col("v_n"), col("v_o"), col("n_n"), col("n_o")) >= threshold)
+      .filter(V.cosineFromNorms(col("v_n"), col("v_o"),
+        col("n_n"), col("n_o")) >= threshold)
       .select(col("id_n")).distinct()
     val sv = asg.join(matched, asg("vec_id") === matched("id_n"), "left_anti")
       .localCheckpoint(true)
@@ -860,7 +856,8 @@ object Dedup {
       col("embedding").as("v_b"), col("c_norm").as("n_b"))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cos(col("v_a"), col("v_b"), col("n_a"), col("n_b")) >= threshold)
+      .filter(V.cosineFromNorms(col("v_a"), col("v_b"),
+        col("n_a"), col("n_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
     val comps = connectedComponentsStar(pairs, col("id_a"), col("id_b"))
     sv.select(col("vec_id"))

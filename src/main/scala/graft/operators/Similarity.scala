@@ -255,9 +255,13 @@ object Similarity {
       .map { case (c, i) => (i, c) }.toDF("cell", "cv")
     var sums: DataFrame = null
     for (r <- 1 to rounds) {
-      val withC = vecs.crossJoin(
-        broadcast(ctr.withColumn("cc", V.dot(col("cv"), col("cv")))))
-      val d = (V.dot(col("v"), col("v")) - lit(2.0) * V.dot(col("v"), col("cv"))) +
+      // v·v is loop-invariant per vector — projected ONCE per row before
+      // the centroid fan-out (the assignCellsTable hoist; inline it
+      // would re-run the dim-length dot nCells× per vector per round)
+      val withC = vecs.withColumn("__vv", V.dot(col("v"), col("v")))
+        .crossJoin(
+          broadcast(ctr.withColumn("cc", V.dot(col("cv"), col("cv")))))
+      val d = (col("__vv") - lit(2.0) * V.dot(col("v"), col("cv"))) +
         col("cc")
       val asg = withC
         .select(col("vec_id"), col("v"),

@@ -52,16 +52,27 @@ object AdmissionStream {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  /** The index tree minus one batch's own subdir — the replay-idempotence
-    * read (see the object scaladoc): top-level entries of `indexPath`
-    * except `batch-<excludeBatchId>`, read recursively. */
+  /** The index tree minus the batch's own subdir AND any LATER batch's —
+    * the replay-idempotence read (see the object scaladoc): the decision
+    * for batch b must be a function of the batches strictly BEFORE b.
+    * Excluding only b's own subdir is enough for a mid-stream crash
+    * replay (later subdirs don't exist yet), but a FULL re-invocation
+    * starts over at batch 0 with the prior run's later subdirs still
+    * standing — probing those would change batch 0's decisions (a doc
+    * can match a LATER admission it never saw in the first run). So:
+    * keep `batch-<id>` only for id < excludeBatchId; non-batch entries
+    * (the seed) always read. */
   private def indexExcludingBatch(spark: SparkSession, indexPath: String,
       excludeBatchId: Long): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(indexPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paths = fs.listStatus(base)
-      .filterNot(st => st.isDirectory &&
-        st.getPath.getName == s"batch-$excludeBatchId")
+      .filterNot { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith("batch-") &&
+          scala.util.Try(n.stripPrefix("batch-").toLong).toOption
+            .exists(_ >= excludeBatchId)
+      }
       .map(_.getPath.toString)
     spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
   }

@@ -335,13 +335,7 @@ object EventStreams {
       .start()
     try { q.processAllAvailable() } finally q.stop()
     rmDir(ckpt.toFile)
-    stagedDirs.remove(path).foreach { d =>
-      def rm(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
+    stagedDirs.remove(path).foreach(rmDir)
   }
 
   /** Streaming Count-Min maintenance — [[incrementalRollup]]'s shape
@@ -357,11 +351,22 @@ object EventStreams {
     * never grows past depth·width rows, and no per-item state store
     * exists at all (a streaming groupBy over item would hold the item
     * universe in state). Exactly-once via the batchId-keyed staged swap,
-    * same as the rollup. */
+    * same as the rollup.
+    *
+    * Across SESSIONS: batch ids are the exactly-once key, and they come
+    * from the CHECKPOINT. The default scratch checkpoint (deleted on
+    * exit) restarts ids at 0, so a second session over the SAME standing
+    * sketch would collide with the applied-batch marker and silently
+    * skip its data. A continuous deployment passes `checkpointDir` — a
+    * DURABLE location, kept across sessions — so batch ids continue and
+    * every new file folds in exactly once; the bounded-replay harness
+    * (and the equivalence spec) stay on the scratch default. */
   def streamingCmsCells(spark: SparkSession, path: String, targetPath: String,
       item: Column, depth: Int, width: Int,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val ckpt = scratchDir("graft_cms_ckpt_")
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): Unit = {
+    val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
+      .getOrElse(scratchDir("graft_cms_ckpt_"))
     val q = readEventStream(spark, path, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
@@ -375,14 +380,11 @@ object EventStreams {
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    rmDir(ckpt.toFile)
-    stagedDirs.remove(path).foreach { d =>
-      def rm(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
+    // a caller-supplied durable checkpoint is KEPT (it is the
+    // cross-session exactly-once state); only the scratch default is
+    // reclaimed
+    if (checkpointDir.isEmpty) rmDir(ckpt.toFile)
+    stagedDirs.remove(path).foreach(rmDir)
   }
 
   /** Run a streaming aggregation over a static directory to completion and

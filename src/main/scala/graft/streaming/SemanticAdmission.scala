@@ -45,8 +45,14 @@ object SemanticAdmission {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
-  /** The streamed index rows minus one batch's own subdir — the
-    * replay-idempotence read. Empty (None) when no batch has landed. */
+  /** The streamed index rows from batches strictly BEFORE this one — the
+    * replay-idempotence read: batch b's decision must be a function of
+    * the PRIOR batches only. Excluding just b's own subdir handles a
+    * mid-stream crash replay; a FULL re-invocation restarts at batch 0
+    * with the prior run's later subdirs still standing, and probing
+    * those would change batch 0's survivor set (a vector can match a
+    * LATER admission it never saw first time). Empty (None) when no
+    * prior batch has landed. */
   private def streamedExcludingBatch(spark: SparkSession, indexPath: String,
       excludeBatchId: Long): Option[DataFrame] = {
     val base = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
@@ -54,8 +60,12 @@ object SemanticAdmission {
     if (!fs.exists(base)) None
     else {
       val paths = fs.listStatus(base)
-        .filter(st => st.isDirectory &&
-          st.getPath.getName != s"batch-$excludeBatchId")
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && (!n.startsWith("batch-") ||
+            scala.util.Try(n.stripPrefix("batch-").toLong).toOption
+              .exists(_ < excludeBatchId))
+        }
         .map(_.getPath.toString)
       if (paths.isEmpty) None
       else Some(spark.read.parquet(paths.toIndexedSeq: _*)

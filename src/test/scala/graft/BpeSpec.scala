@@ -130,6 +130,15 @@ class BpeSpec extends SparkSpecBase {
       Seq(("a", "a"), ("aa", "aa")),
       Seq(("a", "b"), ("ab", "ab"), ("abab", "c")),
       Seq(("b", "a"), ("n", "a"), ("ba", "na")))
+    // supplementary-plane left symbol: 1 codepoint, 2 UTF-16 units —
+    // the fold must strip it by codepoint count (the applyMerge fix)
+    val astral = "𝛂" // 𝛂
+    val astralWords = Seq((s"a${astral}b${astral}b", 1L)).toDF("word", "freq")
+    val astralRules = Seq((astral, "b"))
+    Bpe.applyMergesNative(astralWords, astralRules).orderBy("word")
+      .collect().map(_.toSeq).toSeq shouldBe
+      Bpe.applyMerges(astralWords, astralRules).orderBy("word")
+        .collect().map(_.toSeq).toSeq
     tables.foreach { rules =>
       val fold = Bpe.applyMerges(words, rules)
         .orderBy("word").collect().map(_.toSeq).toSeq
