@@ -2624,8 +2624,13 @@ private[graft] object Oracles {
     // source + volume aggregates, one row per source
     "q132_dataset_card" -> q132OracleSql,
     "q131_dedup_recall" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |      FROM documents WHERE trim(text) <> '' AND doc_id % 3 = 0),
+      """WITH sel AS (SELECT doc_id, text FROM documents
+        |       WHERE trim(text) <> ''
+        |         AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |       LIMIT 160),
+        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |      FROM sel),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, greatest(len(t) - 2, 1)),
         |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
@@ -2694,6 +2699,70 @@ private[graft] object Oracles {
         |          FROM cell1, range(64) AS r(i) GROUP BY 1, 2)
         |SELECT CAST(cell AS INTEGER) AS cell, CAST(pos0 + 1 AS INTEGER) AS pos,
         |  CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS centroid_q, n
-        |FROM sums1 ORDER BY cell, pos""".stripMargin
+        |FROM sums1 ORDER BY cell, pos""".stripMargin,
+    // q133: train → build → probe — q129's two Lloyd-round CTEs produce
+    // the trained quantizer (ctr2 = final quantized means, centroid_q /
+    // 1e6 per component — exact integers under 2^53, so the division is
+    // the same single IEEE op both sides), then q49's probe shape runs
+    // under it; the artifact probe hash-checks against the direct
+    // composition
+    "q133_trained_index_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ctr0 AS (SELECT v AS cv,
+        |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+        |         FROM e
+        |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |asg0 AS (SELECT e.vec_id, e.v, c.idx,
+        |           list_inner_product(e.v, e.v)
+        |             - 2.0 * list_inner_product(e.v, c.cv)
+        |             + list_inner_product(c.cv, c.cv) AS d
+        |         FROM e CROSS JOIN ctr0 c),
+        |cell0 AS (SELECT vec_id, v, idx AS cell FROM asg0
+        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+        |sums0 AS (SELECT cell, r.i AS pos0,
+        |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
+        |            COUNT(*) AS n
+        |          FROM cell0, range(64) AS r(i) GROUP BY 1, 2),
+        |c1 AS (SELECT cell,
+        |         list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+        |              / 1000000.0 ORDER BY pos0) AS cv
+        |       FROM sums0 GROUP BY cell),
+        |ctr1 AS (SELECT s.idx, COALESCE(c.cv, s.cv) AS cv
+        |         FROM ctr0 s LEFT JOIN c1 c ON c.cell = s.idx),
+        |asg1 AS (SELECT e.vec_id, e.v, c.idx,
+        |           list_inner_product(e.v, e.v)
+        |             - 2.0 * list_inner_product(e.v, c.cv)
+        |             + list_inner_product(c.cv, c.cv) AS d
+        |         FROM e CROSS JOIN ctr1 c),
+        |cell1 AS (SELECT vec_id, v, idx AS cell FROM asg1
+        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+        |sums1 AS (SELECT cell, r.i AS pos0,
+        |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
+        |            COUNT(*) AS n
+        |          FROM cell1, range(64) AS r(i) GROUP BY 1, 2),
+        |ctr2 AS (SELECT cell AS idx,
+        |           list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+        |                / 1000000.0 ORDER BY pos0) AS cv
+        |         FROM sums1 GROUP BY cell),
+        |asg AS (SELECT e.vec_id, e.v, c.idx,
+        |          list_inner_product(e.v, e.v)
+        |            - 2.0 * list_inner_product(e.v, c.cv)
+        |            + list_inner_product(c.cv, c.cv) AS d
+        |        FROM e CROSS JOIN ctr2 c),
+        |cell AS (SELECT vec_id, v, idx AS cell FROM asg
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+        |pr AS (SELECT vec_id AS query_id, v AS qv, idx AS cell FROM asg
+        |       WHERE vec_id < 5
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
+        |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
+        |      THEN 0.0
+        |      ELSE list_inner_product(p.qv, c.v) /
+        |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
+        |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM cand) WHERE rnk <= 10""".stripMargin
   )
 }

@@ -1986,11 +1986,17 @@ object SparkEntry {
     val order = operators.Dataloader.interleaveOrder(
       cleaned.select(col("doc_id"), col("lang")),
       col("doc_id"), col("lang"))
-    order.join(packed.withColumnRenamed("id", "pid"),
+    // pin the doc-count-sized result eagerly and release the cleaned
+    // cache (the q125/q128 release idiom — cached blocks must not
+    // outlive the query across repeated invocations)
+    val res = order.join(packed.withColumnRenamed("id", "pid"),
         order("id") === col("pid"), "left")
       .select(col("id"), col("stratum"), col("rank"), col("okey"),
         col("n_tokens"), col("shard"), col("seq_id"), col("seq_off"))
       .orderBy(col("okey"), col("stratum"), col("rank"))
+      .localCheckpoint(true)
+    cleaned.unpersist()
+    res
   }
 
   /** q124 — Count-Min heavy hitters (Sketch.cmsCells/cmsEstimate): the
@@ -2014,10 +2020,17 @@ object SparkEntry {
       .limit(20)
     val est = operators.Sketch.cmsEstimate(cells, top, col("word"),
       depth = 4, width = 256)
-    top.join(
+    // pin the 20-row result eagerly and release the token cache — the
+    // cached blocks must not outlive the query (repeated invocations in
+    // one application would otherwise accumulate them; the q125/q128
+    // release idiom)
+    val res = top.join(
         est.withColumnRenamed("item", "word").withColumnRenamed("est", "est_cnt"),
         Seq("word"))
       .orderBy(col("exact_cnt").desc, col("word"))
+      .localCheckpoint(true)
+    toks.unpersist()
+    res
   }
 
   /** q125 — STREAMING heavy hitters (EventStreams.streamingCmsCells):
@@ -2195,15 +2208,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   /** q131 — banded-dedup recall audit (Dedup.bandedRecallReport): the
-    * exact all-pairs ground truth computed on a deliberate audit slice
-    * (doc_id ≡ 0 mod 3) against the SAME banding parameters the q43
-    * component pipeline runs at corpus scale — verification makes the
-    * banding precision-1, so the one number that needs watching is
-    * `missed`. The dedup-side counterpart of q119's ANN recall eval. */
+    * exact all-pairs ground truth computed on a FIXED-SIZE audit slice
+    * against the SAME banding parameters the q43 component pipeline runs
+    * at corpus scale — verification makes the banding precision-1, so the
+    * one number that needs watching is `missed`. The dedup-side
+    * counterpart of q119's ANN recall eval.
+    *
+    * The slice is [[operators.Sampling.exactNPerStratum]]'s deterministic
+    * hash sample of exactly 160 docs (one stratum, md5-rank pick behind
+    * the scan-fused hash-prefix gate), NOT a fraction: the ground-truth
+    * leg is deliberately quadratic in the slice, so a fractional slice
+    * (the previous `doc_id % 3`) grows linearly with the corpus and its
+    * truth leg quadratically — 5.76× at 10× data in BENCH_SCALE, the job
+    * that never finishes at 100×. A fixed-N slice makes the audit O(1) in
+    * corpus growth; the prefilter bound is the deployment knob (tighten
+    * toward n/total with margin as the corpus grows, per the
+    * exactNPerStratum contract). */
   def q131DedupRecall(s: SparkSession, dir: String): DataFrame =
     Dedup.bandedRecallReport(
-      t(s, dir, "documents")
-        .filter(trim(col("text")) =!= "" && col("doc_id") % 3 === 0),
+      operators.Sampling.exactNPerStratum(
+        t(s, dir, "documents").filter(trim(col("text")) =!= "")
+          .select(col("doc_id"), col("text")),
+        col("doc_id"), lit(1), n = 160, prefilterHexBound = "8000")
+        .drop("__rank"),
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
       threshold = 0.4, maxBandDf = Some(30L))
 
@@ -2234,9 +2261,53 @@ object SparkEntry {
       .groupBy(col("source"))
       .agg(sum(col("score_micros")).as("model_score_micros"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
-    base.join(vocabEst, Seq("source"), "left")
+    // pin the source-count-sized card eagerly and release the documents
+    // cache (the q125/q128 release idiom)
+    val res = base.join(vocabEst, Seq("source"), "left")
       .join(gate, Seq("source"), "left")
       .orderBy(col("source"))
+      .localCheckpoint(true)
+    docs.unpersist()
+    res
+  }
+
+  /** Standing TRAINED-quantizer IVF index per fixture dir (q133's
+    * artifact), built once per JVM — the [[standingAnnIndex]] contract
+    * with the quantizer data-fitted instead of hash-seeded:
+    * lloydTrain's two distributed Lloyd rounds fit the centroids,
+    * collectTrainedCentroids freezes them (one bounded nCells × dim
+    * collect), writeIvfFlatIndex materializes the cell-partitioned
+    * artifact under them. */
+  private val annTrainedIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def standingTrainedAnnIndex(s: SparkSession, dir: String): String =
+    annTrainedIndexCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val centroids = operators.Similarity.collectTrainedCentroids(
+        operators.Similarity.lloydTrain(e, nCells = 8, rounds = 2))
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_trained_").resolve("ix")
+      operators.Similarity.writeIvfFlatIndex(e, centroids, ixDir.toString)
+      ixDir.getParent.toFile.deleteOnExit()
+      ixDir.toString
+    })
+
+  /** q133 — TRAIN → BUILD → PROBE, the composed ANN production
+    * lifecycle: q129's distributed k-means fits the quantizer, the
+    * trained centroids freeze into a [[operators.Similarity
+    * .writeIvfFlatIndex]] artifact (cell-partitioned parquet), and the
+    * probe retrieves over it with literal-IN partition pruning — the
+    * round trip that turns the trainer's output into the index the
+    * retrieval path actually serves. The oracle chains q129's two
+    * Lloyd-round CTEs into q49's probe shape under the trained
+    * centroids, so train → build → probe hash-checks end to end. */
+  def q133TrainedIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    operators.Similarity.ivfFlatProbe(
+      e.filter(col("vec_id") < 5), standingTrainedAnnIndex(s, dir),
+      10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2371,7 +2442,8 @@ object SparkEntry {
     "q129_kmeans_train" -> (q129KmeansTrain _),
     "q130_model_quality_gate" -> (q130ModelQualityGate _),
     "q131_dedup_recall" -> (q131DedupRecall _),
-    "q132_dataset_card" -> (q132DatasetCard _)
+    "q132_dataset_card" -> (q132DatasetCard _),
+    "q133_trained_index_probe" -> (q133TrainedIndexProbe _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

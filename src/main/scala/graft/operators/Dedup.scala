@@ -299,18 +299,23 @@ object Dedup {
     // product of the two sides' counts — capping each side bounds the
     // join's quadratic term at maxBandDf² per band. Off by default
     // (exact banded semantics); at corpus scale this is the knob that
-    // keeps one viral template from dominating the shuffle.
-    val (lk, rk) = maxBandDf match {
-      case None => (lb, rb)
+    // keeps one viral template from dominating the shuffle. The cap is
+    // FOLDED INTO candidate generation (one collect_list groupBy per
+    // side, oversized buckets dropped whole, then a bucket-level band
+    // join — per-band memory ≤ 2·cap ids), not bolted on as an extra
+    // df-count join per side: same pair set, two fewer shuffles.
+    val cand = (maxBandDf match {
+      case None =>
+        lb.join(rb, Seq("band")).select(col("left_id"), col("right_id"))
       case Some(cap) =>
-        def keep(b: DataFrame) = b.join(
-          b.groupBy(col("band")).agg(count(lit(1)).as("__df"))
-            .filter(col("__df") <= cap).select(col("band")),
-          Seq("band"))
-        (keep(lb), keep(rb))
-    }
-    val cand = lk.join(rk, Seq("band"))
-      .select(col("left_id"), col("right_id")).distinct()
+        def bucket(b: DataFrame, idc: String) =
+          b.groupBy(col("band"))
+            .agg(collect_list(col(idc)).as(s"${idc}s"))
+            .filter(size(col(s"${idc}s")) <= cap)
+        bucket(lb, "left_id").join(bucket(rb, "right_id"), Seq("band"))
+          .select(explode(col("left_ids")).as("left_id"), col("right_ids"))
+          .select(col("left_id"), explode(col("right_ids")).as("right_id"))
+    }).distinct()
     cand
       .join(li.select(col("doc_id").as("left_id"), col("sh").as("sh_l")),
         Seq("left_id"))
@@ -342,17 +347,29 @@ object Dedup {
     // fraction of the documents' bytes, and the heavy arrays are attached
     // afterwards for the (much smaller) surviving candidate set only.
     val all = docs.select(explode(col("bands")).as("band"), col("doc_id"))
-    val banded = maxBandDf.fold(all) { cap =>
-      all.join(
-        all.groupBy(col("band")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap).select(col("band")),
-        Seq("band"))
-    }
-    val cand = banded.select(col("band"), col("doc_id").as("id_a"))
-      .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    // Two candidate-generation shapes, one pair set. With a ceiling the
+    // bucket is materialized as ONE row per band (groupBy + collect_list —
+    // a single shuffle whose per-band memory is bounded by the cap, since
+    // oversized buckets are dropped whole) and ordered pairs stream out of
+    // two chained generators; without a ceiling bucket sizes are unbounded,
+    // so the band SELF-JOIN form stays — it pairs giant buckets without
+    // ever holding one in a single row. The df-capped form replaces the
+    // previous {explode → df-groupBy → filter-join → self-join} plan (three
+    // shuffles and a double explode eval) that regressed the whole
+    // minhash-consuming family 1.3–5× at sf0.1.
+    val cand = (maxBandDf match {
+      case Some(cap) =>
+        all.groupBy(col("band")).agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) <= cap)
+          .select(explode(col("ids")).as("id_a"), col("ids"))
+          .select(col("id_a"), explode(col("ids")).as("id_b"))
+          .filter(col("id_a") < col("id_b"))
+      case None =>
+        all.select(col("band"), col("doc_id").as("id_a"))
+          .join(all.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+    }).distinct()
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -742,11 +759,14 @@ object Dedup {
       threshold: Double = 0.95): DataFrame = {
     require(nCells >= 1, "nCells must be >= 1")
     val centroids = Similarity.hashCentroids(embeddings, nCells)
-    // both sides of the self-join read the assignment — persisted so the
-    // argmin pass runs once (the shingle-frame cache-lifecycle contract:
-    // caller clears when done)
+    // both sides of the self-join read the assignment — pinned via eager
+    // localCheckpoint so the argmin pass runs once AND the blocks are
+    // reclaimed by the context cleaner once the result is dropped (a
+    // persist() here is keyed in the cache manager and would accumulate
+    // across repeated invocations unless every caller remembered to
+    // clear it — the admitCore idiom, not the shingle-frame one)
     val asg = Similarity.assignCellsTable(embeddings, centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val a = asg.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("v_a"), col("c_norm").as("n_a"))
     val b = asg.select(col("cell"), col("vec_id").as("id_b"),

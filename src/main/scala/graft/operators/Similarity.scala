@@ -726,8 +726,22 @@ object Similarity {
     * [[ivfFlatTopK]]'s direct answer. The corpus L2 norm is computed at
     * build time and stored — a probe never re-reduces corpus vectors
     * beyond the dot product it must do. */
-  def writeIvfFlatIndex(corpus: DataFrame, nLists: Int, path: String): Unit = {
-    val centroids = hashCentroids(corpus, nLists)
+  def writeIvfFlatIndex(corpus: DataFrame, nLists: Int, path: String): Unit =
+    writeIvfFlatIndex(corpus, hashCentroids(corpus, nLists), path)
+
+  /** [[writeIvfFlatIndex]] under a CALLER-SUPPLIED frozen quantizer — the
+    * composition point for [[lloydTrain]]: pass the trained centroids
+    * (via [[collectTrainedCentroids]] — a bounded nCells × dim collect,
+    * the same class as [[readCentroids]]) and the artifact carries the
+    * data-fitted quantizer instead of the hash seeds; probe/append/
+    * streaming-ingest are unchanged (they read centroids back from the
+    * artifact and never care how they were chosen). Train → build →
+    * probe is the production ANN lifecycle at 100 TB: training is the
+    * one distributed job, the index build is one assignment scan, and
+    * every probe after that pays only its probed cells. */
+  def writeIvfFlatIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      path: String): Unit = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
     val spark = corpus.sparkSession
     assignCells(corpus, centroids)
       .write.mode("overwrite").partitionBy("cell")
@@ -736,6 +750,31 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Materialize [[lloydTrain]]'s (cell, pos, centroid_q, n) output as
+    * the Seq[Seq[Double]] centroid table the rest of the family consumes
+    * (`centroid_q / scale` per component — exact: the quantized means
+    * are integers well under 2^53). Bounded collect: nCells × dim rows,
+    * the index-build class ([[hashCentroids]] / [[readCentroids]]).
+    * Requires the trained cells to cover a contiguous 0..n-1 range —
+    * a FINAL-round empty cell has no mean to freeze, and silently
+    * renumbering cells would desynchronize the artifact from any oracle
+    * or prior assignment; retrain with fewer cells instead. */
+  def collectTrainedCentroids(trained: DataFrame,
+      scale: Double = 1e6): Seq[Seq[Double]] = {
+    val rows = trained.select(col("cell"), col("pos"), col("centroid_q"))
+      .collect()
+    val byCell = rows.groupBy(_.getInt(0))
+    val cells = byCell.keys.toSeq.sorted
+    require(cells == (0 until cells.size),
+      s"trained centroids cover cells ${cells.mkString(",")} — a " +
+        "contiguous 0..n-1 range is required (an empty final cell has " +
+        "no mean to freeze); retrain with fewer cells")
+    cells.map { c =>
+      byCell(c).sortBy(_.getInt(1))
+        .map(r => r.getLong(2).toDouble / scale).toSeq
+    }
   }
 
   /** The artifact's frozen quantizer, read back: nLists rows — the

@@ -77,6 +77,34 @@ object AdmissionStream {
     spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
   }
 
+  /** Drop `batch-<id>` subdirs with id STRICTLY AFTER the run's last
+    * processed batch — the re-invocation stale-generation sweep, shared
+    * with [[SemanticAdmission]]: a re-run over FEWER landing files than
+    * the prior run (fresh checkpoint, ids restart at 0) overwrites only
+    * the ids it reaches, and the prior run's higher-id subdirs would
+    * otherwise stand in both the index tree and the output tree — the
+    * final recursive read (and any later session's full-tree read)
+    * would silently include those stale rows. Run AFTER the stream
+    * stops; with zero batches processed (`lastBatchId = -1`) every
+    * batch subdir is stale by this definition and goes. Non-batch
+    * entries (the seed, compacted flat files) are never touched. */
+  private[streaming] def pruneStaleBatches(spark: SparkSession, dir: String,
+      lastBatchId: Long): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) {
+      fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("batch-") &&
+            scala.util.Try(n.stripPrefix("batch-").toLong).toOption
+              .exists(_ > lastBatchId)) {
+          fs.delete(st.getPath, true)
+          ()
+        }
+      }
+    }
+  }
+
   /** Run a bounded document stream to completion, admitting each
     * micro-batch against `indexPath` (a [[Dedup.nearDupIndex]] parquet
     * dir, extended in place as batches admit). Admitted rows append
@@ -129,10 +157,15 @@ object AdmissionStream {
       .foreach(ix => Dedup.validateIndexParams(ix, shingleN, k, rowsPerBand))
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    // highest batch id this run actually processed — feeds the
+    // stale-generation sweep after the stream stops (foreachBatch runs
+    // driver-side, so the mutation is safe)
+    var lastBatchId = -1L
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lastBatchId = math.max(lastBatchId, batchId)
         // fold the standing index BEFORE probing once enough batch
         // subdirs accreted — never the current batch's own (see the
         // index-lifecycle note above)
@@ -170,6 +203,11 @@ object AdmissionStream {
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
+    // a re-run over fewer landing files leaves the prior run's
+    // higher-id batch subdirs standing in both trees — sweep them so
+    // the final read (and the standing index) reflect THIS run only
+    pruneStaleBatches(spark, indexPath, lastBatchId)
+    pruneStaleBatches(spark, outPath, lastBatchId)
     def rm(f: java.io.File): Unit = if (f.exists()) {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()

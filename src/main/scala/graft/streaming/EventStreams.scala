@@ -365,6 +365,18 @@ object EventStreams {
       item: Column, depth: Int, width: Int,
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None): Unit = {
+    // the cross-session collision above is SILENT data loss (restarted
+    // ids are skipped as replays, no error anywhere) — fail fast instead
+    // of relying on the caller having read the scaladoc: a standing
+    // sketch that already carries applied-batch markers plus a scratch
+    // checkpoint can only be a second session over the same target
+    require(checkpointDir.nonEmpty
+        || graft.operators.Upsert.appliedBatches(targetPath).isEmpty,
+      s"standing sketch at $targetPath already carries applied-batch " +
+        "markers and no durable checkpointDir was supplied — a scratch " +
+        "checkpoint restarts batch ids at 0, which would collide with " +
+        "the applied set and silently skip this session's data; pass " +
+        "the prior session's checkpointDir (or start a fresh targetPath)")
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(scratchDir("graft_cms_ckpt_"))
     val q = readEventStream(spark, path, maxFilesPerTrigger)

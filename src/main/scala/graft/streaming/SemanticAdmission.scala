@@ -108,10 +108,15 @@ object SemanticAdmission {
       .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    // highest batch id this run processed — feeds the stale-generation
+    // sweep below (the AdmissionStream idiom; foreachBatch runs
+    // driver-side, so the mutation is safe)
+    var lastBatchId = -1L
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lastBatchId = math.max(lastBatchId, batchId)
         val vecs = batch.select(col("vec_id"), col("embedding"))
           .localCheckpoint(true)
         val standing = streamedExcludingBatch(spark, indexPath, batchId)
@@ -127,6 +132,12 @@ object SemanticAdmission {
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
+    // a re-run over fewer landing files than the prior run leaves that
+    // run's higher-id batch subdirs standing in the streamed index tree
+    // and the output tree — sweep them so the final read (and any later
+    // session's full-tree read) reflects THIS run only
+    AdmissionStream.pruneStaleBatches(spark, s"$indexPath/stream", lastBatchId)
+    AdmissionStream.pruneStaleBatches(spark, outPath, lastBatchId)
     def rm(f: java.io.File): Unit = if (f.exists()) {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()

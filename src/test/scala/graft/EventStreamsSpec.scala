@@ -277,19 +277,24 @@ class EventStreamsSpec extends SparkSpecBase {
     after shouldBe before
   }
 
-  test("streamingCmsCells: sketch merged over micro-batches equals the batch CMS; replay is idempotent") {
+  test("streamingCmsCells: sketch merged over micro-batches equals the batch CMS; replay is idempotent; scratch re-session fails fast") {
     import org.apache.spark.sql.functions._
     // two micro-batches of the SAME file: the standing sketch must be the
-    // batch sketch of the doubled stream (additivity), and a full stream
-    // re-run must change nothing (batchId exactly-once)
+    // batch sketch of the doubled stream (additivity), and a re-run under
+    // the SAME durable checkpoint must change nothing (the file source
+    // has committed both files — real cross-session exactly-once, not the
+    // silent id-collision skip)
     val src = Paths.get("/root/testdata/sf0.001/events.parquet")
     val landing = Files.createTempDirectory("graft_cms_landing_")
     Files.copy(src, landing.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, landing.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val target = Files.createTempDirectory("graft_cms_out_").resolve("cms").toString
+    val ckpt = Files.createTempDirectory("graft_cms_durable_ckpt_")
+      .resolve("ckpt").toString
 
     EventStreams.streamingCmsCells(spark, landing.toString, target,
-      col("user_id"), depth = 3, width = 128, maxFilesPerTrigger = Some(1))
+      col("user_id"), depth = 3, width = 128, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(ckpt))
 
     val got = spark.read.parquet(target).select("r", "c", "cnt")
       .orderBy("r", "c").collect().map(_.toSeq).toSeq
@@ -300,10 +305,20 @@ class EventStreamsSpec extends SparkSpecBase {
     got shouldBe expected
 
     EventStreams.streamingCmsCells(spark, landing.toString, target,
-      col("user_id"), depth = 3, width = 128, maxFilesPerTrigger = Some(1))
+      col("user_id"), depth = 3, width = 128, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(ckpt))
     val after = spark.read.parquet(target).select("r", "c", "cnt")
       .orderBy("r", "c").collect().map(_.toSeq).toSeq
     after shouldBe got
+
+    // a second session over the same standing sketch WITHOUT the durable
+    // checkpoint would restart batch ids at 0, collide with the applied
+    // markers, and silently skip its data — must fail fast instead
+    val ex = intercept[IllegalArgumentException] {
+      EventStreams.streamingCmsCells(spark, landing.toString, target,
+        col("user_id"), depth = 3, width = 128, maxFilesPerTrigger = Some(1))
+    }
+    ex.getMessage should include("checkpointDir")
   }
 
   test("hourlyCategoryCounts: stream-static broadcast enrichment equals the batch join") {
