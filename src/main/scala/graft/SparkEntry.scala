@@ -1718,10 +1718,15 @@ object SparkEntry {
         ()
       }
     }
+    // compactEvery = 1: with two micro-batches, batch 1 finds batch-0's
+    // subdir standing and folds the tree first — so the DRIVER-verified
+    // path exercises the compaction branch (hash must equal the
+    // uncompacted run's; the probe reads the same signature rows flat or
+    // nested), not just the spec
     val admitted = streaming.AdmissionStream.runAdmission(s, landing.toString,
         root.resolve("index").toString, root.resolve("out").toString,
         shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
-        maxFilesPerTrigger = Some(1))
+        maxFilesPerTrigger = Some(1), compactEvery = Some(1))
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
       // pin the (admitted-ids-sized) result off the temp files so the

@@ -139,6 +139,61 @@ class AdmissionStreamSpec extends SparkSpecBase {
     flatFiles should be >= 1
   }
 
+  test("a shorter re-run sweeps the prior run's higher-id batch subdirs from index and out trees") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")
+    val standing = docs.filter(!isNew).select(col("doc_id"), col("text"))
+    val splitA = pmod(col("doc_id"), lit(2)) === 0
+    val root = Files.createTempDirectory("graft_admit_shorter_")
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val indexPath = root.resolve("index").toString
+    val outPath = root.resolve("out").toString
+    try {
+      def land(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+        val stage = Files.createTempDirectory("graft_admit_sstage_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, landing.resolve(name))
+        landing.resolve(name).toFile.setLastModified(mod)
+        ()
+      }
+      land(docs.filter(isNew && splitA), "a.parquet", 1000000L)
+      land(docs.filter(isNew && !splitA), "b.parquet", 2000000L)
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$indexPath/seed")
+      AdmissionStream.runAdmission(spark, landing.toString, indexPath, outPath,
+        shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+        maxFilesPerTrigger = Some(1))
+      // the re-run sees ONLY file a — one batch. Without the sweep, the
+      // first run's batch-1 subdirs would stand in both trees: the final
+      // read would include file b's admissions the shorter run never saw,
+      // and batch 0's decision would have probed a LATER admission set.
+      Files.delete(landing.resolve("b.parquet"))
+      val rerun = AdmissionStream.runAdmission(spark, landing.toString,
+          indexPath, outPath, shingleN = 3, k = 8, rowsPerBand = 2,
+          threshold = 0.4, maxFilesPerTrigger = Some(1))
+        .select("doc_id").as[Long].collect().toSet
+      val expectA = Dedup.admitNewDocs(
+          docs.filter(isNew && splitA).select(col("doc_id"), col("text")),
+          standing, col("doc_id"), col("text"), 3, 8, 2, 0.4)
+        .select("doc_id").as[Long].collect().toSet
+      rerun shouldBe expectA
+      // stale batch-1 subdirs are gone from both trees
+      new java.io.File(indexPath).listFiles().map(_.getName).toSet shouldBe
+        Set("seed", "batch-0")
+      new java.io.File(outPath).listFiles().map(_.getName)
+        .filter(_.startsWith("batch-")).toSet shouldBe Set("batch-0")
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("empty landing dir opens the stream under the fallback schema and admits nothing") {
     val root = Files.createTempDirectory("graft_admit_empty_")
     val landing = root.resolve("landing"); Files.createDirectory(landing)

@@ -64,6 +64,45 @@ class AnnIngestSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("trained-quantizer artifact: lloydTrain centroids → writeIvfFlatIndex → probe ≡ direct ivfFlatTopK") {
+    val rnd = new Random(11)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.05f)))
+    val corpus = vecDF(cluster(1f, 25, 0L) ++ cluster(-1f, 25, 100L) ++
+      cluster(0.2f, 25, 200L))
+    val queries = corpus.filter(col("vec_id").isin(0L, 100L, 200L))
+
+    val centroids = Similarity.collectTrainedCentroids(
+      Similarity.lloydTrain(corpus, nCells = 3, rounds = 2))
+    centroids.size shouldBe 3
+    centroids.foreach(_.size shouldBe 8)
+
+    val root = Files.createTempDirectory("graft_trained_ix_spec_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    Similarity.writeIvfFlatIndex(corpus, centroids, ix)
+
+    val probed = Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val direct = Similarity.ivfFlatTopK(queries, corpus, 5, centroids, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    probed shouldBe direct
+    probed.nonEmpty shouldBe true
+
+    // the artifact's stored quantizer is the trained one, bit for bit
+    Similarity.collectTrainedCentroids(
+      Similarity.lloydTrain(corpus, nCells = 3, rounds = 2)) shouldBe centroids
+    spark.catalog.clearCache()
+  }
+
+  test("collectTrainedCentroids raises on a non-contiguous cell range") {
+    val trained = Seq((0, 1, 100L), (2, 1, 300L)).toDF("cell", "pos", "centroid_q")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.collectTrainedCentroids(trained)
+    }
+    ex.getMessage should include("contiguous")
+  }
+
   test("compactIvfFlatIndex folds the stream table, probe unchanged, idempotent") {
     val rnd = new Random(5)
     def cluster(base: Float, n: Int, off: Long) =
