@@ -76,7 +76,16 @@ object EventStreams {
     val dir =
       if (f.isFile) {
         val d = scratchDir("graft_stream_")
-        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+        // hard-link from the shm-staged copy (one disk→shm copy per
+        // fixture per session, not per query per pass)
+        val staged = srcStageCache.getOrElseUpdate(
+          s"${f.getPath}:${f.length}:${f.lastModified}", {
+            val c = scratchDir("graft_stream_srccache_")
+            java.nio.file.Files.copy(f.toPath, c.resolve(f.getName))
+            c
+          })
+        Option(staged.toFile.listFiles()).getOrElse(Array.empty).foreach(s =>
+          java.nio.file.Files.createLink(d.resolve(s.getName), s.toPath))
         stagedDirs.put(path, d.toFile)
         d.toString
       } else path
@@ -506,6 +515,15 @@ object EventStreams {
   private val sentinelFileCache =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
+  /** Source files staged ONCE into tmpfs scratch per (path, size, mtime)
+    * identity — the replay harness lands the SAME fixture files for
+    * every file-sink query, and each per-query landing dir hard-links
+    * from this shm-resident copy (same filesystem, so links work;
+    * per-query cost is directory entries, not a disk→shm copy of the
+    * events table per query per pass). */
+  private val srcStageCache =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
   def runToCompletionFileSink(spark: SparkSession, path: String,
       agg: DataFrame => DataFrame,
       sentinelType: String = "__graft_flush",
@@ -526,9 +544,83 @@ object EventStreams {
       else Option(src.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && !f.getName.startsWith("_")
           && !f.getName.startsWith(".")).toSeq
-    srcFiles.foreach(f => Files.copy(f.toPath, landing.resolve(f.getName)))
+    val srcKey = srcFiles.map(f =>
+      s"${f.getPath}:${f.length}:${f.lastModified}").sorted.mkString("|")
+    val stagedSrc = srcStageCache.getOrElseUpdate(srcKey, {
+      val d = scratchDir("graft_stream_srccache_")
+      srcFiles.foreach(f => Files.copy(f.toPath, d.resolve(f.getName)))
+      d
+    })
+    Option(stagedSrc.toFile.listFiles()).getOrElse(Array.empty)
+      .foreach(f => Files.createLink(landing.resolve(f.getName), f.toPath))
     val shufflePartitionsKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shufflePartitionsKey)
+    // watermark flush: sentinel event(s) 7 days past the max real event
+    // time, staged as parquet files the source picks up. The sentinel
+    // must carry the SAME physical ts encoding as the landing files (the
+    // source reads with the probed schema), so normalize max-ts to long
+    // micros, then re-encode per type. Both the max-ts probe and the
+    // one-row sentinel file are cached — pure functions of the fixture.
+    val tsType =
+      if (srcFiles.nonEmpty) probeTsType(spark, landing.toString)
+      else LongType
+    val tsAsMicros = tsType match {
+      case LongType => expr("ts div 1000") // raw nanos
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+    val maxTs =
+      if (srcFiles.isEmpty) None
+      else maxTsCache.getOrElseUpdate(srcKey,
+        spark.read.schema(eventSchemaFor(tsType))
+          .parquet(landing.toString)
+          .agg(max(tsAsMicros)).collect().headOption
+          .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])))
+    def sentinelFile(sentMicros: Long): java.nio.file.Path =
+      sentinelFileCache.getOrElseUpdate(
+        s"${tsType.simpleString}:$sentMicros:$sentinelType", {
+          val sentTs = tsType match {
+            case LongType => lit(sentMicros * 1000L)
+            case TimestampNTZType =>
+              timestamp_micros(lit(sentMicros)).cast(TimestampNTZType)
+            case _ => timestamp_micros(lit(sentMicros))
+          }
+          val sentinel = spark.range(1).select(
+            lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
+            lit(sentinelType).as("event_type"), lit(0.0).as("value"),
+            lit(null).cast(StringType).as("props"))
+          val tmp = scratchDir("graft_stream_sentinel_")
+          sentinel.coalesce(1).write
+            .mode("overwrite").parquet(tmp.resolve("s").toString)
+          val part = Option(tmp.resolve("s").toFile.listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .head
+          val keep = scratchDir("graft_stream_sentcache_")
+            .resolve("sentinel.parquet")
+          Files.move(part.toPath, keep)
+          rmDir(tmp.toFile)
+          keep
+        })
+    def sentMicrosFor(t: Long, n: Int): Long =
+      t + 7L * 24 * 3600 * 1000000L + (n - 1) * 3600L * 1000000L
+    // single-flush fast path: the sentinel rides the landing dir from the
+    // START, so one processAllAvailable covers the whole replay — batch 0
+    // reads real data + sentinel (watermark 0, nothing emits), and the
+    // trailing no-data micro-batch applies the sentinel-advanced
+    // watermark, closing every real window/join horizon into the sink.
+    // Equivalent output to the append-after loop below (the sentinel is
+    // just another event; event-time semantics don't order within a
+    // batch), minus one data batch + one state-commit round + one
+    // directory-listing cycle per query. Multi-flush keeps the staggered
+    // append-after loop: its contract is that each LATER sentinel's DATA
+    // batch applies the previous one's watermark, which pre-placement
+    // cannot express.
+    if (flushes == 1)
+      maxTs.foreach { t =>
+        Files.createLink(landing.resolve("zz_sentinel1.parquet"),
+          sentinelFile(sentMicrosFor(t, 1)))
+      }
     // the streaming frame is built before start() so its schema is known
     // even when the source turns out to be empty (see the guard below)
     var aggSchema: org.apache.spark.sql.types.StructType = null
@@ -548,57 +640,13 @@ object EventStreams {
       // sentinel stage) must not leave the query running in the session
       try {
         q.processAllAvailable()
-      // watermark flush: one sentinel event 7 days past the max real
-      // event time, staged as a parquet file the running source picks up.
-      // The sentinel file must carry the SAME physical ts encoding as the
-      // landing files (the running source reads with the probed schema),
-      // so normalize max-ts to long micros, then re-encode per type.
-      val tsType = probeTsType(spark, landing.toString)
-      val tsAsMicros = tsType match {
-        case LongType => expr("ts div 1000") // raw nanos
-        case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
-        case _ => unix_micros(col("ts"))
-      }
-      val srcKey = srcFiles.map(f =>
-        s"${f.getPath}:${f.length}:${f.lastModified}").sorted.mkString("|")
-      val maxTs = maxTsCache.getOrElseUpdate(srcKey,
-        spark.read.schema(eventSchemaFor(tsType))
-          .parquet(landing.toString)
-          .agg(max(tsAsMicros)).collect().headOption
-          .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])))
-      maxTs.foreach { t =>
-        (1 to flushes).foreach { n =>
-          val sentMicros = t + 7L * 24 * 3600 * 1000000L +
-            (n - 1) * 3600L * 1000000L
-          val sentTs = tsType match {
-            case LongType => lit(sentMicros * 1000L)
-            case TimestampNTZType =>
-              timestamp_micros(lit(sentMicros)).cast(TimestampNTZType)
-            case _ => timestamp_micros(lit(sentMicros))
+        if (flushes > 1) maxTs.foreach { t =>
+          (1 to flushes).foreach { n =>
+            Files.createLink(landing.resolve(s"zz_sentinel$n.parquet"),
+              sentinelFile(sentMicrosFor(t, n)))
+            q.processAllAvailable()
           }
-          val staged = sentinelFileCache.getOrElseUpdate(
-            s"${tsType.simpleString}:$sentMicros:$sentinelType", {
-              val sentinel = spark.range(1).select(
-                lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
-                lit(sentinelType).as("event_type"), lit(0.0).as("value"),
-                lit(null).cast(StringType).as("props"))
-              val tmp = scratchDir("graft_stream_sentinel_")
-              sentinel.coalesce(1).write
-                .mode("overwrite").parquet(tmp.resolve("s").toString)
-              val part = Option(tmp.resolve("s").toFile.listFiles())
-                .getOrElse(Array.empty)
-                .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-                .head
-              val keep = scratchDir("graft_stream_sentcache_")
-                .resolve("sentinel.parquet")
-              Files.move(part.toPath, keep)
-              rmDir(tmp.toFile)
-              keep
-            })
-          Files.copy(staged, landing.resolve(s"zz_sentinel$n.parquet"))
-          q.processAllAvailable()
         }
-      }
       } finally q.stop()
     } finally {
       spark.conf.set(shufflePartitionsKey, prevShuffle)
