@@ -228,6 +228,77 @@ object Dedup {
       ix.select(col("doc_id"), col("sh"), col("bands")), threshold)
   }
 
+  /** REBUILD a standing near-dup index under new parameters — the
+    * escape hatch for the mixed-generation dead end: the path overload
+    * of [[admitNewDocsWithIndex]] fail-fasts when an index tree holds
+    * more than one (shingleN, k, rowsPerBand) generation (a
+    * re-parameterized rebuild landed beside legacy files — exactly what
+    * accretes at 100 TB over years of ingest), and at that point no
+    * probe parameterization is safe. This re-shingles the KEPT SET from
+    * a caller-supplied (doc_id, text) source — the documents table or a
+    * stored text side; signatures cannot be re-derived from signatures —
+    * restricted to the doc_ids the standing tree holds (whatever
+    * generation each came from), and swaps a fresh single-generation
+    * [[nearDupIndex]] artifact in via the [[Maintenance.compactTree]]
+    * staged-rename discipline (`__staged`/`__old`,
+    * [[Upsert.recoverStagedSwap]] run first, crash-safe). The swapped
+    * tree is flat target-sized files — also a compaction. Run between
+    * ingest sessions, never concurrently with one. Returns the rebuilt
+    * file count.
+    *
+    * Cost is one full re-shingle of the kept set — the once-per-
+    * reparameterization price the artifact's embedded parameters exist
+    * to make explicit rather than silent. `docs` must cover every kept
+    * doc_id; ids missing from it would be silently dropped from the
+    * index, so the rebuild REQUIRES full coverage and throws otherwise. */
+  def rebuildNearDupIndex(docs: DataFrame, indexPath: String, id: Column,
+      text: Column, shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val spark = docs.sparkSession
+    Upsert.recoverStagedSwap(indexPath)
+    val target = new java.io.File(indexPath)
+    require(target.isDirectory, s"no near-dup index tree at $indexPath")
+    val staged = new java.io.File(indexPath + "__staged")
+    val old = new java.io.File(indexPath + "__old")
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(staged); rm(old)
+    val keptIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(indexPath).select(col("doc_id")).distinct()
+      .localCheckpoint(true)
+    val kept = keptIds.count()
+    val src = docs.select(id.as("doc_id"), text.as("txt"))
+    val covered = src.join(keptIds, Seq("doc_id"), "left_semi")
+    val coveredIds = covered.select(col("doc_id")).distinct().count()
+    require(coveredIds == kept,
+      s"rebuild source covers $coveredIds of $kept kept doc_ids — a " +
+        "partial rebuild would silently drop documents from the index; " +
+        "supply a text source spanning the whole kept set")
+    // size from the standing tree's bytes (same-rows-similar-encoding
+    // approximation, the compactTree sizing rule)
+    def dataBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(dataBytes).sum
+      else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+        f.length()
+      else 0L
+    val n = math.max(1L,
+      (dataBytes(target) + targetFileBytes - 1) / targetFileBytes).toInt
+    nearDupIndex(covered, col("doc_id"), col("txt"), shingleN, k, rowsPerBand)
+      .repartition(n)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged.getPath)
+    if (!target.renameTo(old))
+      throw new java.io.IOException(s"could not stage out $indexPath")
+    if (!staged.renameTo(target)) {
+      old.renameTo(target)
+      throw new java.io.IOException(s"could not swap $indexPath")
+    }
+    rm(old)
+    n
+  }
+
   private def admitCore(nw: DataFrame, ix: DataFrame,
       threshold: Double): DataFrame = {
     def jaccardOk(a: Column, b: Column): Column =

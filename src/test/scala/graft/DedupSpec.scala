@@ -373,6 +373,57 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("rebuildNearDupIndex: mixed-generation tree → single probe-ready generation; partial source refused") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    val (fresh, standing) = (docs.filter(isNew), docs.filter(!isNew))
+    val splitA = pmod(col("doc_id"), lit(2)) === 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebuild_spec_")
+    try {
+      val ixPath = dir.resolve("ix").toString
+      // two parameter generations side by side — the 100 TB dead end the
+      // path overload refuses
+      Dedup.nearDupIndex(standing.filter(splitA), col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$ixPath/seed")
+      Dedup.nearDupIndex(standing.filter(!splitA), col("doc_id"), col("text"),
+          shingleN = 3, k = 16, rowsPerBand = 4)
+        .write.mode("overwrite").parquet(s"$ixPath/batch-0")
+      intercept[IllegalArgumentException] {
+        Dedup.admitNewDocsWithIndex(fresh, ixPath, col("doc_id"), col("text"), 0.4)
+      }
+      // rebuild from the documents table under one parameterization
+      Dedup.rebuildNearDupIndex(docs, ixPath, col("doc_id"), col("text"),
+        shingleN = 3, k = 8, rowsPerBand = 2)
+      // single generation: the path probe works again, and admissions
+      // equal the direct batch admission over the same kept set
+      val viaPath = Dedup.admitNewDocsWithIndex(fresh, ixPath,
+          col("doc_id"), col("text"), 0.4)
+        .orderBy("doc_id").as[Long].collect().toSeq
+      val direct = Dedup.admitNewDocs(fresh, standing,
+          col("doc_id"), col("text"), 3, 8, 2, 0.4)
+        .orderBy("doc_id").as[Long].collect().toSeq
+      viaPath shouldBe direct
+      viaPath.nonEmpty shouldBe true
+      // the swapped tree is flat files — also a compaction
+      new java.io.File(ixPath).listFiles().count(_.isDirectory) shouldBe 0
+      // a text source that misses kept ids must refuse, not silently drop
+      val e = intercept[IllegalArgumentException] {
+        Dedup.rebuildNearDupIndex(docs.filter(splitA), ixPath,
+          col("doc_id"), col("text"), 3, 8, 2)
+      }
+      e.getMessage should include("covers")
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("param fail-fast tolerates legacy null-param rows in a mixed-schema index") {
     // a mixed dir (legacy parameter-less artifact + new batches — what a
     // seeded AdmissionStream index looks like) surfaces the legacy rows
