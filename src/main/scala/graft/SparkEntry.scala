@@ -2248,8 +2248,16 @@ object SparkEntry {
     * everything joins on the 5-row source dimension, so the card costs
     * three bounded shuffles at any corpus size and the whole artifact
     * hash-checks. */
-  def q132DatasetCard(s: SparkSession, dir: String): DataFrame = {
+  /** The card's LAZY plan plus the shared persisted documents frame —
+    * split from the entry so PlanPruningSpec can pin the cache-fill
+    * scan's requiredSchema (the entry's eager localCheckpoint hides the
+    * scans). The projection BEFORE persist matters: caching the full
+    * table would fill the cache from a scan of every column, lang and
+    * all, when the card consumes exactly four. */
+  private[graft] def q132CardPlan(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = docs.groupBy(col("source")).agg(
       count(lit(1)).as("docs"),
@@ -2266,12 +2274,17 @@ object SparkEntry {
       .groupBy(col("source"))
       .agg(sum(col("score_micros")).as("model_score_micros"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+    (docs,
+      base.join(vocabEst, Seq("source"), "left")
+        .join(gate, Seq("source"), "left")
+        .orderBy(col("source")))
+  }
+
+  def q132DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val (docs, card) = q132CardPlan(s, dir)
     // pin the source-count-sized card eagerly and release the documents
     // cache (the q125/q128 release idiom)
-    val res = base.join(vocabEst, Seq("source"), "left")
-      .join(gate, Seq("source"), "left")
-      .orderBy(col("source"))
-      .localCheckpoint(true)
+    val res = card.localCheckpoint(true)
     docs.unpersist()
     res
   }

@@ -243,13 +243,20 @@ object Similarity {
     * [[lloydRefine]]. Returns the FINAL round's quantized means:
     * (cell, pos, centroid_q, n) with 1-based pos — feed
     * `centroid_q / scale` to [[ivfFlatTopK]] as trained centroids. */
+  /** [[lloydTrain]]'s corpus projection, exposed so PlanPruningSpec can
+    * pin that the trainer's per-round scans read only (vec_id,
+    * embedding) — the training loop itself is eager (localCheckpoint
+    * per round), which hides its scans from a plan assertion. */
+  private[graft] def lloydVecs(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+
   def lloydTrain(corpus: DataFrame, nCells: Int, rounds: Int = 2,
       scale: Double = 1e6): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
+    val vecs = lloydVecs(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ctr = hashCentroids(corpus, nCells).zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "cv")

@@ -189,7 +189,17 @@ class PlanPruningSpec extends SparkSpecBase {
   }
 
   test("q124 CMS heavy hitters reads only text from documents") {
-    scanSchemas("q124_cms_heavy_hitters")("documents") shouldBe Set("text")
+    // eager entry (localCheckpoint + cache release) — harvest scans from
+    // the execution listener
+    val scans = executedScans {
+      SparkEntry.queries("q124_cms_heavy_hitters")(
+        spark, "/root/testdata/sf0.001").collect()
+      ()
+    }.filter(
+      _.relation.location.rootPaths.head.getName.startsWith("documents"))
+      .map(_.requiredSchema.fieldNames.toSet)
+    scans should not be empty
+    scans.foreach(_ shouldBe Set("text"))
   }
 
   test("q126 Bloom pre-screen reads only (doc_id, text) from documents") {
@@ -198,14 +208,19 @@ class PlanPruningSpec extends SparkSpecBase {
   }
 
   test("q127 semantic pair join prunes the unused label column from embeddings") {
-    // the driver query's components stage localCheckpoints (truncating
-    // lineage), so the pruning contract is pinned on the PAIR stage —
-    // the one that actually scans the corpus
-    val pairs = graft.operators.Dedup.semanticNearDupPairs(
-      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
-      nCells = 4, threshold = 0.35)
-    scanSchemasOf(pairs)("embeddings")
-      .subsetOf(Set("vec_id", "embedding")) shouldBe true
+    // the assignment stage is pinned eagerly inside semanticNearDupPairs
+    // (localCheckpoint, so repeated invocations don't accumulate cache
+    // entries) — its corpus scan surfaces through the execution listener
+    val scans = executedScans {
+      graft.operators.Dedup.semanticNearDupPairs(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        nCells = 4, threshold = 0.35).collect()
+      ()
+    }.filter(
+      _.relation.location.rootPaths.head.getName.startsWith("embeddings"))
+      .map(_.requiredSchema.fieldNames.toSet)
+    scans should not be empty
+    scans.foreach(s => s.subsetOf(Set("vec_id", "embedding")) shouldBe true)
   }
 
   test("q130 model gate reads only (doc_id, text) from documents") {
@@ -248,8 +263,14 @@ class PlanPruningSpec extends SparkSpecBase {
     * stages rightly prune to different subsets (the shingle pass reads
     * (doc_id, text); the gate reads the metadata columns). */
   private def assertDocScansWithin(name: String, allowed: Set[String]): Unit = {
-    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-    val docScans = allScans(df.queryExecution.sparkPlan).filter {
+    // executedScans rather than the returned frame's plan: q112
+    // materializes eagerly (localCheckpoint + cache release), so its
+    // scans only surface through the execution listener; for the lazy
+    // chains the collect's own execution carries the same scans
+    val docScans = executedScans {
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").collect()
+      ()
+    }.filter {
       f => f.relation.location.rootPaths.head.getName.startsWith("documents")
     }.map(_.requiredSchema.fieldNames.toSet)
     docScans should not be empty
@@ -265,6 +286,90 @@ class PlanPruningSpec extends SparkSpecBase {
   test("q114 winnowing-policy clean never reads the unused source column") {
     assertDocScansWithin("q114_clean_winnowing",
       Set("doc_id", "lang", "text", "n_chars"))
+  }
+
+  test("q120/q121/q133 index probes: embeddings pruned to (vec_id, embedding); artifact scans to sketch columns") {
+    for (q <- Seq("q120_ann_index_probe", "q121_ann_index_append",
+        "q133_trained_index_probe")) {
+      val schemas = scanSchemas(q)
+      schemas("embeddings").subsetOf(Set("vec_id", "embedding")) shouldBe true
+      // cell is the partition column on the seed artifact (absent from
+      // requiredSchema); streamed rows may carry it as data
+      schemas("assignments")
+        .subsetOf(Set("vec_id", "embedding", "c_norm", "cell")) shouldBe true
+    }
+  }
+
+  test("q123 reduced-dim recall prunes the unused label column from embeddings") {
+    scanSchemas("q123_reduced_ann_recall")("embeddings")
+      .subsetOf(Set("vec_id", "embedding")) shouldBe true
+  }
+
+  test("q129 k-means training scans read only (vec_id, embedding)") {
+    // the trainer is eager (per-round localCheckpoint) — harvest every
+    // round's scans from the execution listener
+    val scans = executedScans {
+      SparkEntry.queries("q129_kmeans_train")(
+        spark, "/root/testdata/sf0.001").collect()
+      ()
+    }.filter(
+      _.relation.location.rootPaths.head.getName.startsWith("embeddings"))
+      .map(_.requiredSchema.fieldNames.toSet)
+    scans should not be empty
+    scans.foreach(s => s.subsetOf(Set("vec_id", "embedding")) shouldBe true)
+    // and the projection the trainer scans through is itself pinned
+    scanSchemasOf(graft.operators.Similarity.lloydVecs(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")))(
+      "embeddings") shouldBe Set("vec_id", "embedding")
+  }
+
+  test("q132 dataset card: every documents scan prunes to the card's four columns") {
+    val scans = executedScans {
+      SparkEntry.queries("q132_dataset_card")(
+        spark, "/root/testdata/sf0.001").collect()
+      ()
+    }.filter(
+      _.relation.location.rootPaths.head.getName.startsWith("documents"))
+      .map(_.requiredSchema.fieldNames.toSet)
+    scans should not be empty
+    scans.foreach(s =>
+      s.subsetOf(Set("doc_id", "source", "n_chars", "text")) shouldBe true)
+    scans.foreach(s => s should not contain "lang")
+  }
+
+  test("q125 streaming heavy hitters: every event-bearing scan prunes to user_id") {
+    // landing scans (the micro-batch source) and the exact-top leg both
+    // carry user_id; neither may drag ts/value/props along — the sketch
+    // path's whole point is that only the item column crosses the scan
+    val fullEventSchema =
+      Set("event_id", "ts", "user_id", "event_type", "value", "props")
+    val scans = executedScans {
+      SparkEntry.queries("q125_streaming_heavy_hitters")(
+        spark, "/root/testdata/sf0.001").collect()
+      ()
+    }.map(_.requiredSchema.fieldNames.toSet)
+      .filter(_.contains("user_id"))
+    // the once-per-JVM landing STAGING copy legitimately reads the whole
+    // table (it writes the whole table); every other user_id-bearing scan
+    // — the micro-batch source reads and the exact-top leg — must carry
+    // user_id alone
+    val pruned = scans.filterNot(_ == fullEventSchema)
+    pruned should not be empty
+    pruned.foreach(s => s.subsetOf(Set("user_id")) shouldBe true)
+  }
+
+  test("q128 streaming semantic admission: no scan reads label; vector scans prune to index columns") {
+    val scans = executedScans {
+      SparkEntry.queries("q128_streaming_semantic_admission")(
+        spark, "/root/testdata/sf0.001").collect()
+      ()
+    }.map(_.requiredSchema.fieldNames.toSet)
+    scans should not be empty
+    scans.foreach(s => s should not contain "label")
+    val vecScans = scans.filter(_.contains("embedding"))
+    vecScans should not be empty
+    vecScans.foreach(s =>
+      s.subsetOf(Set("vec_id", "embedding", "c_norm", "cell")) shouldBe true)
   }
 
   test("q109 admission probe never rescans corpus text from the index artifact") {
