@@ -147,7 +147,11 @@ object BenchScale {
       "q20_knn_bruteforce", "q25_neardup_embedding", "q28_ann_srp",
       "q49_ann_ivf_flat", "q57_ann_pq",
       "q124_cms_heavy_hitters", "q126_bloom_contamination",
-      "q127_semantic_dedup", "q130_model_quality_gate", "q131_dedup_recall")
+      "q127_semantic_dedup", "q130_model_quality_gate", "q131_dedup_recall",
+      // the sharded-rank + scan-gate families (r12 gap: their shard-
+      // parallelism claims were spec-proven but never measured at 10×)
+      "q78_vocab_encode", "q91_interleave_order", "q92_length_batches",
+      "q118_temperature_mix", "q129_kmeans_train")
 
     // q127's cell count is a DEPLOYMENT knob (SemDeDup sizes clusters
     // ~N/cluster-budget): at fixed nCells a 10× corpus puts 10× vectors
@@ -165,6 +169,16 @@ object BenchScale {
           nCells = cells, threshold = 0.35)
         operators.Dedup.connectedComponentsStar(
           pairs, col("id_a"), col("id_b")).count()
+        ()
+      case "q129_kmeans_train" =>
+        // cells are the same deployment knob as q127's: production sizes
+        // nCells ∝ corpus (per-cell population constant), so the stress
+        // scales them with the data; the trainer's per-round cost is one
+        // corpus shuffle + a broadcast of nCells centroids either way
+        val cells = if (dir == sfDir) 8 else 8 * replicas
+        operators.Similarity.lloydTrain(
+          sources.Tables.embeddings(spark, dir),
+          nCells = cells, rounds = 2).count()
         ()
       case _ => SparkEntry.queries(n)(spark, dir).count(); ()
     }
@@ -196,7 +210,7 @@ object BenchScale {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_stress","replicas":$replicas,"base":"$sfDir",""" +
-        s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim; q127 runs nCells=64 base / 64x$replicas scaled (cells are the SemDeDup deployment knob: per-cell population held constant)",""" +
+        s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim; q127 runs nCells=64 base / 64x$replicas scaled and q129 nCells=8 base / 8x$replicas scaled (cells are the per-cell-population deployment knob)",""" +
         s""""queries":$qs}"""
     println(line)
     val artifact = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")

@@ -2498,6 +2498,9 @@ private[graft] object Oracles {
     // q120: the artifact probe must equal the direct IVF-flat answer —
     // its oracle IS q49's (build→write→reload→probe ≡ compute)
     "q120_ann_index_probe" -> q49OracleSql,
+    // q134: the IVF-PQ artifact probe ≡ the direct q59 computation (the
+    // compressed counterpart of q120 ≡ q49) — same generated oracle
+    "q134_pq_index_probe" -> q59OracleSql,
     "q121_ann_index_append" -> q121OracleSql,
     // q122: streaming ingest lands the same final index state as q121's
     // batch append — same oracle (streaming ≡ batch, hash-checked)

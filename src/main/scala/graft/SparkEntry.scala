@@ -2328,6 +2328,39 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Standing IVF-PQ index artifact per fixture dir (q134's), built once
+    * per JVM — the [[standingAnnIndex]] contract for the COMPRESSED
+    * artifact: same hash quantizers as q59, corpus stored as codes +
+    * reconstruction norms partitioned by cell. */
+  private val annPqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def standingPqIndex(s: SparkSession, dir: String): String =
+    annPqIndexCache.getOrElseUpdate(dir, {
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_pq_").resolve("ix")
+      operators.Similarity.writeIvfPqIndex(
+        t(s, dir, "embeddings"), nLists = 8, m = 8, codewords = 16,
+        ixDir.toString)
+      ixDir.getParent.toFile.deleteOnExit()
+      ixDir.toString
+    })
+
+  /** q134 — IVF-PQ index ARTIFACT lifecycle (Similarity.writeIvfPqIndex
+    * → ivfPqProbe): q59's compressed billion-scale retrieval served from
+    * a MATERIALIZED artifact — codes + stored reconstruction norms
+    * partitioned by cell, centroid and codebook tables alongside; the
+    * probe reloads the bounded quantizer tables and ADC-scores only the
+    * probed cells' code partitions (literal-IN partition pruning). The
+    * artifact probe ≡ the direct computation, so its oracle IS q59's —
+    * the compressed counterpart of q120 ≡ q49. */
+  def q134AnnPqIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    operators.Similarity.ivfPqProbe(
+      e.filter(col("vec_id") < 5), standingPqIndex(s, dir), 10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2461,7 +2494,8 @@ object SparkEntry {
     "q130_model_quality_gate" -> (q130ModelQualityGate _),
     "q131_dedup_recall" -> (q131DedupRecall _),
     "q132_dataset_card" -> (q132DatasetCard _),
-    "q133_trained_index_probe" -> (q133TrainedIndexProbe _)
+    "q133_trained_index_probe" -> (q133TrainedIndexProbe _),
+    "q134_pq_index_probe" -> (q134AnnPqIndexProbe _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -944,6 +944,91 @@ object Similarity {
     rm(old); rm(streamedDir)
   }
 
+  /** The MATERIALIZABLE IVF-PQ index — [[writeIvfFlatIndex]]'s artifact
+    * lifecycle applied to the COMPRESSED form: the corpus lands under
+    * `path/codes/` as (vec_id, codes, recon_norm) PARTITIONED BY cell
+    * (m small ints + one double per vector — the ~dim·8/m× smaller
+    * payload that makes billion-scale serving fit in storage), the
+    * frozen coarse quantizer under `path/centroids/` and the PQ
+    * codebooks under `path/codebooks/` (m × codewords rows — bounded).
+    * The reconstruction norm is computed once at build time and stored,
+    * so a probe touches codes only; a probe's scan partition-prunes to
+    * its probed cells exactly as the flat artifact's does. Deterministic
+    * hash centroids/codebooks by default, so build→write→reload→probe
+    * hash-checks and [[ivfPqProbe]] ≡ [[ivfPqTopKTable]] bit for bit
+    * (doubles and ints round-trip parquet losslessly). */
+  def writeIvfPqIndex(corpus: DataFrame, nLists: Int, m: Int,
+      codewords: Int, path: String): Unit =
+    writeIvfPqIndex(corpus, hashCentroids(corpus, nLists),
+      pqCodebooks(corpus, m, codewords), path)
+
+  /** [[writeIvfPqIndex]] under caller-supplied frozen quantizers — the
+    * [[collectTrainedCentroids]] composition point for the compressed
+    * artifact. */
+  def writeIvfPqIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    require(centroids.nonEmpty && codebooks.nonEmpty,
+      "centroids and codebooks must be non-empty")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    withReconNormTable(
+        pqEncodeTable(corpus, codebooks, cellCentroids = centroids), codebooks)
+      .select(col("vec_id"), col("codes"), col("recon_norm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw) }
+    }.toDF("subspace", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** The artifact's PQ codebooks, read back: m × codewords rows — the
+    * bounded driver-side half, like [[readCentroids]]. */
+  private[graft] def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$indexPath/codebooks")
+      .orderBy(col("subspace"), col("code"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Double]]("codeword").toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+
+  /** Probe a [[writeIvfPqIndex]] artifact: nearest-`nProbe` cells per
+    * query under the reloaded centroids, ADC scoring over ONLY those
+    * cells' code partitions (probed cell ids pushed as a literal IN —
+    * partition pruning reaches the scan statically, the flat-probe
+    * discipline). Output ≡ [[ivfPqTopKTable]] with the same quantizers
+    * (refine = 0; an exact re-rank needs the original vectors, which the
+    * compressed artifact deliberately does not carry — compose with the
+    * corpus table for that). */
+  def ivfPqProbe(queries: DataFrame, indexPath: String, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = readCentroids(spark, indexPath)
+    val codebooks = readCodebooks(spark, indexPath)
+    val q = adcQuerySideTable(queries, codebooks)
+      .withColumn("cell",
+        explode(slice(array_sort(probeStructsTable(col("embedding"), centroids)),
+          1, nProbe).getField("idx")))
+      .drop("embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probedCells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c =
+      if (probedCells.isEmpty)
+        spark.read.parquet(s"$indexPath/codes").filter(lit(false))
+      else spark.read.parquet(s"$indexPath/codes")
+        .filter(col("cell").isin(probedCells: _*))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcCosine(codebooks).as("cosine"))
+    rankTopK(scored, k).withColumnRenamed("cosine", "adc")
+  }
+
   /** Probe a [[writeIvfFlatIndex]] artifact: nearest-`nProbe` cells per
     * query from the reloaded centroid table (one bounded collect of
     * nLists rows), then exact cosine against ONLY those cells'

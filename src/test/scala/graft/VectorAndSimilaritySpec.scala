@@ -159,6 +159,42 @@ class VectorAndSimilaritySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("ivfPqProbe over a written PQ index ≡ ivfPqTopKTable; scan prunes to probed cells") {
+    val rnd = new Random(13)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val corpus = vecDF(cluster(1f, 40, 0L) ++ cluster(-1f, 40, 100L) ++ cluster(0.3f, 40, 200L))
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqix_")
+    dir.toFile.deleteOnExit()
+    Similarity.writeIvfPqIndex(corpus, nLists = 4, m = 4, codewords = 8, dir.toString)
+    val probe = Similarity.ivfPqProbe(queries, dir.toString, 5, nProbe = 2)
+    val direct = Similarity.ivfPqTopKTable(queries, corpus, 5,
+      Similarity.hashCentroids(corpus, 4),
+      Similarity.pqCodebooks(corpus, m = 4, codewords = 8), nProbe = 2)
+    probe.orderBy("query_id", "rnk").collect().toSeq shouldBe
+      direct.orderBy("query_id", "rnk").collect().toSeq
+    probe.count() should be > 0L
+    // partition pruning on the codes table: one query probing nProbe=2
+    // cells reads at most 2 of the 4 cell directories
+    val one = Similarity.ivfPqProbe(
+      queries.filter(col("vec_id") === 0L), dir.toString, 5, nProbe = 2)
+    one.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    val cellScans = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    cellScans should not be empty
+    cellScans.map(_.metrics("numPartitions").value).sum should be <= 2L
+    spark.catalog.clearCache()
+  }
+
   test("appendToIvfFlatIndex under frozen centroids ≡ direct retrieval over the union") {
     val rnd = new Random(11)
     def cluster(base: Float, n: Int, off: Long) =
