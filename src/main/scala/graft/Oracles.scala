@@ -2626,6 +2626,9 @@ private[graft] object Oracles {
     // q132: the dataset card — q130's scoring CTEs + q98's KMV per
     // source + volume aggregates, one row per source
     "q132_dataset_card" -> q132OracleSql,
+    // q135: the streaming card's final state ≡ the batch card (every
+    // leg additive or KMV-mergeable) — same generated oracle
+    "q135_streaming_dataset_card" -> q132OracleSql,
     "q131_dedup_recall" ->
       """WITH sel AS (SELECT doc_id, text FROM documents
         |       WHERE trim(text) <> ''

@@ -2361,6 +2361,60 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** q135's 3-file documents landing (the card's four columns only),
+    * staged once per fixture per JVM — the q125Landing pattern. */
+  private val q135LandingCache =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def q135Landing(s: SparkSession, dir: String): java.nio.file.Path =
+    q135LandingCache.getOrElseUpdate(dir, {
+      val stageRoot = java.nio.file.Files.createTempDirectory("graft_q135_stage_")
+      stageRoot.toFile.deleteOnExit()
+      val landing = stageRoot.resolve("landing")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+        .repartition(3).write.parquet(landing.toString)
+      landing
+    })
+
+  /** q135 — STREAMING dataset card (CardStream.runCardStream): q132's
+    * release summary maintained INCREMENTALLY — the documents firehose
+    * lands as 3 micro-batches, each folds a source-count-sized partial
+    * (counters + per-batch KMV token sketch) into the standing card
+    * state via the batchId-keyed exactly-once staged swap; the final
+    * read derives the vocabulary estimate from the MERGED sketch. Every
+    * card leg is additive or mergeable, so streaming ≡ batch bit-exactly
+    * — the oracle IS q132's SQL. Per-batch cost: one batch scan plus a
+    * sources-sized merge; the card is one micro-batch stale instead of
+    * one full-corpus job stale. */
+  def q135StreamingDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q135_")
+    root.toFile.deleteOnExit()
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    java.nio.file.Files.list(q135Landing(s, dir)).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+        ()
+      }
+    }
+    val target = root.resolve("card").toString
+    streaming.CardStream.runCardStream(s, landing.toString, target,
+      q130Weights, k = 64, maxFilesPerTrigger = Some(1))
+    val res = streaming.CardStream.readCard(s, target, k = 64)
+      .orderBy(col("source"))
+      // pin the sources-sized card off the temp state so the scratch
+      // tree can be deleted now rather than leaking per bench pass
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2495,7 +2549,8 @@ object SparkEntry {
     "q131_dedup_recall" -> (q131DedupRecall _),
     "q132_dataset_card" -> (q132DatasetCard _),
     "q133_trained_index_probe" -> (q133TrainedIndexProbe _),
-    "q134_pq_index_probe" -> (q134AnnPqIndexProbe _)
+    "q134_pq_index_probe" -> (q134AnnPqIndexProbe _),
+    "q135_streaming_dataset_card" -> (q135StreamingDatasetCard _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -136,6 +136,20 @@ object Sketch {
           s" div element_at(__mins, $k)"))
       .as("est_distinct"))
 
+  /** The KMV cardinality estimate read off a STORED mins array — the
+    * [[distinctEstimate]] projection for consumers holding merged sketch
+    * state (a streaming card's standing table, a warehouse sketch
+    * rollup): same integer arithmetic, bit-identical to the direct
+    * estimate by the merge law. Name-based (`div` needs an attribute);
+    * an EMPTY mins array estimates NULL — the no-values group, matching
+    * the batch card's absent-leg left join. */
+  def kmvEstimate(minsCol: String, k: Int): Column =
+    when(size(col(minsCol)) === 0, lit(null).cast("long"))
+      .when(size(col(minsCol)) < k, size(col(minsCol)).cast("long"))
+      .otherwise(expr(
+        s"(CAST(${k - 1} AS DECIMAL(28,0)) * CAST(1152921504606846976 AS DECIMAL(28,0)))" +
+          s" div element_at($minsCol, $k)"))
+
   /** KMV SET ALGEBRA — pairwise distinct-set overlap estimated from the
     * groups' sketches alone (Beyer et al.; the theta-sketch idea): for
     * every group pair (ga < gb), the union's k smallest hashes are a
