@@ -353,7 +353,11 @@ private[graft] object Oracles {
     * cnt >= 2 — no longer a silent assumption: Bpe.trainRounds RAISES
     * if the corpus saturates early, so a shorter merge table can never
     * masquerade as a hash mismatch. */
-  private def q84OracleSql(rounds: Int): String = {
+  /** `includeRules = false` drops the merge-table constant column —
+    * q136's shape: the same training replay, but the engine side holds
+    * the rules in the tokenizer ARTIFACT rather than a result column. */
+  private def q84OracleSql(rounds: Int,
+      includeRules: Boolean = true): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -387,14 +391,17 @@ private[graft] object Oracles {
       .map(r => s"b$r.l || '+' || b$r.r || ':' || CAST(b$r.cnt AS VARCHAR)")
       .mkString(" || ',' || ")
     val rulesFrom = (1 to rounds).map(r => s"b$r").mkString(", ")
+    val rulesCol =
+      if (includeRules) s""",
+         |  (SELECT $rulesExpr FROM $rulesFrom) AS rules""".stripMargin
+      else ""
     sb.append(
       s""",
          |ec AS (SELECT word, enc, len(string_split(enc, ' ')) AS n_sym FROM e$rounds),
          |j AS (SELECT tok.doc_id, tok.pos, ec.enc, ec.n_sym
          |      FROM tok JOIN ec USING (word))
          |SELECT j.doc_id, COUNT(*) AS n_tok, CAST(SUM(j.n_sym) AS BIGINT) AS n_sym,
-         |  md5(string_agg(j.enc, ' ' ORDER BY j.pos)) AS enc_md5,
-         |  (SELECT $rulesExpr FROM $rulesFrom) AS rules
+         |  md5(string_agg(j.enc, ' ' ORDER BY j.pos)) AS enc_md5$rulesCol
          |FROM j GROUP BY j.doc_id ORDER BY j.doc_id""".stripMargin)
     sb.toString
   }
@@ -1492,6 +1499,9 @@ private[graft] object Oracles {
         |  CAST(MIN(best.cnt) AS BIGINT) AS pair_count
         |FROM j CROSS JOIN best GROUP BY j.doc_id ORDER BY j.doc_id""".stripMargin,
     "q84_bpe_train" -> q84OracleSql(3),
+    // q136: train → write artifact → reload → encode ≡ the training
+    // replay itself (the rules live in the artifact, not a column)
+    "q136_tokenizer_encode" -> q84OracleSql(3, includeRules = false),
     // q87: same row string (chr(1) null sentinel, chr(2) separator) and
     // ppm fold as the engine; SUM is commutative so row order is free
     // q89: same fixed quantizer tree ((x−lo)·255/(hi−lo), floor, clamp)

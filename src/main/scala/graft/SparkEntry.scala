@@ -2415,6 +2415,37 @@ object SparkEntry {
     res
   }
 
+  /** Standing trained tokenizer artifact per fixture dir (q136's),
+    * built once per JVM — the tokenizer version a production corpus
+    * ships with, trained once, applied per snapshot. */
+  private val tokenizerCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def standingTokenizer(s: SparkSession, dir: String): String =
+    tokenizerCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bpe_tok_").resolve("tok")
+      operators.Bpe.writeTokenizer(t(s, dir, "documents"),
+        col("doc_id"), col("text"), rounds = 3, p.toString)
+      p.getParent.toFile.deleteOnExit()
+      p.toString
+    })
+
+  /** q136 — TOKENIZER ARTIFACT lifecycle (Bpe.writeTokenizer →
+    * encodeCorpusWith): q84's trainer runs once and its ordered merge
+    * table lands as a versioned parquet artifact (rank, l, r, cnt +
+    * embedded p_rounds); the corpus is then encoded under the RELOADED
+    * table through the native single-expression path — train once,
+    * encode every snapshot after, the artifact discipline the near-dup
+    * and ANN indexes already follow, applied to the tokenizer. The
+    * oracle replays the three training rounds and the re-encode (q84's
+    * SQL minus the rules column), so artifact roundtrip + inference
+    * hash-check end to end. */
+  def q136TokenizerEncode(s: SparkSession, dir: String): DataFrame =
+    operators.Bpe.encodeCorpusWith(t(s, dir, "documents"),
+      col("doc_id"), col("text"), standingTokenizer(s, dir))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2550,7 +2581,8 @@ object SparkEntry {
     "q132_dataset_card" -> (q132DatasetCard _),
     "q133_trained_index_probe" -> (q133TrainedIndexProbe _),
     "q134_pq_index_probe" -> (q134AnnPqIndexProbe _),
-    "q135_streaming_dataset_card" -> (q135StreamingDatasetCard _)
+    "q135_streaming_dataset_card" -> (q135StreamingDatasetCard _),
+    "q136_tokenizer_encode" -> (q136TokenizerEncode _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

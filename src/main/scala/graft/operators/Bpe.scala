@@ -278,6 +278,59 @@ object Bpe {
       .withColumn("rules", lit(rules))
   }
 
+  /** The MATERIALIZABLE tokenizer — train once, encode every corpus
+    * snapshot after, across JOBS: the ordered merge table lands as a
+    * parquet artifact (rank, l, r, cnt) with the training round count
+    * embedded (`p_rounds`, the [[Dedup.nearDupIndex]] versioned-artifact
+    * discipline — an encode under the wrong tokenizer generation should
+    * fail loudly, not silently re-tokenize). Production tokenizers are
+    * exactly this shape (an ordered merge list shipped beside the
+    * corpus); at 100 TB the trainer runs once per tokenizer version and
+    * every encode pass is [[encodeCorpus]] under the loaded table — the
+    * corpus never re-trains. Fails loudly if the corpus saturates before
+    * `rounds` merges (the [[trainRounds]] contract). */
+  def writeTokenizer(df: DataFrame, id: Column, text: Column, rounds: Int,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = Parallelism.ensureMinPartitions(
+        df.select(id.as("doc_id"), T.tokens(lower(text)).as("toks")),
+        col("doc_id"))
+      .filter(size(col("toks")) > 0)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val (merges, encoded) = train(words, rounds)
+    dropCheckpoint(encoded)
+    if (merges.length != rounds) throw new IllegalStateException(
+      s"Bpe.writeTokenizer: corpus saturated after ${merges.length} of" +
+        s" $rounds merge rounds (best pair count < 2); lower `rounds`")
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c, rounds) }
+      .toDF("rank", "l", "r", "cnt", "p_rounds")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The artifact's ordered merge rules, read back — rules-count rows,
+    * the bounded driver-side half of every encode (the readCentroids
+    * class). Requires a parameter-carrying artifact. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val t = spark.read.parquet(path)
+    require(t.columns.contains("p_rounds"),
+      s"tokenizer artifact at $path carries no p_rounds — not a" +
+        " writeTokenizer artifact")
+    val rows = t.orderBy(col("rank")).collect()
+    require(rows.nonEmpty, s"tokenizer artifact at $path is empty")
+    rows.map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSeq
+  }
+
+  /** [[encodeCorpus]] under a stored tokenizer — the cross-job inference
+    * pass: load the ordered merges (bounded collect), encode the corpus
+    * through the native single-expression path. */
+  def encodeCorpusWith(df: DataFrame, id: Column, text: Column,
+      tokenizerPath: String): DataFrame =
+    encodeCorpus(df, id, text, loadTokenizer(df.sparkSession, tokenizerPath))
+
   /** One full merge round over a document corpus: tokenize, count pairs,
     * pick the rule, re-encode, and roll up per document. Returns
     * (doc_id, n_tok, n_sym, enc_md5, pair_left, pair_right, pair_count):

@@ -119,6 +119,40 @@ class BpeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("tokenizer artifact roundtrip: write → load ≡ trained merges; encode under the loaded table ≡ trainRounds") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok_spec_")
+    try {
+      val tok = dir.resolve("tok").toString
+      Bpe.writeTokenizer(docs, col("doc_id"), col("text"), rounds = 3, tok)
+      // the loaded ordered rules are exactly the trainer's
+      val loaded = Bpe.loadTokenizer(spark, tok)
+      loaded.size shouldBe 3
+      val direct = Bpe.trainRounds(docs, col("doc_id"), col("text"), rounds = 3)
+      val viaArtifact = Bpe.encodeCorpusWith(docs, col("doc_id"), col("text"), tok)
+      viaArtifact.orderBy("doc_id")
+        .select("doc_id", "n_tok", "n_sym", "enc_md5")
+        .collect().toSeq shouldBe
+        direct.orderBy("doc_id")
+          .select("doc_id", "n_tok", "n_sym", "enc_md5")
+          .collect().toSeq
+      // a parameter-less parquet dir is not a tokenizer artifact
+      spark.range(1).selectExpr("1 as rank", "'a' as l", "'b' as r")
+        .write.mode("overwrite").parquet(dir.resolve("legacy").toString)
+      val e = intercept[IllegalArgumentException] {
+        Bpe.loadTokenizer(spark, dir.resolve("legacy").toString)
+      }
+      e.getMessage should include("p_rounds")
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("applyMergesNative is byte-identical to the fold, including cascading rule tables") {
     val words = Seq(
       ("aaaa", 3L), ("abab", 2L), ("banana", 1L), ("a", 5L),
