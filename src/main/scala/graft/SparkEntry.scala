@@ -2443,7 +2443,8 @@ object SparkEntry {
     * hash-check end to end. */
   def q136TokenizerEncode(s: SparkSession, dir: String): DataFrame =
     operators.Bpe.encodeCorpusWith(t(s, dir, "documents"),
-      col("doc_id"), col("text"), standingTokenizer(s, dir))
+      col("doc_id"), col("text"), standingTokenizer(s, dir),
+      expectedRounds = Some(3))
       .orderBy(col("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

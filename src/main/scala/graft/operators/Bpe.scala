@@ -312,24 +312,43 @@ object Bpe {
 
   /** The artifact's ordered merge rules, read back — rules-count rows,
     * the bounded driver-side half of every encode (the readCentroids
-    * class). Requires a parameter-carrying artifact. */
+    * class). The versioned-artifact fail-fasts that make "wrong
+    * tokenizer generation" loud instead of a silent mis-tokenization:
+    * requires a parameter-carrying artifact holding exactly ONE
+    * `p_rounds` generation, a complete rule table (rows = p_rounds),
+    * and — when the caller pins `expectedRounds` (a job built against a
+    * specific tokenizer version probing a path that may have been
+    * re-trained since) — that generation to match. */
   def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(String, String)] = {
+      path: String, expectedRounds: Option[Int] = None): Seq[(String, String)] = {
     val t = spark.read.parquet(path)
     require(t.columns.contains("p_rounds"),
       s"tokenizer artifact at $path carries no p_rounds — not a" +
         " writeTokenizer artifact")
     val rows = t.orderBy(col("rank")).collect()
     require(rows.nonEmpty, s"tokenizer artifact at $path is empty")
+    val gens = rows.map(_.getAs[Int]("p_rounds")).distinct
+    require(gens.length == 1,
+      s"tokenizer artifact at $path holds ${gens.length} p_rounds " +
+        "generations — a single generation is required; rebuild it")
+    require(rows.length == gens.head,
+      s"tokenizer artifact at $path holds ${rows.length} rules for a " +
+        s"${gens.head}-round generation — incomplete or duplicated table")
+    expectedRounds.foreach(e => require(gens.head == e,
+      s"tokenizer artifact at $path is the ${gens.head}-round generation " +
+        s"but the caller was built against $e rounds — encoding under " +
+        "the wrong tokenizer silently mis-tokenizes; retrain or repoint"))
     rows.map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSeq
   }
 
   /** [[encodeCorpus]] under a stored tokenizer — the cross-job inference
-    * pass: load the ordered merges (bounded collect), encode the corpus
-    * through the native single-expression path. */
+    * pass: load the ordered merges (bounded collect, generation
+    * fail-fasts included), encode the corpus through the native
+    * single-expression path. */
   def encodeCorpusWith(df: DataFrame, id: Column, text: Column,
-      tokenizerPath: String): DataFrame =
-    encodeCorpus(df, id, text, loadTokenizer(df.sparkSession, tokenizerPath))
+      tokenizerPath: String, expectedRounds: Option[Int] = None): DataFrame =
+    encodeCorpus(df, id, text,
+      loadTokenizer(df.sparkSession, tokenizerPath, expectedRounds))
 
   /** One full merge round over a document corpus: tokenize, count pairs,
     * pick the rule, re-encode, and roll up per document. Returns

@@ -23,6 +23,58 @@ import graft.functions.{Hashing, TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** Bounded band-bucket collector for the df-capped candidate paths:
+    * keeps at most `cap + 1` ids per band — the full bucket for bands
+    * within the ceiling, and PROOF of overflow (size > cap) for bands
+    * past it, which the downstream filter drops whole. This is what
+    * makes "per-band memory bounded by the cap" actually true: a plain
+    * `collect_list` would materialize a viral-template band's entire
+    * posting list (the exact adversarial input the ceiling defends
+    * against) in one aggregation buffer before the size filter ever
+    * ran. Buckets ≤ cap are preserved EXACTLY (no partial is ever
+    * truncated unless the combined size already exceeds the cap), so
+    * the candidate pair set is identical to the unbounded collect. */
+  private class BoundedIds(cap: Int) extends
+      org.apache.spark.sql.expressions.Aggregator[
+        Long, scala.collection.mutable.ArrayBuffer[Long], Seq[Long]] {
+    import scala.collection.mutable.ArrayBuffer
+    override def zero: ArrayBuffer[Long] = ArrayBuffer.empty
+    override def reduce(b: ArrayBuffer[Long], a: Long): ArrayBuffer[Long] = {
+      if (b.length <= cap) b += a
+      b
+    }
+    override def merge(x: ArrayBuffer[Long],
+        y: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+      val room = cap + 1 - x.length
+      if (room > 0) x ++= y.take(room)
+      x
+    }
+    override def finish(b: ArrayBuffer[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder:
+        org.apache.spark.sql.Encoder[ArrayBuffer[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `groupBy(key).agg(<bounded ids>)` — [[BoundedIds]] when the id is a
+    * LONG (every driver path), plain collect_list otherwise (non-long
+    * ids keep the one-shuffle shape but pay unbounded buffer memory on
+    * an oversized band — the pre-ceiling behavior). */
+  private def boundedBuckets(exploded: DataFrame, key: String, idc: String,
+      cap: Long, outCol: String): DataFrame = {
+    val isLong = exploded.schema(idc).dataType ==
+      org.apache.spark.sql.types.LongType
+    val agg =
+      if (isLong && cap <= Int.MaxValue.toLong)
+        org.apache.spark.sql.functions
+          .udaf(new BoundedIds(cap.toInt),
+            org.apache.spark.sql.Encoders.scalaLong)(col(idc))
+      else collect_list(col(idc))
+    exploded.groupBy(col(key)).agg(agg.as(outCol))
+      .filter(size(col(outCol)) <= cap)
+  }
+
   /** The per-document hashing passes (minhash signatures, SimHash mixes)
     * are the dominant cost of every near-dup operator and must never
     * serialize on a single input split — see [[Parallelism]] (q37's
@@ -379,11 +431,9 @@ object Dedup {
       case None =>
         lb.join(rb, Seq("band")).select(col("left_id"), col("right_id"))
       case Some(cap) =>
-        def bucket(b: DataFrame, idc: String) =
-          b.groupBy(col("band"))
-            .agg(collect_list(col(idc)).as(s"${idc}s"))
-            .filter(size(col(s"${idc}s")) <= cap)
-        bucket(lb, "left_id").join(bucket(rb, "right_id"), Seq("band"))
+        boundedBuckets(lb, "band", "left_id", cap, "left_ids")
+          .join(boundedBuckets(rb, "band", "right_id", cap, "right_ids"),
+            Seq("band"))
           .select(explode(col("left_ids")).as("left_id"), col("right_ids"))
           .select(col("left_id"), explode(col("right_ids")).as("right_id"))
     }).distinct()
@@ -430,8 +480,7 @@ object Dedup {
     // minhash-consuming family 1.3–5× at sf0.1.
     val cand = (maxBandDf match {
       case Some(cap) =>
-        all.groupBy(col("band")).agg(collect_list(col("doc_id")).as("ids"))
-          .filter(size(col("ids")) <= cap)
+        boundedBuckets(all, "band", "doc_id", cap, "ids")
           .select(explode(col("ids")).as("id_a"), col("ids"))
           .select(col("id_a"), explode(col("ids")).as("id_b"))
           .filter(col("id_a") < col("id_b"))

@@ -227,6 +227,14 @@ object Similarity {
         floor(col("sum_q").cast("double") / col("n").cast("double"))
           .cast("long").as("centroid_q"))
 
+  /** [[lloydTrain]]'s corpus projection, exposed so PlanPruningSpec can
+    * pin that the trainer's per-round scans read only (vec_id,
+    * embedding) — the training loop itself is eager (localCheckpoint
+    * per round), which hides its scans from a plan assertion. */
+  private[graft] def lloydVecs(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+
   /** Fully-DISTRIBUTED iterated Lloyd training — the 100 TB form of
     * [[lloydRefine]]: centroids live in a FRAME broadcast per round
     * (nothing is ever collected after the bounded seed pick), assignment
@@ -243,14 +251,6 @@ object Similarity {
     * [[lloydRefine]]. Returns the FINAL round's quantized means:
     * (cell, pos, centroid_q, n) with 1-based pos — feed
     * `centroid_q / scale` to [[ivfFlatTopK]] as trained centroids. */
-  /** [[lloydTrain]]'s corpus projection, exposed so PlanPruningSpec can
-    * pin that the trainer's per-round scans read only (vec_id,
-    * embedding) — the training loop itself is eager (localCheckpoint
-    * per round), which hides its scans from a plan assertion. */
-  private[graft] def lloydVecs(corpus: DataFrame): DataFrame =
-    corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-
   def lloydTrain(corpus: DataFrame, nCells: Int, rounds: Int = 2,
       scale: Double = 1e6): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
@@ -1009,12 +1009,16 @@ object Similarity {
     val spark = queries.sparkSession
     val centroids = readCentroids(spark, indexPath)
     val codebooks = readCodebooks(spark, indexPath)
+    // queries×nProbe rows — pinned via eager localCheckpoint (it feeds
+    // the probed-cell collect AND the broadcast side) so the blocks are
+    // context-cleaner-reclaimed when the result is dropped; a persist()
+    // here would accumulate one cache entry per probe call
     val q = adcQuerySideTable(queries, codebooks)
       .withColumn("cell",
         explode(slice(array_sort(probeStructsTable(col("embedding"), centroids)),
           1, nProbe).getField("idx")))
       .drop("embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val probedCells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val c =
@@ -1040,13 +1044,15 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
     val centroids = readCentroids(spark, indexPath)
+    // queries×nProbe rows — eager localCheckpoint, not persist, for the
+    // same cache-accumulation reason as ivfPqProbe's query side
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_vec"), V.l2Norm(col("embedding")).as("q_norm"))
       .withColumn("probe",
         slice(array_sort(probeStructsTable(col("q_vec"), centroids)), 1, nProbe))
       .withColumn("cell", explode(col("probe").getField("idx")))
       .drop("probe")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val probedCells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     // the batch-written assignments plus — when a streaming ingest has

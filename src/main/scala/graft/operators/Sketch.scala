@@ -130,11 +130,11 @@ object Sketch {
     col("grp"),
     size(col("__mins")).cast("long").as("n_kept"),
     expr("element_at(__mins, size(__mins))").as("kth_hash"),
-    when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
-      .otherwise(expr(
-        s"(CAST(${k - 1} AS DECIMAL(28,0)) * CAST(1152921504606846976 AS DECIMAL(28,0)))" +
-          s" div element_at(__mins, $k)"))
-      .as("est_distinct"))
+    // ONE estimator expression ([[kmvEstimate]]) for both the direct
+    // sketch and stored-state reads — a fix to the arithmetic lands in
+    // both or the streaming ≡ batch contract breaks. The empty-mins NULL
+    // branch is unreachable here (a group exists only with ≥1 hash).
+    kmvEstimate("__mins", k).as("est_distinct"))
 
   /** The KMV cardinality estimate read off a STORED mins array — the
     * [[distinctEstimate]] projection for consumers holding merged sketch

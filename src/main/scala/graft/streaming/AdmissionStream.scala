@@ -85,11 +85,16 @@ object AdmissionStream {
     * otherwise stand in both the index tree and the output tree — the
     * final recursive read (and any later session's full-tree read)
     * would silently include those stale rows. Run AFTER the stream
-    * stops; with zero batches processed (`lastBatchId = -1`) every
-    * batch subdir is stale by this definition and goes. Non-batch
-    * entries (the seed, compacted flat files) are never touched. */
+    * stops. A run that processed ZERO batches (`lastBatchId = -1`) must
+    * NOT sweep: opening the stream before the first file lands is an
+    * explicitly supported production flow, and treating it as "everything
+    * is stale" would destroy the prior session's entire admitted corpus —
+    * only a run that actually re-processed batch 0 onward has re-derived
+    * the state the sweep preserves. Non-batch entries (the seed,
+    * compacted flat files) are never touched. */
   private[streaming] def pruneStaleBatches(spark: SparkSession, dir: String,
       lastBatchId: Long): Unit = {
+    if (lastBatchId < 0) return
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) {

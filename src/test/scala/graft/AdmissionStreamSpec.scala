@@ -184,6 +184,17 @@ class AdmissionStreamSpec extends SparkSpecBase {
         Set("seed", "batch-0")
       new java.io.File(outPath).listFiles().map(_.getName)
         .filter(_.startsWith("batch-")).toSet shouldBe Set("batch-0")
+      // a ZERO-batch run (stream opened before any file lands — a
+      // supported production flow) must NOT sweep: the standing
+      // admitted corpus and its index fold-backs survive untouched
+      val emptyLanding = root.resolve("landing_empty")
+      Files.createDirectory(emptyLanding)
+      AdmissionStream.runAdmission(spark, emptyLanding.toString, indexPath,
+        outPath, shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4)
+      new java.io.File(indexPath).listFiles().map(_.getName).toSet shouldBe
+        Set("seed", "batch-0")
+      new java.io.File(outPath).listFiles().map(_.getName)
+        .filter(_.startsWith("batch-")).toSet shouldBe Set("batch-0")
     } finally {
       def rm(f: java.io.File): Unit = if (f.exists()) {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -143,6 +143,12 @@ class BpeSpec extends SparkSpecBase {
         Bpe.loadTokenizer(spark, dir.resolve("legacy").toString)
       }
       e.getMessage should include("p_rounds")
+      // a caller pinned to another generation fails loudly instead of
+      // silently encoding under the wrong merge table
+      val e2 = intercept[IllegalArgumentException] {
+        Bpe.loadTokenizer(spark, tok, expectedRounds = Some(5))
+      }
+      e2.getMessage should include("generation")
     } finally {
       def rm(f: java.io.File): Unit = if (f.exists()) {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
