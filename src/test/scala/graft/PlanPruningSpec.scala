@@ -149,9 +149,19 @@ class PlanPruningSpec extends SparkSpecBase {
     spark.listenerManager.register(listener)
     try {
       body
+      // wait for the async bus to QUIESCE, not merely for the first
+      // event: a multi-action body (eager checkpoints + the final
+      // collect) delivers several executions, and reading after the
+      // first would race the later ones' scans
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (captured.isEmpty && System.nanoTime() < deadline)
-        Thread.sleep(50)
+      var last = -1
+      var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = captured.size
+        if (n == last && n > 0) stable += 1 else stable = 0
+        last = n
+      }
     } finally spark.listenerManager.unregister(listener)
     import scala.jdk.CollectionConverters._
     captured.iterator().asScala.toSeq
@@ -289,14 +299,28 @@ class PlanPruningSpec extends SparkSpecBase {
   }
 
   test("q120/q121/q133 index probes: embeddings pruned to (vec_id, embedding); artifact scans to sketch columns") {
+    // the probe's query side is pinned via eager localCheckpoint (the
+    // cache-release discipline), so its embeddings scan only surfaces
+    // through the execution listener
     for (q <- Seq("q120_ann_index_probe", "q121_ann_index_append",
         "q133_trained_index_probe")) {
-      val schemas = scanSchemas(q)
-      schemas("embeddings").subsetOf(Set("vec_id", "embedding")) shouldBe true
+      val scans = executedScans {
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").collect()
+        ()
+      }
+      val emb = scans.filter(
+        _.relation.location.rootPaths.head.getName.startsWith("embeddings"))
+        .map(_.requiredSchema.fieldNames.toSet)
+      emb should not be empty
+      emb.foreach(s => s.subsetOf(Set("vec_id", "embedding")) shouldBe true)
       // cell is the partition column on the seed artifact (absent from
       // requiredSchema); streamed rows may carry it as data
-      schemas("assignments")
-        .subsetOf(Set("vec_id", "embedding", "c_norm", "cell")) shouldBe true
+      val asg = scans.filter(
+        _.relation.location.rootPaths.head.getName.startsWith("assignments"))
+        .map(_.requiredSchema.fieldNames.toSet)
+      asg should not be empty
+      asg.foreach(s =>
+        s.subsetOf(Set("vec_id", "embedding", "c_norm", "cell")) shouldBe true)
     }
   }
 
