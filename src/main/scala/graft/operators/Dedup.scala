@@ -235,6 +235,18 @@ object Dedup {
     admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
       indexFrame.select(col("doc_id"), col("sh"), col("bands")), threshold)
 
+  /** [[admitNewDocsPrechecked]] over an ALREADY-HASHED batch frame (a
+    * [[nearDupIndex]] of the new batch, pinned by the caller) — the
+    * one-hash-pass-per-batch ingest shape: the admission LOOP needs the
+    * batch's signatures twice (the probe here, the index fold-back
+    * after), and building them inside this call would shingle the batch
+    * once per use. The caller hashes once, checkpoints, probes through
+    * this, and folds back the SAME rows filtered to the admitted ids. */
+  private[graft] def admitPrehashed(newSigs: DataFrame, indexFrame: DataFrame,
+      threshold: Double): DataFrame =
+    admitCore(newSigs.select(col("doc_id"), col("sh"), col("bands")),
+      indexFrame.select(col("doc_id"), col("sh"), col("bands")), threshold)
+
   def admitNewDocsWithIndex(newDf: DataFrame, indexFrame: DataFrame,
       id: Column, text: Column, shingleN: Int = 3, k: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
@@ -965,10 +977,22 @@ object Dedup {
     * under (the artifact's frozen quantizer): assigning the batch under
     * different centroids silently mis-blocks the probe. */
   def admitNewVecs(newVecs: DataFrame, standing: DataFrame,
-      centroids: Seq[Seq[Double]], threshold: Double = 0.95): DataFrame = {
-    // the batch plan feeds the probe, the survivor self-join AND the
-    // final admitted evaluation — pin one evaluation (admitCore's idiom)
-    val asg = Similarity.assignCellsTable(newVecs, centroids).localCheckpoint(true)
+      centroids: Seq[Seq[Double]], threshold: Double = 0.95): DataFrame =
+    admitNewVecsPreassigned(
+      // the batch plan feeds the probe, the survivor self-join AND the
+      // final admitted evaluation — pin one evaluation (admitCore's idiom)
+      Similarity.assignCellsTable(newVecs, centroids).localCheckpoint(true),
+      standing, threshold)
+
+  /** [[admitNewVecs]] over an ALREADY-ASSIGNED batch frame (the caller's
+    * pinned [[Similarity.assignCellsTable]] output under the SAME frozen
+    * centroids as the standing rows) — the one-assignment-pass-per-batch
+    * ingest shape: the admission loop needs the batch's (cell, vec_id,
+    * embedding, c_norm) rows twice (probe here, index fold-back after),
+    * and assigning inside this call would run the argmin pass once per
+    * use. */
+  private[graft] def admitNewVecsPreassigned(asg: DataFrame,
+      standing: DataFrame, threshold: Double): DataFrame = {
     // probe only the cells the batch touches — a bounded collect (≤
     // nCells ints, the ivfFlatProbe discipline) pushed as a literal IN,
     // so a cell-partitioned standing table partition-prunes instead of

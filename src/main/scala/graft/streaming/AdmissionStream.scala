@@ -191,18 +191,24 @@ object AdmissionStream {
         // localCheckpoint pins one evaluation of the scan
         val docs = batch.select(col("doc_id"), col("text"))
           .localCheckpoint(true)
-        val admittedIds = Dedup.admitNewDocsPrechecked(
-          docs,
-          indexExcludingBatch(spark, indexPath, batchId),
-          col("doc_id"), col("text"), shingleN, k, rowsPerBand, threshold)
+        // hash the batch ONCE (signatures feed the probe AND the index
+        // fold-back — rebuilding them per use would shingle the batch
+        // twice per micro-batch); batch-sized, so the eager checkpoint
+        // is cheap and its blocks are context-cleaner-reclaimed
+        val sigs = Dedup.nearDupIndex(docs, col("doc_id"), col("text"),
+            shingleN, k, rowsPerBand)
+          .localCheckpoint(true)
+        val admittedIds = Dedup.admitPrehashed(sigs,
+          indexExcludingBatch(spark, indexPath, batchId), threshold)
         val admitted = docs.join(admittedIds, Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
         // batchId-keyed subdirs: a replayed batch overwrites itself
         // (exactly-once) instead of appending duplicates
         admitted.write.mode("overwrite")
           .parquet(s"$outPath/batch-$batchId")
-        Dedup.nearDupIndex(admitted, col("doc_id"), col("text"),
-            shingleN, k, rowsPerBand)
+        // fold-back = the SAME signature rows, filtered to the admitted
+        // ids (parameter columns ride along) — no re-shingle
+        sigs.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$indexPath/batch-$batchId")
         ()
       }

@@ -117,15 +117,23 @@ object SemanticAdmission {
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         lastBatchId = math.max(lastBatchId, batchId)
-        val vecs = batch.select(col("vec_id"), col("embedding"))
+        // assign the batch ONCE under the frozen quantizer (the rows
+        // feed the probe, the admitted output AND the index fold-back —
+        // re-assigning per use would run the argmin pass thrice);
+        // batch-sized eager checkpoint, context-cleaner-reclaimed
+        val asg = Similarity.assignCellsTable(
+            batch.select(col("vec_id"), col("embedding")), centroids)
           .localCheckpoint(true)
         val standing = streamedExcludingBatch(spark, indexPath, batchId)
           .map(seedAsg.unionByName(_)).getOrElse(seedAsg)
-        val admittedIds = Dedup.admitNewVecs(vecs, standing, centroids, threshold)
-        val admitted = vecs.join(admittedIds, Seq("vec_id"), "left_semi")
+        val admittedIds = Dedup.admitNewVecsPreassigned(asg, standing, threshold)
+        val admittedAsg = asg
+          .join(admittedIds, Seq("vec_id"), "left_semi")
           .localCheckpoint(true)
-        admitted.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
-        Similarity.assignCellsTable(admitted, centroids)
+        admittedAsg.select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+        // fold-back = the SAME assignment rows filtered to admitted ids
+        admittedAsg
           .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
           .write.mode("overwrite").parquet(s"$indexPath/stream/batch-$batchId")
         ()
