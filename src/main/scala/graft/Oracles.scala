@@ -145,7 +145,60 @@ private[graft] object Oracles {
   /** The ADC-ranked IVF-PQ retrieval as a reusable generator: top `limit`
     * candidates per query by ADC cosine. q59 takes it at k=10 directly;
     * q72 takes it at refine·k=20 and re-ranks by exact cosine. */
-  private def q59AdcCore(limit: Int): String = {
+  /** q129's two Lloyd training rounds as a reusable CTE chain over `e`
+    * (the raw embeddings view), ending in `ctr2` — the TRAINED coarse
+    * quantizer (cv, idx), drop-in wherever [[hashCoarseCte]]'s ctr8
+    * plugs in. Shared by q133 (trained + flat probe) and q137 (trained +
+    * PQ probe) so the training replay can never drift between them. */
+  private val lloydRoundsCtes: String =
+    """ctr0 AS (SELECT v AS cv,
+      |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+      |         FROM e
+      |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+      |asg0 AS (SELECT e.vec_id, e.v, c.idx,
+      |           list_inner_product(e.v, e.v)
+      |             - 2.0 * list_inner_product(e.v, c.cv)
+      |             + list_inner_product(c.cv, c.cv) AS d
+      |         FROM e CROSS JOIN ctr0 c),
+      |cell0 AS (SELECT vec_id, v, idx AS cell FROM asg0
+      |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+      |sums0 AS (SELECT cell, r.i AS pos0,
+      |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
+      |            COUNT(*) AS n
+      |          FROM cell0, range(64) AS r(i) GROUP BY 1, 2),
+      |c1 AS (SELECT cell,
+      |         list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+      |              / 1000000.0 ORDER BY pos0) AS cv
+      |       FROM sums0 GROUP BY cell),
+      |ctr1 AS (SELECT s.idx, COALESCE(c.cv, s.cv) AS cv
+      |         FROM ctr0 s LEFT JOIN c1 c ON c.cell = s.idx),
+      |asg1 AS (SELECT e.vec_id, e.v, c.idx,
+      |           list_inner_product(e.v, e.v)
+      |             - 2.0 * list_inner_product(e.v, c.cv)
+      |             + list_inner_product(c.cv, c.cv) AS d
+      |         FROM e CROSS JOIN ctr1 c),
+      |cell1 AS (SELECT vec_id, v, idx AS cell FROM asg1
+      |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+      |sums1 AS (SELECT cell, r.i AS pos0,
+      |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
+      |            COUNT(*) AS n
+      |          FROM cell1, range(64) AS r(i) GROUP BY 1, 2),
+      |ctr2 AS (SELECT cell AS idx,
+      |           list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+      |                / 1000000.0 ORDER BY pos0) AS cv
+      |         FROM sums1 GROUP BY cell)""".stripMargin
+
+  /** The hash-seeded 8-cell coarse quantizer CTE (q49's ctr, named) —
+    * the default coarse stage of the ADC core; [[lloydRoundsCtes]]' ctr2
+    * is the TRAINED drop-in (both expose (cv, idx)). */
+  private val hashCoarseCte: String =
+    """ctr8 AS (SELECT v AS cv,
+      |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+      |         FROM e
+      |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8)""".stripMargin
+
+  private def q59AdcCore(limit: Int, coarseName: String = "ctr8",
+      coarseCtes: String = hashCoarseCte): String = {
     val sPivot = (0 until 8).map(j =>
       s"MAX(CASE WHEN l.j = $j THEN l.ip END) AS s$j").mkString(",\n         ")
     val nPivot = (0 until 8).map(j =>
@@ -153,14 +206,11 @@ private[graft] object Oracles {
     val sSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
     val nSum = (1 until 8).foldLeft("n0")((acc, j) => s"($acc + n$j)")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |ctr8 AS (SELECT v AS cv,
-       |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
-       |         FROM e
-       |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+       |$coarseCtes,
        |asgc AS (SELECT e.vec_id, c.idx,
        |           list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv)
        |             + list_inner_product(c.cv, c.cv) AS d
-       |         FROM e CROSS JOIN ctr8 c),
+       |         FROM e CROSS JOIN $coarseName c),
        |cellv AS (SELECT vec_id, idx AS cell FROM asgc
        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
        |pr AS (SELECT vec_id AS query_id, idx AS cell FROM asgc WHERE vec_id < 5
@@ -2511,6 +2561,12 @@ private[graft] object Oracles {
     // q134: the IVF-PQ artifact probe ≡ the direct q59 computation (the
     // compressed counterpart of q120 ≡ q49) — same generated oracle
     "q134_pq_index_probe" -> q59OracleSql,
+    // q137: the FULLY-TRAINED compressed serving stack — q129's Lloyd
+    // rounds produce the coarse quantizer (ctr2), the PQ codes compress
+    // under it, and the artifact probe ADC-ranks over the probed cells;
+    // the ADC core's coarse stage is swapped from hash seeds to the
+    // trained centroids, everything else identical to q59/q134
+    "q137_trained_pq_probe" -> q59AdcCore(10, "ctr2", lloydRoundsCtes),
     "q121_ann_index_append" -> q121OracleSql,
     // q122: streaming ingest lands the same final index state as q121's
     // batch append — same oracle (streaming ≡ batch, hash-checked)
@@ -2723,43 +2779,8 @@ private[graft] object Oracles {
     // under it; the artifact probe hash-checks against the direct
     // composition
     "q133_trained_index_probe" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ctr0 AS (SELECT v AS cv,
-        |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
-        |         FROM e
-        |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
-        |asg0 AS (SELECT e.vec_id, e.v, c.idx,
-        |           list_inner_product(e.v, e.v)
-        |             - 2.0 * list_inner_product(e.v, c.cv)
-        |             + list_inner_product(c.cv, c.cv) AS d
-        |         FROM e CROSS JOIN ctr0 c),
-        |cell0 AS (SELECT vec_id, v, idx AS cell FROM asg0
-        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
-        |sums0 AS (SELECT cell, r.i AS pos0,
-        |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
-        |            COUNT(*) AS n
-        |          FROM cell0, range(64) AS r(i) GROUP BY 1, 2),
-        |c1 AS (SELECT cell,
-        |         list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
-        |              / 1000000.0 ORDER BY pos0) AS cv
-        |       FROM sums0 GROUP BY cell),
-        |ctr1 AS (SELECT s.idx, COALESCE(c.cv, s.cv) AS cv
-        |         FROM ctr0 s LEFT JOIN c1 c ON c.cell = s.idx),
-        |asg1 AS (SELECT e.vec_id, e.v, c.idx,
-        |           list_inner_product(e.v, e.v)
-        |             - 2.0 * list_inner_product(e.v, c.cv)
-        |             + list_inner_product(c.cv, c.cv) AS d
-        |         FROM e CROSS JOIN ctr1 c),
-        |cell1 AS (SELECT vec_id, v, idx AS cell FROM asg1
-        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
-        |sums1 AS (SELECT cell, r.i AS pos0,
-        |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
-        |            COUNT(*) AS n
-        |          FROM cell1, range(64) AS r(i) GROUP BY 1, 2),
-        |ctr2 AS (SELECT cell AS idx,
-        |           list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
-        |                / 1000000.0 ORDER BY pos0) AS cv
-        |         FROM sums1 GROUP BY cell),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |$lloydRoundsCtes,
         |asg AS (SELECT e.vec_id, e.v, c.idx,
         |          list_inner_product(e.v, e.v)
         |            - 2.0 * list_inner_product(e.v, c.cv)

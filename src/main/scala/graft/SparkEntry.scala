@@ -2447,6 +2447,42 @@ object SparkEntry {
       expectedRounds = Some(3))
       .orderBy(col("doc_id"))
 
+  /** Standing trained-coarse IVF-PQ artifact per fixture (q137's),
+    * built once per JVM: lloydTrain fits the coarse quantizer, the PQ
+    * codebooks stay the deterministic hash pick (training them would
+    * need a per-subspace k-means whose oracle cost buys no new plan
+    * shape), and the codes+norms artifact freezes both. */
+  private val annTrainedPqCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def standingTrainedPqIndex(s: SparkSession, dir: String): String =
+    annTrainedPqCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val centroids = operators.Similarity.collectTrainedCentroids(
+        operators.Similarity.lloydTrain(e, nCells = 8, rounds = 2))
+      val books = operators.Similarity.pqCodebooks(e, m = 8, codewords = 16)
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_tpq_").resolve("ix")
+      operators.Similarity.writeIvfPqIndex(e, centroids, books, ixDir.toString)
+      ixDir.getParent.toFile.deleteOnExit()
+      ixDir.toString
+    })
+
+  /** q137 — the FULLY-TRAINED compressed serving stack (lloydTrain →
+    * collectTrainedCentroids → writeIvfPqIndex → ivfPqProbe): q133's
+    * trained coarse quantizer composed with q134's PQ artifact — the
+    * production shape where training, compression and serving are three
+    * separate jobs stitched by artifacts. The oracle swaps the ADC
+    * core's coarse CTE from hash seeds to the shared Lloyd-round chain,
+    * so the whole train → compress → probe path hash-checks. */
+  def q137TrainedPqProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    operators.Similarity.ivfPqProbe(
+      e.filter(col("vec_id") < 5), standingTrainedPqIndex(s, dir),
+      10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2583,7 +2619,8 @@ object SparkEntry {
     "q133_trained_index_probe" -> (q133TrainedIndexProbe _),
     "q134_pq_index_probe" -> (q134AnnPqIndexProbe _),
     "q135_streaming_dataset_card" -> (q135StreamingDatasetCard _),
-    "q136_tokenizer_encode" -> (q136TokenizerEncode _)
+    "q136_tokenizer_encode" -> (q136TokenizerEncode _),
+    "q137_trained_pq_probe" -> (q137TrainedPqProbe _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
