@@ -67,9 +67,14 @@ object CardStream {
         sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
     base.join(mins, Seq("source"), "left")
       .join(gate, Seq("source"), "left")
-      .select(col("source") +: (stateCols.map(col) :+
+      .select(col("source") +: (stateCols.map(col) ++ Seq(
         coalesce(col("mins"), expr("CAST(array() AS array<bigint>)"))
-          .as("mins")): _*)
+          .as("mins"),
+        // the sketch size rides the state as an embedded parameter (the
+        // nearDupIndex versioned-artifact discipline): merging or
+        // reading k-A state as k-B silently corrupts the estimate, so
+        // both fail fast instead
+        lit(k).as("p_k"))): _*)
   }
 
   /** Fold a batch partial into the standing card state: counters sum
@@ -87,11 +92,33 @@ object CardStream {
     c.join(u, Seq("source"), "full_outer")
       .select(col("source") +: (stateCols.map(n =>
         (coalesce(col(s"c_$n"), lit(0L)) + coalesce(col(s"u_$n"), lit(0L)))
-          .as(n)) :+
+          .as(n)) ++ Seq(
         expr(s"slice(array_sort(array_distinct(concat(" +
             s"coalesce(c_mins, $empty), coalesce(u_mins, $empty)))), 1, $k)")
-          .as("mins")): _*)
+          .as("mins"),
+        lit(k).as("p_k"))): _*)
   }
+
+  /** Fail fast when standing card state at `targetPath` was built under
+    * a different sketch size than `k` — the embedded-parameter check
+    * (one bounded distinct over an RLE'd constant column; a missing
+    * table or missing column — no evidence — passes). */
+  private def validateCardK(spark: SparkSession, targetPath: String,
+      k: Int): Unit =
+    scala.util.Try(spark.read.parquet(targetPath)).toOption.foreach { t =>
+      if (t.columns.contains("p_k")) {
+        t.select(col("p_k")).filter(col("p_k").isNotNull)
+          .distinct().collect()
+          .foreach { r =>
+            val pk = r.getInt(0)
+            require(pk == k,
+              s"card state at $targetPath carries k=$pk sketches but was " +
+                s"asked for k=$k — merging or estimating across sketch " +
+                "sizes silently corrupts the vocabulary estimate; match " +
+                "the build-time k or start a fresh targetPath")
+          }
+      }
+    }
 
   /** Run a bounded document stream to completion, folding each
     * micro-batch's card partial into the standing state at
@@ -104,6 +131,7 @@ object CardStream {
     // same silent-data-loss guard as streamingCmsCells: a standing card
     // + scratch checkpoint means restarted batch ids colliding with the
     // applied set
+    validateCardK(spark, targetPath, k)
     require(checkpointDir.nonEmpty
         || Upsert.appliedBatches(targetPath).isEmpty,
       s"standing card at $targetPath already carries applied-batch " +
@@ -137,11 +165,14 @@ object CardStream {
   }
 
   /** The card read off the standing state — q132's output shape, with
-    * the vocabulary estimate derived from the stored sketch. */
+    * the vocabulary estimate derived from the stored sketch (the k must
+    * match the state's embedded `p_k`; a mismatch fails fast). */
   def readCard(spark: SparkSession, targetPath: String,
-      k: Int = 64): DataFrame =
+      k: Int = 64): DataFrame = {
+    validateCardK(spark, targetPath, k)
     spark.read.parquet(targetPath)
       .select(col("source"), col("docs"), col("chars"), col("tokens"),
         Sketch.kmvEstimate("mins", k).as("est_distinct_tokens"),
         col("model_score_micros"), col("kept_docs"))
+  }
 }

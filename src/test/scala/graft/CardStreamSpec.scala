@@ -45,6 +45,19 @@ class CardStreamSpec extends SparkSpecBase {
           SparkEntry.q130Weights, k = 64, maxFilesPerTrigger = Some(1))
       }
       ex.getMessage should include("checkpointDir")
+
+      // mismatched sketch size against the standing state fails fast on
+      // both the ingest and the read path (the embedded p_k parameter)
+      val ek = intercept[IllegalArgumentException] {
+        CardStream.runCardStream(spark, landing, target,
+          SparkEntry.q130Weights, k = 32, maxFilesPerTrigger = Some(1),
+          checkpointDir = Some(ckpt))
+      }
+      ek.getMessage should include("k=64")
+      val ek2 = intercept[IllegalArgumentException] {
+        CardStream.readCard(spark, target, k = 32)
+      }
+      ek2.getMessage should include("k=64")
     } finally {
       def rm(f: java.io.File): Unit = if (f.exists()) {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -240,6 +240,22 @@ class DedupSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("maxBandDf boundary: a bucket of exactly cap pairs fully; cap−1 drops it whole") {
+    // five identical docs → every band bucket holds exactly these five
+    // ids; cap = 5 must keep the COMPLETE bucket (all 10 pairs — the
+    // bounded collector may never truncate a within-cap bucket), cap = 4
+    // must drop it whole (zero pairs)
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (1L to 5L).map((_, text)).toDF("doc_id", "text")
+    Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4,
+      maxBandDf = Some(5L)).count() shouldBe 10L
+    Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4,
+      maxBandDf = Some(4L)).count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
   test("minhashNearDupPairs maxBandDf drops boilerplate bands, keeps small-band pairs") {
     val tmpl = "standard legal boilerplate disclaimer text repeated across every single document"
     val real = "the quick brown fox jumps over the lazy dog again and again"
