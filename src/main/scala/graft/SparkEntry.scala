@@ -2299,14 +2299,26 @@ object SparkEntry {
   private val annTrainedIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The trained coarse quantizer per fixture dir, fit once per JVM —
+    * shared by q133's flat artifact and q137's PQ artifact (the inputs
+    * are identical and the trainer deterministic; re-running two
+    * 2-round distributed k-means passes per dir bought nothing). */
+  private val trainedCentroidsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+
+  private def trainedCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    trainedCentroidsCache.getOrElseUpdate(dir,
+      operators.Similarity.collectTrainedCentroids(
+        operators.Similarity.lloydTrain(
+          t(s, dir, "embeddings"), nCells = 8, rounds = 2)))
+
   private def standingTrainedAnnIndex(s: SparkSession, dir: String): String =
     annTrainedIndexCache.getOrElseUpdate(dir, {
       val e = t(s, dir, "embeddings")
-      val centroids = operators.Similarity.collectTrainedCentroids(
-        operators.Similarity.lloydTrain(e, nCells = 8, rounds = 2))
       val ixDir = java.nio.file.Files
         .createTempDirectory("graft_ann_trained_").resolve("ix")
-      operators.Similarity.writeIvfFlatIndex(e, centroids, ixDir.toString)
+      operators.Similarity.writeIvfFlatIndex(e, trainedCentroids(s, dir),
+        ixDir.toString)
       ixDir.getParent.toFile.deleteOnExit()
       ixDir.toString
     })
@@ -2458,12 +2470,11 @@ object SparkEntry {
   private def standingTrainedPqIndex(s: SparkSession, dir: String): String =
     annTrainedPqCache.getOrElseUpdate(dir, {
       val e = t(s, dir, "embeddings")
-      val centroids = operators.Similarity.collectTrainedCentroids(
-        operators.Similarity.lloydTrain(e, nCells = 8, rounds = 2))
       val books = operators.Similarity.pqCodebooks(e, m = 8, codewords = 16)
       val ixDir = java.nio.file.Files
         .createTempDirectory("graft_ann_tpq_").resolve("ix")
-      operators.Similarity.writeIvfPqIndex(e, centroids, books, ixDir.toString)
+      operators.Similarity.writeIvfPqIndex(e, trainedCentroids(s, dir),
+        books, ixDir.toString)
       ixDir.getParent.toFile.deleteOnExit()
       ixDir.toString
     })

@@ -225,19 +225,11 @@ object Dedup {
     }
   }
 
-  /** [[admitNewDocsWithIndex]] minus the parameter fail-fast — for a
-    * caller that already ran [[validateIndexParams]] against the same
-    * artifact under the same parameters (the per-micro-batch probe
-    * loop; re-checking constants once per batch is a pure fixed cost). */
-  private[graft] def admitNewDocsPrechecked(newDf: DataFrame,
-      indexFrame: DataFrame, id: Column, text: Column, shingleN: Int,
-      k: Int, rowsPerBand: Int, threshold: Double): DataFrame =
-    admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
-      indexFrame.select(col("doc_id"), col("sh"), col("bands")), threshold)
-
-  /** [[admitNewDocsPrechecked]] over an ALREADY-HASHED batch frame (a
+  /** [[admitNewDocsWithIndex]] minus BOTH the parameter fail-fast and
+    * the batch hashing, over an ALREADY-HASHED batch frame (a
     * [[nearDupIndex]] of the new batch, pinned by the caller) — the
-    * one-hash-pass-per-batch ingest shape: the admission LOOP needs the
+    * one-hash-pass-per-batch ingest shape for a loop that already ran
+    * [[validateIndexParams]] once up front: the admission LOOP needs the
     * batch's signatures twice (the probe here, the index fold-back
     * after), and building them inside this call would shingle the batch
     * once per use. The caller hashes once, checkpoints, probes through

@@ -131,6 +131,11 @@ object CardStream {
     // same silent-data-loss guard as streamingCmsCells: a standing card
     // + scratch checkpoint means restarted batch ids colliding with the
     // applied set
+    // a prior session may have died mid-swap — restore the table BEFORE
+    // any pre-merge read, or the recoverable state looks missing and
+    // BOTH fail-fast guards below silently pass (the recoverStagedSwap
+    // contract)
+    Upsert.recoverStagedSwap(targetPath)
     validateCardK(spark, targetPath, k)
     require(checkpointDir.nonEmpty
         || Upsert.appliedBatches(targetPath).isEmpty,
@@ -169,6 +174,7 @@ object CardStream {
     * match the state's embedded `p_k`; a mismatch fails fast). */
   def readCard(spark: SparkSession, targetPath: String,
       k: Int = 64): DataFrame = {
+    Upsert.recoverStagedSwap(targetPath)
     validateCardK(spark, targetPath, k)
     spark.read.parquet(targetPath)
       .select(col("source"), col("docs"), col("chars"), col("tokens"),

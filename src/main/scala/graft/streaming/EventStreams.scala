@@ -378,7 +378,10 @@ object EventStreams {
     // ids are skipped as replays, no error anywhere) — fail fast instead
     // of relying on the caller having read the scaladoc: a standing
     // sketch that already carries applied-batch markers plus a scratch
-    // checkpoint can only be a second session over the same target
+    // checkpoint can only be a second session over the same target.
+    // Recover a mid-swap crash FIRST, or the recoverable table looks
+    // missing and the guard silently passes.
+    graft.operators.Upsert.recoverStagedSwap(targetPath)
     require(checkpointDir.nonEmpty
         || graft.operators.Upsert.appliedBatches(targetPath).isEmpty,
       s"standing sketch at $targetPath already carries applied-batch " +
