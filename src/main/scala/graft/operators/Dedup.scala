@@ -60,9 +60,10 @@ object Dedup {
   /** `groupBy(key).agg(<bounded ids>)` — [[BoundedIds]] when the id is a
     * LONG (every driver path), plain collect_list otherwise (non-long
     * ids keep the one-shuffle shape but pay unbounded buffer memory on
-    * an oversized band — the pre-ceiling behavior). */
-  private def boundedBuckets(exploded: DataFrame, key: String, idc: String,
-      cap: Long, outCol: String): DataFrame = {
+    * an oversized band — the pre-ceiling behavior). Shared with
+    * [[Winnowing.sharedFingerprintPairs]]' fingerprint ceiling. */
+  private[operators] def boundedBuckets(exploded: DataFrame, key: String,
+      idc: String, cap: Long, outCol: String): DataFrame = {
     val isLong = exploded.schema(idc).dataType ==
       org.apache.spark.sql.types.LongType
     val agg =
