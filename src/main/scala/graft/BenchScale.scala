@@ -151,7 +151,13 @@ object BenchScale {
       // the sharded-rank + scan-gate families (r12 gap: their shard-
       // parallelism claims were spec-proven but never measured at 10×)
       "q78_vocab_encode", "q91_interleave_order", "q92_length_batches",
-      "q118_temperature_mix", "q129_kmeans_train")
+      "q118_temperature_mix", "q129_kmeans_train",
+      // the incremental-admission engine path (probe pays |new batch|
+      // shingling + band joins against a 10× standing index — the claim
+      // is the INDEX side scales, not the batch side; the per-dir
+      // standing-index build lands in pass 1 and min-of-2 keeps the
+      // probe-only pass, mirroring the sf bench semantics)
+      "q109_incremental_admit")
 
     // q127's cell count is a DEPLOYMENT knob (SemDeDup sizes clusters
     // ~N/cluster-budget): at fixed nCells a 10× corpus puts 10× vectors

