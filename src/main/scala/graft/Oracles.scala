@@ -2735,40 +2735,13 @@ private[graft] object Oracles {
     // every token instance, bigrams are distinct windows; all-integer,
     // so the model score hash-checks exactly
     "q130_model_quality_gate" -> q130OracleSql,
+    // q129 reads its result off the SHARED Lloyd-round chain (sums1;
+    // the chain's trailing ctr2 CTE is simply unused here) — one
+    // constant feeds q129/q133/q137, so the training replay cannot
+    // drift between the trainer's own check and its compositions
     "q129_kmeans_train" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ctr0 AS (SELECT v AS cv,
-        |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
-        |         FROM e
-        |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
-        |asg0 AS (SELECT e.vec_id, e.v, c.idx,
-        |           list_inner_product(e.v, e.v)
-        |             - 2.0 * list_inner_product(e.v, c.cv)
-        |             + list_inner_product(c.cv, c.cv) AS d
-        |         FROM e CROSS JOIN ctr0 c),
-        |cell0 AS (SELECT vec_id, v, idx AS cell FROM asg0
-        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
-        |sums0 AS (SELECT cell, r.i AS pos0,
-        |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
-        |            COUNT(*) AS n
-        |          FROM cell0, range(64) AS r(i) GROUP BY 1, 2),
-        |c1 AS (SELECT cell,
-        |         list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
-        |              / 1000000.0 ORDER BY pos0) AS cv
-        |       FROM sums0 GROUP BY cell),
-        |ctr1 AS (SELECT s.idx, COALESCE(c.cv, s.cv) AS cv
-        |         FROM ctr0 s LEFT JOIN c1 c ON c.cell = s.idx),
-        |asg1 AS (SELECT e.vec_id, e.v, c.idx,
-        |           list_inner_product(e.v, e.v)
-        |             - 2.0 * list_inner_product(e.v, c.cv)
-        |             + list_inner_product(c.cv, c.cv) AS d
-        |         FROM e CROSS JOIN ctr1 c),
-        |cell1 AS (SELECT vec_id, v, idx AS cell FROM asg1
-        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
-        |sums1 AS (SELECT cell, r.i AS pos0,
-        |            SUM(CAST(floor(v[r.i + 1] * 1000000.0) AS BIGINT)) AS s,
-        |            COUNT(*) AS n
-        |          FROM cell1, range(64) AS r(i) GROUP BY 1, 2)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |$lloydRoundsCtes
         |SELECT CAST(cell AS INTEGER) AS cell, CAST(pos0 + 1 AS INTEGER) AS pos,
         |  CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS centroid_q, n
         |FROM sums1 ORDER BY cell, pos""".stripMargin,

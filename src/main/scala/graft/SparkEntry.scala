@@ -1701,7 +1701,7 @@ object SparkEntry {
     java.nio.file.Files.createDirectory(landing)
     // hard links into the per-fixture staged landing: per-run cost is
     // two directory entries, not two Spark write jobs
-    java.nio.file.Files.list(q116Landing(s, dir)).forEach { p =>
+    eachEntry(q116Landing(s, dir)) { p =>
       java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
       ()
     }
@@ -1712,7 +1712,7 @@ object SparkEntry {
     val seedSrc = java.nio.file.Paths.get(standingIndex(s, dir))
     val seedDst = root.resolve("index").resolve("seed")
     java.nio.file.Files.createDirectories(seedDst)
-    java.nio.file.Files.list(seedSrc).forEach { p =>
+    eachEntry(seedSrc) { p =>
       if (java.nio.file.Files.isRegularFile(p)) {
         java.nio.file.Files.createLink(seedDst.resolve(p.getFileName.toString), p)
         ()
@@ -1897,12 +1897,21 @@ object SparkEntry {
       landing
     })
 
+  /** Iterate a directory's entries with the stream CLOSED after use —
+    * `Files.list` holds an open directory descriptor, and the bare
+    * `.forEach` idiom leaked one per harness invocation until GC. */
+  private def eachEntry(dir: java.nio.file.Path)(
+      f: java.nio.file.Path => Unit): Unit = {
+    val s = java.nio.file.Files.list(dir)
+    try s.forEach(p => f(p)) finally s.close()
+  }
+
   /** Recursive hard-link copy: directories recreated, files linked (the
     * runs share inodes with the staged artifact — per-run cost is
     * directory entries, not bytes). */
   private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     java.nio.file.Files.createDirectories(dst)
-    java.nio.file.Files.list(src).forEach { p =>
+    eachEntry(src) { p =>
       val target = dst.resolve(p.getFileName.toString)
       if (java.nio.file.Files.isDirectory(p)) linkTree(p, target)
       else { java.nio.file.Files.createLink(target, p); () }
@@ -1924,7 +1933,7 @@ object SparkEntry {
     linkTree(java.nio.file.Paths.get(standingAnn80Index(s, dir)), ix)
     val landing = root.resolve("landing")
     java.nio.file.Files.createDirectory(landing)
-    java.nio.file.Files.list(q122Landing(s, dir)).forEach { p =>
+    eachEntry(q122Landing(s, dir)) { p =>
       java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
       ()
     }
@@ -2069,7 +2078,7 @@ object SparkEntry {
     root.toFile.deleteOnExit()
     val landing = root.resolve("landing")
     java.nio.file.Files.createDirectory(landing)
-    java.nio.file.Files.list(q125Landing(s, dir)).forEach { p =>
+    eachEntry(q125Landing(s, dir)) { p =>
       if (java.nio.file.Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet")) {
         java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
@@ -2161,7 +2170,7 @@ object SparkEntry {
     linkTree(java.nio.file.Paths.get(standingAnn80Index(s, dir)), ix)
     val landing = root.resolve("landing")
     java.nio.file.Files.createDirectory(landing)
-    java.nio.file.Files.list(q122Landing(s, dir)).forEach { p =>
+    eachEntry(q122Landing(s, dir)) { p =>
       java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
       ()
     }
@@ -2404,7 +2413,7 @@ object SparkEntry {
     root.toFile.deleteOnExit()
     val landing = root.resolve("landing")
     java.nio.file.Files.createDirectory(landing)
-    java.nio.file.Files.list(q135Landing(s, dir)).forEach { p =>
+    eachEntry(q135Landing(s, dir)) { p =>
       if (java.nio.file.Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet")) {
         java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
@@ -2419,11 +2428,7 @@ object SparkEntry {
       // pin the sources-sized card off the temp state so the scratch
       // tree can be deleted now rather than leaking per bench pass
       .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(root.toFile)
+    operators.Maintenance.rmTree(root.toFile)
     res
   }
 

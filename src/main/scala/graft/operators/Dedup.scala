@@ -60,8 +60,13 @@ object Dedup {
   /** `groupBy(key).agg(<bounded ids>)` — [[BoundedIds]] when the id is a
     * LONG (every driver path), plain collect_list otherwise (non-long
     * ids keep the one-shuffle shape but pay unbounded buffer memory on
-    * an oversized band — the pre-ceiling behavior). Shared with
-    * [[Winnowing.sharedFingerprintPairs]]' fingerprint ceiling. */
+    * an oversized band — the pre-ceiling behavior). The shape is for
+    * LOW-cardinality bucket keys (minhash bands: k/rowsPerBand per doc);
+    * [[Winnowing.sharedFingerprintPairs]] deliberately does NOT use it —
+    * at winnowing's millions-of-singleton-groups fingerprint cardinality
+    * the object-aggregation collector falls back to sort-based and
+    * measured 5.5× vs 2.9× at 10× data against its count+join form (see
+    * the plan-shape note there). */
   private[operators] def boundedBuckets(exploded: DataFrame, key: String,
       idc: String, cap: Long, outCol: String): DataFrame = {
     val isLong = exploded.schema(idc).dataType ==
@@ -317,11 +322,7 @@ object Dedup {
     require(target.isDirectory, s"no near-dup index tree at $indexPath")
     val staged = new java.io.File(indexPath + "__staged")
     val old = new java.io.File(indexPath + "__old")
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(staged); rm(old)
+    Maintenance.rmTree(staged); Maintenance.rmTree(old)
     val keptIds = spark.read.option("recursiveFileLookup", "true")
       .parquet(indexPath).select(col("doc_id")).distinct()
       .localCheckpoint(true)
@@ -352,7 +353,7 @@ object Dedup {
       old.renameTo(target)
       throw new java.io.IOException(s"could not swap $indexPath")
     }
-    rm(old)
+    Maintenance.rmTree(old)
     n
   }
 

@@ -15,6 +15,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
+  /** Recursive delete — the SHARED copy (staged trees, scratch roots and
+    * checkpoint dirs are reclaimed all over the harness and operators;
+    * per-site reimplementations of the same three lines drift). Plain
+    * depth-first delete; a hard-linked file loses only this directory's
+    * link. */
+  def rmTree(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+    ()
+  }
+
   /** Data bytes currently on disk for the parquet table at `path`
     * (top-level part files; `_`/`.`-prefixed metadata is excluded, the
     * same rule Spark's file index applies). */

@@ -117,13 +117,25 @@ object AdmissionStream {
     * `schemaFallback` is used when the landing dir has no parquet file
     * to probe yet ([[defaultLandingSchema]] if unset).
     *
-    * Across SESSIONS: a fresh checkpoint restarts batch ids at 0, so a
-    * NEW ingest session over a standing index whose `batch-0` came from
-    * a PRIOR session would overwrite that earlier fold-back. Compact
-    * the tree between sessions ([[graft.operators.Maintenance.compactTree]],
-    * or let `compactEvery` fold it during the run) — folded signatures
-    * live in flat files no batch id can clobber, which is what makes the
-    * next session's id restart safe (the [[SemanticAdmission]] contract).
+    * Across SESSIONS, the safe continuation is a DURABLE `checkpointDir`
+    * (the production deployment): batch ids then continue across
+    * invocations — already-committed landing files are never
+    * re-processed, new batches take fresh ids that can neither clobber a
+    * prior `batch-<id>` subdir nor trip the stale-batch sweep, and the
+    * self-exclusion stays correct by construction. The scratch default
+    * is the SINGLE-GENERATION bounded replay (driver queries, specs): a
+    * fresh checkpoint restarts ids at 0, which is only safe against the
+    * same landing content (the replay the sweep and self-exclusion
+    * handle). To continue a SCRATCH-mode index into a new session
+    * anyway, compact BOTH trees first
+    * ([[graft.operators.Maintenance.compactTree]] on the index — or let
+    * `compactEvery` fold it during the run — and on the out tree):
+    * folded files carry no batch id to clobber or sweep. Do NOT re-run
+    * already-ingested landing files against a COMPACTED tree under a
+    * scratch checkpoint — folded signatures can neither be
+    * self-excluded nor swept, so the replay would band-match itself and
+    * admit nothing; the durable checkpoint makes that impossible
+    * (committed files are skipped at the source).
     *
     * Index lifecycle: every admitted batch adds one `batch-<id>` subdir,
     * and every later batch re-lists the whole tree — at firehose cadence
@@ -142,8 +154,10 @@ object AdmissionStream {
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None,
       schemaFallback: Option[StructType] = None,
-      compactEvery: Option[Int] = None): DataFrame = {
-    val ckpt = EventStreams.scratchDir("graft_admit_ckpt_")
+      compactEvery: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
+      .getOrElse(EventStreams.scratchDir("graft_admit_ckpt_"))
     // probe the landing files' actual footer schema rather than
     // hard-coding one (the "probe, don't assume" rule EventStreams
     // learned from the r10 events re-encoding — a batch schema read,
@@ -219,11 +233,11 @@ object AdmissionStream {
     // the final read (and the standing index) reflect THIS run only
     pruneStaleBatches(spark, indexPath, lastBatchId)
     pruneStaleBatches(spark, outPath, lastBatchId)
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(ckpt.toFile)
+    // a caller-supplied durable checkpoint is KEPT (it is the
+    // cross-session exactly-once state); only the scratch default is
+    // reclaimed
+    if (checkpointDir.isEmpty)
+      graft.operators.Maintenance.rmTree(ckpt.toFile)
     // zero micro-batches (empty landing dir) never create outPath —
     // the admitted set is simply empty, not an error
     val outP = new org.apache.hadoop.fs.Path(outPath)

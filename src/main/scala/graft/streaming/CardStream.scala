@@ -160,13 +160,8 @@ object CardStream {
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    if (checkpointDir.isEmpty) {
-      def rm(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(ckpt.toFile)
-    }
+    if (checkpointDir.isEmpty)
+      graft.operators.Maintenance.rmTree(ckpt.toFile)
   }
 
   /** The card read off the standing state — q132's output shape, with

@@ -326,8 +326,23 @@ object EventStreams {
     * the data) and a replayed id is skipped outright. Replaying any
     * micro-batch leaves the rollup byte-identical (EventStreamsSpec). */
   def incrementalRollup(spark: SparkSession, path: String, targetPath: String,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val ckpt = scratchDir("graft_rollup_ckpt_")
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): Unit = {
+    // same cross-session silent-skip guard as streamingCmsCells /
+    // CardStream (a scratch checkpoint restarts batch ids, which
+    // collide with the standing rollup's applied set and silently drop
+    // the new session's data); recover a mid-swap crash FIRST or the
+    // recoverable table looks missing and the guard passes vacuously
+    graft.operators.Upsert.recoverStagedSwap(targetPath)
+    require(checkpointDir.nonEmpty
+        || graft.operators.Upsert.appliedBatches(targetPath).isEmpty,
+      s"standing rollup at $targetPath already carries applied-batch " +
+        "markers and no durable checkpointDir was supplied — a scratch " +
+        "checkpoint restarts batch ids at 0, which would collide with " +
+        "the applied set and silently skip this session's data; pass " +
+        "the prior session's checkpointDir (or start a fresh targetPath)")
+    val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
+      .getOrElse(scratchDir("graft_rollup_ckpt_"))
     val q = readEventStream(spark, path, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
@@ -343,7 +358,7 @@ object EventStreams {
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    rmDir(ckpt.toFile)
+    if (checkpointDir.isEmpty) rmDir(ckpt.toFile)
     stagedDirs.remove(path).foreach(rmDir)
   }
 

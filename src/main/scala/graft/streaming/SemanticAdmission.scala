@@ -96,8 +96,14 @@ object SemanticAdmission {
       indexPath: String, outPath: String,
       threshold: Double = 0.95,
       maxFilesPerTrigger: Option[Int] = None,
-      schemaFallback: Option[StructType] = None): DataFrame = {
-    val ckpt = EventStreams.scratchDir("graft_semadmit_ckpt_")
+      schemaFallback: Option[StructType] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // cross-session contract = AdmissionStream's: a DURABLE checkpoint
+    // continues batch ids (committed landing files skipped, no clobber,
+    // sweep trivially safe); the scratch default is the
+    // single-generation bounded replay
+    val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
+      .getOrElse(EventStreams.scratchDir("graft_semadmit_ckpt_"))
     val landingSchema =
       scala.util.Try(spark.read.parquet(landingDir).schema).toOption
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
@@ -146,11 +152,8 @@ object SemanticAdmission {
     // session's full-tree read) reflects THIS run only
     AdmissionStream.pruneStaleBatches(spark, s"$indexPath/stream", lastBatchId)
     AdmissionStream.pruneStaleBatches(spark, outPath, lastBatchId)
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(ckpt.toFile)
+    if (checkpointDir.isEmpty)
+      graft.operators.Maintenance.rmTree(ckpt.toFile)
     val outP = new org.apache.hadoop.fs.Path(outPath)
     if (outP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outP))
       spark.read.option("recursiveFileLookup", "true").parquet(outPath)

@@ -89,6 +89,70 @@ class AdmissionStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("durable checkpoint continues across sessions: fresh batch ids, standing batches survive, union equals sequential") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")
+    val standing = docs.filter(!isNew).select(col("doc_id"), col("text"))
+    val splitA = pmod(col("doc_id"), lit(2)) === 0
+    val batchA = docs.filter(isNew && splitA)
+    val batchB = docs.filter(isNew && !splitA)
+    val root = Files.createTempDirectory("graft_admit_durable_")
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val indexPath = root.resolve("index").toString
+    val outPath = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def land(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+      val stage = Files.createTempDirectory("graft_admit_dstage_")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, landing.resolve(name))
+      landing.resolve(name).toFile.setLastModified(mod)
+      ()
+    }
+    try {
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$indexPath/seed")
+      // session 1: only file a has landed
+      land(batchA, "a.parquet", 1000000L)
+      AdmissionStream.runAdmission(spark, landing.toString, indexPath,
+        outPath, shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+        maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+      // session 2: file b lands; the SAME durable checkpoint skips a
+      // and assigns b the NEXT id — no clobber, no sweep casualty
+      land(batchB, "b.parquet", 2000000L)
+      val all = AdmissionStream.runAdmission(spark, landing.toString,
+          indexPath, outPath, shingleN = 3, k = 8, rowsPerBand = 2,
+          threshold = 0.4, maxFilesPerTrigger = Some(1),
+          checkpointDir = Some(ckpt))
+        .select("doc_id").as[Long].collect().toSet
+      new java.io.File(outPath).listFiles().map(_.getName)
+        .filter(_.startsWith("batch-")).toSet shouldBe Set("batch-0", "batch-1")
+      // union equals the sequential batch truth (the first test's oracle)
+      val ix0 = Dedup.nearDupIndex(standing, col("doc_id"), col("text"), 3, 8, 2)
+      val admitA = batchA.join(
+        Dedup.admitNewDocsWithIndex(batchA.select(col("doc_id"), col("text")),
+          ix0, col("doc_id"), col("text"), 3, 8, 2, 0.4),
+        Seq("doc_id"), "left_semi")
+      val ix1 = ix0.unionByName(
+        Dedup.nearDupIndex(admitA, col("doc_id"), col("text"), 3, 8, 2))
+      val admitB = Dedup.admitNewDocsWithIndex(
+        batchB.select(col("doc_id"), col("text")),
+        ix1, col("doc_id"), col("text"), 3, 8, 2, 0.4)
+      val expected = (admitA.select("doc_id").as[Long].collect() ++
+        admitB.select("doc_id").as[Long].collect()).toSet
+      all shouldBe expected
+      all.nonEmpty shouldBe true
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("index compaction mid-stream leaves admissions identical and the tree bounded") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")

@@ -249,9 +249,11 @@ class EventStreamsSpec extends SparkSpecBase {
     Files.copy(src, landing.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, landing.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val target = Files.createTempDirectory("graft_rollup_out_").resolve("rollup").toString
+    val ckpt = Files.createTempDirectory("graft_rollup_ckpt_spec_")
+      .resolve("ckpt").toString
 
     EventStreams.incrementalRollup(spark, landing.toString, target,
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
 
     val got = spark.read.parquet(target)
     val rawExp = spark.read.parquet(landing.toString)
@@ -264,17 +266,24 @@ class EventStreamsSpec extends SparkSpecBase {
     got.exceptAll(expected).count() shouldBe 0L
     expected.exceptAll(got).count() shouldBe 0L
 
-    // full stream re-run: a fresh checkpoint replays the same files as
-    // batch ids 0..1 again — both are in the table's applied-marker, so
-    // the additive merge skips them and the rollup is byte-identical
-    // (the exactly-once guarantee mergeParquet's batchId provides)
+    // re-run under the SAME durable checkpoint: both files committed,
+    // nothing processes, the rollup is byte-identical — the real
+    // cross-session exactly-once
     val before = spark.read.parquet(target).orderBy("event_type")
       .collect().toSeq
     EventStreams.incrementalRollup(spark, landing.toString, target,
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
     val after = spark.read.parquet(target).orderBy("event_type")
       .collect().toSeq
     after shouldBe before
+
+    // a scratch-checkpoint session over the standing rollup would
+    // restart batch ids and silently skip its data — fail fast
+    val ex = intercept[IllegalArgumentException] {
+      EventStreams.incrementalRollup(spark, landing.toString, target,
+        maxFilesPerTrigger = Some(1))
+    }
+    ex.getMessage should include("checkpointDir")
   }
 
   test("streamingCmsCells: sketch merged over micro-batches equals the batch CMS; replay is idempotent; scratch re-session fails fast") {
