@@ -25,14 +25,17 @@ import graft.operators.Similarity
   * partial attempt files are invisible).
   *
   * Exactly-once contract is the file sink's: the CHECKPOINT owns the
-  * output log. Resuming with the same checkpoint never double-commits;
-  * re-invoking against the same sink with a FRESH checkpoint would
-  * re-ingest (the log gains new batch ids). Keep checkpoint and sink
-  * together — the standard file-sink deployment rule (this differs from
-  * [[AdmissionStream]]'s batchId-keyed overwrites, which make even a
-  * fresh-checkpoint replay idempotent: admission must pay a probe per
+  * output log, so keep them together — a continuous deployment passes
+  * `checkpointDir` (durable, reused across sessions) and batch ids keep
+  * advancing. Re-invoking against a standing sink with a FRESH
+  * checkpoint is the silent-loss mode: restarted batch ids collide with
+  * the sink's `_spark_metadata` latest-batch watermark and the sink
+  * SKIPS them without error — so that combination fails fast here
+  * instead, the [[EventStreams.streamingCmsCells]] guard. (This differs
+  * from [[AdmissionStream]]'s batchId-keyed overwrites, which make even
+  * a fresh-checkpoint replay idempotent: admission must pay a probe per
   * batch anyway, ingest's zero-state design buys its idempotence from
-  * the sink instead). */
+  * the sink instead.) */
 object AnnIngest {
 
   /** Landing schema fallback when the dir holds no parquet file yet
@@ -48,11 +51,28 @@ object AnnIngest {
     * artifact (its centroid table is the frozen quantizer). */
   def runIngest(spark: SparkSession, landingDir: String, indexPath: String,
       maxFilesPerTrigger: Option[Int] = None,
-      schemaFallback: Option[StructType] = None): Unit = {
+      schemaFallback: Option[StructType] = None,
+      checkpointDir: Option[String] = None): Unit = {
     val centroids = Similarity.readCentroids(spark, indexPath)
     require(centroids.nonEmpty,
       s"no centroid table under $indexPath — not a writeIvfFlatIndex artifact")
-    val ckpt = EventStreams.scratchDir("graft_annin_ckpt_")
+    // a standing streamed table + scratch checkpoint = restarted batch
+    // ids colliding with the sink log's latest-batch watermark, which
+    // the file sink skips SILENTLY — fail fast instead (compaction
+    // folds the streamed table away between sessions, so a compacted
+    // index passes; a durable checkpointDir continues ids safely)
+    val sinkLog = new org.apache.hadoop.fs.Path(
+      s"$indexPath/assignments_stream/_spark_metadata")
+    require(checkpointDir.nonEmpty ||
+        !sinkLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(sinkLog),
+      s"standing streamed assignments under $indexPath and no durable " +
+        "checkpointDir — a scratch checkpoint restarts batch ids at 0 " +
+        "and the file sink silently skips them against its commit log; " +
+        "pass the prior session's checkpointDir, or compact the index " +
+        "(compactIvfFlatIndex) between sessions")
+    val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
+      .getOrElse(EventStreams.scratchDir("graft_annin_ckpt_"))
     val landingSchema =
       scala.util.Try(spark.read.parquet(landingDir).schema).toOption
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
@@ -67,10 +87,7 @@ object AnnIngest {
       .outputMode("append")
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(ckpt.toFile)
+    if (checkpointDir.isEmpty)
+      graft.operators.Maintenance.rmTree(ckpt.toFile)
   }
 }

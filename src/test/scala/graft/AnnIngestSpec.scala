@@ -103,6 +103,44 @@ class AnnIngestSpec extends SparkSpecBase {
     ex.getMessage should include("contiguous")
   }
 
+  test("a scratch re-session over a standing streamed table fails fast; a durable checkpoint continues") {
+    val rnd = new Random(17)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val standing = vecDF(cluster(1f, 20, 0L))
+    val root = Files.createTempDirectory("graft_annin_sess_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    Similarity.writeIvfFlatIndex(standing, nLists = 2, ix)
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val ckpt = root.resolve("ckpt").toString
+    def land(vs: Seq[(Long, Seq[Float])], name: String): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      vecDF(vs).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, landing.resolve(name))
+      ()
+    }
+    land(cluster(1f, 5, 100L), "a.parquet")
+    AnnIngest.runIngest(spark, landing.toString, ix,
+      checkpointDir = Some(ckpt))
+    spark.read.parquet(s"$ix/assignments_stream").count() shouldBe 5L
+    // session 2 under the SAME durable checkpoint: only the new file
+    // ingests, ids continue — no silent skip, no double-commit
+    land(cluster(1f, 3, 200L), "b.parquet")
+    AnnIngest.runIngest(spark, landing.toString, ix,
+      checkpointDir = Some(ckpt))
+    spark.read.parquet(s"$ix/assignments_stream").count() shouldBe 8L
+    // a scratch-checkpoint session over the standing streamed table
+    // would collide with the sink log and silently skip — fail fast
+    val ex = intercept[IllegalArgumentException] {
+      AnnIngest.runIngest(spark, landing.toString, ix)
+    }
+    ex.getMessage should include("checkpointDir")
+    spark.catalog.clearCache()
+  }
+
   test("compactIvfFlatIndex folds the stream table, probe unchanged, idempotent") {
     val rnd = new Random(5)
     def cluster(base: Float, n: Int, off: Long) =
