@@ -2568,6 +2568,10 @@ private[graft] object Oracles {
     // trained centroids, everything else identical to q59/q134
     "q137_trained_pq_probe" -> q59AdcCore(10, "ctr2", lloydRoundsCtes),
     "q121_ann_index_append" -> q121OracleSql,
+    // q138: ingest → COMPACT → probe ≡ the batch append (compaction
+    // folds the streamed table without changing one probe result) —
+    // same oracle as the append and streaming-ingest paths
+    "q138_compacted_index_probe" -> q121OracleSql,
     // q122: streaming ingest lands the same final index state as q121's
     // batch append — same oracle (streaming ≡ batch, hash-checked)
     "q122_streaming_ann_ingest" -> q121OracleSql,

@@ -2499,6 +2499,41 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** q138 — ANN index COMPACTION on the driver-verified path
+    * (AnnIngest → Similarity.compactIvfFlatIndex → ivfFlatProbe): q122's
+    * streaming ingest runs against a private copy of the standing-80%
+    * index, the streamed table is then FOLDED into the batch assignments
+    * (staged-swap, vec_id-deduped, cell-partitioned rewrite) and the
+    * streamed dir dropped, and the probe retrieves over the compacted
+    * artifact. Final state ≡ the batch append ≡ the uncompacted
+    * streaming state, so the oracle IS q121's — the maintenance step
+    * that keeps a firehose-fed index scannable is hash-checked end to
+    * end, not just spec'd. */
+  def q138CompactedIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q138_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix")
+    linkTree(java.nio.file.Paths.get(standingAnn80Index(s, dir)), ix)
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q122Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    streaming.AnnIngest.runIngest(s, landing.toString, ix.toString,
+      maxFilesPerTrigger = Some(1))
+    operators.Similarity.compactIvfFlatIndex(s, ix.toString)
+    val res = operators.Similarity.ivfFlatProbe(
+        t(s, dir, "embeddings").filter(col("vec_id") < 5), ix.toString,
+        10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      // pin the k-bounded result off the temp index so the scratch tree
+      // can be deleted now rather than leaking per bench pass
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2636,7 +2671,8 @@ object SparkEntry {
     "q134_pq_index_probe" -> (q134AnnPqIndexProbe _),
     "q135_streaming_dataset_card" -> (q135StreamingDatasetCard _),
     "q136_tokenizer_encode" -> (q136TokenizerEncode _),
-    "q137_trained_pq_probe" -> (q137TrainedPqProbe _)
+    "q137_trained_pq_probe" -> (q137TrainedPqProbe _),
+    "q138_compacted_index_probe" -> (q138CompactedIndexProbe _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
