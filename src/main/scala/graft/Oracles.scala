@@ -63,10 +63,13 @@ private[graft] object Oracles {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** q49's oracle — also the retrieval core of q62, which wraps it in a
-    * metadata join. */
-  private val q49OracleSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The IVF-flat retrieval (q49's oracle) with an optional corpus-side
+    * candidate predicate — `TRUE` is q49/q120 verbatim; q139 passes the
+    * deleted-set exclusion (the index minus tombstoned rows; centroids
+    * and cell assignments are build-time and deletion-invariant, so only
+    * the candidate set shrinks). Also the retrieval core of q62. */
+  private def ivfFlatRetrievalSql(candPred: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |ctr AS (SELECT v AS cv,
       |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
       |        FROM e
@@ -86,11 +89,14 @@ private[graft] object Oracles {
       |      THEN 0.0
       |      ELSE list_inner_product(p.qv, c.v) /
       |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
-      |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+      |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id
+      |    AND $candPred)
       |SELECT query_id, neighbor_id, rnk FROM (
       |  SELECT query_id, neighbor_id,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
       |  FROM cand) WHERE rnk <= 10""".stripMargin
+
+  private val q49OracleSql: String = ivfFlatRetrievalSql("TRUE")
 
   /** q121's oracle — q49's retrieval with the quantizer FROZEN on the
     * standing (md5-hash < cccc) 80%: centroids come from that subset
@@ -125,6 +131,61 @@ private[graft] object Oracles {
       |  SELECT query_id, neighbor_id,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
       |  FROM cand) WHERE rnk <= 10""".stripMargin
+
+  /** q109's incremental admission with an optional INDEX-side predicate
+    * — `TRUE` is q109 verbatim; q140 passes the tombstoned-doc exclusion
+    * (the standing index minus deleted doc_ids: only the new-vs-index
+    * probe changes — the survivor self-dedup is among new docs only).
+    * q48's banding CTEs split new/index by the id-hash prefix;
+    * new-vs-index match, survivor self-pairs, recursive components,
+    * admitted = unmatched survivor that is its component's min (or
+    * unpaired). */
+  private def incrementalAdmitSql(indexPred: String): String =
+    s"""WITH RECURSIVE d0 AS (SELECT doc_id, text,
+      |              substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccc' AS isnew
+      |            FROM documents),
+      |t1 AS (SELECT doc_id, isnew, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |       FROM d0 WHERE trim(COALESCE(text, '')) <> ''),
+      |sh AS (SELECT doc_id, isnew, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 2, 1)),
+      |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
+      |mh AS (SELECT s.doc_id, s.isnew, r.seed,
+      |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+      |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+      |       GROUP BY s.doc_id, s.isnew, r.seed),
+      |bk AS (SELECT doc_id, isnew, seed // 2 AS band,
+      |         string_agg(m, '|' ORDER BY seed) AS bkey
+      |       FROM mh GROUP BY doc_id, isnew, seed // 2),
+      |xc AS (SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
+      |       FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
+      |       WHERE n.isnew AND NOT o.isnew AND $indexPred),
+      |matched AS (SELECT DISTINCT c.id_n FROM xc c
+      |      JOIN sh sa ON sa.doc_id = c.id_n
+      |      JOIN sh sb ON sb.doc_id = c.id_o
+      |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+      |              AS DOUBLE) >= 0.4),
+      |sv AS (SELECT doc_id FROM sh WHERE isnew
+      |       AND doc_id NOT IN (SELECT id_n FROM matched)),
+      |c2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |       FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+      |         AND a.doc_id < b.doc_id
+      |       WHERE a.doc_id IN (SELECT doc_id FROM sv)
+      |         AND b.doc_id IN (SELECT doc_id FROM sv)),
+      |p AS (SELECT c.id_a, c.id_b FROM c2 c
+      |      JOIN sh sa ON sa.doc_id = c.id_a
+      |      JOIN sh sb ON sb.doc_id = c.id_b
+      |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+      |              AS DOUBLE) >= 0.4),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+      |          UNION SELECT id_b, id_a FROM p),
+      |reach(id, r) AS (SELECT src, src FROM edges
+      |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+      |SELECT sv.doc_id FROM sv LEFT JOIN comp ON comp.id = sv.doc_id
+      |WHERE comp.id IS NULL OR comp.comp = sv.doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** q62's oracle: the q49 retrieval subquery joined to document
     * metadata (DuckDB allows WITH inside a derived table). */
@@ -2144,52 +2205,21 @@ private[graft] object Oracles {
     // new-vs-index match, survivor self-pairs, recursive components,
     // admitted = unmatched survivor that is its component's min (or
     // unpaired)
-    "q109_incremental_admit" ->
-      """WITH RECURSIVE d0 AS (SELECT doc_id, text,
-        |              substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccc' AS isnew
-        |            FROM documents),
-        |t1 AS (SELECT doc_id, isnew, string_split_regex(lower(trim(text)), '\s+') AS t
-        |       FROM d0 WHERE trim(COALESCE(text, '')) <> ''),
-        |sh AS (SELECT doc_id, isnew, list_distinct(list_transform(
-        |         generate_series(1, greatest(len(t) - 2, 1)),
-        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
-        |mh AS (SELECT s.doc_id, s.isnew, r.seed,
-        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
-        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
-        |       GROUP BY s.doc_id, s.isnew, r.seed),
-        |bk AS (SELECT doc_id, isnew, seed // 2 AS band,
-        |         string_agg(m, '|' ORDER BY seed) AS bkey
-        |       FROM mh GROUP BY doc_id, isnew, seed // 2),
-        |xc AS (SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
-        |       FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
-        |       WHERE n.isnew AND NOT o.isnew),
-        |matched AS (SELECT DISTINCT c.id_n FROM xc c
-        |      JOIN sh sa ON sa.doc_id = c.id_n
-        |      JOIN sh sb ON sb.doc_id = c.id_o
-        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-        |              AS DOUBLE) >= 0.4),
-        |sv AS (SELECT doc_id FROM sh WHERE isnew
-        |       AND doc_id NOT IN (SELECT id_n FROM matched)),
-        |c2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |       FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
-        |         AND a.doc_id < b.doc_id
-        |       WHERE a.doc_id IN (SELECT doc_id FROM sv)
-        |         AND b.doc_id IN (SELECT doc_id FROM sv)),
-        |p AS (SELECT c.id_a, c.id_b FROM c2 c
-        |      JOIN sh sa ON sa.doc_id = c.id_a
-        |      JOIN sh sb ON sb.doc_id = c.id_b
-        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-        |              AS DOUBLE) >= 0.4),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |          UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (SELECT src, src FROM edges
-        |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
-        |SELECT sv.doc_id FROM sv LEFT JOIN comp ON comp.id = sv.doc_id
-        |WHERE comp.id IS NULL OR comp.comp = sv.doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "q109_incremental_admit" -> incrementalAdmitSql("TRUE"),
+    // q139: q120's artifact probe AFTER deleteFromAnnIndex tombstoned
+    // vec_id % 10 = 7 (replayed twice — idempotent): the oracle is the
+    // index rebuilt WITHOUT those rows under the same frozen quantizer —
+    // centroids and cell assignments are build-time state, so only the
+    // candidate set shrinks
+    "q139_index_delete_probe" ->
+      ivfFlatRetrievalSql("(c.vec_id % 10) <> 7"),
+    // q140: q109's incremental admission AFTER deleteFromNearDupIndex
+    // tombstoned standing doc_id % 5 = 2 (replayed twice): the index
+    // side of the probe loses those docs — a new doc whose only matches
+    // were deleted now admits — while the survivor self-dedup among new
+    // docs is untouched
+    "q140_neardup_delete_admit" ->
+      incrementalAdmitSql("(o.doc_id % 5) <> 2"),
     // q110: chunk count 1 + ceil(max(0, n−32)/24); DuckDB list slice is
     // 1-based inclusive, so chunk i spans t[i*24+1 : min(i*24+32, n)]
     "q110_overlapping_chunks" ->

@@ -2534,6 +2534,66 @@ object SparkEntry {
     res
   }
 
+  /** q139 — ANN index DELETE lifecycle (Similarity.deleteFromAnnIndex →
+    * ivfFlatProbe): the standing index gets a takedown batch (vec_id %
+    * 10 = 7) tombstoned TWICE (a replayed delete must be a no-op — the
+    * tombstone table is set-semantics at every read), and the probe then
+    * retrieves with the deleted rows masked. The oracle is the index
+    * rebuilt WITHOUT those rows under the same frozen quantizer
+    * (centroids and cell assignments are build-time state — deletion
+    * only shrinks the candidate set), so masked-probe ≡
+    * rebuilt-without-the-rows is hash-checked; tombstone-masked ≡
+    * post-compaction is pinned by AnnIngestSpec. Per-delete cost is
+    * O(|deleted|) rows appended — the index data is never touched,
+    * which is the whole point at 100 TB. */
+  def q139IndexDeleteProbe(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q139_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix")
+    linkTree(java.nio.file.Paths.get(standingAnnIndex(s, dir)), ix)
+    val deleted = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+      .coalesce(1)
+    operators.Similarity.deleteFromAnnIndex(deleted, ix.toString)
+    operators.Similarity.deleteFromAnnIndex(deleted, ix.toString) // replay
+    val res = operators.Similarity.ivfFlatProbe(
+        t(s, dir, "embeddings").filter(col("vec_id") < 5), ix.toString,
+        10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
+  /** q140 — near-dup index DELETE lifecycle (Dedup.deleteFromNearDupIndex
+    * → admitNewDocsWithIndex): a fifth of the standing corpus (doc_id %
+    * 5 = 2) is tombstoned out of the signature index (replayed twice),
+    * and the q109 admission batch then probes the masked tree — a new
+    * document whose only near-dup matches were deleted ADMITS, which is
+    * the behavioral point of takedown support (the deleted doc no longer
+    * blocks its near-duplicates from entering the corpus). The oracle is
+    * q109's admission SQL with the deleted docs dropped from the index
+    * side — probe-after-delete ≡ rebuilt-without-the-rows, hash-checked;
+    * compaction/rebuild folds are pinned by DedupSpec. */
+  def q140NearDupDeleteAdmit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q140_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix")
+    linkTree(java.nio.file.Paths.get(standingIndex(s, dir)), ix)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    val deleted = docs.filter(!isNew && col("doc_id") % 5 === 2)
+      .select(col("doc_id")).coalesce(1)
+    operators.Dedup.deleteFromNearDupIndex(deleted, ix.toString)
+    operators.Dedup.deleteFromNearDupIndex(deleted, ix.toString) // replay
+    val res = operators.Dedup.admitNewDocsWithIndex(
+        docs.filter(isNew), ix.toString, col("doc_id"), col("text"), 0.4)
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2672,7 +2732,9 @@ object SparkEntry {
     "q135_streaming_dataset_card" -> (q135StreamingDatasetCard _),
     "q136_tokenizer_encode" -> (q136TokenizerEncode _),
     "q137_trained_pq_probe" -> (q137TrainedPqProbe _),
-    "q138_compacted_index_probe" -> (q138CompactedIndexProbe _)
+    "q138_compacted_index_probe" -> (q138CompactedIndexProbe _),
+    "q139_index_delete_probe" -> (q139IndexDeleteProbe _),
+    "q140_neardup_delete_admit" -> (q140NearDupDeleteAdmit _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

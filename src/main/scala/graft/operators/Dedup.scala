@@ -267,8 +267,12 @@ object Dedup {
     * through the frame overload with explicit parameters). */
   def admitNewDocsWithIndex(newDf: DataFrame, indexPath: String, id: Column,
       text: Column, threshold: Double): DataFrame = {
-    val ix = newDf.sparkSession.read
-      .option("recursiveFileLookup", "true").parquet(indexPath)
+    // tombstoned docs are masked out of the probed set here (the
+    // `_tombstones` table is invisible to the data read itself), so a
+    // new document that matched ONLY deleted docs admits
+    val ix = excludeTombstoned(newDf.sparkSession, indexPath,
+      newDf.sparkSession.read
+        .option("recursiveFileLookup", "true").parquet(indexPath))
     val paramCols = Seq("p_shingle_n", "p_k", "p_rows_per_band")
     require(paramCols.forall(ix.columns.contains),
       s"near-dup index at $indexPath carries no build parameters " +
@@ -318,42 +322,108 @@ object Dedup {
       targetFileBytes: Long = 128L << 20): Int = {
     val spark = docs.sparkSession
     Upsert.recoverStagedSwap(indexPath)
-    val target = new java.io.File(indexPath)
-    require(target.isDirectory, s"no near-dup index tree at $indexPath")
-    val staged = new java.io.File(indexPath + "__staged")
-    val old = new java.io.File(indexPath + "__old")
-    Maintenance.rmTree(staged); Maintenance.rmTree(old)
-    val keptIds = spark.read.option("recursiveFileLookup", "true")
-      .parquet(indexPath).select(col("doc_id")).distinct()
+    require(Fs.isDirectory(indexPath), s"no near-dup index tree at $indexPath")
+    // tombstoned ids are dropped from the kept set — a rebuild is also a
+    // physical delete fold (the `_tombstones` table rides into `__old`
+    // with the swapped-out tree), and the coverage guard must not demand
+    // text for documents being deleted
+    val keptIds = excludeTombstoned(spark, indexPath,
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(indexPath).select(col("doc_id")).distinct())
       .localCheckpoint(true)
     val kept = keptIds.count()
     val src = docs.select(id.as("doc_id"), text.as("txt"))
     val covered = src.join(keptIds, Seq("doc_id"), "left_semi")
-    val coveredIds = covered.select(col("doc_id")).distinct().count()
+    // one id-only pass for both guards (rows vs distinct ids) — the
+    // text payload stays out of it and nothing corpus-sized is pinned
+    val guardRow = covered.select(col("doc_id"))
+      .agg(count(lit(1)).as("rows"), count_distinct(col("doc_id")).as("ids"))
+      .collect().head
+    val (coveredRows, coveredIds) = (guardRow.getLong(0), guardRow.getLong(1))
     require(coveredIds == kept,
       s"rebuild source covers $coveredIds of $kept kept doc_ids — a " +
         "partial rebuild would silently drop documents from the index; " +
         "supply a text source spanning the whole kept set")
+    // duplicate doc_id rows in the SOURCE would pass the distinct-count
+    // coverage check while silently landing duplicate signature rows in
+    // the rebuilt index (an index is one row per doc_id by contract)
+    require(coveredRows == coveredIds,
+      s"rebuild source holds $coveredRows rows for $coveredIds distinct " +
+        "kept doc_ids — duplicate ids would land duplicate signature " +
+        "rows; dedupe the source on the id column first")
     // size from the standing tree's bytes (same-rows-similar-encoding
     // approximation, the compactTree sizing rule)
-    def dataBytes(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(dataBytes).sum
-      else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
-        f.length()
-      else 0L
     val n = math.max(1L,
-      (dataBytes(target) + targetFileBytes - 1) / targetFileBytes).toInt
-    nearDupIndex(covered, col("doc_id"), col("txt"), shingleN, k, rowsPerBand)
-      .repartition(n)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged.getPath)
-    if (!target.renameTo(old))
-      throw new java.io.IOException(s"could not stage out $indexPath")
-    if (!staged.renameTo(target)) {
-      old.renameTo(target)
-      throw new java.io.IOException(s"could not swap $indexPath")
+      (Fs.dataBytes(indexPath) + targetFileBytes - 1) / targetFileBytes).toInt
+    Fs.stagedSwap(indexPath) { staged =>
+      nearDupIndex(covered, col("doc_id"), col("txt"), shingleN, k, rowsPerBand)
+        .repartition(n)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
     }
-    Maintenance.rmTree(old)
+    n
+  }
+
+  /** DELETE documents from a standing near-dup index tree — the missing
+    * verb of the build/admit/ingest/compact/rebuild lifecycle (takedowns,
+    * retention windows, dedup-policy reversals; without it the only
+    * removal path is [[rebuildNearDupIndex]]'s full re-shingle). The ids
+    * land as a blind append to the tree's `_tombstones` table —
+    * O(|deleted|) rows written, no signature data touched, invisible to
+    * every recursive data read of the tree (the `_` prefix) — and take
+    * effect at the next probe (the path overload of
+    * [[admitNewDocsWithIndex]] and [[graft.streaming.AdmissionStream]]
+    * anti-join the table, so a new document that matched ONLY deleted
+    * docs admits) until [[compactNearDupIndex]] or
+    * [[rebuildNearDupIndex]] folds them in physically. Replayed deletes
+    * and ids absent from the tree are harmless (set semantics at every
+    * read). `ids` must expose `doc_id`. */
+  def deleteFromNearDupIndex(ids: DataFrame, indexPath: String): Unit =
+    ids.select(col("doc_id"))
+      .write.mode("append").parquet(s"$indexPath/${Fs.TombstonesSubdir}")
+
+  /** The tree's tombstone table, when one exists. */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = s"$indexPath/${Fs.TombstonesSubdir}"
+    if (Fs.exists(p)) Some(spark.read.parquet(p).select(col("doc_id")))
+    else None
+  }
+
+  /** Mask tombstoned doc_ids out of an index FRAME read from `indexPath`
+    * — the probe-side half of [[deleteFromNearDupIndex]], shared with
+    * the streaming admission loop. Identity when no tombstones stand. */
+  private[graft] def excludeTombstoned(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, ix: DataFrame): DataFrame =
+    tombstonesOf(spark, indexPath) match {
+      case Some(tb) => ix.join(tb, Seq("doc_id"), "left_anti")
+      case None => ix
+    }
+
+  /** Fold the tombstone table into the tree PHYSICALLY — the near-dup
+    * counterpart of [[Similarity.compactIvfFlatIndex]]'s delete fold:
+    * the whole tree (seed + batch subdirs) minus deleted doc_ids
+    * rewrites as flat target-sized files via the staged swap, so it is
+    * also a compaction; signatures are parameter-stable under deletion,
+    * so no re-shingle happens (that is [[rebuildNearDupIndex]]'s job,
+    * and only for PARAMETER changes). The `_tombstones` table rides
+    * into `__old` with the swapped-out tree — deletes and data commit
+    * in the same rename. Run between ingest sessions, never
+    * concurrently with one. Returns the rewritten file count. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetFileBytes: Long = 128L << 20): Int = {
+    Upsert.recoverStagedSwap(indexPath)
+    require(Fs.isDirectory(indexPath), s"no near-dup index tree at $indexPath")
+    val kept = excludeTombstoned(spark, indexPath,
+      spark.read.option("recursiveFileLookup", "true").parquet(indexPath))
+    require(!kept.isEmpty,
+      s"compacting $indexPath would delete every remaining document — " +
+        "an empty index admits everything; rebuild or reseed instead")
+    val n = math.max(1L,
+      (Fs.dataBytes(indexPath) + targetFileBytes - 1) / targetFileBytes).toInt
+    Fs.stagedSwap(indexPath) { staged =>
+      kept.repartition(n)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+    }
     n
   }
 

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem primitives for the artifact lifecycle (staged write-swaps,
+  * tree sizing, marker files), on the Hadoop [[FileSystem]] API — so every
+  * swap site resolves the SAME filesystem Spark's own reads and writes
+  * use (`file://` locally, `hdfs://` on a cluster) instead of assuming
+  * `java.io.File`. On local disk and HDFS a directory rename is a single
+  * atomic metadata operation, which is what the `__staged`/`__old` swap
+  * discipline relies on.
+  *
+  * OBJECT-STORE CAVEAT: on S3/GCS-style stores `rename` is copy-then-
+  * delete — neither atomic nor cheap — so the swap discipline does NOT
+  * give crash-atomicity there. The deployment strategy for object stores
+  * is commit-by-pointer: write each table generation to a fresh
+  * immutable directory (`<table>/gen-<n>/`) and flip a small pointer
+  * file (one PUT, atomic on every store) to the new generation, never
+  * renaming data files — i.e. a manifest/table format (Iceberg-style
+  * metadata pointer) rather than directory swaps. These helpers
+  * intentionally fail loudly rather than fall back silently: a rename
+  * that an object store implements as a partial copy surfaces as a
+  * failed/slow swap, not silent corruption, because the target is only
+  * ever replaced by a completed rename.
+  */
+object Fs {
+
+  /** Tombstone-table subdir of an index artifact (`<index>/_tombstones`):
+    * the DELETE verb of the artifact lifecycle. `_`-prefixed so Spark's
+    * hidden-file rule keeps it invisible to every data listing of the
+    * index tree — probes must opt in by reading the path explicitly.
+    * Writes are blind appends of id rows (O(|deleted|), never touching
+    * index data); readers apply it as an anti-join, so replayed deletes
+    * and duplicate rows are harmless (set semantics); compaction folds
+    * it in physically and drops the table. */
+  val TombstonesSubdir = "_tombstones"
+
+  /** The Hadoop configuration in effect: the active Spark session's (so
+    * `fs.defaultFS`, credentials and mount tables match the engine's own
+    * I/O), or a vanilla one when no session is up (pure-path utilities
+    * in tests). */
+  private def conf: Configuration =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** Resolve `path` to its owning FileSystem + qualified Path. */
+  def resolve(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  def exists(path: String): Boolean = {
+    val (fs, p) = resolve(path)
+    fs.exists(p)
+  }
+
+  def isDirectory(path: String): Boolean = {
+    val (fs, p) = resolve(path)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  /** Recursive delete; no-op when absent. */
+  def rmTree(path: String): Unit = {
+    val (fs, p) = resolve(path)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Rename `src` → `dst`, refusing when `dst` already exists (Hadoop's
+    * `rename` would MOVE INTO an existing directory, HDFS-mv-style —
+    * the opposite of what a swap wants; the java.io contract this
+    * replaces failed in that case, and every swap site pre-clears its
+    * destination). Returns false on refusal or filesystem failure. */
+  def rename(src: String, dst: String): Boolean = {
+    val (fs, s) = resolve(src)
+    val d = new Path(dst)
+    if (fs.exists(d)) false else fs.rename(s, d)
+  }
+
+  /** Data bytes in the tree at `path`: recursive, skipping `_`/`.`-
+    * prefixed names (Spark's hidden-file rule) at every level. 0 when
+    * absent. */
+  def dataBytes(path: String): Long = {
+    val (fs, p) = resolve(path)
+    def walk(st: FileStatus): Long =
+      if (st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith(".")) 0L
+      else if (st.isDirectory) fs.listStatus(st.getPath).map(walk).sum
+      else st.getLen
+    if (!fs.exists(p)) 0L else fs.listStatus(p).map(walk).sum
+  }
+
+  /** Top-level entry names under `path` (empty when absent). */
+  def listNames(path: String): Seq[String] = {
+    val (fs, p) = resolve(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
+  }
+
+  /** Write `text` to `path` atomically enough for a marker INSIDE a
+    * staged directory (the enclosing swap rename is the commit). */
+  def writeText(path: String, text: String): Unit = {
+    val (fs, p) = resolve(path)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read `path` as UTF-8 text; None when absent. */
+  def readText(path: String): Option[String] = {
+    val (fs, p) = resolve(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Crash recovery for a staged swap at `path`: a previous swap may have
+    * died between its two renames. target missing + `__old` present =
+    * died between the renames → the old table is the only copy; restore
+    * it. target present + `__old` present = died after the swap → `__old`
+    * is garbage (left for the next swap to clear). Idempotent. Any caller
+    * that READS the table before swapping (sizing a rewrite) must run
+    * this first, or a recoverable table looks missing. */
+  def recoverStagedSwap(path: String): Unit =
+    if (!exists(path) && exists(path + "__old")) {
+      if (!rename(path + "__old", path))
+        throw new java.io.IOException(
+          s"could not recover $path from ${path}__old")
+    }
+
+  /** The staged write-swap discipline, shared by every artifact rewrite
+    * (merge, compaction, rebuild): recover any earlier half-swap, clear
+    * scratch, let `write` produce the new table at `<path>__staged`,
+    * then swap it in — `path` → `__old`, carry `keepSubdirs` entries
+    * over from the old tree untouched, `__staged` → `path`, drop
+    * `__old`. A crash at any point either leaves the old table in place
+    * or is repaired by the next call's recovery; the table is only ever
+    * one complete generation or the other.
+    *
+    * `keepSubdirs` entries that exist in the old tree are MOVED into the
+    * staged tree between the two renames (the [[Maintenance.compactTree]]
+    * mid-stream contract: the current micro-batch's own subdir must
+    * survive a fold without being folded). `write` receives the staged
+    * path and must fully materialize the new generation there.
+    *
+    * When no table exists yet the staged tree simply renames into place
+    * (first write). */
+  def stagedSwap(path: String, keepSubdirs: Set[String] = Set.empty)(
+      write: String => Unit): Unit = {
+    val staged = path + "__staged"
+    val old = path + "__old"
+    recoverStagedSwap(path)
+    rmTree(staged)
+    rmTree(old)
+    write(staged)
+    val hadTarget = exists(path)
+    if (hadTarget && !rename(path, old))
+      throw new java.io.IOException(s"could not stage out $path")
+    if (hadTarget) keepSubdirs.foreach { name =>
+      if (exists(s"$old/$name") && !rename(s"$old/$name", s"$staged/$name")) {
+        rename(old, path)
+        throw new java.io.IOException(s"could not carry $name over in $path")
+      }
+    }
+    if (!rename(staged, path)) {
+      if (hadTarget) rename(old, path)
+      throw new java.io.IOException(s"could not swap $path")
+    }
+    rmTree(old)
+  }
+}

@@ -28,12 +28,9 @@ object Maintenance {
   }
 
   /** Data bytes currently on disk for the parquet table at `path`
-    * (top-level part files; `_`/`.`-prefixed metadata is excluded, the
-    * same rule Spark's file index applies). */
-  def tableBytes(path: String): Long =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(_.length()).sum
+    * (`_`/`.`-prefixed metadata is excluded, the same rule Spark's file
+    * index applies) — [[Fs.dataBytes]] on the table's own filesystem. */
+  def tableBytes(path: String): Long = Fs.dataBytes(path)
 
   /** Rewrite the parquet table at `path` into `ceil(bytes/targetFileBytes)`
     * files (at least one). With `clusterBy` columns the rewrite is
@@ -80,44 +77,33 @@ object Maintenance {
   def compactTree(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
       keepSubdirs: Set[String] = Set.empty): Int = {
-    Upsert.recoverStagedSwap(path)
-    val target = new java.io.File(path)
-    val staged = new java.io.File(path + "__staged")
-    val old = new java.io.File(path + "__old")
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(old); rm(staged)
-    def dataBytes(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(dataBytes).sum
-      else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
-        f.length()
-      else 0L
-    val included = Option(target.listFiles()).getOrElse(Array.empty)
-      .filterNot(e => keepSubdirs.contains(e.getName))
-    if (included.isEmpty || included.map(dataBytes).sum == 0L) return 0
-    val bytes = included.map(dataBytes).sum
+    Fs.recoverStagedSwap(path)
+    val entries = Fs.listNames(path)
+    // `_`/`.`-prefixed entries (tombstone tables, markers) are hidden
+    // from the fold's read anyway — keep them out of the included set so
+    // an index holding ONLY hidden state doesn't read as foldable
+    val included = entries
+      .filterNot(keepSubdirs.contains)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .map(n => s"$path/$n")
+    val bytes = included.map(Fs.dataBytes).sum
+    if (included.isEmpty || bytes == 0L) return 0
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(included.map(_.getPath): _*)
-      .repartition(n)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged.getPath)
-    if (!target.renameTo(old))
-      throw new java.io.IOException(s"could not stage out $path")
-    keepSubdirs.foreach { name =>
-      val kept = new java.io.File(old, name)
-      if (kept.exists() && !kept.renameTo(new java.io.File(staged, name))) {
-        old.renameTo(target)
-        throw new java.io.IOException(s"could not carry $name over in $path")
-      }
+    // hidden DIRECTORIES (a pending `_tombstones` table) carry over the
+    // swap untouched — they are lifecycle state, not foldable data, and
+    // dropping them with the old tree would silently un-delete. Hidden
+    // FILES (`_SUCCESS` and friends) are write debris: the staged write
+    // makes its own, and carrying the old one would collide with it.
+    val hiddenDirs = entries
+      .filter(e => (e.startsWith("_") || e.startsWith(".")) &&
+        Fs.isDirectory(s"$path/$e"))
+      .toSet
+    Fs.stagedSwap(path, keepSubdirs ++ hiddenDirs) { staged =>
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(included: _*)
+        .repartition(n)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
     }
-    if (!staged.renameTo(target)) {
-      old.renameTo(target)
-      throw new java.io.IOException(s"could not swap $path")
-    }
-    rm(old)
     n
   }
 

@@ -905,15 +905,11 @@ object Similarity {
       recursiveStreamed: Boolean = false): Unit = {
     val assignments = s"$indexPath/assignments"
     Upsert.recoverStagedSwap(assignments)
-    val streamedDir = new java.io.File(s"$indexPath/$streamedSubdir")
-    if (!streamedDir.exists()) return
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    val staged = new java.io.File(assignments + "__staged")
-    val old = new java.io.File(assignments + "__old")
-    rm(staged); rm(old)
+    val streamedPath = s"$indexPath/$streamedSubdir"
+    val tombPath = s"$indexPath/${Fs.TombstonesSubdir}"
+    val hasStreamed = Fs.exists(streamedPath)
+    val hasTomb = Fs.exists(tombPath)
+    if (!hasStreamed && !hasTomb) return
     val cols = Seq("vec_id", "embedding", "c_norm", "cell")
     // the file-sink table (cell-partitioned) reads plain; the admission
     // stream's batch-<id> subdirs carry cell as a data column and need
@@ -922,26 +918,93 @@ object Similarity {
       if (recursiveStreamed)
         spark.read.option("recursiveFileLookup", "true")
       else spark.read
-    val union = spark.read.parquet(assignments).select(cols.map(col): _*)
-      .unionByName(
-        streamedReader.parquet(streamedDir.getPath).select(cols.map(col): _*))
-      .dropDuplicates("vec_id")
-    val bytes = math.max(1L, Maintenance.tableBytes(assignments))
+    val base = spark.read.parquet(assignments).select(cols.map(col): _*)
+    val union =
+      if (hasStreamed)
+        base.unionByName(
+          streamedReader.parquet(streamedPath).select(cols.map(col): _*))
+      else base
+    // the tombstone fold is PHYSICAL: after this swap the deleted rows
+    // are gone from storage, not just masked at probe time
+    val kept =
+      if (hasTomb)
+        union.dropDuplicates("vec_id")
+          .join(spark.read.parquet(tombPath).select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+      else union.dropDuplicates("vec_id")
+    require(!kept.isEmpty,
+      s"compacting $indexPath would delete every remaining vector — an " +
+        "empty assignments table cannot be probed; rebuild the index " +
+        "instead of compacting it away")
+    val bytes = math.max(1L, Fs.dataBytes(assignments))
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     // repartition BY cell: each cell's rows land in one task, so the
     // compacted layout is ~one file per (cell, 128MB) — not n files
     // per cell from a round-robin split
-    union.repartition(n, col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cell").parquet(staged.getPath)
-    val target = new java.io.File(assignments)
-    if (!target.renameTo(old))
-      throw new java.io.IOException(s"could not stage out $assignments")
-    if (!staged.renameTo(target)) {
-      old.renameTo(target)
-      throw new java.io.IOException(s"could not swap in $assignments")
+    Fs.stagedSwap(assignments) { staged =>
+      kept.repartition(n, col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(staged)
     }
-    rm(old); rm(streamedDir)
+    // dropped AFTER the swap: a crash between the swap and these deletes
+    // leaves tables whose rows the next compaction (or any probe)
+    // re-applies idempotently — dedup and anti-join are set-semantics
+    Fs.rmTree(streamedPath)
+    Fs.rmTree(tombPath)
+  }
+
+  /** DELETE vectors from a standing ANN index artifact — the missing
+    * verb of the build/append/ingest/compact lifecycle (takedowns,
+    * dedup-driven removals, retention windows; without it the only
+    * removal path is a full rebuild). Works against BOTH artifact
+    * layouts ([[writeIvfFlatIndex]] and [[writeIvfPqIndex]]): the ids
+    * land as a blind append to the artifact's `_tombstones` table —
+    * O(|deleted|) rows written, the index data untouched — and take
+    * effect at the next probe ([[ivfFlatProbe]]/[[ivfPqProbe]]
+    * anti-join the table) until a compaction
+    * ([[compactIvfFlatIndex]]/[[compactIvfPqIndex]]) folds them in
+    * physically. Replayed deletes, overlapping batches and ids absent
+    * from the index are all harmless: every reader applies the table
+    * with set semantics. `ids` must expose `vec_id`. */
+  def deleteFromAnnIndex(ids: DataFrame, indexPath: String): Unit =
+    ids.select(col("vec_id"))
+      .write.mode("append").parquet(s"$indexPath/${Fs.TombstonesSubdir}")
+
+  /** The artifact's tombstone table, when one exists — the anti-join
+    * side every probe applies. */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = s"$indexPath/${Fs.TombstonesSubdir}"
+    if (Fs.exists(p)) Some(spark.read.parquet(p).select(col("vec_id")))
+    else None
+  }
+
+  /** Fold the tombstone table of a [[writeIvfPqIndex]] artifact into its
+    * codes table physically ([[compactIvfFlatIndex]]'s discipline for
+    * the compressed layout): staged swap of the cell-partitioned codes
+    * minus deleted vec_ids, tombstones dropped after. No-op without
+    * tombstones (the PQ artifact has no streaming ingest to fold). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val codes = s"$indexPath/codes"
+    Upsert.recoverStagedSwap(codes)
+    val tombPath = s"$indexPath/${Fs.TombstonesSubdir}"
+    if (!Fs.exists(tombPath)) return
+    val kept = spark.read.parquet(codes)
+      .select(col("vec_id"), col("codes"), col("recon_norm"), col("cell"))
+      .join(spark.read.parquet(tombPath).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    require(!kept.isEmpty,
+      s"compacting $indexPath would delete every remaining vector — an " +
+        "empty codes table cannot be probed; rebuild the index instead")
+    val bytes = math.max(1L, Fs.dataBytes(codes))
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    Fs.stagedSwap(codes) { staged =>
+      kept.repartition(n, col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(staged)
+    }
+    Fs.rmTree(tombPath)
   }
 
   /** The MATERIALIZABLE IVF-PQ index — [[writeIvfFlatIndex]]'s artifact
@@ -1021,11 +1084,17 @@ object Similarity {
       .localCheckpoint(true)
     val probedCells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val c =
+    val c0 =
       if (probedCells.isEmpty)
         spark.read.parquet(s"$indexPath/codes").filter(lit(false))
       else spark.read.parquet(s"$indexPath/codes")
         .filter(col("cell").isin(probedCells: _*))
+    // deleted-but-not-yet-compacted vectors are masked here; the
+    // anti-join's left side is already pruned to the probed cells
+    val c = tombstonesOf(spark, indexPath) match {
+      case Some(tb) => c0.join(tb, Seq("vec_id"), "left_anti")
+      case None => c0
+    }
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1068,11 +1137,18 @@ object Similarity {
     val streamed = new org.apache.hadoop.fs.Path(s"$indexPath/assignments_stream")
     val hasStreamed = streamed
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(streamed)
-    val c =
+    val c0 =
       if (hasStreamed)
         cellsOf(s"$indexPath/assignments")
           .unionByName(cellsOf(s"$indexPath/assignments_stream"))
       else cellsOf(s"$indexPath/assignments")
+    // deleted-but-not-yet-compacted vectors (batch AND streamed rows)
+    // are masked here; the left side is already pruned to probed cells
+    val c = tombstonesOf(spark, indexPath) match {
+      case Some(tb) =>
+        c0.join(tb, c0("neighbor_id") === tb("vec_id"), "left_anti")
+      case None => c0
+    }
     val denom = col("q_norm") * col("c_norm")
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

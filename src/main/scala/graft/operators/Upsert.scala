@@ -128,25 +128,17 @@ object Upsert {
 
   /** Batch ids already applied to the table at `path` (empty when the
     * table or marker doesn't exist). */
-  def appliedBatches(path: String): Set[Long] = {
-    val f = new java.io.File(path, AppliedMarker)
-    if (!f.isFile) Set.empty
-    else {
-      // read-and-close: one marker read per micro-batch merge would leak a
-      // handle per batch over a long-running stream otherwise
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(f.toPath).asScala
-        .filter(_.nonEmpty).map(_.toLong).toSet
+  def appliedBatches(path: String): Set[Long] =
+    Fs.readText(s"$path/$AppliedMarker") match {
+      case None => Set.empty
+      case Some(text) =>
+        text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+          .map(_.toLong).toSet
     }
-  }
 
-  private def writeApplied(dir: java.io.File, ids: Set[Long]): Unit = {
-    val f = new java.io.File(dir, AppliedMarker)
-    java.nio.file.Files.write(f.toPath,
-      ids.toSeq.sorted.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ()
-  }
+  private def writeApplied(dir: String, ids: Set[Long]): Unit =
+    Fs.writeText(s"$dir/$AppliedMarker",
+      ids.toSeq.sorted.mkString("", "\n", "\n"))
 
   /** Merge `updates` into the parquet table at `path` with `combine`
     * (e.g. [[upsert]] for replace semantics, [[additiveMerge]] for
@@ -159,55 +151,28 @@ object Upsert {
     * double-count an additive rollup. The marker is written into the
     * staged directory before the swap, so data + applied-set commit in
     * the same rename. */
-  /** Crash recovery for the staged write-swap, runnable on its own: a
-    * previous merge may have died mid-swap. target missing + __old
-    * present = died between the two renames → the old table is the only
-    * copy; restore it. target present + __old present = died after the
-    * swap → __old is garbage (left for [[mergeParquet]] to clear).
-    * Idempotent. Any caller that READS the table before merging
-    * (e.g. [[Maintenance.compact]] sizing the rewrite) must run this
-    * first, or a recoverable table looks missing. */
-  def recoverStagedSwap(path: String): Unit = {
-    val target = new java.io.File(path)
-    val old = new java.io.File(path + "__old")
-    if (!target.exists() && old.exists()) {
-      if (!old.renameTo(target))
-        throw new java.io.IOException(s"could not recover $path from ${old.getPath}")
-    }
-  }
+  /** Crash recovery for the staged write-swap, runnable on its own —
+    * [[Fs.recoverStagedSwap]], kept here as the name every merge caller
+    * historically imports. Any caller that READS the table before
+    * merging (e.g. [[Maintenance.compact]] sizing the rewrite) must run
+    * this first, or a recoverable table looks missing. */
+  def recoverStagedSwap(path: String): Unit = Fs.recoverStagedSwap(path)
 
   def mergeParquet(spark: SparkSession, path: String, updates: DataFrame,
       batchId: Option[Long] = None)(
       combine: (DataFrame, DataFrame) => DataFrame): Unit = {
-    val target = new java.io.File(path)
-    val staged = new java.io.File(path + "__staged")
-    val old = new java.io.File(path + "__old")
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    recoverStagedSwap(path)
-    rm(old)
-    rm(staged)
+    Fs.recoverStagedSwap(path)
     val applied = appliedBatches(path)
     if (batchId.exists(applied.contains)) return // replayed batch: no-op
-    val merged =
-      if (target.exists()) combine(spark.read.parquet(path), updates)
-      else updates
-    merged.write.mode(SaveMode.Overwrite).parquet(staged.getPath)
-    // the applied-set survives every rewrite (marker files don't survive
-    // SaveMode.Overwrite, so it is re-written into the staged dir)
-    val nextApplied = applied ++ batchId
-    if (nextApplied.nonEmpty) writeApplied(staged, nextApplied)
-    if (target.exists()) {
-      if (!target.renameTo(old))
-        throw new java.io.IOException(s"could not stage out $path")
+    Fs.stagedSwap(path) { staged =>
+      val merged =
+        if (Fs.exists(path)) combine(spark.read.parquet(path), updates)
+        else updates
+      merged.write.mode(SaveMode.Overwrite).parquet(staged)
+      // the applied-set survives every rewrite (marker files don't survive
+      // SaveMode.Overwrite, so it is re-written into the staged dir)
+      val nextApplied = applied ++ batchId
+      if (nextApplied.nonEmpty) writeApplied(staged, nextApplied)
     }
-    if (!staged.renameTo(target)) {
-      // roll back: put the old table back before failing
-      if (old.exists()) old.renameTo(target)
-      throw new java.io.IOException(s"could not swap $path")
-    }
-    rm(old)
   }
 }

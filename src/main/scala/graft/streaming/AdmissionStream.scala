@@ -69,12 +69,18 @@ object AdmissionStream {
     val paths = fs.listStatus(base)
       .filterNot { st =>
         val n = st.getPath.getName
-        st.isDirectory && n.startsWith("batch-") &&
+        // hidden entries (`_tombstones`, markers) must never be listed as
+        // data roots — an EXPLICIT path bypasses Spark's hidden-file rule
+        n.startsWith("_") || n.startsWith(".") ||
+        (st.isDirectory && n.startsWith("batch-") &&
           scala.util.Try(n.stripPrefix("batch-").toLong).toOption
-            .exists(_ >= excludeBatchId)
+            .exists(_ >= excludeBatchId))
       }
       .map(_.getPath.toString)
-    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
+    // deleted-but-not-yet-compacted docs are masked from the probed set,
+    // so a streamed document that matches ONLY deleted docs admits
+    Dedup.excludeTombstoned(spark, indexPath,
+      spark.read.option("recursiveFileLookup", "true").parquet(paths: _*))
   }
 
   /** Drop `batch-<id>` subdirs with id STRICTLY AFTER the run's last

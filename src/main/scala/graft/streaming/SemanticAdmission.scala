@@ -110,8 +110,18 @@ object SemanticAdmission {
     // the frozen quantizer: read ONCE — the loop assigns every batch
     // under the artifact's centroids, never re-derives them
     val centroids = Similarity.readCentroids(spark, indexPath)
-    val seedAsg = spark.read.parquet(s"$indexPath/assignments")
+    // tombstoned vectors (Similarity.deleteFromAnnIndex against this
+    // artifact) are masked from the probed standing set, so a streamed
+    // vector that matched ONLY deleted vectors admits; read once — the
+    // table only changes between ingest sessions, like the centroids
+    val tombPath = s"$indexPath/${graft.operators.Fs.TombstonesSubdir}"
+    val seedAsg0 = spark.read.parquet(s"$indexPath/assignments")
       .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
+    val seedAsg =
+      if (graft.operators.Fs.exists(tombPath))
+        seedAsg0.join(spark.read.parquet(tombPath).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      else seedAsg0
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     // highest batch id this run processed — feeds the stale-generation

@@ -174,6 +174,97 @@ class AnnIngestSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("deleteFromAnnIndex: masked probe ≡ rebuilt-without-rows; compaction folds physically; replays idempotent") {
+    val rnd = new Random(23)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val standing = cluster(1f, 30, 0L) ++ cluster(-1f, 30, 100L)
+    val queries = vecDF(Seq((500L, Seq.fill(8)(1.002f)), (600L, Seq.fill(8)(-1.002f))))
+    val root = Files.createTempDirectory("graft_anndelete_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    Similarity.writeIvfFlatIndex(vecDF(standing), nLists = 4, ix)
+    val before = Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    before.nonEmpty shouldBe true
+
+    // delete three vectors that WERE in the before top-k, twice (replay)
+    val deleted = before.map(_.getLong(1)).distinct.take(3)
+    val delDf = deleted.toDF("vec_id")
+    Similarity.deleteFromAnnIndex(delDf, ix)
+    Similarity.deleteFromAnnIndex(delDf, ix)
+
+    // ground truth: the SAME frozen quantizer over the corpus minus the
+    // deleted rows (a fresh hash-centroid build would change the
+    // quantizer — deletion must not)
+    val ix2 = root.resolve("ix2").toString
+    Similarity.writeIvfFlatIndex(
+      vecDF(standing.filterNot(v => deleted.contains(v._1))),
+      Similarity.readCentroids(spark, ix), ix2)
+    val truth = Similarity.ivfFlatProbe(queries, ix2, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+
+    val masked = Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    masked shouldBe truth
+    masked.map(_.getLong(1)).toSet.intersect(deleted.toSet) shouldBe empty
+
+    // compaction folds the tombstones in physically: table drops the
+    // rows, the tombstone dir is gone, the probe is unchanged
+    Similarity.compactIvfFlatIndex(spark, ix)
+    new java.io.File(s"$ix/_tombstones").exists() shouldBe false
+    spark.read.parquet(s"$ix/assignments").count() shouldBe
+      (standing.size - deleted.size).toLong
+    Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq shouldBe truth
+    // idempotent: nothing left to fold
+    Similarity.compactIvfFlatIndex(spark, ix)
+    Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq shouldBe truth
+    spark.catalog.clearCache()
+  }
+
+  test("deleteFromAnnIndex on a PQ artifact: masked probe drops the ids; compactIvfPqIndex folds them") {
+    val rnd = new Random(29)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.05f)))
+    val corpus = vecDF(cluster(1f, 30, 0L) ++ cluster(-1f, 30, 100L))
+    val queries = vecDF(Seq((500L, Seq.fill(8)(1.002f))))
+    val root = Files.createTempDirectory("graft_pqdelete_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    Similarity.writeIvfPqIndex(corpus, nLists = 4, m = 4, codewords = 8, ix)
+    val before = Similarity.ivfPqProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    before.nonEmpty shouldBe true
+    val deleted = before.map(_.getLong(1)).distinct.take(2)
+    Similarity.deleteFromAnnIndex(deleted.toDF("vec_id"), ix)
+    val masked = Similarity.ivfPqProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    masked.map(_.getLong(1)).toSet.intersect(deleted.toSet) shouldBe empty
+    Similarity.compactIvfPqIndex(spark, ix)
+    new java.io.File(s"$ix/_tombstones").exists() shouldBe false
+    spark.read.parquet(s"$ix/codes").count() shouldBe 58L
+    Similarity.ivfPqProbe(queries, ix, 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq shouldBe masked
+    spark.catalog.clearCache()
+  }
+
+  test("compaction refuses to delete every remaining vector") {
+    val corpus = vecDF((0L until 10L).map(i => (i, Seq.fill(8)(1f))))
+    val root = Files.createTempDirectory("graft_anndelall_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    Similarity.writeIvfFlatIndex(corpus, nLists = 2, ix)
+    Similarity.deleteFromAnnIndex(
+      (0L until 10L).toDF("vec_id"), ix)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.compactIvfFlatIndex(spark, ix)
+    }
+    ex.getMessage should include("every remaining vector")
+    spark.catalog.clearCache()
+  }
+
   test("ingest requires a centroid artifact and tolerates an empty landing dir") {
     val root = Files.createTempDirectory("graft_annin_spec2_")
     root.toFile.deleteOnExit()

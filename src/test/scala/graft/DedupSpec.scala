@@ -440,6 +440,78 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("deleteFromNearDupIndex: masked probe admits docs matching only deleted; compaction and rebuild fold physically") {
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely unrelated content about distributed query engines"
+    val standing = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    // near-dup of textA only — admission hinges entirely on doc 1
+    val fresh = Seq((10L, textA + " indeed")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndtomb_")
+    try {
+      val ixPath = dir.resolve("ix").toString
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$ixPath/seed")
+      def admit() = Dedup.admitNewDocsWithIndex(fresh, ixPath,
+          col("doc_id"), col("text"), 0.4)
+        .as[Long].collect().toSeq
+      admit() shouldBe empty // rejected: near-dups doc 1
+
+      val del = Seq(1L).toDF("doc_id")
+      Dedup.deleteFromNearDupIndex(del, ixPath)
+      Dedup.deleteFromNearDupIndex(del, ixPath) // replayed delete
+      admit() shouldBe Seq(10L) // its only match is deleted
+
+      // physical fold: tombstones gone, doc 1's signatures gone, probe
+      // unchanged, flat compacted tree
+      Dedup.compactNearDupIndex(spark, ixPath)
+      new java.io.File(s"$ixPath/_tombstones").exists() shouldBe false
+      spark.read.option("recursiveFileLookup", "true").parquet(ixPath)
+        .select("doc_id").as[Long].collect().toSeq shouldBe Seq(2L)
+      admit() shouldBe Seq(10L)
+      // idempotent: nothing left to fold
+      Dedup.compactNearDupIndex(spark, ixPath)
+      admit() shouldBe Seq(10L)
+
+      // rebuild is ALSO a delete fold: tombstoned ids neither demand
+      // source text nor survive into the rebuilt tree
+      val ix2 = dir.resolve("ix2").toString
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$ix2/seed")
+      Dedup.deleteFromNearDupIndex(del, ix2)
+      // source covers ONLY doc 2 — fine, doc 1 is being deleted
+      Dedup.rebuildNearDupIndex(standing.filter(col("doc_id") === 2L), ix2,
+        col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 2)
+      new java.io.File(s"$ix2/_tombstones").exists() shouldBe false
+      spark.read.option("recursiveFileLookup", "true").parquet(ix2)
+        .select("doc_id").as[Long].collect().toSeq shouldBe Seq(2L)
+    } finally {
+      graft.operators.Maintenance.rmTree(dir.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("rebuildNearDupIndex refuses a source with duplicate doc_id rows") {
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = java.nio.file.Files.createTempDirectory("graft_nddup_")
+    try {
+      val ixPath = dir.resolve("ix").toString
+      Dedup.nearDupIndex(Seq((1L, textA)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 3, 8, 2)
+        .write.mode("overwrite").parquet(s"$ixPath/seed")
+      val dupes = Seq((1L, textA), (1L, textA + " copy")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.rebuildNearDupIndex(dupes, ixPath, col("doc_id"), col("text"),
+          3, 8, 2)
+      }
+      e.getMessage should include("duplicate")
+    } finally {
+      graft.operators.Maintenance.rmTree(dir.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("param fail-fast tolerates legacy null-param rows in a mixed-schema index") {
     // a mixed dir (legacy parameter-less artifact + new batches — what a
     // seeded AdmissionStream index looks like) surfaces the legacy rows
