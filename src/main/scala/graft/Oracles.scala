@@ -249,6 +249,119 @@ private[graft] object Oracles {
       |                / 1000000.0 ORDER BY pos0) AS cv
       |         FROM sums1 GROUP BY cell)""".stripMargin
 
+  /** q141's per-subspace codebook training as a CTE chain over `e`:
+    * [[lloydRoundsCtes]]' two quantized Lloyd rounds run independently
+    * per (subspace j, codeword) — seeds are the 16 hash-picked vectors
+    * SLICED per subspace (exactly pqCodebooks' untrained pick, which is
+    * what the trainer refines), assignment argmin ties to the lower
+    * code, means are the same fixed-point integer aggregation, empty
+    * cells keep the previous codeword. Ends in `pcw2 (j, code, scv)` —
+    * the trained codebook table [[adcCoreBooksSql]] consumes. Mirrors
+    * Similarity.lloydTrainSubspaces at (m=8, codewords=16, rounds=2,
+    * scale=1e6). */
+  private val perSubspaceLloydCtes: String =
+    """ctrB AS (SELECT v AS cv,
+      |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+      |         FROM e
+      |         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+      |subB AS (SELECT CAST(r.j AS INTEGER) AS j FROM range(8) AS r(j)),
+      |pcw0 AS (SELECT s.j, c.cidx AS code, c.cv[(s.j*8+1):(s.j*8+8)] AS scv
+      |         FROM ctrB c CROSS JOIN subB s),
+      |pasg0 AS (SELECT e.vec_id, c.j, c.code,
+      |            list_inner_product(e.v[(c.j*8+1):(c.j*8+8)], e.v[(c.j*8+1):(c.j*8+8)])
+      |              - 2.0 * list_inner_product(e.v[(c.j*8+1):(c.j*8+8)], c.scv)
+      |              + list_inner_product(c.scv, c.scv) AS d
+      |          FROM e CROSS JOIN pcw0 c),
+      |pcode0 AS (SELECT vec_id, j, code FROM pasg0
+      |           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) = 1),
+      |psum0 AS (SELECT p.j, p.code, r.i AS pos0,
+      |            SUM(CAST(floor(e.v[p.j*8 + r.i + 1] * 1000000.0) AS BIGINT)) AS s,
+      |            COUNT(*) AS n
+      |          FROM pcode0 p JOIN e ON e.vec_id = p.vec_id, range(8) AS r(i)
+      |          GROUP BY 1, 2, 3),
+      |pc1 AS (SELECT j, code,
+      |          list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+      |               / 1000000.0 ORDER BY pos0) AS scv
+      |        FROM psum0 GROUP BY j, code),
+      |pcw1 AS (SELECT s0.j, s0.code, COALESCE(c.scv, s0.scv) AS scv
+      |         FROM pcw0 s0 LEFT JOIN pc1 c ON c.j = s0.j AND c.code = s0.code),
+      |pasg1 AS (SELECT e.vec_id, c.j, c.code,
+      |            list_inner_product(e.v[(c.j*8+1):(c.j*8+8)], e.v[(c.j*8+1):(c.j*8+8)])
+      |              - 2.0 * list_inner_product(e.v[(c.j*8+1):(c.j*8+8)], c.scv)
+      |              + list_inner_product(c.scv, c.scv) AS d
+      |          FROM e CROSS JOIN pcw1 c),
+      |pcode1 AS (SELECT vec_id, j, code FROM pasg1
+      |           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) = 1),
+      |psum1 AS (SELECT p.j, p.code, r.i AS pos0,
+      |            SUM(CAST(floor(e.v[p.j*8 + r.i + 1] * 1000000.0) AS BIGINT)) AS s,
+      |            COUNT(*) AS n
+      |          FROM pcode1 p JOIN e ON e.vec_id = p.vec_id, range(8) AS r(i)
+      |          GROUP BY 1, 2, 3),
+      |pcw2 AS (SELECT j, code,
+      |           list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+      |                / 1000000.0 ORDER BY pos0) AS scv
+      |         FROM psum1 GROUP BY j, code)""".stripMargin
+
+  /** The ADC-ranked IVF-PQ retrieval over a CTE-supplied codebook TABLE
+    * `(j, code, scv)` — [[q59AdcCore]]'s shape with the codebooks read
+    * from `bookName` instead of sliced out of the hash-picked full
+    * vectors. The corpus encode, query lut and codeword-norm table all
+    * join the same book table, so trained codebooks plug in wherever the
+    * hash pick did; the pivot/sum chains keep the exact left-associated
+    * IEEE order the engine's adcLookupSum emits. */
+  private def adcCoreBooksSql(limit: Int, coarseName: String,
+      coarseCtes: String, bookName: String, bookCtes: String): String = {
+    val sPivot = (0 until 8).map(j =>
+      s"MAX(CASE WHEN l.j = $j THEN l.ip END) AS s$j").mkString(",\n         ")
+    val nPivot = (0 until 8).map(j =>
+      s"MAX(CASE WHEN cn.j = $j THEN cn.nsq END) AS n$j").mkString(",\n         ")
+    val sSum = (1 until 8).foldLeft("s0")((acc, j) => s"($acc + s$j)")
+    val nSum = (1 until 8).foldLeft("n0")((acc, j) => s"($acc + n$j)")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$coarseCtes,
+       |asgc AS (SELECT e.vec_id, c.idx,
+       |           list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv)
+       |             + list_inner_product(c.cv, c.cv) AS d
+       |         FROM e CROSS JOIN $coarseName c),
+       |cellv AS (SELECT vec_id, idx AS cell FROM asgc
+       |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+       |pr AS (SELECT vec_id AS query_id, idx AS cell FROM asgc WHERE vec_id < 5
+       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
+       |$bookCtes,
+       |asg AS (SELECT e.vec_id, c.j, c.code,
+       |          list_inner_product(e.v[(c.j*8+1):(c.j*8+8)], e.v[(c.j*8+1):(c.j*8+8)])
+       |            - 2.0 * list_inner_product(e.v[(c.j*8+1):(c.j*8+8)], c.scv)
+       |            + list_inner_product(c.scv, c.scv) AS d
+       |        FROM e CROSS JOIN $bookName c),
+       |codes AS (SELECT vec_id, j, code FROM asg
+       |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |lut AS (SELECT q.query_id, c.j, c.code AS cidx,
+       |          list_inner_product(q.qv[(c.j*8+1):(c.j*8+8)], c.scv) AS ip
+       |        FROM q CROSS JOIN $bookName c),
+       |cn AS (SELECT c.j, c.code AS cidx,
+       |         list_inner_product(c.scv, c.scv) AS nsq
+       |       FROM $bookName c),
+       |cand AS (SELECT DISTINCT p.query_id, cv2.vec_id
+       |         FROM pr p JOIN cellv cv2 ON cv2.cell = p.cell AND cv2.vec_id <> p.query_id),
+       |sc AS (SELECT ca.query_id, ca.vec_id AS neighbor_id,
+       |         $sPivot,
+       |         $nPivot
+       |       FROM cand ca
+       |       JOIN codes cd ON cd.vec_id = ca.vec_id
+       |       JOIN lut l ON l.query_id = ca.query_id AND l.j = cd.j AND l.cidx = cd.code
+       |       JOIN cn ON cn.j = cd.j AND cn.cidx = cd.code
+       |       GROUP BY 1, 2),
+       |qn AS (SELECT query_id, sqrt(list_inner_product(qv, qv)) AS qnorm FROM q)
+       |SELECT query_id, neighbor_id, rnk FROM (
+       |  SELECT sc.query_id, sc.neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY sc.query_id
+       |      ORDER BY CASE WHEN qn.qnorm * sqrt($nSum) = 0 THEN 0.0
+       |        ELSE $sSum / (qn.qnorm * sqrt($nSum)) END DESC,
+       |        sc.neighbor_id) AS INTEGER) AS rnk
+       |  FROM sc JOIN qn ON qn.query_id = sc.query_id) WHERE rnk <= $limit""".stripMargin
+  }
+
   /** The hash-seeded 8-cell coarse quantizer CTE (q49's ctr, named) —
     * the default coarse stage of the ADC core; [[lloydRoundsCtes]]' ctr2
     * is the TRAINED drop-in (both expose (cv, idx)). */
@@ -2597,6 +2710,14 @@ private[graft] object Oracles {
     // the ADC core's coarse stage is swapped from hash seeds to the
     // trained centroids, everything else identical to q59/q134
     "q137_trained_pq_probe" -> q59AdcCore(10, "ctr2", lloydRoundsCtes),
+    // q141: the fully-trained compressed stack with BOTH quantizers
+    // data-fitted — the coarse CTE is the shared Lloyd-round chain
+    // (q129/q133/q137's) and the codebooks are the per-subspace trained
+    // table, so train-coarse → train-books → compress → probe replays
+    // as one SQL chain
+    "q141_fully_trained_pq_probe" ->
+      adcCoreBooksSql(10, "ctr2", lloydRoundsCtes,
+        "pcw2", perSubspaceLloydCtes),
     "q121_ann_index_append" -> q121OracleSql,
     // q138: ingest → COMPACT → probe ≡ the batch append (compaction
     // folds the streamed table without changing one probe result) —

@@ -2466,9 +2466,9 @@ object SparkEntry {
 
   /** Standing trained-coarse IVF-PQ artifact per fixture (q137's),
     * built once per JVM: lloydTrain fits the coarse quantizer, the PQ
-    * codebooks stay the deterministic hash pick (training them would
-    * need a per-subspace k-means whose oracle cost buys no new plan
-    * shape), and the codes+norms artifact freezes both. */
+    * codebooks stay the deterministic hash pick — the UNTRAINED books
+    * baseline q141's fully-trained stack is measured against (its
+    * recall spec compares exactly these two artifacts). */
   private val annTrainedPqCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -2532,6 +2532,46 @@ object SparkEntry {
       .localCheckpoint(true)
     operators.Maintenance.rmTree(root.toFile)
     res
+  }
+
+  /** Standing FULLY-trained IVF-PQ artifact per fixture (q141's), built
+    * once per JVM: lloydTrain fits the coarse quantizer (shared with
+    * q133/q137 via [[trainedCentroids]]) AND lloydTrainSubspaces fits
+    * the m codebooks — one extra distributed job training all 8
+    * subspaces at once — so nothing in the artifact is a hash pick. */
+  private val annFullTrainedPqCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def standingFullyTrainedPqIndex(s: SparkSession, dir: String): String =
+    annFullTrainedPqCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val books = operators.Similarity.collectTrainedCodebooks(
+        operators.Similarity.lloydTrainSubspaces(e, m = 8, codewords = 16,
+          rounds = 2))
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_ftpq_").resolve("ix")
+      operators.Similarity.writeIvfPqIndex(e, trainedCentroids(s, dir),
+        books, ixDir.toString)
+      ixDir.getParent.toFile.deleteOnExit()
+      ixDir.toString
+    })
+
+  /** q141 — the fully-trained compressed stack with BOTH quantizers
+    * data-fitted (lloydTrain coarse + lloydTrainSubspaces codebooks →
+    * writeIvfPqIndex → ivfPqProbe): where q137's codebooks were still
+    * the deterministic hash pick, here the per-subspace trainer refines
+    * them with the same two distributed quantized Lloyd rounds — the
+    * part of IVF-PQ recall that actually comes from training. The
+    * oracle chains the shared coarse Lloyd CTEs with the per-subspace
+    * training CTEs into the book-table ADC core, so
+    * train → train → compress → probe hash-checks end to end; the
+    * trained-≥-hash recall claim is spec-measured. */
+  def q141FullyTrainedPqProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    operators.Similarity.ivfPqProbe(
+      e.filter(col("vec_id") < 5), standingFullyTrainedPqIndex(s, dir),
+      10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
   /** q139 — ANN index DELETE lifecycle (Similarity.deleteFromAnnIndex →
@@ -2734,7 +2774,8 @@ object SparkEntry {
     "q137_trained_pq_probe" -> (q137TrainedPqProbe _),
     "q138_compacted_index_probe" -> (q138CompactedIndexProbe _),
     "q139_index_delete_probe" -> (q139IndexDeleteProbe _),
-    "q140_neardup_delete_admit" -> (q140NearDupDeleteAdmit _)
+    "q140_neardup_delete_admit" -> (q140NearDupDeleteAdmit _),
+    "q141_fully_trained_pq_probe" -> (q141FullyTrainedPqProbe _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

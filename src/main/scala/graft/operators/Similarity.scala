@@ -307,6 +307,119 @@ object Similarity {
       col("n"))
   }
 
+  /** Per-subspace PQ codebook TRAINING — [[lloydTrain]]'s distributed
+    * quantized Lloyd iteration run over all `m` subspaces in ONE job:
+    * each vector explodes into its m dim/m-slices keyed by subspace id,
+    * seeds are the [[pqCodebooks]] hash pick (the same `codewords`
+    * md5-smallest vectors, sliced — so training STARTS from the
+    * deterministic untrained books and refines them), assignment is a
+    * broadcast join on `j` + struct-argmin, and the new codeword means
+    * are the exact fixed-point integer aggregation. Training m books
+    * as m separate [[lloydTrain]] calls would pay m corpus scans per
+    * round; here every round is one corpus-slice shuffle of m× narrow
+    * rows, and the broadcast side is m × codewords sub-vectors. Same
+    * determinism contract as the trainer (order-independent integer
+    * sums, floor-of-double division, seed kept for empty cells), so the
+    * whole per-subspace replay is plain SQL CTEs (q141's oracle).
+    * Returns the final round's (j, code, pos, centroid_q, n) with
+    * 1-based pos within the subspace. */
+  def lloydTrainSubspaces(corpus: DataFrame, m: Int, codewords: Int,
+      rounds: Int = 2, scale: Double = 1e6): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = hashCentroids(corpus, codewords)
+    val dim = base.head.size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    var ctr = (for {
+      j <- 0 until m
+      (v, c) <- base.zipWithIndex
+    } yield (j, c, v.slice(j * sub, (j + 1) * sub)))
+      .toDF("j", "code", "cv")
+    // slice every vector once, up front; the per-round passes then scan
+    // (vec_id, j, sv) rows — persisted across rounds like lloydTrain's
+    // vecs frame
+    val vecs = lloydVecs(corpus)
+      .select(col("vec_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("v"), j * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var sums: DataFrame = null
+    for (r <- 1 to rounds) {
+      val withC = vecs.withColumn("__vv", V.dot(col("sv"), col("sv")))
+        .join(broadcast(ctr.withColumn("cc", V.dot(col("cv"), col("cv")))),
+          Seq("j"))
+      val d = (col("__vv") - lit(2.0) * V.dot(col("sv"), col("cv"))) +
+        col("cc")
+      val asg = withC
+        .select(col("vec_id"), col("j"), col("sv"),
+          struct(d.as("d"), col("code").as("c")).as("dc"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(col("dc")).as("mn"), first(col("sv")).as("sv"))
+        .select(col("j"), col("mn.c").as("code"), col("sv"))
+      sums = asg
+        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos0", "x")))
+        .groupBy(col("j"), col("code"), col("pos0"))
+        .agg(sum(floor(col("x") * scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      if (r < rounds) {
+        val next = sums
+          .select(col("j"), col("code"), col("pos0"),
+            (floor(col("s").cast("double") / col("n").cast("double"))
+              .cast("long").cast("double") / scale).as("cx"))
+          .groupBy(col("j"), col("code"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos0"), col("cx")))),
+            s => s.getField("cx")).as("new_cv"))
+        ctr = ctr.select(col("j"), col("code"), col("cv").as("seed_cv"))
+          .join(next, Seq("j", "code"), "left")
+          .select(col("j"), col("code"),
+            coalesce(col("new_cv"), col("seed_cv")).as("cv"))
+          .localCheckpoint()
+      }
+    }
+    vecs.unpersist()
+    sums.select(col("j"), col("code"), (col("pos0") + 1).as("pos"),
+      floor(col("s").cast("double") / col("n").cast("double"))
+        .cast("long").as("centroid_q"),
+      col("n"))
+  }
+
+  /** Materialize [[lloydTrainSubspaces]]' output as the
+    * Seq[Seq[Seq[Double]]] codebook table [[writeIvfPqIndex]] consumes
+    * (`centroid_q / scale` per component). Bounded collect:
+    * m × codewords × (dim/m) values — the index-build class. Same
+    * contiguity contract as [[collectTrainedCentroids]], per subspace:
+    * a final-round empty codeword cell has no mean to freeze, and
+    * silently renumbering codes would desynchronize artifact and
+    * oracle; retrain with fewer codewords instead. */
+  def collectTrainedCodebooks(trained: DataFrame,
+      scale: Double = 1e6): Seq[Seq[Seq[Double]]] = {
+    val rows = trained
+      .select(col("j"), col("code"), col("pos"), col("centroid_q"))
+      .collect()
+    val byJ = rows.groupBy(_.getInt(0))
+    val js = byJ.keys.toSeq.sorted
+    require(js == (0 until js.size),
+      s"trained codebooks cover subspaces ${js.mkString(",")} — a " +
+        "contiguous 0..m-1 range is required")
+    js.map { j =>
+      val byCode = byJ(j).groupBy(_.getInt(1))
+      val codes = byCode.keys.toSeq.sorted
+      require(codes == (0 until codes.size),
+        s"subspace $j trained codes ${codes.mkString(",")} — a " +
+          "contiguous 0..n-1 range is required (an empty final codeword " +
+          "cell has no mean to freeze); retrain with fewer codewords")
+      codes.map { c =>
+        byCode(c).sortBy(_.getInt(2))
+          .map(r => r.getLong(3).toDouble / scale).toSeq
+      }
+    }
+  }
+
   /** IVF with FIXED centroids (no training): every vector is assigned to
     * its nearest centroid by squared L2; queries probe their `nProbe`
     * nearest cells. The deterministic, oracle-checkable counterpart of

@@ -95,6 +95,74 @@ class AnnIngestSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("lloydTrainSubspaces ≡ per-subspace lloydTrain over the sliced corpus") {
+    val rnd = new Random(31)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.2f)))
+    val corpus = vecDF(cluster(1f, 20, 0L) ++ cluster(-1f, 20, 100L))
+    val m = 2
+    val joint = Similarity.lloydTrainSubspaces(corpus, m = m, codewords = 3,
+        rounds = 2)
+      .select("j", "code", "pos", "centroid_q", "n")
+      .as[(Int, Int, Int, Long, Long)].collect().toSet
+    // the joint job restricted to subspace j must equal lloydTrain run
+    // over THAT slice as its own corpus (hash seeds pick the same
+    // vec_ids either way — the pick is id-ordered, not value-ordered)
+    val perSubspace = (0 until m).flatMap { j =>
+      val sliced = corpus.select(col("vec_id"),
+        slice(col("embedding"), j * 4 + 1, 4).as("embedding"))
+      Similarity.lloydTrain(sliced, nCells = 3, rounds = 2)
+        .select("cell", "pos", "centroid_q", "n")
+        .as[(Int, Int, Long, Long)].collect()
+        .map { case (c, p, q, n) => (j, c, p, q, n) }
+    }.toSet
+    joint shouldBe perSubspace
+    spark.catalog.clearCache()
+  }
+
+  test("trained PQ codebooks cut quantization distortion vs the hash pick they seed from") {
+    val rnd = new Random(37)
+    // clustered corpus where the md5-ordered hash pick is a poor
+    // codebook (clusters are tight, the pick is arbitrary) — training
+    // has something real to recover
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i,
+        (0 until 8).map(d => base * (1 + d % 3) + rnd.nextFloat() * 0.05f)))
+    val raw = cluster(1f, 40, 0L) ++ cluster(-1f, 40, 100L) ++
+      cluster(0.3f, 40, 200L)
+    val corpus = vecDF(raw.map { case (id, v) => (id, v.map(_.toFloat)) })
+
+    val hashBooks = Similarity.pqCodebooks(corpus, m = 2, codewords = 4)
+    val trainedBooks = Similarity.collectTrainedCodebooks(
+      Similarity.lloydTrainSubspaces(corpus, m = 2, codewords = 4, rounds = 2))
+    trainedBooks.size shouldBe 2
+    trainedBooks.foreach(_.size shouldBe 4)
+    trainedBooks.foreach(_.foreach(_.size shouldBe 4))
+
+    // total PQ distortion Σ_vec Σ_j min_c ‖slice_j − book_j(c)‖² — the
+    // objective Lloyd's update provably does not increase from its seed
+    // (which IS the hash pick), up to the 1e-6 fixed-point rounding.
+    // Recall at toy scale is too noisy to order the two reliably;
+    // distortion is the measurable guarantee.
+    def distortion(books: Seq[Seq[Seq[Double]]]): Double =
+      raw.map { case (_, v) =>
+        val dv = v.map(_.toFloat.toDouble)
+        books.zipWithIndex.map { case (book, j) =>
+          val s = dv.slice(j * 4, j * 4 + 4)
+          book.map(cw => s.zip(cw).map { case (a, b) =>
+            (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum
+    val dHash = distortion(hashBooks)
+    val dTrained = distortion(trainedBooks)
+    withClue(s"trained distortion $dTrained vs hash $dHash: ") {
+      dTrained should be <= dHash * (1.0 + 1e-6)
+      // and on a clustered corpus the win is real, not epsilon
+      dTrained should be < dHash * 0.9
+    }
+    spark.catalog.clearCache()
+  }
+
   test("collectTrainedCentroids raises on a non-contiguous cell range") {
     val trained = Seq((0, 1, 100L), (2, 1, 300L)).toDF("cell", "pos", "centroid_q")
     val ex = intercept[IllegalArgumentException] {
