@@ -2850,13 +2850,20 @@ private[graft] object Oracles {
     // q135: the streaming card's final state ≡ the batch card (every
     // leg additive or KMV-mergeable) — same generated oracle
     "q135_streaming_dataset_card" -> q132OracleSql,
+    // the slice bound + quota are SparkEntry's shared constants (the
+    // engine's exactNPerStratum call reads the same two values) — note
+    // the asymmetric edge: on a fixture where the hash gate yields fewer
+    // than the quota, the engine RAISES (exactNPerStratum's
+    // under-provision guard) while this LIMIT would silently return a
+    // shorter sample; mirrored constants keep the two sides from
+    // drifting into that divergence by edit
     "q131_dedup_recall" ->
-      """WITH sel AS (SELECT doc_id, text FROM documents
+      s"""WITH sel AS (SELECT doc_id, text FROM documents
         |       WHERE trim(text) <> ''
-        |         AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |         AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${SparkEntry.Q131PrefilterBound}'
         |       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-        |       LIMIT 160),
-        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |       LIMIT ${SparkEntry.Q131AuditN}),
+        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
         |      FROM sel),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, greatest(len(t) - 2, 1)),

@@ -2238,12 +2238,28 @@ object SparkEntry {
     * corpus growth; the prefilter bound is the deployment knob (tighten
     * toward n/total with margin as the corpus grows, per the
     * exactNPerStratum contract). */
+  /** q131's audit-slice knobs, shared with the generated oracle (the
+    * one-place rule: editing either side alone cannot desync them).
+    * The engine RAISES when the prefilter gate yields fewer than
+    * [[Q131AuditN]] survivors (exactNPerStratum's under-provision
+    * guard) where the oracle's LIMIT would silently return a shorter
+    * sample — tighten the bound toward n/total WITH MARGIN as the
+    * corpus grows. Cost note: the lit(1) single stratum funnels every
+    * gate survivor (~half the corpus at '8000') through ONE window
+    * partition for the md5-rank pick; that is the price of an exact-N
+    * deterministic sample, and the prefilter bound is the knob that
+    * keeps the funneled set small — tighten it first if this stage ever
+    * shows up in a profile. */
+  private[graft] val Q131AuditN = 160
+  private[graft] val Q131PrefilterBound = "8000"
+
   def q131DedupRecall(s: SparkSession, dir: String): DataFrame =
     Dedup.bandedRecallReport(
       operators.Sampling.exactNPerStratum(
         t(s, dir, "documents").filter(trim(col("text")) =!= "")
           .select(col("doc_id"), col("text")),
-        col("doc_id"), lit(1), n = 160, prefilterHexBound = "8000")
+        col("doc_id"), lit(1), n = Q131AuditN,
+        prefilterHexBound = Q131PrefilterBound)
         .drop("__rank"),
       col("doc_id"), col("text"), shingleN = 3, k = 8, rowsPerBand = 1,
       threshold = 0.4, maxBandDf = Some(30L))

@@ -34,34 +34,40 @@ object Dedup {
     * ran. Buckets ≤ cap are preserved EXACTLY (no partial is ever
     * truncated unless the combined size already exceeds the cap), so
     * the candidate pair set is identical to the unbounded collect. */
-  private class BoundedIds(cap: Int) extends
+  private class BoundedIds[T](cap: Int)(implicit
+      tt: scala.reflect.runtime.universe.TypeTag[T],
+      bt: scala.reflect.runtime.universe.TypeTag[
+        scala.collection.mutable.ArrayBuffer[T]],
+      st: scala.reflect.runtime.universe.TypeTag[Seq[T]]) extends
       org.apache.spark.sql.expressions.Aggregator[
-        Long, scala.collection.mutable.ArrayBuffer[Long], Seq[Long]] {
+        T, scala.collection.mutable.ArrayBuffer[T], Seq[T]] {
     import scala.collection.mutable.ArrayBuffer
-    override def zero: ArrayBuffer[Long] = ArrayBuffer.empty
-    override def reduce(b: ArrayBuffer[Long], a: Long): ArrayBuffer[Long] = {
+    override def zero: ArrayBuffer[T] = ArrayBuffer.empty
+    override def reduce(b: ArrayBuffer[T], a: T): ArrayBuffer[T] = {
       if (b.length <= cap) b += a
       b
     }
-    override def merge(x: ArrayBuffer[Long],
-        y: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    override def merge(x: ArrayBuffer[T],
+        y: ArrayBuffer[T]): ArrayBuffer[T] = {
       val room = cap + 1 - x.length
       if (room > 0) x ++= y.take(room)
       x
     }
-    override def finish(b: ArrayBuffer[Long]): Seq[Long] = b.toSeq
+    override def finish(b: ArrayBuffer[T]): Seq[T] = b.toSeq
     override def bufferEncoder:
-        org.apache.spark.sql.Encoder[ArrayBuffer[Long]] =
+        org.apache.spark.sql.Encoder[ArrayBuffer[T]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[T]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
-  /** `groupBy(key).agg(<bounded ids>)` — [[BoundedIds]] when the id is a
-    * LONG (every driver path), plain collect_list otherwise (non-long
-    * ids keep the one-shuffle shape but pay unbounded buffer memory on
-    * an oversized band — the pre-ceiling behavior). The shape is for
-    * LOW-cardinality bucket keys (minhash bands: k/rowsPerBand per doc);
+  /** `groupBy(key).agg(<bounded ids>)` — [[BoundedIds]] for the id
+    * types a corpus key actually takes (long, int, string: every driver
+    * path plus string-keyed corpora), plain collect_list for anything
+    * exotic (one-shuffle shape kept, but an oversized band would
+    * materialize its full posting list in one buffer — the documented
+    * fallback, not a silent one). The shape is for LOW-cardinality
+    * bucket keys (minhash bands: k/rowsPerBand per doc);
     * [[Winnowing.sharedFingerprintPairs]] deliberately does NOT use it —
     * at winnowing's millions-of-singleton-groups fingerprint cardinality
     * the object-aggregation collector falls back to sort-based and
@@ -69,14 +75,19 @@ object Dedup {
     * the plan-shape note there). */
   private[operators] def boundedBuckets(exploded: DataFrame, key: String,
       idc: String, cap: Long, outCol: String): DataFrame = {
-    val isLong = exploded.schema(idc).dataType ==
-      org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.{Encoders, functions => F}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val agg =
-      if (isLong && cap <= Int.MaxValue.toLong)
-        org.apache.spark.sql.functions
-          .udaf(new BoundedIds(cap.toInt),
-            org.apache.spark.sql.Encoders.scalaLong)(col(idc))
-      else collect_list(col(idc))
+      if (cap > Int.MaxValue.toLong) collect_list(col(idc))
+      else exploded.schema(idc).dataType match {
+        case LongType =>
+          F.udaf(new BoundedIds[Long](cap.toInt), Encoders.scalaLong)(col(idc))
+        case IntegerType =>
+          F.udaf(new BoundedIds[Int](cap.toInt), Encoders.scalaInt)(col(idc))
+        case StringType =>
+          F.udaf(new BoundedIds[String](cap.toInt), Encoders.STRING)(col(idc))
+        case _ => collect_list(col(idc))
+      }
     exploded.groupBy(col(key)).agg(agg.as(outCol))
       .filter(size(col(outCol)) <= cap)
   }

@@ -101,11 +101,15 @@ object CardStream {
 
   /** Fail fast when standing card state at `targetPath` was built under
     * a different sketch size than `k` — the embedded-parameter check
-    * (one bounded distinct over an RLE'd constant column; a missing
-    * table or missing column — no evidence — passes). */
+    * (one bounded distinct over an RLE'd constant column). ONLY an
+    * absent table counts as "no evidence" and passes: any other read
+    * failure (corrupt footer, permission error) rethrows — a damaged
+    * standing card must fail loudly here, not slip past this guard AND
+    * the applied-marker guard to be overwritten by the first merge. */
   private def validateCardK(spark: SparkSession, targetPath: String,
       k: Int): Unit =
-    scala.util.Try(spark.read.parquet(targetPath)).toOption.foreach { t =>
+    if (graft.operators.Fs.exists(targetPath)) {
+      val t = spark.read.parquet(targetPath)
       if (t.columns.contains("p_k")) {
         t.select(col("p_k")).filter(col("p_k").isNotNull)
           .distinct().collect()

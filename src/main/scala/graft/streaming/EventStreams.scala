@@ -77,13 +77,10 @@ object EventStreams {
       if (f.isFile) {
         val d = scratchDir("graft_stream_")
         // hard-link from the shm-staged copy (one disk→shm copy per
-        // fixture per session, not per query per pass)
-        val staged = srcStageCache.getOrElseUpdate(
-          s"${f.getPath}:${f.length}:${f.lastModified}", {
-            val c = scratchDir("graft_stream_srccache_")
-            java.nio.file.Files.copy(f.toPath, c.resolve(f.getName))
-            c
-          })
+        // fixture per session, not per query per pass; superseded
+        // versions of a mutated fixture are evicted — see stagedCopy)
+        val staged = stagedCopy(f.getPath,
+          s"${f.length}:${f.lastModified}", Seq(f))
         Option(staged.toFile.listFiles()).getOrElse(Array.empty).foreach(s =>
           java.nio.file.Files.createLink(d.resolve(s.getName), s.toPath))
         stagedDirs.put(path, d.toFile)
@@ -533,14 +530,34 @@ object EventStreams {
   private val sentinelFileCache =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
-  /** Source files staged ONCE into tmpfs scratch per (path, size, mtime)
-    * identity — the replay harness lands the SAME fixture files for
-    * every file-sink query, and each per-query landing dir hard-links
-    * from this shm-resident copy (same filesystem, so links work;
-    * per-query cost is directory entries, not a disk→shm copy of the
-    * events table per query per pass). */
-  private val srcStageCache =
-    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+  /** Source files staged ONCE into tmpfs scratch per source path — the
+    * replay harness lands the SAME fixture files for every file-sink
+    * query, and each per-query landing dir hard-links from this
+    * shm-resident copy (same filesystem, so links work; per-query cost
+    * is directory entries, not a disk→shm copy of the events table per
+    * query per pass). Keyed by PATH with the (size, mtime) content
+    * identity stored alongside: a fixture that mutates in place
+    * replaces its staged copy and the superseded dir is deleted — a
+    * long-lived session over changing fixtures holds at most one shm
+    * copy per path, not one per historical version. (Deleting a
+    * superseded dir is safe mid-run: active landing dirs hold hard
+    * links, which keep the inodes alive.) */
+  private val srcStageCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, java.nio.file.Path)]
+
+  private[streaming] def stagedCopy(pathKey: String, identity: String,
+      files: Seq[java.io.File]): java.nio.file.Path = srcStageCache.synchronized {
+    srcStageCache.get(pathKey) match {
+      case Some((id, dir)) if id == identity => dir
+      case prev =>
+        prev.foreach { case (_, dir) => rmDir(dir.toFile) }
+        val d = scratchDir("graft_stream_srccache_")
+        files.foreach(f =>
+          java.nio.file.Files.copy(f.toPath, d.resolve(f.getName)))
+        srcStageCache.put(pathKey, (identity, d))
+        d
+    }
+  }
 
   def runToCompletionFileSink(spark: SparkSession, path: String,
       agg: DataFrame => DataFrame,
@@ -564,11 +581,7 @@ object EventStreams {
           && !f.getName.startsWith(".")).toSeq
     val srcKey = srcFiles.map(f =>
       s"${f.getPath}:${f.length}:${f.lastModified}").sorted.mkString("|")
-    val stagedSrc = srcStageCache.getOrElseUpdate(srcKey, {
-      val d = scratchDir("graft_stream_srccache_")
-      srcFiles.foreach(f => Files.copy(f.toPath, d.resolve(f.getName)))
-      d
-    })
+    val stagedSrc = stagedCopy(path, srcKey, srcFiles)
     Option(stagedSrc.toFile.listFiles()).getOrElse(Array.empty)
       .foreach(f => Files.createLink(landing.resolve(f.getName), f.toPath))
     val shufflePartitionsKey = "spark.sql.shuffle.partitions"
@@ -634,10 +647,25 @@ object EventStreams {
     // append-after loop: its contract is that each LATER sentinel's DATA
     // batch applies the previous one's watermark, which pre-placement
     // cannot express.
+    // INVARIANT: this pre-placement is only sound because the read below
+    // opens the stream with NO trigger limit (readEventStream is called
+    // without maxFilesPerTrigger), so batch 0 is guaranteed to contain
+    // every real file alongside the sentinel. Under a file-count limit,
+    // file pickup order is mtime-based and the cached sentinel inode is
+    // OLD — it could land in an early micro-batch and advance the
+    // watermark past later real batches, silently dropping them as
+    // late. Belt and braces: the link's mtime is bumped to now (links
+    // share the inode, so the cached copy ages forward too — harmless),
+    // keeping the sentinel LAST in any mtime order a future trigger
+    // limit would impose.
     if (flushes == 1)
       maxTs.foreach { t =>
-        Files.createLink(landing.resolve("zz_sentinel1.parquet"),
-          sentinelFile(sentMicrosFor(t, 1)))
+        val link = landing.resolve("zz_sentinel1.parquet")
+        Files.createLink(link, sentinelFile(sentMicrosFor(t, 1)))
+        Files.setLastModifiedTime(link,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+        ()
       }
     // the streaming frame is built before start() so its schema is known
     // even when the source turns out to be empty (see the guard below)

@@ -274,6 +274,26 @@ class DedupSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("minhashFuzzyJoin ceiling bounds STRING-keyed ids too (BoundedIds beyond long)") {
+    val tmpl = "standard legal boilerplate disclaimer text repeated across every single document"
+    val real = "the quick brown fox jumps over the lazy dog again and again"
+    val left = (Seq(("L1", real)) ++ (1 to 6).map(i => (s"LT$i", tmpl)))
+      .toDF("lid", "text")
+    val right = (Seq(("R1", real + " indeed")) ++ (1 to 6).map(i => (s"RT$i", tmpl)))
+      .toDF("rid", "text")
+    def run(cap: Option[Long]) = Dedup.minhashFuzzyJoin(left, right,
+        col("lid"), col("text"), col("rid"), col("text"),
+        shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4, maxBandDf = cap)
+      .select("left_id", "right_id").as[(String, String)].collect().toSet
+    val uncapped = run(None)
+    uncapped should contain(("L1", "R1"))
+    uncapped.count(_._1.startsWith("LT")) shouldBe 36 // 6×6 boilerplate pairs
+    // the bounded aggregator (not a post-hoc filter) holds the ceiling
+    // for string ids: oversized template bands drop whole, real pair kept
+    run(Some(3L)) shouldBe Set(("L1", "R1"))
+    spark.catalog.clearCache()
+  }
+
   test("admitNewDocsWithIndex over a parquet-roundtripped nearDupIndex ≡ admitNewDocs") {
     // the cross-job ingest contract: computing the index once, writing it
     // to parquet, reloading it, and probing with the same parameters must
