@@ -748,36 +748,126 @@ private[graft] object Oracles {
   /** q132's oracle — the dataset card composed from the q130 scoring
     * CTEs (same shared weight constant), the q98 KMV estimator per
     * source, and plain volume aggregates. */
-  private def q132OracleSql: String = {
+  /** q116's two-round streaming-admission replay as a CTE chain
+    * (ending in adm1/adm2, the per-round admitted sets) — shared by
+    * the q116 oracle and q143's admitted-card composition so the two
+    * replays cannot drift. Plain string: no interpolation, keeps the
+    * regex escapes verbatim. */
+  private val streamingAdmissionCtes: String =
+    """d0 AS (SELECT doc_id, text,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 0
+      |         WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS stage
+      |  FROM documents),
+      |t1 AS (SELECT doc_id, stage, string_split_regex(lower(trim(text)), '\s+') AS t
+      |       FROM d0 WHERE trim(COALESCE(text, '')) <> ''),
+      |sh AS (SELECT doc_id, stage, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(t) - 2, 1)),
+      |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
+      |mh AS (SELECT s.doc_id, s.stage, r.seed,
+      |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+      |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+      |       GROUP BY s.doc_id, s.stage, r.seed),
+      |bk AS (SELECT doc_id, stage, seed // 2 AS band,
+      |         string_agg(m, '|' ORDER BY seed) AS bkey
+      |       FROM mh GROUP BY doc_id, stage, seed // 2),
+      |m1 AS (SELECT DISTINCT c.id_n FROM
+      |        (SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
+      |         FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
+      |         WHERE n.stage = 1 AND o.stage = 0) c
+      |       JOIN sh sa ON sa.doc_id = c.id_n
+      |       JOIN sh sb ON sb.doc_id = c.id_o
+      |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+      |               AS DOUBLE) >= 0.4),
+      |sv1 AS (SELECT doc_id FROM sh WHERE stage = 1
+      |        AND doc_id NOT IN (SELECT id_n FROM m1)),
+      |c1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |       FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+      |         AND a.doc_id < b.doc_id
+      |       WHERE a.doc_id IN (SELECT doc_id FROM sv1)
+      |         AND b.doc_id IN (SELECT doc_id FROM sv1)),
+      |p1 AS (SELECT c.id_a, c.id_b FROM c1 c
+      |       JOIN sh sa ON sa.doc_id = c.id_a
+      |       JOIN sh sb ON sb.doc_id = c.id_b
+      |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+      |               AS DOUBLE) >= 0.4),
+      |e1 AS (SELECT id_a AS src, id_b AS dst FROM p1
+      |       UNION SELECT id_b, id_a FROM p1),
+      |reach1(id, r) AS (SELECT src, src FROM e1
+      |  UNION SELECT e.src, r.r FROM e1 e JOIN reach1 r ON r.id = e.dst),
+      |comp1 AS (SELECT id, MIN(r) AS comp FROM reach1 GROUP BY id),
+      |adm1 AS (SELECT sv1.doc_id FROM sv1 LEFT JOIN comp1 ON comp1.id = sv1.doc_id
+      |         WHERE comp1.id IS NULL OR comp1.comp = sv1.doc_id),
+      |ix2 AS (SELECT doc_id FROM sh WHERE stage = 0
+      |        UNION ALL SELECT doc_id FROM adm1),
+      |m2 AS (SELECT DISTINCT c.id_n FROM
+      |        (SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
+      |         FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
+      |         WHERE n.stage = 2
+      |           AND o.doc_id IN (SELECT doc_id FROM ix2)) c
+      |       JOIN sh sa ON sa.doc_id = c.id_n
+      |       JOIN sh sb ON sb.doc_id = c.id_o
+      |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+      |               AS DOUBLE) >= 0.4),
+      |sv2 AS (SELECT doc_id FROM sh WHERE stage = 2
+      |        AND doc_id NOT IN (SELECT id_n FROM m2)),
+      |c2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |       FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+      |         AND a.doc_id < b.doc_id
+      |       WHERE a.doc_id IN (SELECT doc_id FROM sv2)
+      |         AND b.doc_id IN (SELECT doc_id FROM sv2)),
+      |p2 AS (SELECT c.id_a, c.id_b FROM c2 c
+      |       JOIN sh sa ON sa.doc_id = c.id_a
+      |       JOIN sh sb ON sb.doc_id = c.id_b
+      |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+      |               AS DOUBLE) >= 0.4),
+      |e2 AS (SELECT id_a AS src, id_b AS dst FROM p2
+      |       UNION SELECT id_b, id_a FROM p2),
+      |reach2(id, r) AS (SELECT src, src FROM e2
+      |  UNION SELECT e.src, r.r FROM e2 e JOIN reach2 r ON r.id = e.dst),
+      |comp2 AS (SELECT id, MIN(r) AS comp FROM reach2 GROUP BY id),
+      |adm2 AS (SELECT sv2.doc_id FROM sv2 LEFT JOIN comp2 ON comp2.id = sv2.doc_id
+      |         WHERE comp2.id IS NULL OR comp2.comp = sv2.doc_id)""".stripMargin
+
+  /** The dataset-card CTE chain over `docFrom` (any relation exposing
+    * documents' four card columns) + its final select — split so q143
+    * can point the SAME card at the admitted subset (`documents JOIN
+    * admitted USING (doc_id)`) behind the q116 admission chain. CTE
+    * names are card-prefixed (cd/csh/cu/cb/rr) so they never collide
+    * with the admission CTEs they compose with. */
+  private def cardCtes(docFrom: String): String = {
     val w = SparkEntry.q130Weights.mkString("[", ", ", "]")
     def bucket(salt: Int, g: String): String =
       s"CAST(('0x' || substr(md5('$salt:' || $g), 1, 15))::UBIGINT % 1024 AS INT) + 1"
-    s"""WITH d AS (SELECT doc_id, source, n_chars,
+    s"""cd AS (SELECT doc_id, source, n_chars,
        |    CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
-       |  FROM documents),
-       |sh AS (SELECT doc_id, t,
+       |  FROM $docFrom),
+       |csh AS (SELECT doc_id, t,
        |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE list_distinct(list_transform(
        |           generate_series(1, greatest(len(t) - 1, 1)),
        |           i -> array_to_string(t[i:i+1], ' '))) END AS bi
-       |  FROM d),
+       |  FROM cd),
        |wt AS (SELECT $w AS w),
-       |u AS (SELECT doc_id, SUM(w[${bucket(0, "tk")}]) AS s
-       |      FROM sh, wt, UNNEST(sh.t) AS x(tk) GROUP BY doc_id),
-       |b AS (SELECT doc_id, SUM(w[${bucket(1, "g")}]) AS s
-       |      FROM sh, wt, UNNEST(sh.bi) AS y(g) GROUP BY doc_id),
-       |score AS (SELECT sh.doc_id,
-       |    COALESCE(u.s, 0) + COALESCE(b.s, 0) AS sc
-       |  FROM sh LEFT JOIN u USING (doc_id) LEFT JOIN b USING (doc_id)),
+       |cu AS (SELECT doc_id, SUM(w[${bucket(0, "tk")}]) AS s
+       |      FROM csh, wt, UNNEST(csh.t) AS x(tk) GROUP BY doc_id),
+       |cb AS (SELECT doc_id, SUM(w[${bucket(1, "g")}]) AS s
+       |      FROM csh, wt, UNNEST(csh.bi) AS y(g) GROUP BY doc_id),
+       |score AS (SELECT csh.doc_id,
+       |    COALESCE(cu.s, 0) + COALESCE(cb.s, 0) AS sc
+       |  FROM csh LEFT JOIN cu USING (doc_id) LEFT JOIN cb USING (doc_id)),
        |base AS (SELECT source, COUNT(*) AS docs,
        |    CAST(SUM(n_chars) AS BIGINT) AS chars,
        |    CAST(SUM(len(t)) AS BIGINT) AS tokens
-       |  FROM d GROUP BY 1),
+       |  FROM cd GROUP BY 1),
        |hv AS (SELECT DISTINCT source AS grp,
        |    CAST(('0x' || substr(md5(w2), 1, 15))::UBIGINT AS BIGINT) AS h
-       |  FROM d, UNNEST(d.t) AS z(w2)),
-       |r AS (SELECT grp, h,
+       |  FROM cd, UNNEST(cd.t) AS z(w2)),
+       |rr AS (SELECT grp, h,
        |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
        |        COUNT(*) OVER (PARTITION BY grp) AS nd FROM hv),
        |est AS (SELECT grp,
@@ -785,17 +875,22 @@ private[graft] object Oracles {
        |      ELSE CAST((CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
        |        // CAST(MAX(CASE WHEN rn = 64 THEN h END) AS HUGEINT) AS BIGINT) END
        |      AS est_distinct_tokens
-       |  FROM r GROUP BY grp),
-       |gate AS (SELECT d.source,
+       |  FROM rr GROUP BY grp),
+       |gate AS (SELECT cd.source,
        |    CAST(SUM(s.sc) AS BIGINT) AS model_score_micros,
        |    CAST(COUNT(*) FILTER (WHERE s.sc >= 0) AS BIGINT) AS kept_docs
-       |  FROM d JOIN score s USING (doc_id) GROUP BY 1)
-       |SELECT base.source, docs, chars, tokens,
-       |  est.est_distinct_tokens, gate.model_score_micros, gate.kept_docs
-       |FROM base LEFT JOIN est ON est.grp = base.source
-       |LEFT JOIN gate ON gate.source = base.source
-       |ORDER BY base.source""".stripMargin
+       |  FROM cd JOIN score s USING (doc_id) GROUP BY 1)""".stripMargin
   }
+
+  private val cardTail: String =
+    """SELECT base.source, docs, chars, tokens,
+      |  est.est_distinct_tokens, gate.model_score_micros, gate.kept_docs
+      |FROM base LEFT JOIN est ON est.grp = base.source
+      |LEFT JOIN gate ON gate.source = base.source
+      |ORDER BY base.source""".stripMargin
+
+  private def q132OracleSql: String =
+    s"WITH ${cardCtes("documents")}\n$cardTail"
 
   /** q130's oracle — generated with the stand-in weight table rendered
     * as a list literal (q28's planes discipline); the md5-salted bucket
@@ -2502,85 +2597,9 @@ private[graft] object Oracles {
     // second; stage 2 probes standing ∪ stage-1 admissions — the
     // fold-back invariant of the streaming ingest loop)
     "q116_streaming_admission" ->
-      """WITH RECURSIVE d0 AS (SELECT doc_id, text,
-        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 0
-        |         WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS stage
-        |  FROM documents),
-        |t1 AS (SELECT doc_id, stage, string_split_regex(lower(trim(text)), '\s+') AS t
-        |       FROM d0 WHERE trim(COALESCE(text, '')) <> ''),
-        |sh AS (SELECT doc_id, stage, list_distinct(list_transform(
-        |         generate_series(1, greatest(len(t) - 2, 1)),
-        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
-        |mh AS (SELECT s.doc_id, s.stage, r.seed,
-        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
-        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
-        |       GROUP BY s.doc_id, s.stage, r.seed),
-        |bk AS (SELECT doc_id, stage, seed // 2 AS band,
-        |         string_agg(m, '|' ORDER BY seed) AS bkey
-        |       FROM mh GROUP BY doc_id, stage, seed // 2),
-        |m1 AS (SELECT DISTINCT c.id_n FROM
-        |        (SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
-        |         FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
-        |         WHERE n.stage = 1 AND o.stage = 0) c
-        |       JOIN sh sa ON sa.doc_id = c.id_n
-        |       JOIN sh sb ON sb.doc_id = c.id_o
-        |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-        |               AS DOUBLE) >= 0.4),
-        |sv1 AS (SELECT doc_id FROM sh WHERE stage = 1
-        |        AND doc_id NOT IN (SELECT id_n FROM m1)),
-        |c1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |       FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
-        |         AND a.doc_id < b.doc_id
-        |       WHERE a.doc_id IN (SELECT doc_id FROM sv1)
-        |         AND b.doc_id IN (SELECT doc_id FROM sv1)),
-        |p1 AS (SELECT c.id_a, c.id_b FROM c1 c
-        |       JOIN sh sa ON sa.doc_id = c.id_a
-        |       JOIN sh sb ON sb.doc_id = c.id_b
-        |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-        |               AS DOUBLE) >= 0.4),
-        |e1 AS (SELECT id_a AS src, id_b AS dst FROM p1
-        |       UNION SELECT id_b, id_a FROM p1),
-        |reach1(id, r) AS (SELECT src, src FROM e1
-        |  UNION SELECT e.src, r.r FROM e1 e JOIN reach1 r ON r.id = e.dst),
-        |comp1 AS (SELECT id, MIN(r) AS comp FROM reach1 GROUP BY id),
-        |adm1 AS (SELECT sv1.doc_id FROM sv1 LEFT JOIN comp1 ON comp1.id = sv1.doc_id
-        |         WHERE comp1.id IS NULL OR comp1.comp = sv1.doc_id),
-        |ix2 AS (SELECT doc_id FROM sh WHERE stage = 0
-        |        UNION ALL SELECT doc_id FROM adm1),
-        |m2 AS (SELECT DISTINCT c.id_n FROM
-        |        (SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
-        |         FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
-        |         WHERE n.stage = 2
-        |           AND o.doc_id IN (SELECT doc_id FROM ix2)) c
-        |       JOIN sh sa ON sa.doc_id = c.id_n
-        |       JOIN sh sb ON sb.doc_id = c.id_o
-        |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-        |               AS DOUBLE) >= 0.4),
-        |sv2 AS (SELECT doc_id FROM sh WHERE stage = 2
-        |        AND doc_id NOT IN (SELECT id_n FROM m2)),
-        |c2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |       FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
-        |         AND a.doc_id < b.doc_id
-        |       WHERE a.doc_id IN (SELECT doc_id FROM sv2)
-        |         AND b.doc_id IN (SELECT doc_id FROM sv2)),
-        |p2 AS (SELECT c.id_a, c.id_b FROM c2 c
-        |       JOIN sh sa ON sa.doc_id = c.id_a
-        |       JOIN sh sb ON sb.doc_id = c.id_b
-        |       WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |             CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-        |               AS DOUBLE) >= 0.4),
-        |e2 AS (SELECT id_a AS src, id_b AS dst FROM p2
-        |       UNION SELECT id_b, id_a FROM p2),
-        |reach2(id, r) AS (SELECT src, src FROM e2
-        |  UNION SELECT e.src, r.r FROM e2 e JOIN reach2 r ON r.id = e.dst),
-        |comp2 AS (SELECT id, MIN(r) AS comp FROM reach2 GROUP BY id),
-        |adm2 AS (SELECT sv2.doc_id FROM sv2 LEFT JOIN comp2 ON comp2.id = sv2.doc_id
-        |         WHERE comp2.id IS NULL OR comp2.comp = sv2.doc_id)
-        |SELECT doc_id FROM (SELECT doc_id FROM adm1
-        |                    UNION ALL SELECT doc_id FROM adm2)
+      s"""WITH RECURSIVE $streamingAdmissionCtes,
+        |admitted AS (SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2)
+        |SELECT doc_id FROM admitted
         |ORDER BY doc_id""".stripMargin,
     // q115: q48's banding CTEs (8 seeds, 2 rows/band, ordered string_agg
     // band keys) built per SIDE of the source split, candidates from the
@@ -2718,6 +2737,44 @@ private[graft] object Oracles {
     "q141_fully_trained_pq_probe" ->
       adcCoreBooksSql(10, "ctr2", lloydRoundsCtes,
         "pcw2", perSubspaceLloydCtes),
+    // q142: the compression stack's recall as a MEASURED table — the
+    // exact ground truth (q20's retrieval) folded against both IVF-PQ
+    // artifact probes (hash books = q134's, trained-coarse = q137's) as
+    // derived tables, q119's (variant, query_id, truth, hits) shape
+    "q142_compressed_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |gt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rnk
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5)
+         |  WHERE rnk <= 10)
+         |SELECT variant, query_id, truth, hits FROM (
+         |SELECT 'hash' AS variant, gt.query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS truth,
+         |  CAST(COUNT(*) FILTER (WHERE ap.neighbor_id IS NOT NULL) AS BIGINT) AS hits
+         |FROM gt LEFT JOIN (
+         |${q59AdcCore(10)}
+         |) ap USING (query_id, neighbor_id)
+         |GROUP BY 2
+         |UNION ALL
+         |SELECT 'trained' AS variant, gt.query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS truth,
+         |  CAST(COUNT(*) FILTER (WHERE ap.neighbor_id IS NOT NULL) AS BIGINT) AS hits
+         |FROM gt LEFT JOIN (
+         |${q59AdcCore(10, "ctr2", lloydRoundsCtes)}
+         |) ap USING (query_id, neighbor_id)
+         |GROUP BY 2)
+         |ORDER BY variant, query_id""".stripMargin,
+    // q143: the dataset card folded over ONLY the streaming-admitted
+    // corpus, per batch — the q116 admission chain composes with the
+    // q132 card CTEs restricted to the admitted ids; streaming
+    // admission + streaming card ≡ this one batch SQL
+    "q143_admitted_card" ->
+      s"""WITH RECURSIVE $streamingAdmissionCtes,
+         |admitted AS (SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2),
+         |${cardCtes("documents JOIN admitted USING (doc_id)")}
+         |$cardTail""".stripMargin,
     "q121_ann_index_append" -> q121OracleSql,
     // q138: ingest → COMPACT → probe ≡ the batch append (compaction
     // folds the streamed table without changing one probe result) —

@@ -2650,6 +2650,80 @@ object SparkEntry {
     res
   }
 
+  /** q142 — the compression stack's recall as a MEASURED, driver-checked
+    * table (Similarity.recallReport over the IVF-PQ artifact probes):
+    * the exact ground truth (q20's brute-force top-10) scored against
+    * BOTH standing compressed artifacts — q134's hash-quantizer index
+    * and q137's trained-coarse index — as (variant, query_id, truth,
+    * hits). This closes the eval gap the SRP/reduced-dim paths already
+    * had (q119/q123): every approximate retrieval family now ships with
+    * an oracle-checked recall report, including the compressed one that
+    * actually serves at billion scale. The ground truth is computed
+    * once and pinned (it feeds both folds). */
+  def q142CompressedRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = operators.Similarity.bruteForceTopK(q, e, 10)
+      .localCheckpoint(true)
+    val rHash = operators.Similarity.recallReport(exact,
+        operators.Similarity.ivfPqProbe(q, standingPqIndex(s, dir), 10, nProbe = 2))
+      .withColumn("variant", lit("hash"))
+    val rTrained = operators.Similarity.recallReport(exact,
+        operators.Similarity.ivfPqProbe(q, standingTrainedPqIndex(s, dir), 10,
+          nProbe = 2))
+      .withColumn("variant", lit("trained"))
+    rHash.unionByName(rTrained)
+      .select(col("variant"), col("query_id"), col("truth"), col("hits"))
+      .orderBy(col("variant"), col("query_id"))
+  }
+
+  /** q143 — streaming admission COMPOSED with the streaming dataset
+    * card (AdmissionStream.runAdmission + CardStream partials via the
+    * onBatchAdmitted observer): each micro-batch's ADMITTED docs — and
+    * only those — fold a source-count-sized card partial into the
+    * standing card state, batchId-keyed exactly-once, so the card
+    * tracks the kept corpus as it grows: the continuous-ingest
+    * observability story in one query. The oracle composes q116's
+    * two-round admission chain with q132's card CTEs restricted to the
+    * admitted ids — streaming admission + streaming card ≡ one batch
+    * SQL, hash-checked. */
+  def q143AdmittedCard(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q143_")
+    root.toFile.deleteOnExit()
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q116Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    val seedSrc = java.nio.file.Paths.get(standingIndex(s, dir))
+    val seedDst = root.resolve("index").resolve("seed")
+    java.nio.file.Files.createDirectories(seedDst)
+    eachEntry(seedSrc) { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        java.nio.file.Files.createLink(seedDst.resolve(p.getFileName.toString), p)
+        ()
+      }
+    }
+    val cardPath = root.resolve("card").toString
+    streaming.AdmissionStream.runAdmission(s, landing.toString,
+      root.resolve("index").toString, root.resolve("out").toString,
+      shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+      maxFilesPerTrigger = Some(1),
+      onBatchAdmitted = Some((admitted, batchId) =>
+        operators.Upsert.mergeParquet(s, cardPath,
+          streaming.CardStream.cardPartial(
+            admitted.select(col("doc_id"), col("source"), col("n_chars"),
+              col("text")),
+            q130Weights, k = 64),
+          batchId = Some(batchId))(streaming.CardStream.mergeCards(64))))
+    val res = streaming.CardStream.readCard(s, cardPath, k = 64)
+      .orderBy(col("source"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2791,7 +2865,9 @@ object SparkEntry {
     "q138_compacted_index_probe" -> (q138CompactedIndexProbe _),
     "q139_index_delete_probe" -> (q139IndexDeleteProbe _),
     "q140_neardup_delete_admit" -> (q140NearDupDeleteAdmit _),
-    "q141_fully_trained_pq_probe" -> (q141FullyTrainedPqProbe _)
+    "q141_fully_trained_pq_probe" -> (q141FullyTrainedPqProbe _),
+    "q142_compressed_recall" -> (q142CompressedRecall _),
+    "q143_admitted_card" -> (q143AdmittedCard _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -154,6 +154,16 @@ object AdmissionStream {
     * Listings stay O(n + files/128MB) per batch; admissions are unchanged
     * (the probe reads the same signature rows, flat or nested — the spec
     * pins compacted ≡ uncompacted). */
+  /** `onBatchAdmitted`: per-batch observer invoked AFTER the batch's
+    * admissions and index fold-back commit, with (admitted rows carrying
+    * EVERY landing column — source/metadata ride along, not just
+    * (doc_id, text) — and the batchId). The composition point for
+    * per-batch derived state — e.g. folding a [[CardStream]] partial of
+    * only the admitted docs into a standing dataset card, the
+    * continuous-ingest observability loop. The observer owns its own
+    * exactly-once discipline (key whatever it writes by the batchId —
+    * [[graft.operators.Upsert.mergeParquet]]'s applied markers do this);
+    * a replayed batch re-invokes it with identical rows and the same id. */
   def runAdmission(spark: SparkSession, landingDir: String,
       indexPath: String, outPath: String,
       shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
@@ -161,7 +171,8 @@ object AdmissionStream {
       maxFilesPerTrigger: Option[Int] = None,
       schemaFallback: Option[StructType] = None,
       compactEvery: Option[Int] = None,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      onBatchAdmitted: Option[(DataFrame, Long) => Unit] = None): DataFrame = {
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_admit_ckpt_"))
     // probe the landing files' actual footer schema rather than
@@ -230,6 +241,12 @@ object AdmissionStream {
         // ids (parameter columns ride along) — no re-shingle
         sigs.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$indexPath/batch-$batchId")
+        // observer sees the admitted rows with EVERY landing column
+        // (the raw batch semi-joined to the admitted ids) — after the
+        // admission state commits, so its view is never ahead of the tree
+        onBatchAdmitted.foreach(_(
+          batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+          batchId))
         ()
       }
       .start()

@@ -12,6 +12,53 @@ import graft.streaming.AdmissionStream
 class AdmissionStreamSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("onBatchAdmitted observer sees ONLY admitted rows, with every landing column, exactly once per batch id") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")
+    val standing = docs.filter(!isNew).select(col("doc_id"), col("text"))
+    val splitA = pmod(col("doc_id"), lit(2)) === 0
+    val root = Files.createTempDirectory("graft_admit_hook_")
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val indexPath = root.resolve("index").toString
+    def land(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+      val stage = Files.createTempDirectory("graft_admit_hstage_")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, landing.resolve(name))
+      landing.resolve(name).toFile.setLastModified(mod)
+      ()
+    }
+    // land FULL document rows — the observer's contract is every landing
+    // column, not the (doc_id, text) the admission loop itself consumes
+    land(docs.filter(isNew && splitA), "a.parquet", 1000000L)
+    land(docs.filter(isNew && !splitA), "b.parquet", 2000000L)
+    try {
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$indexPath/seed")
+      val seen = scala.collection.mutable.Map.empty[Long, (Set[Long], Seq[String])]
+      val admitted = AdmissionStream.runAdmission(spark, landing.toString,
+          indexPath, root.resolve("out").toString,
+          shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+          maxFilesPerTrigger = Some(1),
+          onBatchAdmitted = Some((df, id) => {
+            seen(id) = (df.select("doc_id").as[Long].collect().toSet,
+              df.columns.toSeq)
+            ()
+          }))
+        .select("doc_id").as[Long].collect().toSet
+      seen.keySet shouldBe Set(0L, 1L)
+      // the per-batch views partition the admitted set exactly
+      seen(0L)._1.union(seen(1L)._1) shouldBe admitted
+      seen(0L)._1.intersect(seen(1L)._1) shouldBe empty
+      // full landing schema rides through to the observer
+      seen(0L)._2 should contain allOf ("doc_id", "source", "n_chars", "text")
+    } finally {
+      graft.operators.Maintenance.rmTree(root.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("streaming admission equals sequential batch admission over the same file sequence") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")

@@ -163,6 +163,36 @@ class AnnIngestSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("compressed artifact probes clear a recall floor on the shared fixture") {
+    // the q142 driver surface's spec-side floor: the IVF-PQ artifact
+    // probe (hash and trained-coarse variants) must retrieve a
+    // non-degenerate share of the exact top-10 — compression plus
+    // 2-of-8-cell probing trades recall for cost, but a collapse to
+    // ~zero recall means a broken encode/probe path, which a
+    // hash-match against an equally-broken oracle would NOT catch
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, e, 10).localCheckpoint(true)
+    val root = Files.createTempDirectory("graft_q142_floor_")
+    root.toFile.deleteOnExit()
+    val ixHash = root.resolve("hash").toString
+    Similarity.writeIvfPqIndex(e, nLists = 8, m = 8, codewords = 16, ixHash)
+    val ixTrained = root.resolve("trained").toString
+    Similarity.writeIvfPqIndex(e,
+      Similarity.collectTrainedCentroids(
+        Similarity.lloydTrain(e, nCells = 8, rounds = 2)),
+      Similarity.pqCodebooks(e, m = 8, codewords = 16), ixTrained)
+    val rHash = Similarity.recallAtK(exact,
+      Similarity.ivfPqProbe(q, ixHash, 10, nProbe = 2))
+    val rTrained = Similarity.recallAtK(exact,
+      Similarity.ivfPqProbe(q, ixTrained, 10, nProbe = 2))
+    withClue(s"hash recall $rHash, trained recall $rTrained: ") {
+      rHash should be >= 0.05
+      rTrained should be >= 0.05
+    }
+    spark.catalog.clearCache()
+  }
+
   test("collectTrainedCentroids raises on a non-contiguous cell range") {
     val trained = Seq((0, 1, 100L), (2, 1, 300L)).toDF("cell", "pos", "centroid_q")
     val ex = intercept[IllegalArgumentException] {
