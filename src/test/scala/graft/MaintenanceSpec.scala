@@ -27,6 +27,26 @@ class MaintenanceSpec extends SparkSpecBase {
     Upsert.appliedBatches(path) shouldBe Set(7L)
   }
 
+  test("compactTree carries hidden state dirs (pending tombstones) across the fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctree_hidden_").toString
+    val path = s"$dir/ix"
+    (1L to 50L).map(i => (i, s"a_$i")).toDF("doc_id", "payload")
+      .write.parquet(s"$path/seed")
+    (51L to 60L).map(i => (i, s"b_$i")).toDF("doc_id", "payload")
+      .write.parquet(s"$path/batch-0")
+    // a pending delete: hidden from the data read, but it is LIFECYCLE
+    // state — the fold must not silently drop it with the old tree
+    Seq(3L, 7L).toDF("doc_id")
+      .write.parquet(s"$path/_tombstones")
+    val n = Maintenance.compactTree(spark, path, targetFileBytes = 1L << 30)
+    n shouldBe 1
+    // folded data = seed ∪ batch (tombstones are NOT folded as data)
+    spark.read.parquet(path).count() shouldBe 60L
+    // and the tombstone table survived the swap intact
+    spark.read.parquet(s"$path/_tombstones")
+      .as[Long].collect().toSet shouldBe Set(3L, 7L)
+  }
+
   test("compact recovers a table stranded mid-swap before reading it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash_").toString
     val path = s"$dir/t"
