@@ -67,8 +67,11 @@ private[graft] object Oracles {
     * candidate predicate — `TRUE` is q49/q120 verbatim; q139 passes the
     * deleted-set exclusion (the index minus tombstoned rows; centroids
     * and cell assignments are build-time and deletion-invariant, so only
-    * the candidate set shrinks). Also the retrieval core of q62. */
-  private def ivfFlatRetrievalSql(candPred: String): String =
+    * the candidate set shrinks). `queryPred` picks the query slice
+    * (q145 streams a different one through the same retrieval). Also
+    * the retrieval core of q62. */
+  private def ivfFlatRetrievalSql(candPred: String,
+      queryPred: String = "vec_id < 5"): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |ctr AS (SELECT v AS cv,
       |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
@@ -82,7 +85,7 @@ private[graft] object Oracles {
       |cell AS (SELECT vec_id, v, idx AS cell FROM asg
       |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
       |pr AS (SELECT vec_id AS query_id, v AS qv, idx AS cell FROM asg
-      |       WHERE vec_id < 5
+      |       WHERE $queryPred
       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
       |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
       |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
@@ -2775,6 +2778,68 @@ private[graft] object Oracles {
          |admitted AS (SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2),
          |${cardCtes("documents JOIN admitted USING (doc_id)")}
          |$cardTail""".stripMargin,
+    // q144: DSIR importance-resampled selection replayed in SQL —
+    // hashed-n-gram bucket counts for target (lang='en') and raw (all
+    // docs), add-one-smoothed log-ratio λ per bucket rounded ONCE to
+    // micros (the engine's IEEE-mirrored expression tree), exact long
+    // weight sums per doc, seeded Gumbel keys, deterministic top-120.
+    // Feature map = q130's (unigram bag salt 0, distinct bigrams salt 1)
+    "q144_dsir_selection" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, lang, t,
+        |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(
+        |           generate_series(1, greatest(len(t) - 1, 1)),
+        |           i -> array_to_string(t[i:i+1], ' '))) END AS bi
+        |  FROM d),
+        |fu AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('0:' || tk), 1, 15))::UBIGINT % 1024 AS BIGINT) AS b
+        |  FROM sh, UNNEST(sh.t) AS x(tk)),
+        |fb AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('1:' || g), 1, 15))::UBIGINT % 1024 AS BIGINT) AS b
+        |  FROM sh, UNNEST(sh.bi) AS y(g)),
+        |tu AS (SELECT b, COUNT(*) AS c FROM fu WHERE lang = 'en' GROUP BY b),
+        |ru AS (SELECT b, COUNT(*) AS c FROM fu GROUP BY b),
+        |tb AS (SELECT b, COUNT(*) AS c FROM fb WHERE lang = 'en' GROUP BY b),
+        |rb AS (SELECT b, COUNT(*) AS c FROM fb GROUP BY b),
+        |tot AS (SELECT (SELECT COUNT(*) FROM fu WHERE lang = 'en') AS tut,
+        |               (SELECT COUNT(*) FROM fu) AS rut,
+        |               (SELECT COUNT(*) FROM fb WHERE lang = 'en') AS tbt,
+        |               (SELECT COUNT(*) FROM fb) AS rbt),
+        |dom AS (SELECT unnest(generate_series(0, 1023)) AS b),
+        |lu AS (SELECT dom.b,
+        |    CAST(floor(1e6 * ln(((COALESCE(tu.c, 0) + 1.0) * (tot.rut + 1024))
+        |      / ((COALESCE(ru.c, 0) + 1.0) * (tot.tut + 1024))) + 0.5) AS BIGINT) AS lam
+        |  FROM dom CROSS JOIN tot
+        |  LEFT JOIN tu ON tu.b = dom.b LEFT JOIN ru ON ru.b = dom.b),
+        |lb AS (SELECT dom.b,
+        |    CAST(floor(1e6 * ln(((COALESCE(tb.c, 0) + 1.0) * (tot.rbt + 1024))
+        |      / ((COALESCE(rb.c, 0) + 1.0) * (tot.tbt + 1024))) + 0.5) AS BIGINT) AS lam
+        |  FROM dom CROSS JOIN tot
+        |  LEFT JOIN tb ON tb.b = dom.b LEFT JOIN rb ON rb.b = dom.b),
+        |su AS (SELECT fu.doc_id, SUM(lu.lam) AS s FROM fu
+        |       JOIN lu ON lu.b = fu.b GROUP BY fu.doc_id),
+        |sb AS (SELECT fb.doc_id, SUM(lb.lam) AS s FROM fb
+        |       JOIN lb ON lb.b = fb.b GROUP BY fb.doc_id),
+        |scored AS (SELECT sh.doc_id,
+        |    CAST(len(sh.t) + len(sh.bi) AS BIGINT) AS n_feats,
+        |    CAST(COALESCE(su.s, 0) + COALESCE(sb.s, 0) AS BIGINT) AS weight_micros
+        |  FROM sh LEFT JOIN su USING (doc_id) LEFT JOIN sb USING (doc_id))
+        |SELECT doc_id, n_feats, weight_micros,
+        |  weight_micros + CAST(floor(1e6 * (-ln(-ln(
+        |    (CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS DOUBLE)
+        |      + 0.5) / 281474976710656.0))) + 0.5) AS BIGINT) AS key_micros
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (ORDER BY key_micros DESC, doc_id) <= 120
+        |ORDER BY key_micros DESC, doc_id""".stripMargin,
+    // q145: streaming probe ≡ batch retrieval (probing is stateless and
+    // per-query independent) — q49's retrieval SQL over the streamed
+    // query slice
+    "q145_streaming_ann_probe" ->
+      ivfFlatRetrievalSql("TRUE", "vec_id >= 5 AND vec_id < 15"),
     "q121_ann_index_append" -> q121OracleSql,
     // q138: ingest → COMPACT → probe ≡ the batch append (compaction
     // folds the streamed table without changing one probe result) —

@@ -2724,6 +2724,58 @@ object SparkEntry {
     res
   }
 
+  /** q144 — DSIR importance-resampled data selection (Selection.dsir):
+    * target = the English slice of `documents`, raw = the whole corpus;
+    * fit the two hashed-n-gram models (two count scans, ≤ 2·1024 cells
+    * each), score every raw doc with the log-ratio tables as array
+    * literals (one zero-join projection), Gumbel-top-120 under seed 7.
+    * The oracle replays the whole chain in SQL — counts, the
+    * IEEE-mirrored λ rounding, exact long weight sums, the seeded
+    * Gumbel keys — and takes the same deterministic top-k. */
+  def q144DsirSelection(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Selection.dsir(docs, docs.filter(col("lang") === "en"),
+      col("doc_id"), col("text"), nBuckets = 1024, k = 120, seed = 7L)
+  }
+
+  /** q145 — STREAMING ANN probe (ProbeStream.runProbes): ten query
+    * vectors land as two mod-time-ordered files, one micro-batch each;
+    * every batch retrieves its top-10 from the standing IVF-flat
+    * artifact (partition-pruned, stateless) and lands results under a
+    * per-batch directory with idempotent overwrite — the serving loop
+    * of the index lifecycle. Probing is per-query independent, so
+    * streaming ≡ batch exactly: the oracle is q49's retrieval SQL over
+    * the streamed query set. */
+  def q145StreamingAnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q145_")
+    root.toFile.deleteOnExit()
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val isQuery = col("vec_id") >= 5 && col("vec_id") < 15
+    def land(df: DataFrame, name: String, mod: Long): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, landing.resolve(name))
+      landing.resolve(name).toFile.setLastModified(mod)
+      ()
+    }
+    land(e.filter(isQuery && col("vec_id") % 2 === 0), "a.parquet", 1000000L)
+    land(e.filter(isQuery && col("vec_id") % 2 =!= 0), "b.parquet", 2000000L)
+    val out = root.resolve("out").toString
+    streaming.ProbeStream.runProbes(s, landing.toString,
+      standingAnnIndex(s, dir), out, k = 10, nProbe = 2,
+      maxFilesPerTrigger = Some(1))
+    val res = s.read.parquet(out)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      // pin the k-bounded result off the temp tree before deleting it
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2867,7 +2919,9 @@ object SparkEntry {
     "q140_neardup_delete_admit" -> (q140NearDupDeleteAdmit _),
     "q141_fully_trained_pq_probe" -> (q141FullyTrainedPqProbe _),
     "q142_compressed_recall" -> (q142CompressedRecall _),
-    "q143_admitted_card" -> (q143AdmittedCard _)
+    "q143_admitted_card" -> (q143AdmittedCard _),
+    "q144_dsir_selection" -> (q144DsirSelection _),
+    "q145_streaming_ann_probe" -> (q145StreamingAnnProbe _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -126,6 +126,97 @@ object Fs {
     }
   }
 
+  /** Generation directory prefix under a pointer-committed artifact
+    * root: `<root>/gen-<n>/` trees are immutable-once-published (swap
+    * verbs write a NEW generation; blind-append verbs — tombstones,
+    * streamed assignments — only ever ADD files, which is a single
+    * object PUT per file and safe on every store). */
+  val GenPrefix = "gen-"
+
+  /** Pointer file under a pointer-committed artifact root: one small
+    * file naming the current generation. `_`-prefixed so Spark data
+    * listings skip it. */
+  val PointerFile = "_current"
+
+  /** The current generation's full path under `root`, when `root` is a
+    * pointer-committed artifact: reads `<root>/_current`, validates the
+    * named generation exists. None when there is no pointer (a plain
+    * directory artifact — callers fall back to `root` itself, so every
+    * probe accepts either layout). Fails loudly on a dangling pointer:
+    * that is a torn publish or an over-eager prune, never a state to
+    * silently read through. */
+  def currentGeneration(root: String): Option[String] =
+    readText(s"$root/$PointerFile").map { name =>
+      val trimmed = name.trim
+      require(trimmed.startsWith(GenPrefix) && !trimmed.contains("/"),
+        s"pointer file $root/$PointerFile names '$trimmed', " +
+          s"not a $GenPrefix<n> generation")
+      val gen = s"$root/$trimmed"
+      require(isDirectory(gen),
+        s"pointer file $root/$PointerFile names missing generation " +
+          s"$trimmed — torn publish or pruned-current; refusing to guess")
+      gen
+    }
+
+  /** COMMIT-BY-POINTER publication — the object-store-safe counterpart
+    * of [[stagedSwap]] (see the class scaladoc's caveat: object-store
+    * rename is copy-then-delete, so directory swaps are not atomic
+    * there). `write` materializes the next generation into a FRESH
+    * immutable directory `<root>/gen-<n+1>/` — invisible to every
+    * reader, whatever the store does with in-progress writes — and the
+    * commit is flipping the pointer file, one small-object write.
+    * A crash before the flip leaves the old generation current and the
+    * half-written directory unreferenced (swept by the next publish's
+    * garbage pass for its own n, or [[pruneGenerations]]); a crash
+    * after the flip is a completed publish. Returns the new
+    * generation's path.
+    *
+    * Pointer-write atomicity: written to `_current__tmp` then renamed
+    * over the pointer — one-file rename, atomic on HDFS and POSIX; on
+    * object stores the rename degrades to copy+delete of ONE small
+    * object, and the overwrite PUT inside it is atomic, so a reader
+    * sees the old pointer or the new, never a torn file. */
+  def publishGeneration(root: String)(write: String => Unit): String = {
+    val next = 1L + generationNumbers(root).foldLeft(0L)(math.max)
+    val gen = s"$root/$GenPrefix$next"
+    rmTree(gen) // an unreferenced half-write of OUR number, never current
+    write(gen)
+    require(isDirectory(gen),
+      s"publishGeneration writer left no directory at $gen")
+    val tmp = s"$root/${PointerFile}__tmp"
+    writeText(tmp, s"$GenPrefix$next")
+    rmTree(s"$root/$PointerFile")
+    if (!rename(tmp, s"$root/$PointerFile"))
+      throw new java.io.IOException(s"could not flip pointer for $root")
+    gen
+  }
+
+  /** Garbage-collect generations: drop all OLDER than the current one
+    * except the newest `keep` (retention for readers still holding the
+    * previous pointer), and drop any NEWER than the current one (a
+    * publish that died before its flip — never referenced, pure
+    * garbage). Never touches the current generation or the pointer.
+    * No-op on a plain (pointer-less) artifact. Single-writer
+    * discipline, like every artifact mutation here: do not prune while
+    * a publish is in flight, or its half-written generation is swept
+    * from under it (the publish would fail loudly at its own
+    * directory check, not corrupt anything — but it would fail). */
+  def pruneGenerations(root: String, keep: Int = 1): Unit =
+    currentGeneration(root).foreach { cur =>
+      val curN = cur.substring(cur.lastIndexOf(GenPrefix) + GenPrefix.length).toLong
+      val gens = generationNumbers(root)
+      (gens.filter(_ < curN).sorted.reverse.drop(keep) ++ gens.filter(_ > curN))
+        .foreach(n => rmTree(s"$root/$GenPrefix$n"))
+    }
+
+  private def generationNumbers(root: String): Seq[Long] =
+    listNames(root).collect {
+      case n if n.startsWith(GenPrefix) &&
+          n.drop(GenPrefix.length).forall(_.isDigit) &&
+          n.length > GenPrefix.length =>
+        n.drop(GenPrefix.length).toLong
+    }
+
   /** Crash recovery for a staged swap at `path`: a previous swap may have
     * died between its two renames. target missing + `__old` present =
     * died between the renames → the old table is the only copy; restore

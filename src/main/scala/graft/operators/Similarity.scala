@@ -897,11 +897,23 @@ object Similarity {
     }
   }
 
+  /** Resolve a possibly POINTER-COMMITTED artifact root to its concrete
+    * generation directory ([[Fs.currentGeneration]]); plain directory
+    * artifacts pass through unchanged, so every read / blind-append
+    * verb here accepts either layout. The pointer layout is the
+    * object-store deployment story (see [[Fs]]'s caveat): swap verbs
+    * (compact, rebuild, re-train) should there write a NEW generation
+    * via [[Fs.publishGeneration]] and flip the pointer, instead of
+    * renaming directories under readers. */
+  private def resolveArtifact(path: String): String =
+    Fs.currentGeneration(path).getOrElse(path)
+
   /** The artifact's frozen quantizer, read back: nLists rows — the
-    * bounded driver-side half of every probe/append/ingest. */
+    * bounded driver-side half of every probe/append/ingest. Accepts a
+    * pointer-committed root or a concrete generation/plain dir. */
   private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$indexPath/centroids")
+    spark.read.parquet(s"${resolveArtifact(indexPath)}/centroids")
       .orderBy(col("cell"))
       .collect().map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
       .toSeq
@@ -917,10 +929,12 @@ object Similarity {
     * drift (a corpus whose distribution moves away from the frozen
     * centroids) is the caller's rebuild/compaction policy — the same
     * lifecycle contract as the near-dup signature index. */
-  def appendToIvfFlatIndex(newVecs: DataFrame, indexPath: String): Unit =
-    assignCells(newVecs, readCentroids(newVecs.sparkSession, indexPath))
+  def appendToIvfFlatIndex(newVecs: DataFrame, indexPath: String): Unit = {
+    val ix = resolveArtifact(indexPath)
+    assignCells(newVecs, readCentroids(newVecs.sparkSession, ix))
       .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexPath/assignments")
+      .parquet(s"$ix/assignments")
+  }
 
   /** The index row shape under a FIXED centroid set: (vec_id, embedding,
     * c_norm, cell) — one scan-fused projection, shared by build, append
@@ -1081,7 +1095,8 @@ object Similarity {
     * with set semantics. `ids` must expose `vec_id`. */
   def deleteFromAnnIndex(ids: DataFrame, indexPath: String): Unit =
     ids.select(col("vec_id"))
-      .write.mode("append").parquet(s"$indexPath/${Fs.TombstonesSubdir}")
+      .write.mode("append")
+      .parquet(s"${resolveArtifact(indexPath)}/${Fs.TombstonesSubdir}")
 
   /** The artifact's tombstone table, when one exists — the anti-join
     * side every probe applies. */
@@ -1180,9 +1195,10 @@ object Similarity {
     * (refine = 0; an exact re-rank needs the original vectors, which the
     * compressed artifact deliberately does not carry — compose with the
     * corpus table for that). */
-  def ivfPqProbe(queries: DataFrame, indexPath: String, k: Int,
+  def ivfPqProbe(queries: DataFrame, indexPath0: String, k: Int,
       nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
+    val indexPath = resolveArtifact(indexPath0)
     val centroids = readCentroids(spark, indexPath)
     val codebooks = readCodebooks(spark, indexPath)
     // queries×nProbe rows — pinned via eager localCheckpoint (it feeds
@@ -1222,9 +1238,10 @@ object Similarity {
     * values by construction — cells, not queries) and pushed as a
     * literal IN filter so partition pruning reaches the parquet scan
     * statically. Output ≡ [[ivfFlatTopK]] with the same centroids. */
-  def ivfFlatProbe(queries: DataFrame, indexPath: String, k: Int,
+  def ivfFlatProbe(queries: DataFrame, indexPath0: String, k: Int,
       nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
+    val indexPath = resolveArtifact(indexPath0)
     val centroids = readCentroids(spark, indexPath)
     // queries×nProbe rows — eager localCheckpoint, not persist, for the
     // same cache-accumulation reason as ivfPqProbe's query side

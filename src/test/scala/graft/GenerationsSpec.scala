@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fs, Similarity}
+
+/** Commit-by-pointer generations: the object-store-safe publication
+  * protocol (immutable gen dirs + one-pointer flip) and its wiring into
+  * the ANN artifact verbs. */
+class GenerationsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecDF(vs: Seq[(Long, Seq[Float])]) =
+    vs.toDF("vec_id", "embedding")
+
+  test("publishGeneration: numbered immutable dirs, pointer flips atomically, crash garbage is invisible and pruned") {
+    val root = Files.createTempDirectory("graft_gen_").toString + "/tbl"
+    Fs.currentGeneration(root) shouldBe None
+    val g1 = Fs.publishGeneration(root)(p => Fs.writeText(s"$p/a.txt", "one"))
+    g1 shouldBe s"$root/gen-1"
+    Fs.currentGeneration(root) shouldBe Some(g1)
+    val g2 = Fs.publishGeneration(root)(p => Fs.writeText(s"$p/a.txt", "two"))
+    g2 shouldBe s"$root/gen-2"
+    Fs.currentGeneration(root) shouldBe Some(g2)
+    // the superseded generation is untouched (readers holding it are fine)
+    Fs.readText(s"$g1/a.txt") shouldBe Some("one")
+    // a publish that died before its flip: a half-written higher gen —
+    // readers never see it, the pointer still names gen-2
+    Fs.writeText(s"$root/gen-3/partial.txt", "half")
+    Fs.currentGeneration(root) shouldBe Some(g2)
+    // prune sweeps the dead higher gen AND old gens beyond the keep
+    // window, never the current one
+    Fs.pruneGenerations(root, keep = 0)
+    Fs.listNames(root).filter(_.startsWith(Fs.GenPrefix)) shouldBe Seq("gen-2")
+    Fs.currentGeneration(root) shouldBe Some(g2)
+    // a writer that produces nothing fails loudly, pointer unmoved
+    an[Exception] should be thrownBy Fs.publishGeneration(root)(_ => ())
+    Fs.currentGeneration(root) shouldBe Some(g2)
+  }
+
+  test("currentGeneration fails loudly on a dangling or malformed pointer") {
+    val root = Files.createTempDirectory("graft_genbad_").toString + "/tbl"
+    Fs.writeText(s"$root/${Fs.PointerFile}", "gen-9")
+    an[Exception] should be thrownBy Fs.currentGeneration(root)
+    Fs.writeText(s"$root/${Fs.PointerFile}", "../evil")
+    an[Exception] should be thrownBy Fs.currentGeneration(root)
+  }
+
+  test("ANN verbs accept a pointer root: probe resolves the current generation; deletes/appends land in it; a rebuild publish flips readers") {
+    val rnd = new Random(5)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val corpus = cluster(1f, 20, 0L) ++ cluster(-1f, 20, 100L)
+    val queries = vecDF(Seq((900L, Seq.fill(8)(1.002f)), (901L, Seq.fill(8)(-1.002f))))
+
+    val root = Files.createTempDirectory("graft_genann_").toString + "/ix"
+    val g1 = Fs.publishGeneration(root)(p =>
+      Similarity.writeIvfFlatIndex(vecDF(corpus), nLists = 4, p))
+    def rows(path: String) = Similarity.ivfFlatProbe(queries, path, 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "rnk")
+      .orderBy("query_id", "rnk").collect().toSeq
+    rows(root) shouldBe rows(g1) // pointer root ≡ concrete generation
+
+    // tombstone-delete against the ROOT lands in the current generation
+    // (a blind file append — object-store safe) and masks at probe time
+    val dead = corpus.map(_._1).filter(_ % 5 == 0)
+    Similarity.deleteFromAnnIndex(dead.toDF("vec_id"), root)
+    Fs.exists(s"$g1/${Fs.TombstonesSubdir}") shouldBe true
+    val masked = rows(root)
+    masked.map(_.getLong(1)).toSet.intersect(dead.toSet) shouldBe Set.empty
+
+    // the swap verb, object-store style: REBUILD without the deleted
+    // rows as a new generation UNDER THE FROZEN QUANTIZER (compaction
+    // semantics: same centroids, smaller corpus) — probes through the
+    // root flip over, and the physically-compacted answer equals the
+    // tombstone-masked one
+    val kept = corpus.filterNot(c => dead.contains(c._1))
+    val frozen = Similarity.readCentroids(spark, g1)
+    Fs.publishGeneration(root)(p =>
+      Similarity.writeIvfFlatIndex(vecDF(kept), frozen, p))
+    rows(root) shouldBe masked
+  }
+}
