@@ -152,6 +152,11 @@ object BenchScale {
       // parallelism claims were spec-proven but never measured at 10×)
       "q78_vocab_encode", "q91_interleave_order", "q92_length_batches",
       "q118_temperature_mix", "q129_kmeans_train",
+      // DSIR selection: two hashed-count fit scans (shuffle bounded at
+      // 2·nBuckets cells regardless of corpus) + one literal-table
+      // scoring scan + a bounded take-ordered — linear in data by
+      // design, measured here
+      "q144_dsir_selection",
       // the incremental-admission engine path (probe pays |new batch|
       // shingling + band joins against a 10× standing index — the claim
       // is the INDEX side scales, not the batch side; the per-dir

@@ -276,8 +276,12 @@ object Dedup {
     * Requires a parameter-carrying artifact with exactly one parameter
     * generation (a legacy parameter-less or mixed-generation dir must go
     * through the frame overload with explicit parameters). */
-  def admitNewDocsWithIndex(newDf: DataFrame, indexPath: String, id: Column,
+  def admitNewDocsWithIndex(newDf: DataFrame, indexPath0: String, id: Column,
       text: Column, threshold: Double): DataFrame = {
+    // pointer-committed roots resolve to their current generation here
+    // (the object-store layout — [[Fs.currentGeneration]]); plain dirs
+    // pass through, same contract as the ANN probes
+    val indexPath = Fs.currentGeneration(indexPath0).getOrElse(indexPath0)
     // tombstoned docs are masked out of the probed set here (the
     // `_tombstones` table is invisible to the data read itself), so a
     // new document that matched ONLY deleted docs admits
@@ -390,7 +394,9 @@ object Dedup {
     * read). `ids` must expose `doc_id`. */
   def deleteFromNearDupIndex(ids: DataFrame, indexPath: String): Unit =
     ids.select(col("doc_id"))
-      .write.mode("append").parquet(s"$indexPath/${Fs.TombstonesSubdir}")
+      .write.mode("append")
+      .parquet(s"${Fs.currentGeneration(indexPath).getOrElse(indexPath)}/" +
+        Fs.TombstonesSubdir)
 
   /** The tree's tombstone table, when one exists. */
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,

@@ -84,4 +84,31 @@ class GenerationsSpec extends SparkSpecBase {
       Similarity.writeIvfFlatIndex(vecDF(kept), frozen, p))
     rows(root) shouldBe masked
   }
+
+  test("near-dup admission accepts a pointer root: probe resolves the current generation, deletes land in it") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "red green blue cyan magenta yellow"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_genndx_").toString + "/ndx"
+    val g1 = Fs.publishGeneration(root)(p =>
+      graft.operators.Dedup.nearDupIndex(docs, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(p))
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dup of doc 1
+      (11L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    def admit(path: String) = graft.operators.Dedup
+      .admitNewDocsWithIndex(incoming, path, col("doc_id"), col("text"),
+        threshold = 0.4)
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    admit(root) shouldBe admit(g1) // pointer root ≡ concrete generation
+    admit(root) shouldBe Seq(11L)  // the near-dup of doc 1 is refused
+    // delete doc 1 through the ROOT: tombstones land in the current
+    // generation and its near-dup now admits
+    graft.operators.Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), root)
+    Fs.exists(s"$g1/${Fs.TombstonesSubdir}") shouldBe true
+    admit(root) shouldBe Seq(10L, 11L)
+  }
 }
