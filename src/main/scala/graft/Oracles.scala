@@ -1078,6 +1078,61 @@ private[graft] object Oracles {
        |GROUP BY 1 ORDER BY query_id""".stripMargin
   }
 
+  /** q144's oracle (shared with q146: artifact-backed scoring is a
+    * lossless persistence of the fit, so the selection output is
+    * identical) — see the map entry comment for the replay shape. */
+  private val q144OracleSql: String =
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, lang, t,
+        |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(
+        |           generate_series(1, greatest(len(t) - 1, 1)),
+        |           i -> array_to_string(t[i:i+1], ' '))) END AS bi
+        |  FROM d),
+        |fu AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('0:' || tk), 1, 15))::UBIGINT % 1024 AS BIGINT) AS b
+        |  FROM sh, UNNEST(sh.t) AS x(tk)),
+        |fb AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('1:' || g), 1, 15))::UBIGINT % 1024 AS BIGINT) AS b
+        |  FROM sh, UNNEST(sh.bi) AS y(g)),
+        |tu AS (SELECT b, COUNT(*) AS c FROM fu WHERE lang = 'en' GROUP BY b),
+        |ru AS (SELECT b, COUNT(*) AS c FROM fu GROUP BY b),
+        |tb AS (SELECT b, COUNT(*) AS c FROM fb WHERE lang = 'en' GROUP BY b),
+        |rb AS (SELECT b, COUNT(*) AS c FROM fb GROUP BY b),
+        |tot AS (SELECT (SELECT COUNT(*) FROM fu WHERE lang = 'en') AS tut,
+        |               (SELECT COUNT(*) FROM fu) AS rut,
+        |               (SELECT COUNT(*) FROM fb WHERE lang = 'en') AS tbt,
+        |               (SELECT COUNT(*) FROM fb) AS rbt),
+        |dom AS (SELECT unnest(generate_series(0, 1023)) AS b),
+        |lu AS (SELECT dom.b,
+        |    CAST(floor(1e6 * ln(((COALESCE(tu.c, 0) + 1.0) * (tot.rut + 1024))
+        |      / ((COALESCE(ru.c, 0) + 1.0) * (tot.tut + 1024))) + 0.5) AS BIGINT) AS lam
+        |  FROM dom CROSS JOIN tot
+        |  LEFT JOIN tu ON tu.b = dom.b LEFT JOIN ru ON ru.b = dom.b),
+        |lb AS (SELECT dom.b,
+        |    CAST(floor(1e6 * ln(((COALESCE(tb.c, 0) + 1.0) * (tot.rbt + 1024))
+        |      / ((COALESCE(rb.c, 0) + 1.0) * (tot.tbt + 1024))) + 0.5) AS BIGINT) AS lam
+        |  FROM dom CROSS JOIN tot
+        |  LEFT JOIN tb ON tb.b = dom.b LEFT JOIN rb ON rb.b = dom.b),
+        |su AS (SELECT fu.doc_id, SUM(lu.lam) AS s FROM fu
+        |       JOIN lu ON lu.b = fu.b GROUP BY fu.doc_id),
+        |sb AS (SELECT fb.doc_id, SUM(lb.lam) AS s FROM fb
+        |       JOIN lb ON lb.b = fb.b GROUP BY fb.doc_id),
+        |scored AS (SELECT sh.doc_id,
+        |    CAST(len(sh.t) + len(sh.bi) AS BIGINT) AS n_feats,
+        |    CAST(COALESCE(su.s, 0) + COALESCE(sb.s, 0) AS BIGINT) AS weight_micros
+        |  FROM sh LEFT JOIN su USING (doc_id) LEFT JOIN sb USING (doc_id))
+        |SELECT doc_id, n_feats, weight_micros,
+        |  weight_micros + CAST(floor(1e6 * (-ln(-ln(
+        |    (CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS DOUBLE)
+        |      + 0.5) / 281474976710656.0))) + 0.5) AS BIGINT) AS key_micros
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (ORDER BY key_micros DESC, doc_id) <= 120
+        |ORDER BY key_micros DESC, doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
     "q25_neardup_embedding" -> q25OracleSql,
@@ -2784,57 +2839,30 @@ private[graft] object Oracles {
     // micros (the engine's IEEE-mirrored expression tree), exact long
     // weight sums per doc, seeded Gumbel keys, deterministic top-120.
     // Feature map = q130's (unigram bag salt 0, distinct bigrams salt 1)
-    "q144_dsir_selection" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |    CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
-        |  FROM documents),
-        |sh AS (SELECT doc_id, lang, t,
-        |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE list_distinct(list_transform(
-        |           generate_series(1, greatest(len(t) - 1, 1)),
-        |           i -> array_to_string(t[i:i+1], ' '))) END AS bi
-        |  FROM d),
-        |fu AS (SELECT doc_id, lang,
-        |    CAST(('0x' || substr(md5('0:' || tk), 1, 15))::UBIGINT % 1024 AS BIGINT) AS b
-        |  FROM sh, UNNEST(sh.t) AS x(tk)),
-        |fb AS (SELECT doc_id, lang,
-        |    CAST(('0x' || substr(md5('1:' || g), 1, 15))::UBIGINT % 1024 AS BIGINT) AS b
-        |  FROM sh, UNNEST(sh.bi) AS y(g)),
-        |tu AS (SELECT b, COUNT(*) AS c FROM fu WHERE lang = 'en' GROUP BY b),
-        |ru AS (SELECT b, COUNT(*) AS c FROM fu GROUP BY b),
-        |tb AS (SELECT b, COUNT(*) AS c FROM fb WHERE lang = 'en' GROUP BY b),
-        |rb AS (SELECT b, COUNT(*) AS c FROM fb GROUP BY b),
-        |tot AS (SELECT (SELECT COUNT(*) FROM fu WHERE lang = 'en') AS tut,
-        |               (SELECT COUNT(*) FROM fu) AS rut,
-        |               (SELECT COUNT(*) FROM fb WHERE lang = 'en') AS tbt,
-        |               (SELECT COUNT(*) FROM fb) AS rbt),
-        |dom AS (SELECT unnest(generate_series(0, 1023)) AS b),
-        |lu AS (SELECT dom.b,
-        |    CAST(floor(1e6 * ln(((COALESCE(tu.c, 0) + 1.0) * (tot.rut + 1024))
-        |      / ((COALESCE(ru.c, 0) + 1.0) * (tot.tut + 1024))) + 0.5) AS BIGINT) AS lam
-        |  FROM dom CROSS JOIN tot
-        |  LEFT JOIN tu ON tu.b = dom.b LEFT JOIN ru ON ru.b = dom.b),
-        |lb AS (SELECT dom.b,
-        |    CAST(floor(1e6 * ln(((COALESCE(tb.c, 0) + 1.0) * (tot.rbt + 1024))
-        |      / ((COALESCE(rb.c, 0) + 1.0) * (tot.tbt + 1024))) + 0.5) AS BIGINT) AS lam
-        |  FROM dom CROSS JOIN tot
-        |  LEFT JOIN tb ON tb.b = dom.b LEFT JOIN rb ON rb.b = dom.b),
-        |su AS (SELECT fu.doc_id, SUM(lu.lam) AS s FROM fu
-        |       JOIN lu ON lu.b = fu.b GROUP BY fu.doc_id),
-        |sb AS (SELECT fb.doc_id, SUM(lb.lam) AS s FROM fb
-        |       JOIN lb ON lb.b = fb.b GROUP BY fb.doc_id),
-        |scored AS (SELECT sh.doc_id,
-        |    CAST(len(sh.t) + len(sh.bi) AS BIGINT) AS n_feats,
-        |    CAST(COALESCE(su.s, 0) + COALESCE(sb.s, 0) AS BIGINT) AS weight_micros
-        |  FROM sh LEFT JOIN su USING (doc_id) LEFT JOIN sb USING (doc_id))
-        |SELECT doc_id, n_feats, weight_micros,
-        |  weight_micros + CAST(floor(1e6 * (-ln(-ln(
-        |    (CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS DOUBLE)
-        |      + 0.5) / 281474976710656.0))) + 0.5) AS BIGINT) AS key_micros
-        |FROM scored
-        |QUALIFY ROW_NUMBER() OVER (ORDER BY key_micros DESC, doc_id) <= 120
-        |ORDER BY key_micros DESC, doc_id""".stripMargin,
+    "q144_dsir_selection" -> q144OracleSql,
+    // q146: artifact-backed selection ≡ direct computation (the models
+    // are a lossless persistence of the fit) — q144's oracle verbatim,
+    // the q120 ≡ q49 discipline for the selection stack
+    "q146_dsir_artifact_selection" -> q144OracleSql,
+    // q147: cluster-balanced diversity sample — q133's trained-centroid
+    // assignment CTEs (ctr2 = the two quantized Lloyd rounds) give the
+    // strata; the quota window is q85's md5-rank pick per cell
+    "q147_cluster_balanced_sample" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |$lloydRoundsCtes,
+        |asg AS (SELECT e.vec_id, c.idx,
+        |          list_inner_product(e.v, e.v)
+        |            - 2.0 * list_inner_product(e.v, c.cv)
+        |            + list_inner_product(c.cv, c.cv) AS d
+        |        FROM e CROSS JOIN ctr2 c),
+        |cellf AS (SELECT vec_id, idx AS cell FROM asg
+        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1)
+        |SELECT CAST(cell AS INTEGER) AS cell, vec_id, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT cell, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY cell
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |      FROM cellf)
+        |WHERE rk <= 10 ORDER BY cell, rk""".stripMargin,
     // q145: streaming probe ≡ batch retrieval (probing is stateless and
     // per-query independent) — q49's retrieval SQL over the streamed
     // query slice

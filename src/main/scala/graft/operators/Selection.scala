@@ -56,9 +56,17 @@ object Selection {
     * arrays: the fitted "model", 2·nBuckets longs however large the
     * corpus. */
   def hashedNgramCounts(docs: DataFrame, text: Column,
-      nBuckets: Int): HashedNgramModel = {
+      nBuckets: Int): HashedNgramModel =
+    fromCells(gramCells(docs, text, nBuckets).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))), nBuckets)
+
+  /** The fit as a FRAME: non-zero (salt, bucket, cnt) cells, ≤ 2·nBuckets
+    * rows whatever the corpus — the distributed half
+    * [[hashedNgramCounts]] collects and [[writeNgramModel]] persists. */
+  private def gramCells(docs: DataFrame, text: Column,
+      nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
-    val grams = docs
+    docs
       .select(T.tokens(lower(text)).as("toks"))
       .select(col("toks"), T.tokenShingles(col("toks"), 2).as("bi"))
       .select(explode(concat(
@@ -71,14 +79,74 @@ object Selection {
         (conv(substring(md5(concat(col("f.s").cast("string"), lit(":"),
           col("f.g"))), 1, 15), 16, 10).cast("long") % nBuckets).as("b"))
       .groupBy(col("s"), col("b")).agg(count(lit(1)).as("c"))
-      .collect()
+  }
+
+  private def fromCells(cells: Seq[(Int, Long, Long)],
+      nBuckets: Int): HashedNgramModel = {
     val uni = Array.fill(nBuckets)(0L)
     val bi = Array.fill(nBuckets)(0L)
-    grams.foreach { r =>
-      val tgt = if (r.getInt(0) == 0) uni else bi
-      tgt(r.getLong(1).toInt) = r.getLong(2)
-    }
+    cells.foreach { case (s, b, c) => (if (s == 0) uni else bi)(b.toInt) = c }
     HashedNgramModel(uni.toSeq, bi.toSeq)
+  }
+
+  /** Materialize a fitted model as a VERSIONED PARQUET ARTIFACT — the
+    * fit-once / score-many lifecycle (the tokenizer-merge-table
+    * discipline, [[Bpe.writeTokenizer]]): non-zero (salt, b, c) cells
+    * with the bucket count embedded per row as `p_nbuckets`, so a
+    * scorer can never silently pair models fitted under different
+    * hash widths. One fit scan per CORPUS per snapshot; every later
+    * selection pass reloads two bounded tables instead of re-scanning
+    * the corpora. */
+  def writeNgramModel(docs: DataFrame, text: Column, nBuckets: Int,
+      path: String): Unit =
+    gramCells(docs, text, nBuckets)
+      .select(col("s"), col("b"), col("c"), lit(nBuckets).as("p_nbuckets"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Reload a [[writeNgramModel]] artifact (bounded: ≤ 2·nBuckets rows).
+    * Fail-fasts in the versioned-artifact family: parameter-less dirs
+    * refused, mixed `p_nbuckets` generations refused, and a caller
+    * built against a specific width can pin it — scoring under the
+    * wrong hash width silently mis-weights every document. */
+  def readNgramModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      expectedBuckets: Option[Int] = None): HashedNgramModel = {
+    val t = spark.read.parquet(path)
+    require(t.columns.contains("p_nbuckets"),
+      s"n-gram model artifact at $path carries no p_nbuckets — not a " +
+        "writeNgramModel artifact")
+    val rows = t.select(col("s"), col("b"), col("c"), col("p_nbuckets"))
+      .collect()
+    require(rows.nonEmpty, s"n-gram model artifact at $path is empty")
+    val gens = rows.map(_.getInt(3)).distinct
+    require(gens.length == 1,
+      s"n-gram model artifact at $path holds ${gens.length} p_nbuckets " +
+        "generations — a single generation is required; refit it")
+    val m = gens.head
+    expectedBuckets.foreach(e => require(m == e,
+      s"n-gram model artifact at $path was fitted at $m buckets but the " +
+        s"caller was built against $e — scoring under the wrong hash " +
+        "width silently mis-weights; refit or repoint"))
+    require(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < m),
+      s"n-gram model artifact at $path holds buckets outside [0, $m)")
+    fromCells(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq, m)
+  }
+
+  /** DSIR selection against STANDING model artifacts: reload the target
+    * and raw fits (two bounded reads — the corpora are never
+    * rescanned), difference them, score + Gumbel-select. Output ≡
+    * [[dsir]] over the corpora the artifacts were fitted on. */
+  def dsirWithModels(raw: DataFrame, id: Column, text: Column,
+      targetModelPath: String, rawModelPath: String, k: Int,
+      seed: Long): DataFrame = {
+    val spark = raw.sparkSession
+    val tm = readNgramModel(spark, targetModelPath)
+    val rm = readNgramModel(spark, rawModelPath,
+      expectedBuckets = Some(tm.uni.size))
+    dsirSelect(
+      importanceScore(raw, id, text,
+        importanceLambdas(tm.uni, rm.uni),
+        importanceLambdas(tm.bi, rm.bi)),
+      k, seed)
   }
 
   /** One corpus's fitted hashed-n-gram counts (the DSIR "language
