@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, FileUtil, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Filesystem primitives for the artifact lifecycle (staged write-swaps,
@@ -78,6 +78,48 @@ object Fs {
     val (fs, s) = resolve(src)
     val d = new Path(dst)
     if (fs.exists(d)) false else fs.rename(s, d)
+  }
+
+  /** Atomically REPLACE the file at `dst` with the file at `src` — the
+    * pointer-flip primitive. Unlike [[rename]], an existing destination
+    * is overwritten in ONE metadata operation, so a concurrent reader
+    * observes the old file or the new, never a missing one. Local paths
+    * go through java.nio `ATOMIC_MOVE` (POSIX rename(2) overwrites
+    * atomically — the Hadoop local-FS shim would degrade OVERWRITE to
+    * delete-then-rename, reintroducing the no-file window this exists
+    * to close); every other scheme goes through
+    * `FileContext.rename(OVERWRITE)`, which HDFS implements as a single
+    * atomic namespace op and object stores as one small-object PUT
+    * (atomic replace) plus a delete of the source — in no case is `dst`
+    * ever absent. Files only: directory swaps stay on the
+    * [[stagedSwap]] discipline. */
+  def renameOverwrite(src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val scheme = s.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(new Path(src).toUri.getPath),
+        java.nio.file.Paths.get(new Path(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } else {
+      val fc = FileContext.getFileContext(s.toUri, conf)
+      fc.rename(s, new Path(dst), Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Recursive copy `src` → `dst` (same filesystem), refusing an
+    * existing destination — the carry primitive [[stagedSwap]] uses for
+    * `keepSubdirs`: copying (not moving) means the ORIGINAL never
+    * leaves the old tree until the swap's final rename commits, so a
+    * crash at any point in the carry loses nothing. Returns false on
+    * refusal or filesystem failure. */
+  def copyTree(src: String, dst: String): Boolean = {
+    val (fs, s) = resolve(src)
+    val d = new Path(dst)
+    if (fs.exists(d)) false
+    else FileUtil.copy(fs, s, fs, d, /*deleteSource=*/ false, conf)
   }
 
   /** Data bytes in the tree at `path`: recursive, skipping `_`/`.`-
@@ -171,11 +213,13 @@ object Fs {
     * after the flip is a completed publish. Returns the new
     * generation's path.
     *
-    * Pointer-write atomicity: written to `_current__tmp` then renamed
-    * over the pointer — one-file rename, atomic on HDFS and POSIX; on
-    * object stores the rename degrades to copy+delete of ONE small
-    * object, and the overwrite PUT inside it is atomic, so a reader
-    * sees the old pointer or the new, never a torn file. */
+    * Pointer-write atomicity: written to `_current__tmp` then
+    * [[renameOverwrite]]-d over the pointer — one atomic file-over-file
+    * replace (POSIX rename(2) locally, FileContext OVERWRITE on HDFS,
+    * one small-object PUT on stores), so a reader sees the old pointer
+    * or the new; there is NO point at which the pointer is absent and a
+    * concurrent [[currentGeneration]] would fall back to the
+    * plain-directory layout. */
   def publishGeneration(root: String)(write: String => Unit): String = {
     val next = 1L + generationNumbers(root).foldLeft(0L)(math.max)
     val gen = s"$root/$GenPrefix$next"
@@ -185,9 +229,7 @@ object Fs {
       s"publishGeneration writer left no directory at $gen")
     val tmp = s"$root/${PointerFile}__tmp"
     writeText(tmp, s"$GenPrefix$next")
-    rmTree(s"$root/$PointerFile")
-    if (!rename(tmp, s"$root/$PointerFile"))
-      throw new java.io.IOException(s"could not flip pointer for $root")
+    renameOverwrite(tmp, s"$root/$PointerFile")
     gen
   }
 
@@ -240,11 +282,20 @@ object Fs {
     * or is repaired by the next call's recovery; the table is only ever
     * one complete generation or the other.
     *
-    * `keepSubdirs` entries that exist in the old tree are MOVED into the
-    * staged tree between the two renames (the [[Maintenance.compactTree]]
-    * mid-stream contract: the current micro-batch's own subdir must
-    * survive a fold without being folded). `write` receives the staged
-    * path and must fully materialize the new generation there.
+    * `keepSubdirs` entries that exist in the old tree are COPIED into
+    * the staged tree between the two renames (the
+    * [[Maintenance.compactTree]] mid-stream contract: the current
+    * micro-batch's own subdir must survive a fold without being
+    * folded). Copied, not moved: the originals stay inside `__old`
+    * until the final rename commits, so a crash anywhere in the carry —
+    * or a mid-carry failure's restore of `__old` — loses nothing; the
+    * next call's recovery restores a COMPLETE old tree, and its
+    * `rmTree(__staged)` only ever discards copies. (A moved carry left
+    * already-moved subdirs stranded in `__staged`, where the next
+    * call's scratch-clear silently destroyed them — un-deleting
+    * takedowns when the carried entry was `_tombstones`.) `write`
+    * receives the staged path and must fully materialize the new
+    * generation there.
     *
     * When no table exists yet the staged tree simply renames into place
     * (first write). */
@@ -260,7 +311,7 @@ object Fs {
     if (hadTarget && !rename(path, old))
       throw new java.io.IOException(s"could not stage out $path")
     if (hadTarget) keepSubdirs.foreach { name =>
-      if (exists(s"$old/$name") && !rename(s"$old/$name", s"$staged/$name")) {
+      if (exists(s"$old/$name") && !copyTree(s"$old/$name", s"$staged/$name")) {
         rename(old, path)
         throw new java.io.IOException(s"could not carry $name over in $path")
       }

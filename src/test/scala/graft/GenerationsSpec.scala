@@ -42,6 +42,30 @@ class GenerationsSpec extends SparkSpecBase {
     Fs.currentGeneration(root) shouldBe Some(g2)
   }
 
+  test("the pointer flip has no no-pointer window: a reader hammering currentGeneration through repeated publishes always sees a generation") {
+    val root = Files.createTempDirectory("graft_genflip_").toString + "/tbl"
+    Fs.publishGeneration(root)(p => Fs.writeText(s"$p/a.txt", "gen"))
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        // the reader contract under concurrent publishes: ALWAYS a
+        // generation — never the plain-layout fallback (None), which
+        // would make a probe read gen-* dirs as data
+        if (Fs.currentGeneration(root).isEmpty) misses.incrementAndGet()
+        ()
+      }
+    })
+    reader.start()
+    try (2 to 60).foreach { i =>
+      Fs.publishGeneration(root)(p => Fs.writeText(s"$p/a.txt", s"gen$i"))
+    } finally {
+      stop.set(true); reader.join()
+    }
+    misses.get() shouldBe 0
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-60")
+  }
+
   test("currentGeneration fails loudly on a dangling or malformed pointer") {
     val root = Files.createTempDirectory("graft_genbad_").toString + "/tbl"
     Fs.writeText(s"$root/${Fs.PointerFile}", "gen-9")
