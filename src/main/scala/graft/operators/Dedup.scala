@@ -336,15 +336,20 @@ object Dedup {
       text: Column, shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       targetFileBytes: Long = 128L << 20): Int = {
     val spark = docs.sparkSession
-    Upsert.recoverStagedSwap(indexPath)
-    require(Fs.isDirectory(indexPath), s"no near-dup index tree at $indexPath")
+    // pointer-committed root: kept set comes from the CURRENT generation
+    // (and its tombstones), and the rebuilt index publishes as a NEW
+    // generation — same contract as [[compactNearDupIndex]]
+    val gen = Fs.currentGeneration(indexPath)
+    val concrete = gen.getOrElse(indexPath)
+    if (gen.isEmpty) Upsert.recoverStagedSwap(indexPath)
+    require(Fs.isDirectory(concrete), s"no near-dup index tree at $concrete")
     // tombstoned ids are dropped from the kept set — a rebuild is also a
     // physical delete fold (the `_tombstones` table rides into `__old`
     // with the swapped-out tree), and the coverage guard must not demand
     // text for documents being deleted
-    val keptIds = excludeTombstoned(spark, indexPath,
+    val keptIds = excludeTombstoned(spark, concrete,
         spark.read.option("recursiveFileLookup", "true")
-          .parquet(indexPath).select(col("doc_id")).distinct())
+          .parquet(concrete).select(col("doc_id")).distinct())
       .localCheckpoint(true)
     val kept = keptIds.count()
     val src = docs.select(id.as("doc_id"), text.as("txt"))
@@ -369,12 +374,13 @@ object Dedup {
     // size from the standing tree's bytes (same-rows-similar-encoding
     // approximation, the compactTree sizing rule)
     val n = math.max(1L,
-      (Fs.dataBytes(indexPath) + targetFileBytes - 1) / targetFileBytes).toInt
-    Fs.stagedSwap(indexPath) { staged =>
+      (Fs.dataBytes(concrete) + targetFileBytes - 1) / targetFileBytes).toInt
+    def writeRebuilt(dst: String): Unit =
       nearDupIndex(covered, col("doc_id"), col("txt"), shingleN, k, rowsPerBand)
         .repartition(n)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
-    }
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
+    if (gen.isDefined) { Fs.publishGeneration(indexPath)(writeRebuilt); () }
+    else Fs.stagedSwap(indexPath)(writeRebuilt)
     n
   }
 
@@ -428,19 +434,28 @@ object Dedup {
     * concurrently with one. Returns the rewritten file count. */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetFileBytes: Long = 128L << 20): Int = {
-    Upsert.recoverStagedSwap(indexPath)
-    require(Fs.isDirectory(indexPath), s"no near-dup index tree at $indexPath")
-    val kept = excludeTombstoned(spark, indexPath,
-      spark.read.option("recursiveFileLookup", "true").parquet(indexPath))
+    // POINTER-COMMITTED root: read the CURRENT generation (a recursive
+    // read of the root would union every gen-* dir, resurrecting
+    // superseded docs) including ITS tombstones, and commit the fold as
+    // a NEW generation + pointer flip ([[Fs.publishGeneration]]) — a
+    // directory swap under the root would destroy the generational
+    // layout readers are holding. Plain dirs keep the staged swap.
+    val gen = Fs.currentGeneration(indexPath)
+    val concrete = gen.getOrElse(indexPath)
+    if (gen.isEmpty) Upsert.recoverStagedSwap(indexPath)
+    require(Fs.isDirectory(concrete), s"no near-dup index tree at $concrete")
+    val kept = excludeTombstoned(spark, concrete,
+      spark.read.option("recursiveFileLookup", "true").parquet(concrete))
     require(!kept.isEmpty,
-      s"compacting $indexPath would delete every remaining document — " +
+      s"compacting $concrete would delete every remaining document — " +
         "an empty index admits everything; rebuild or reseed instead")
     val n = math.max(1L,
-      (Fs.dataBytes(indexPath) + targetFileBytes - 1) / targetFileBytes).toInt
-    Fs.stagedSwap(indexPath) { staged =>
+      (Fs.dataBytes(concrete) + targetFileBytes - 1) / targetFileBytes).toInt
+    def writeKept(dst: String): Unit =
       kept.repartition(n)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
-    }
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
+    if (gen.isDefined) { Fs.publishGeneration(indexPath)(writeKept); () }
+    else Fs.stagedSwap(indexPath)(writeKept)
     n
   }
 

@@ -912,11 +912,20 @@ object Similarity {
     * bounded driver-side half of every probe/append/ingest. Accepts a
     * pointer-committed root or a concrete generation/plain dir. */
   private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"${resolveArtifact(indexPath)}/centroids")
+      indexPath: String): Seq[Seq[Double]] = {
+    val p = s"${resolveArtifact(indexPath)}/centroids"
+    // existence-check BEFORE the read: a missing/non-artifact path would
+    // otherwise surface as an AnalysisException from the parquet scan,
+    // and every caller's own "not an artifact" diagnostic (ProbeStream,
+    // AnnIngest) would never be reached
+    require(Fs.exists(p),
+      s"no centroid table at $p — not a writeIvfFlatIndex/writeIvfPqIndex " +
+        "artifact (or a pointer root whose current generation lacks one)")
+    spark.read.parquet(p)
       .orderBy(col("cell"))
       .collect().map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
       .toSeq
+  }
 
   /** Append a NEW batch of vectors into a standing [[writeIvfFlatIndex]]
     * artifact — the ingest shape for retrieval: assignments are computed
@@ -1030,10 +1039,18 @@ object Similarity {
       indexPath: String, targetFileBytes: Long = 128L << 20,
       streamedSubdir: String = "assignments_stream",
       recursiveStreamed: Boolean = false): Unit = {
-    val assignments = s"$indexPath/assignments"
-    Upsert.recoverStagedSwap(assignments)
-    val streamedPath = s"$indexPath/$streamedSubdir"
-    val tombPath = s"$indexPath/${Fs.TombstonesSubdir}"
+    // POINTER-COMMITTED root: fold FROM the current generation (a read
+    // of the root itself would miss gen-local tombstones and streamed
+    // rows) and commit the result as a NEW generation via
+    // [[Fs.publishGeneration]] — swapping directories inside a
+    // published generation would mutate immutable history under
+    // readers. Plain roots keep the in-place staged swap.
+    val gen = Fs.currentGeneration(indexPath)
+    val concrete = gen.getOrElse(indexPath)
+    val assignments = s"$concrete/assignments"
+    if (gen.isEmpty) Upsert.recoverStagedSwap(assignments)
+    val streamedPath = s"$concrete/$streamedSubdir"
+    val tombPath = s"$concrete/${Fs.TombstonesSubdir}"
     val hasStreamed = Fs.exists(streamedPath)
     val hasTomb = Fs.exists(tombPath)
     if (!hasStreamed && !hasTomb) return
@@ -1068,16 +1085,38 @@ object Similarity {
     // repartition BY cell: each cell's rows land in one task, so the
     // compacted layout is ~one file per (cell, 128MB) — not n files
     // per cell from a round-robin split
-    Fs.stagedSwap(assignments) { staged =>
+    def writeKept(dst: String): Unit =
       kept.repartition(n, col("cell"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("cell").parquet(staged)
+        .partitionBy("cell").parquet(dst)
+    gen match {
+      case Some(_) =>
+        // commit-by-pointer: the folded assignments land in a FRESH
+        // generation, every other subtable (centroids, hidden state)
+        // carries over verbatim, and the streamed + tombstone tables are
+        // folded — the superseded generation keeps its copies untouched
+        // (immutable history; pruneGenerations reclaims it)
+        Fs.publishGeneration(indexPath) { next =>
+          writeKept(s"$next/assignments")
+          Fs.listNames(concrete)
+            .filterNot(Set("assignments", streamedSubdir,
+              Fs.TombstonesSubdir).contains)
+            .foreach { e =>
+              if (!Fs.copyTree(s"$concrete/$e", s"$next/$e"))
+                throw new java.io.IOException(
+                  s"could not carry $e into generation $next")
+            }
+        }
+        ()
+      case None =>
+        Fs.stagedSwap(assignments)(writeKept)
+        // dropped AFTER the swap: a crash between the swap and these
+        // deletes leaves tables whose rows the next compaction (or any
+        // probe) re-applies idempotently — dedup and anti-join are
+        // set-semantics
+        Fs.rmTree(streamedPath)
+        Fs.rmTree(tombPath)
     }
-    // dropped AFTER the swap: a crash between the swap and these deletes
-    // leaves tables whose rows the next compaction (or any probe)
-    // re-applies idempotently — dedup and anti-join are set-semantics
-    Fs.rmTree(streamedPath)
-    Fs.rmTree(tombPath)
   }
 
   /** DELETE vectors from a standing ANN index artifact — the missing
@@ -1114,25 +1153,45 @@ object Similarity {
     * tombstones (the PQ artifact has no streaming ingest to fold). */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetFileBytes: Long = 128L << 20): Unit = {
-    val codes = s"$indexPath/codes"
-    Upsert.recoverStagedSwap(codes)
-    val tombPath = s"$indexPath/${Fs.TombstonesSubdir}"
+    // pointer-committed roots fold from the current generation and
+    // publish a new one — [[compactIvfFlatIndex]]'s contract for the
+    // compressed layout
+    val gen = Fs.currentGeneration(indexPath)
+    val concrete = gen.getOrElse(indexPath)
+    val codes = s"$concrete/codes"
+    if (gen.isEmpty) Upsert.recoverStagedSwap(codes)
+    val tombPath = s"$concrete/${Fs.TombstonesSubdir}"
     if (!Fs.exists(tombPath)) return
     val kept = spark.read.parquet(codes)
       .select(col("vec_id"), col("codes"), col("recon_norm"), col("cell"))
       .join(spark.read.parquet(tombPath).select(col("vec_id")),
         Seq("vec_id"), "left_anti")
     require(!kept.isEmpty,
-      s"compacting $indexPath would delete every remaining vector — an " +
+      s"compacting $concrete would delete every remaining vector — an " +
         "empty codes table cannot be probed; rebuild the index instead")
     val bytes = math.max(1L, Fs.dataBytes(codes))
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    Fs.stagedSwap(codes) { staged =>
+    def writeKept(dst: String): Unit =
       kept.repartition(n, col("cell"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("cell").parquet(staged)
+        .partitionBy("cell").parquet(dst)
+    gen match {
+      case Some(_) =>
+        Fs.publishGeneration(indexPath) { next =>
+          writeKept(s"$next/codes")
+          Fs.listNames(concrete)
+            .filterNot(Set("codes", Fs.TombstonesSubdir).contains)
+            .foreach { e =>
+              if (!Fs.copyTree(s"$concrete/$e", s"$next/$e"))
+                throw new java.io.IOException(
+                  s"could not carry $e into generation $next")
+            }
+        }
+        ()
+      case None =>
+        Fs.stagedSwap(codes)(writeKept)
+        Fs.rmTree(tombPath)
     }
-    Fs.rmTree(tombPath)
   }
 
   /** The MATERIALIZABLE IVF-PQ index — [[writeIvfFlatIndex]]'s artifact

@@ -109,6 +109,93 @@ class GenerationsSpec extends SparkSpecBase {
     rows(root) shouldBe masked
   }
 
+  test("compactIvfFlatIndex on a pointer root publishes a NEW generation: tombstones folded physically, pointer flipped, history immutable") {
+    val rnd = new Random(11)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val corpus = cluster(1f, 20, 0L) ++ cluster(-1f, 20, 100L)
+    val queries = vecDF(Seq((900L, Seq.fill(8)(1.002f)), (901L, Seq.fill(8)(-1.002f))))
+    val root = Files.createTempDirectory("graft_genfold_").toString + "/ix"
+    val g1 = Fs.publishGeneration(root)(p =>
+      Similarity.writeIvfFlatIndex(vecDF(corpus), nLists = 4, p))
+    def rows(path: String) = Similarity.ivfFlatProbe(queries, path, 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "rnk")
+      .orderBy("query_id", "rnk").collect().toSeq
+    val dead = corpus.map(_._1).filter(_ % 5 == 0)
+    Similarity.deleteFromAnnIndex(dead.toDF("vec_id"), root)
+    val masked = rows(root)
+    Similarity.compactIvfFlatIndex(spark, root)
+    // the fold landed as gen-2 and the pointer flipped to it
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-2")
+    // the delete is now PHYSICAL: no tombstone table in the new
+    // generation, centroids carried over, answers unchanged
+    Fs.exists(s"$root/gen-2/${Fs.TombstonesSubdir}") shouldBe false
+    Fs.exists(s"$root/gen-2/centroids") shouldBe true
+    rows(root) shouldBe masked
+    // the superseded generation is untouched history (readers holding
+    // it still see their consistent view, tombstones included)
+    Fs.exists(s"$g1/${Fs.TombstonesSubdir}") shouldBe true
+    rows(g1) shouldBe masked
+  }
+
+  test("compactIvfPqIndex on a pointer root publishes a new generation with codebooks carried") {
+    val rnd = new Random(13)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val corpus = cluster(1f, 24, 0L) ++ cluster(-1f, 24, 100L)
+    val queries = vecDF(Seq((900L, Seq.fill(8)(1.002f))))
+    val root = Files.createTempDirectory("graft_genpq_").toString + "/ix"
+    Fs.publishGeneration(root)(p =>
+      Similarity.writeIvfPqIndex(vecDF(corpus), nLists = 4, m = 4,
+        codewords = 8, path = p))
+    def rows(path: String) = Similarity.ivfPqProbe(queries, path, 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "rnk")
+      .orderBy("query_id", "rnk").collect().toSeq
+    val dead = corpus.map(_._1).filter(_ % 4 == 0)
+    Similarity.deleteFromAnnIndex(dead.toDF("vec_id"), root)
+    val masked = rows(root)
+    Similarity.compactIvfPqIndex(spark, root)
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-2")
+    Fs.exists(s"$root/gen-2/${Fs.TombstonesSubdir}") shouldBe false
+    Fs.exists(s"$root/gen-2/codebooks") shouldBe true
+    Fs.exists(s"$root/gen-2/centroids") shouldBe true
+    rows(root) shouldBe masked
+  }
+
+  test("near-dup compact/rebuild on a pointer root publish new generations and fold deletes") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "red green blue cyan magenta yellow"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_genndc_").toString + "/ndx"
+    val g1 = Fs.publishGeneration(root)(p =>
+      graft.operators.Dedup.nearDupIndex(docs, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(p))
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dup of doc 1
+      (11L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    def admit(path: String) = graft.operators.Dedup
+      .admitNewDocsWithIndex(incoming, path, col("doc_id"), col("text"),
+        threshold = 0.4)
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    graft.operators.Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), root)
+    admit(root) shouldBe Seq(10L, 11L) // masked via tombstone
+    // COMPACT on the pointer root: new generation, delete folded
+    graft.operators.Dedup.compactNearDupIndex(spark, root)
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-2")
+    Fs.exists(s"$root/gen-2/${Fs.TombstonesSubdir}") shouldBe false
+    admit(root) shouldBe Seq(10L, 11L)
+    Fs.exists(s"$g1/${Fs.TombstonesSubdir}") shouldBe true // history intact
+    // REBUILD (re-parameterize) on the pointer root: another generation
+    graft.operators.Dedup.rebuildNearDupIndex(
+      docs.filter(col("doc_id") =!= 1L), root, col("doc_id"), col("text"),
+      shingleN = 3, k = 16, rowsPerBand = 4)
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-3")
+    admit(root) shouldBe Seq(10L, 11L)
+  }
+
   test("near-dup admission accepts a pointer root: probe resolves the current generation, deletes land in it") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
