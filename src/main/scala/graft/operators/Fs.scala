@@ -82,44 +82,77 @@ object Fs {
 
   /** Atomically REPLACE the file at `dst` with the file at `src` — the
     * pointer-flip primitive. Unlike [[rename]], an existing destination
-    * is overwritten in ONE metadata operation, so a concurrent reader
-    * observes the old file or the new, never a missing one. Local paths
-    * go through java.nio `ATOMIC_MOVE` (POSIX rename(2) overwrites
-    * atomically — the Hadoop local-FS shim would degrade OVERWRITE to
-    * delete-then-rename, reintroducing the no-file window this exists
-    * to close); every other scheme goes through
-    * `FileContext.rename(OVERWRITE)`, which HDFS implements as a single
-    * atomic namespace op and object stores as one small-object PUT
-    * (atomic replace) plus a delete of the source — in no case is `dst`
-    * ever absent. Files only: directory swaps stay on the
-    * [[stagedSwap]] discipline. */
+    * is overwritten in ONE operation, so a concurrent reader observes
+    * the old file or the new, never a missing one. Dispatch is on the
+    * RESOLVED filesystem, not the raw URI scheme — a scheme-less path
+    * (the norm on clusters, where `fs.defaultFS` names the store)
+    * resolves to whatever `fs.defaultFS` says, exactly like every other
+    * helper here; branching on the path's own scheme would treat it as
+    * local and move an unrelated local file (or throw
+    * NoSuchFileException) on HDFS-default deployments.
+    *
+    * Local filesystems go through java.nio `ATOMIC_MOVE` (POSIX
+    * rename(2) overwrites atomically — the Hadoop local-FS shim would
+    * degrade OVERWRITE to delete-then-rename, reintroducing the no-file
+    * window this exists to close). HDFS goes through
+    * `FileContext.rename(OVERWRITE)`, a single atomic namespace op.
+    * Object stores (s3a/gs…) ship no `AbstractFileSystem` binding, so
+    * `FileContext.getFileContext` throws `UnsupportedFileSystemException`
+    * there — the fallback rewrites `dst` via `fs.create(overwrite)`:
+    * one small-object PUT, which every store implements as an atomic
+    * replace (readers see the old object or the new, never none), then
+    * deletes `src`. Files only — and SMALL files only, the fallback
+    * buffers the content (the pointer file is tens of bytes); directory
+    * swaps stay on the [[stagedSwap]] discipline. */
   def renameOverwrite(src: String, dst: String): Unit = {
-    val s = new Path(src)
-    val scheme = s.toUri.getScheme
-    if (scheme == null || scheme == "file") {
+    val (fs, s) = resolve(src)
+    if (fs.getScheme == "file") {
       java.nio.file.Files.move(
-        java.nio.file.Paths.get(new Path(src).toUri.getPath),
-        java.nio.file.Paths.get(new Path(dst).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(s).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(new Path(dst)).toUri.getPath),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ()
     } else {
-      val fc = FileContext.getFileContext(s.toUri, conf)
-      fc.rename(s, new Path(dst), Options.Rename.OVERWRITE)
+      try {
+        val fc = FileContext.getFileContext(fs.getUri, conf)
+        fc.rename(fs.makeQualified(s), fs.makeQualified(new Path(dst)),
+          Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no FileContext binding (object stores): a create-overwrite
+          // of dst is one PUT — atomic replace on every store
+          val bytes = {
+            val in = fs.open(s)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val b = new Array[Byte](8192)
+              var n = in.read(b)
+              while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+              buf.toByteArray
+            } finally in.close()
+          }
+          val out = fs.create(new Path(dst), true)
+          try out.write(bytes) finally out.close()
+          fs.delete(s, false)
+          ()
+      }
     }
   }
 
   /** Recursive copy `src` → `dst` (same filesystem), refusing an
-    * existing destination — the carry primitive [[stagedSwap]] uses for
-    * `keepSubdirs`: copying (not moving) means the ORIGINAL never
-    * leaves the old tree until the swap's final rename commits, so a
-    * crash at any point in the carry loses nothing. Returns false on
-    * refusal or filesystem failure. */
+    * existing destination. `FileUtil.copy` signals most real failures
+    * by THROWING IOException rather than returning false — callers
+    * branch on the boolean to run their restore path, so the throw is
+    * folded into the return value here (false on any failure), never
+    * propagated past the restore. */
   def copyTree(src: String, dst: String): Boolean = {
     val (fs, s) = resolve(src)
     val d = new Path(dst)
     if (fs.exists(d)) false
-    else FileUtil.copy(fs, s, fs, d, /*deleteSource=*/ false, conf)
+    else
+      try FileUtil.copy(fs, s, fs, d, /*deleteSource=*/ false, conf)
+      catch { case _: java.io.IOException => false }
   }
 
   /** Data bytes in the tree at `path`: recursive, skipping `_`/`.`-
@@ -259,18 +292,48 @@ object Fs {
         n.drop(GenPrefix.length).toLong
     }
 
+  /** Carry journal for [[stagedSwap]]'s `keepSubdirs`: a sibling file
+    * (`<path>__carry`) written just before the carry moves entries out
+    * of `__old` into `__staged`, naming them one per line — the record
+    * [[recoverStagedSwap]] needs to move them BACK before restoring
+    * `__old`, so the carry can be a cheap rename instead of a data
+    * copy without a mid-carry crash stranding moved entries in
+    * `__staged` (where the next call's scratch-clear would destroy
+    * them). Removed when the swap commits or restores. */
+  private def carryJournal(path: String): String = path + "__carry"
+
+  /** Move journaled carry entries back from `__staged` into `__old` —
+    * the undo of a partial carry, shared by [[recoverStagedSwap]] and
+    * [[stagedSwap]]'s inline failure restore. Entries that never moved
+    * (absent from `__staged`, or already present in `__old`) are
+    * skipped; idempotent. */
+  private def unCarry(path: String): Unit =
+    readText(carryJournal(path)).foreach { txt =>
+      txt.linesIterator.filter(_.nonEmpty).foreach { name =>
+        if (exists(s"${path}__staged/$name") && !exists(s"${path}__old/$name"))
+          if (!rename(s"${path}__staged/$name", s"${path}__old/$name"))
+            throw new java.io.IOException(
+              s"could not restore carried $name into ${path}__old")
+      }
+    }
+
   /** Crash recovery for a staged swap at `path`: a previous swap may have
     * died between its two renames. target missing + `__old` present =
-    * died between the renames → the old table is the only copy; restore
-    * it. target present + `__old` present = died after the swap → `__old`
-    * is garbage (left for the next swap to clear). Idempotent. Any caller
-    * that READS the table before swapping (sizing a rewrite) must run
-    * this first, or a recoverable table looks missing. */
+    * died between the renames → the old table is the only copy; if a
+    * carry journal stands, first move the journaled entries back out of
+    * `__staged` (a mid-carry crash left them there — restoring `__old`
+    * without them would lose lifecycle state like `_tombstones`), then
+    * restore. target present + `__old` present = died after the swap →
+    * `__old` is garbage (left for the next swap to clear). Idempotent.
+    * Any caller that READS the table before swapping (sizing a rewrite)
+    * must run this first, or a recoverable table looks missing. */
   def recoverStagedSwap(path: String): Unit =
     if (!exists(path) && exists(path + "__old")) {
+      unCarry(path)
       if (!rename(path + "__old", path))
         throw new java.io.IOException(
           s"could not recover $path from ${path}__old")
+      rmTree(carryJournal(path))
     }
 
   /** The staged write-swap discipline, shared by every artifact rewrite
@@ -282,18 +345,21 @@ object Fs {
     * or is repaired by the next call's recovery; the table is only ever
     * one complete generation or the other.
     *
-    * `keepSubdirs` entries that exist in the old tree are COPIED into
+    * `keepSubdirs` entries that exist in the old tree are MOVED into
     * the staged tree between the two renames (the
     * [[Maintenance.compactTree]] mid-stream contract: the current
     * micro-batch's own subdir must survive a fold without being
-    * folded). Copied, not moved: the originals stay inside `__old`
-    * until the final rename commits, so a crash anywhere in the carry —
-    * or a mid-carry failure's restore of `__old` — loses nothing; the
-    * next call's recovery restores a COMPLETE old tree, and its
-    * `rmTree(__staged)` only ever discards copies. (A moved carry left
+    * folded). Moved under a journal, not copied: a [[carryJournal]]
+    * naming the carried entries is written before the first move, so a
+    * crash anywhere in the carry is undone by the next call's recovery
+    * ([[recoverStagedSwap]] moves the journaled entries back out of
+    * `__staged` before restoring `__old` — the complete old tree, with
+    * no data ever copied). An UNjournaled moved carry left
     * already-moved subdirs stranded in `__staged`, where the next
     * call's scratch-clear silently destroyed them — un-deleting
-    * takedowns when the carried entry was `_tombstones`.) `write`
+    * takedowns when the carried entry was `_tombstones`; a copied
+    * carry was safe but paid a data copy of every carried subdir per
+    * swap — per MICRO-BATCH in the streaming admission loops. `write`
     * receives the staged path and must fully materialize the new
     * generation there.
     *
@@ -306,20 +372,30 @@ object Fs {
     recoverStagedSwap(path)
     rmTree(staged)
     rmTree(old)
+    rmTree(carryJournal(path)) // stale journal from a died-after-swap call
     write(staged)
     val hadTarget = exists(path)
+    if (hadTarget && keepSubdirs.nonEmpty)
+      writeText(carryJournal(path), keepSubdirs.mkString("\n"))
     if (hadTarget && !rename(path, old))
       throw new java.io.IOException(s"could not stage out $path")
+    def restoreOld(): Unit = {
+      unCarry(path)
+      rename(old, path)
+      rmTree(carryJournal(path))
+      ()
+    }
     if (hadTarget) keepSubdirs.foreach { name =>
-      if (exists(s"$old/$name") && !copyTree(s"$old/$name", s"$staged/$name")) {
-        rename(old, path)
+      if (exists(s"$old/$name") && !rename(s"$old/$name", s"$staged/$name")) {
+        restoreOld()
         throw new java.io.IOException(s"could not carry $name over in $path")
       }
     }
     if (!rename(staged, path)) {
-      if (hadTarget) rename(old, path)
+      if (hadTarget) restoreOld()
       throw new java.io.IOException(s"could not swap $path")
     }
     rmTree(old)
+    rmTree(carryJournal(path))
   }
 }

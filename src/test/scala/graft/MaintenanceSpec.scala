@@ -47,30 +47,49 @@ class MaintenanceSpec extends SparkSpecBase {
       .as[Long].collect().toSet shouldBe Set(3L, 7L)
   }
 
-  test("a crash mid-carry never loses carried state: __old stays complete, recovery restores tombstones, scratch-clear only drops copies") {
+  test("a crash mid-carry never loses carried state: recovery un-carries journaled moves, restores tombstones intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ctree_crash_").toString
     val path = s"$dir/ix"
     (1L to 50L).map(i => (i, s"a_$i")).toDF("doc_id", "payload")
       .write.parquet(s"$path/seed")
     Seq(3L, 7L).toDF("doc_id").write.parquet(s"$path/_tombstones")
     // simulate a fold that died BETWEEN the stage-out rename and the
-    // final swap, mid-carry: the old tree is at __old (complete — the
-    // carry COPIES, so `_tombstones`' original never left it) and the
-    // staged tree holds the new data plus the already-copied subdir
+    // final swap, mid-carry: `_tombstones` has already MOVED from __old
+    // into __staged under the carry journal — restoring __old without
+    // un-carrying would lose the takedowns to the next scratch-clear
     new java.io.File(path).renameTo(new java.io.File(path + "__old")) shouldBe true
     (1L to 50L).map(i => (i, s"a_$i")).toDF("doc_id", "payload")
       .write.parquet(path + "__staged")
-    Seq(3L, 7L).toDF("doc_id").write.parquet(path + "__staged/_tombstones")
-    // recovery restores the COMPLETE old tree — takedowns intact...
+    graft.operators.Fs.writeText(path + "__carry", "_tombstones")
+    new java.io.File(path + "__old/_tombstones")
+      .renameTo(new java.io.File(path + "__staged/_tombstones")) shouldBe true
+    // recovery moves the journaled entry back, restores the COMPLETE
+    // old tree — takedowns intact...
     graft.operators.Fs.recoverStagedSwap(path)
     spark.read.parquet(s"$path/_tombstones")
       .as[Long].collect().toSet shouldBe Set(3L, 7L)
-    // ...and the next fold (whose scratch-clear discards only the
-    // stranded COPIES) still carries them across its own swap
+    new java.io.File(path + "__carry").exists() shouldBe false
+    // ...and the next fold still carries them across its own swap
     Maintenance.compactTree(spark, path, targetFileBytes = 1L << 30) shouldBe 1
     spark.read.parquet(s"$path/_tombstones")
       .as[Long].collect().toSet shouldBe Set(3L, 7L)
     spark.read.parquet(path).count() shouldBe 50L
+  }
+
+  test("a crash before any carry move (journal written, entries still in __old) recovers the complete tree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctree_crash0_").toString
+    val path = s"$dir/ix"
+    (1L to 50L).map(i => (i, s"a_$i")).toDF("doc_id", "payload")
+      .write.parquet(s"$path/seed")
+    Seq(3L, 7L).toDF("doc_id").write.parquet(s"$path/_tombstones")
+    new java.io.File(path).renameTo(new java.io.File(path + "__old")) shouldBe true
+    (1L to 50L).map(i => (i, s"a_$i")).toDF("doc_id", "payload")
+      .write.parquet(path + "__staged")
+    graft.operators.Fs.writeText(path + "__carry", "_tombstones")
+    graft.operators.Fs.recoverStagedSwap(path)
+    spark.read.parquet(s"$path/_tombstones")
+      .as[Long].collect().toSet shouldBe Set(3L, 7L)
+    spark.read.parquet(s"$path/seed").count() shouldBe 50L
   }
 
   test("compact recovers a table stranded mid-swap before reading it") {
