@@ -176,7 +176,16 @@ object BenchScale {
       // the streaming card: per-batch fold cost is batch-scan +
       // sources-sized merge — linear in data by design, recorded to
       // show the state (not the cost) is what stays bounded
-      "q135_streaming_dataset_card")
+      "q135_streaming_dataset_card",
+      // the DELETE lifecycle at scale (r15 queue item 5): a 10%
+      // tombstone load on the 10× standing artifacts — the "anti-join
+      // over an already-pruned left side" claim measured, not argued.
+      // Expected: q139 ≈ q120 (same probe, plus a tombstone-table
+      // anti-join on the pruned candidate rows) and q140 ≈ q109 (same
+      // admission, minus the deleted fifth of the index side), at BOTH
+      // scales — the tombstone table is O(|deleted|), never corpus-
+      // sized, so the delta must not grow with the corpus
+      "q139_delete_probe", "q140_delete_admit")
 
     // ---- standing ANN artifacts per (kind, dir), built once ----
     val ixRoots = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
@@ -210,7 +219,37 @@ object BenchScale {
               .write.mode("overwrite").partitionBy("cell")
               .parquet(s"$ix/assignments_stream")
             operators.Similarity.compactIvfFlatIndex(spark, ix)
+          case "flat_deleted" =>
+            // q139's standing state: the flat artifact with a 10%
+            // takedown load tombstoned (O(|deleted|) id rows appended —
+            // index data untouched); the timed run is the masked probe
+            operators.Similarity.writeIvfFlatIndex(e, nLists, ix)
+            operators.Similarity.deleteFromAnnIndex(
+              e.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+                .coalesce(1), ix)
         }
+        ix
+      })
+
+    // ---- standing near-dup index + tombstones per dir, built once ----
+    // q140's standing state at scale: the q109 signature index (same
+    // parameters as SparkEntry.standingIndex) with a fifth of the
+    // standing corpus tombstoned; the timed run is the masked admission
+    val nearDupDeletedCache = scala.collection.mutable.Map.empty[String, String]
+    def nearDupDeletedArtifact(dir: String): String =
+      nearDupDeletedCache.getOrElseUpdate(dir, {
+        val docs = sources.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+        val root = java.nio.file.Files.createTempDirectory("graft_scale_ndix_")
+        ixRoots += root.toFile
+        val ix = root.resolve("ix").toString
+        operators.Dedup.nearDupIndex(docs.filter(!isNew), col("doc_id"),
+            col("text"), shingleN = 3, k = 8, rowsPerBand = 2)
+          .write.mode("overwrite").parquet(ix)
+        operators.Dedup.deleteFromNearDupIndex(
+          docs.filter(!isNew && col("doc_id") % 5 === 2)
+            .select(col("doc_id")).coalesce(1), ix)
         ix
       })
     def annQueries(dir: String) =
@@ -255,6 +294,16 @@ object BenchScale {
       case "q138_compacted_index_probe" =>
         operators.Similarity.ivfFlatProbe(annQueries(dir),
           annArtifact("compacted", dir), 10, nProbe = 2).count(); ()
+      case "q139_delete_probe" =>
+        operators.Similarity.ivfFlatProbe(annQueries(dir),
+          annArtifact("flat_deleted", dir), 10, nProbe = 2).count(); ()
+      case "q140_delete_admit" =>
+        val docs = sources.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+        operators.Dedup.admitNewDocsWithIndex(docs.filter(isNew),
+          nearDupDeletedArtifact(dir), col("doc_id"), col("text"), 0.4)
+          .count(); ()
       case _ => SparkEntry.queries(n)(spark, dir).count(); ()
     }
 
@@ -264,7 +313,8 @@ object BenchScale {
     // ≈ |distinct probed cells| at every corpus size when pruning holds,
     // ∝ nLists when it doesn't.
     val probeQueries = Set("q120_ann_index_probe", "q133_trained_index_probe",
-      "q134_pq_index_probe", "q138_compacted_index_probe")
+      "q134_pq_index_probe", "q138_compacted_index_probe",
+      "q139_delete_probe")
     def partitionsRead(n: String, dir: String): Long = {
       import org.apache.spark.sql.execution.FileSourceScanExec
       def scans(p: org.apache.spark.sql.execution.SparkPlan)
@@ -339,7 +389,7 @@ object BenchScale {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_stress","replicas":$replicas,"base":"$sfDir",""" +
-        s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim; q127 runs nCells=64 base / 64x$replicas scaled, q129 nCells=8 base / 8x$replicas scaled, and the ANN artifact probes (q120/q133/q134/q138) build their standing indexes at nLists=8 base / 8x$replicas scaled (cells are the per-cell-population deployment knob); parts_* = cell partitions actually read by the probe's artifact scans",""" +
+        s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim; q127 runs nCells=64 base / 64x$replicas scaled, q129 nCells=8 base / 8x$replicas scaled, and the ANN artifact probes (q120/q133/q134/q138/q139) build their standing indexes at nLists=8 base / 8x$replicas scaled (cells are the per-cell-population deployment knob); parts_* = cell partitions actually read by the probe's artifact scans; q139 = q120's probe with vec_id%10=7 tombstoned (compare to q120: the tombstone anti-join delta must not grow with the corpus), q140 = q109's admission with standing doc_id%5=2 tombstoned (compare to q109)",""" +
         s""""queries":$qs}"""
     println(line)
     val artifact = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")

@@ -2844,6 +2844,10 @@ private[graft] object Oracles {
     // are a lossless persistence of the fit) — q144's oracle verbatim,
     // the q120 ≡ q49 discipline for the selection stack
     "q146_dsir_artifact_selection" -> q144OracleSql,
+    // q150: the streamed raw-model fold is exact (additive integer
+    // counts over disjoint micro-batches), so streamed-fit selection ≡
+    // the one-pass batch fit — q144's oracle unchanged
+    "q150_streaming_dsir_model" -> q144OracleSql,
     // q147: cluster-balanced diversity sample — q133's trained-centroid
     // assignment CTEs (ctr2 = the two quantized Lloyd rounds) give the
     // strata; the quota window is q85's md5-rank pick per cell
@@ -2873,6 +2877,16 @@ private[graft] object Oracles {
     // folds the streamed table without changing one probe result) —
     // same oracle as the append and streaming-ingest paths
     "q138_compacted_index_probe" -> q121OracleSql,
+    // q148: the generational pointer-root lifecycle lands the same
+    // admitted set as q140's plain-dir delete (publish→delete→compact→
+    // prune→probe — pointer root ≡ concrete generation at every verb,
+    // and the physical fold changes no probe result)
+    "q148_generation_lifecycle" ->
+      incrementalAdmitSql("(o.doc_id % 5) <> 2"),
+    // q149: same chain on the ANN artifact — q139's oracle (the index
+    // rebuilt without the deleted rows under the same frozen quantizer)
+    "q149_ann_generation_lifecycle" ->
+      ivfFlatRetrievalSql("(c.vec_id % 10) <> 7"),
     // q122: streaming ingest lands the same final index state as q121's
     // batch append — same oracle (streaming ≡ batch, hash-checked)
     "q122_streaming_ann_ingest" -> q121OracleSql,

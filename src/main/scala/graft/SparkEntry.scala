@@ -2828,6 +2828,117 @@ object SparkEntry {
       .select(col("cell"), col("vec_id"), col("__rank").as("rk"))
       .orderBy(col("cell"), col("rk"))
 
+  /** q148 — the GENERATIONAL (commit-by-pointer) near-dup index
+    * lifecycle end to end on the hash-checked surface: the standing
+    * signature index publishes as `gen-1` under a pointer root
+    * (Fs.publishGeneration — the object-store deployment layout, where
+    * directory renames are not atomic and every artifact mutation is an
+    * immutable new generation + one pointer PUT), a takedown batch
+    * tombstones a fifth of the standing corpus INTO the current
+    * generation (replayed — set semantics), compaction folds the
+    * deletes physically and publishes `gen-2` with the pointer flipped,
+    * pruneGenerations reclaims the superseded `gen-1`, and the q109
+    * admission batch probes the pointer root. Pointer root ≡ concrete
+    * generation at every verb (GenerationsSpec pins the equivalence;
+    * THIS entry puts the whole publish→delete→compact→prune→probe chain
+    * under the driver's DuckDB hash check). Oracle = q140's: the
+    * admission SQL with the deleted docs dropped from the index side. */
+  def q148GenerationLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q148_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    operators.Fs.publishGeneration(ix) { gen =>
+      linkTree(java.nio.file.Paths.get(standingIndex(s, dir)),
+        java.nio.file.Paths.get(gen))
+    }
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    val deleted = docs.filter(!isNew && col("doc_id") % 5 === 2)
+      .select(col("doc_id")).coalesce(1)
+    operators.Dedup.deleteFromNearDupIndex(deleted, ix)
+    operators.Dedup.deleteFromNearDupIndex(deleted, ix) // replayed takedown
+    operators.Dedup.compactNearDupIndex(s, ix) // folds deletes → gen-2 + flip
+    operators.Fs.pruneGenerations(ix, keep = 0) // reclaims gen-1
+    val res = operators.Dedup.admitNewDocsWithIndex(
+        docs.filter(isNew), ix, col("doc_id"), col("text"), 0.4)
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
+  /** q149 — the generational lifecycle for the ANN artifact family
+    * (q148's chain on the IVF-flat index): standing index published as
+    * `gen-1` under a pointer root, a tombstoned takedown batch
+    * (replayed), compactIvfFlatIndex folds the deletes and publishes
+    * `gen-2` with centroids carried and the pointer flipped,
+    * pruneGenerations reclaims `gen-1`, and the probe retrieves from
+    * the pointer root with partition pruning intact. Oracle = q139's:
+    * the retrieval SQL with the deleted rows dropped from the
+    * candidate set under the same frozen quantizer. */
+  def q149AnnGenerationLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q149_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    operators.Fs.publishGeneration(ix) { gen =>
+      linkTree(java.nio.file.Paths.get(standingAnnIndex(s, dir)),
+        java.nio.file.Paths.get(gen))
+    }
+    val deleted = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+      .coalesce(1)
+    operators.Similarity.deleteFromAnnIndex(deleted, ix)
+    operators.Similarity.deleteFromAnnIndex(deleted, ix) // replayed takedown
+    operators.Similarity.compactIvfFlatIndex(s, ix) // fold → gen-2 + flip
+    operators.Fs.pruneGenerations(ix, keep = 0) // reclaims gen-1
+    val res = operators.Similarity.ivfFlatProbe(
+        t(s, dir, "embeddings").filter(col("vec_id") < 5), ix,
+        10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
+  /** q150 — STREAMING DSIR model maintenance (ModelStream
+    * .runModelStream): the raw corpus lands as two mod-time-ordered
+    * files, one micro-batch each; every batch's hashed-n-gram counts
+    * fold additively into the standing raw-model artifact (bounded at
+    * ≤ 2·nBuckets rows however large the corpus — the CMS/card state
+    * discipline applied to the selection stack), and the DSIR pass then
+    * selects against the STREAMED raw model + the batch-fitted target
+    * model. The counts are sums over disjoint batches, so streamed fit
+    * ≡ one-pass batch fit EXACTLY — the oracle is q144's (the full
+    * chain in SQL), hash-checked. */
+  def q150StreamingDsirModel(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q150_")
+    root.toFile.deleteOnExit()
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    def land(df: DataFrame, name: String, mod: Long): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, landing.resolve(name))
+      landing.resolve(name).toFile.setLastModified(mod)
+      ()
+    }
+    land(docs.filter(col("doc_id") % 2 === 0), "a.parquet", 1000000L)
+    land(docs.filter(col("doc_id") % 2 =!= 0), "b.parquet", 2000000L)
+    val rawModel = root.resolve("raw_model").toString
+    streaming.ModelStream.runModelStream(s, landing.toString, rawModel,
+      nBuckets = 1024, maxFilesPerTrigger = Some(1))
+    val (tgt, _) = standingDsirModels(s, dir)
+    val res = operators.Selection.dsirWithModels(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        tgt, rawModel, k = 120, seed = 7L)
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -2975,7 +3086,10 @@ object SparkEntry {
     "q144_dsir_selection" -> (q144DsirSelection _),
     "q145_streaming_ann_probe" -> (q145StreamingAnnProbe _),
     "q146_dsir_artifact_selection" -> (q146DsirArtifactSelection _),
-    "q147_cluster_balanced_sample" -> (q147ClusterBalancedSample _)
+    "q147_cluster_balanced_sample" -> (q147ClusterBalancedSample _),
+    "q148_generation_lifecycle" -> (q148GenerationLifecycle _),
+    "q149_ann_generation_lifecycle" -> (q149AnnGenerationLifecycle _),
+    "q150_streaming_dsir_model" -> (q150StreamingDsirModel _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

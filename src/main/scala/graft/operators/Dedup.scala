@@ -334,7 +334,7 @@ object Dedup {
     * index, so the rebuild REQUIRES full coverage and throws otherwise. */
   def rebuildNearDupIndex(docs: DataFrame, indexPath: String, id: Column,
       text: Column, shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-      targetFileBytes: Long = 128L << 20): Int = {
+      targetFileBytes: Long = 128L << 20, retain: Option[Int] = None): Int = {
     val spark = docs.sparkSession
     // pointer-committed root: kept set comes from the CURRENT generation
     // (and its tombstones), and the rebuilt index publishes as a NEW
@@ -379,8 +379,10 @@ object Dedup {
       nearDupIndex(covered, col("doc_id"), col("txt"), shingleN, k, rowsPerBand)
         .repartition(n)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
-    if (gen.isDefined) { Fs.publishGeneration(indexPath)(writeRebuilt); () }
-    else Fs.stagedSwap(indexPath)(writeRebuilt)
+    if (gen.isDefined) {
+      Fs.publishGeneration(indexPath)(writeRebuilt)
+      retain.foreach(k2 => Fs.pruneGenerations(indexPath, k2))
+    } else Fs.stagedSwap(indexPath)(writeRebuilt)
     n
   }
 
@@ -412,12 +414,30 @@ object Dedup {
     else None
   }
 
+  /** The tombstone table resolved ONCE for a whole probe/ingest
+    * SESSION, pinned off its files — deletes are a between-sessions
+    * verb, so the table cannot change under a running session and
+    * re-resolving it per micro-batch is pure fixed cost (filesystem
+    * existence check + parquet footer reads per batch — the q116
+    * drift); the eager localCheckpoint also survives a mid-session
+    * [[Maintenance.compactTree]] swap relocating the table's files. */
+  private[graft] def sessionTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] =
+    tombstonesOf(spark, indexPath).map(_.localCheckpoint(true))
+
   /** Mask tombstoned doc_ids out of an index FRAME read from `indexPath`
     * — the probe-side half of [[deleteFromNearDupIndex]], shared with
     * the streaming admission loop. Identity when no tombstones stand. */
   private[graft] def excludeTombstoned(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, ix: DataFrame): DataFrame =
-    tombstonesOf(spark, indexPath) match {
+    excludeTombstoned(ix, tombstonesOf(spark, indexPath))
+
+  /** The pre-resolved form: mask `tombstones` (a [[sessionTombstones]]
+    * read) out of `ix`; identity when none stand. */
+  private[graft] def excludeTombstoned(ix: DataFrame,
+      tombstones: Option[DataFrame]): DataFrame =
+    tombstones match {
       case Some(tb) => ix.join(tb, Seq("doc_id"), "left_anti")
       case None => ix
     }
@@ -433,7 +453,8 @@ object Dedup {
     * in the same rename. Run between ingest sessions, never
     * concurrently with one. Returns the rewritten file count. */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, targetFileBytes: Long = 128L << 20): Int = {
+      indexPath: String, targetFileBytes: Long = 128L << 20,
+      retain: Option[Int] = None): Int = {
     // POINTER-COMMITTED root: read the CURRENT generation (a recursive
     // read of the root would union every gen-* dir, resurrecting
     // superseded docs) including ITS tombstones, and commit the fold as
@@ -454,8 +475,10 @@ object Dedup {
     def writeKept(dst: String): Unit =
       kept.repartition(n)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
-    if (gen.isDefined) { Fs.publishGeneration(indexPath)(writeKept); () }
-    else Fs.stagedSwap(indexPath)(writeKept)
+    if (gen.isDefined) {
+      Fs.publishGeneration(indexPath)(writeKept)
+      retain.foreach(k => Fs.pruneGenerations(indexPath, k))
+    } else Fs.stagedSwap(indexPath)(writeKept)
     n
   }
 

@@ -62,8 +62,11 @@ object Selection {
 
   /** The fit as a FRAME: non-zero (salt, bucket, cnt) cells, ≤ 2·nBuckets
     * rows whatever the corpus — the distributed half
-    * [[hashedNgramCounts]] collects and [[writeNgramModel]] persists. */
-  private def gramCells(docs: DataFrame, text: Column,
+    * [[hashedNgramCounts]] collects, [[writeNgramModel]] persists, and
+    * [[graft.streaming.ModelStream]] folds per micro-batch (the counts
+    * are ADDITIVE over disjoint corpora, so per-batch partials merge
+    * exactly like the CMS/card state). */
+  private[graft] def gramCells(docs: DataFrame, text: Column,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     docs

@@ -1038,7 +1038,8 @@ object Similarity {
   def compactIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetFileBytes: Long = 128L << 20,
       streamedSubdir: String = "assignments_stream",
-      recursiveStreamed: Boolean = false): Unit = {
+      recursiveStreamed: Boolean = false,
+      retain: Option[Int] = None): Unit = {
     // POINTER-COMMITTED root: fold FROM the current generation (a read
     // of the root itself would miss gen-local tombstones and streamed
     // rows) and commit the result as a NEW generation via
@@ -1107,7 +1108,12 @@ object Similarity {
                   s"could not carry $e into generation $next")
             }
         }
-        ()
+        // retention: each fold otherwise leaves the superseded
+        // generation (one full index copy) standing until someone
+        // prunes — at a compact-per-N-batches cadence that is one
+        // index copy of growth PER FOLD, so the ingest loops pass the
+        // policy here instead of relying on an out-of-band sweep
+        retain.foreach(k => Fs.pruneGenerations(indexPath, k))
       case None =>
         Fs.stagedSwap(assignments)(writeKept)
         // dropped AFTER the swap: a crash between the swap and these
@@ -1152,7 +1158,8 @@ object Similarity {
     * minus deleted vec_ids, tombstones dropped after. No-op without
     * tombstones (the PQ artifact has no streaming ingest to fold). */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, targetFileBytes: Long = 128L << 20): Unit = {
+      indexPath: String, targetFileBytes: Long = 128L << 20,
+      retain: Option[Int] = None): Unit = {
     // pointer-committed roots fold from the current generation and
     // publish a new one — [[compactIvfFlatIndex]]'s contract for the
     // compressed layout
@@ -1187,7 +1194,9 @@ object Similarity {
                   s"could not carry $e into generation $next")
             }
         }
-        ()
+        // same retention seam as [[compactIvfFlatIndex]]: without it
+        // every fold leaves a full superseded index copy standing
+        retain.foreach(k => Fs.pruneGenerations(indexPath, k))
       case None =>
         Fs.stagedSwap(codes)(writeKept)
         Fs.rmTree(tombPath)

@@ -63,7 +63,7 @@ object AdmissionStream {
     * keep `batch-<id>` only for id < excludeBatchId; non-batch entries
     * (the seed) always read. */
   private def indexExcludingBatch(spark: SparkSession, indexPath: String,
-      excludeBatchId: Long): DataFrame = {
+      excludeBatchId: Long, tombstones: Option[DataFrame]): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(indexPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paths = fs.listStatus(base)
@@ -78,9 +78,12 @@ object AdmissionStream {
       }
       .map(_.getPath.toString)
     // deleted-but-not-yet-compacted docs are masked from the probed set,
-    // so a streamed document that matches ONLY deleted docs admits
-    Dedup.excludeTombstoned(spark, indexPath,
-      spark.read.option("recursiveFileLookup", "true").parquet(paths: _*))
+    // so a streamed document that matches ONLY deleted docs admits; the
+    // table was resolved ONCE per session (Dedup.sessionTombstones —
+    // deletes are a between-sessions verb)
+    Dedup.excludeTombstoned(
+      spark.read.option("recursiveFileLookup", "true").parquet(paths: _*),
+      tombstones)
   }
 
   /** Drop `batch-<id>` subdirs with id STRICTLY AFTER the run's last
@@ -164,6 +167,19 @@ object AdmissionStream {
     * exactly-once discipline (key whatever it writes by the batchId —
     * [[graft.operators.Upsert.mergeParquet]]'s applied markers do this);
     * a replayed batch re-invokes it with identical rows and the same id. */
+  /** `compactWhenTombstoneRatio`: the tombstone-PRESSURE policy —
+    * deletes accumulate in `_tombstones` between sessions and every
+    * probe pays the anti-join; when the deleted fraction of the
+    * standing tree crosses this threshold, the session folds them
+    * physically ONCE at start ([[Dedup.compactNearDupIndex]] —
+    * pointer roots publish a new generation with ONE superseded
+    * generation retained for in-flight readers). Checked at session
+    * START only: deletes are a between-sessions verb, so the ratio
+    * cannot change under a running session and a per-batch check
+    * would be pure fixed cost. Same cross-session caveat as
+    * `compactEvery`: under a SCRATCH checkpoint, do not re-run
+    * already-ingested landing files against the folded tree (folded
+    * signatures can neither be self-excluded nor swept). */
   def runAdmission(spark: SparkSession, landingDir: String,
       indexPath: String, outPath: String,
       shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
@@ -171,10 +187,32 @@ object AdmissionStream {
       maxFilesPerTrigger: Option[Int] = None,
       schemaFallback: Option[StructType] = None,
       compactEvery: Option[Int] = None,
+      compactWhenTombstoneRatio: Option[Double] = None,
       checkpointDir: Option[String] = None,
       onBatchAdmitted: Option[(DataFrame, Long) => Unit] = None): DataFrame = {
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_admit_ckpt_"))
+    // tombstone-pressure fold, BEFORE the session resolves its
+    // tombstone view (a fired fold leaves no table to mask). Row
+    // counts are parquet-metadata-only jobs, paid once per session.
+    compactWhenTombstoneRatio.foreach { theta =>
+      val tombPath = s"$indexPath/${graft.operators.Fs.TombstonesSubdir}"
+      if (graft.operators.Fs.exists(tombPath)) {
+        // distinct on the O(|deleted|) tombstones (replayed deletes
+        // must not inflate the pressure); plain metadata-only count on
+        // the index side (one signature row per doc)
+        val tombs = spark.read.parquet(tombPath)
+          .select(col("doc_id")).distinct().count()
+        val data = scala.util.Try(
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(indexPath).count())
+          .getOrElse(0L)
+        if (data > 0L && tombs.toDouble / data > theta) {
+          Dedup.compactNearDupIndex(spark, indexPath, retain = Some(1))
+          ()
+        }
+      }
+    }
     // probe the landing files' actual footer schema rather than
     // hard-coding one (the "probe, don't assume" rule EventStreams
     // learned from the r10 events re-encoding — a batch schema read,
@@ -191,6 +229,11 @@ object AdmissionStream {
     scala.util.Try(spark.read.option("recursiveFileLookup", "true")
         .parquet(indexPath)).toOption
       .foreach(ix => Dedup.validateIndexParams(ix, shingleN, k, rowsPerBand))
+    // SESSION-scoped FS state, resolved once (after the pressure fold,
+    // which may have emptied it): the loop never appends tombstones and
+    // the mid-stream compaction carries the table unchanged, so
+    // re-resolving per micro-batch was pure fixed cost per batch
+    val sessionTombstones = Dedup.sessionTombstones(spark, indexPath)
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     // highest batch id this run actually processed — feeds the
@@ -230,7 +273,8 @@ object AdmissionStream {
             shingleN, k, rowsPerBand)
           .localCheckpoint(true)
         val admittedIds = Dedup.admitPrehashed(sigs,
-          indexExcludingBatch(spark, indexPath, batchId), threshold)
+          indexExcludingBatch(spark, indexPath, batchId, sessionTombstones),
+          threshold)
         val admitted = docs.join(admittedIds, Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
         // batchId-keyed subdirs: a replayed batch overwrites itself

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 
 import graft.operators.Similarity
@@ -49,10 +50,38 @@ object AnnIngest {
     * micro-batch's cell assignments into `indexPath`'s streamed
     * assignment table. The index must be a [[Similarity.writeIvfFlatIndex]]
     * artifact (its centroid table is the frozen quantizer). */
+  /** `compactWhenTombstoneRatio` — the tombstone-pressure policy
+    * ([[AdmissionStream.runAdmission]]'s knob for this loop): when the
+    * deleted fraction of the standing assignments crosses the
+    * threshold at session START, [[Similarity.compactIvfFlatIndex]]
+    * folds the deletes (and any prior session's streamed table)
+    * physically before the first batch — which also clears the
+    * streamed sink log, so the scratch-checkpoint guard below passes
+    * after a fired fold exactly as it does after a manual one.
+    * Pointer roots publish the fold as a new generation with ONE
+    * superseded generation retained for in-flight readers. */
   def runIngest(spark: SparkSession, landingDir: String, indexPath: String,
       maxFilesPerTrigger: Option[Int] = None,
       schemaFallback: Option[StructType] = None,
+      compactWhenTombstoneRatio: Option[Double] = None,
       checkpointDir: Option[String] = None): Unit = {
+    compactWhenTombstoneRatio.foreach { theta =>
+      val concrete = graft.operators.Fs.currentGeneration(indexPath)
+        .getOrElse(indexPath)
+      val tp = s"$concrete/${graft.operators.Fs.TombstonesSubdir}"
+      if (graft.operators.Fs.exists(tp)) {
+        val tombs = spark.read.parquet(tp)
+          .select(col("vec_id")).distinct().count()
+        val data = scala.util.Try(
+          spark.read.parquet(s"$concrete/assignments").count())
+          .getOrElse(0L)
+        if (data > 0L && tombs.toDouble / data > theta) {
+          Similarity.compactIvfFlatIndex(spark, indexPath,
+            retain = Some(1))
+          ()
+        }
+      }
+    }
     val centroids = Similarity.readCentroids(spark, indexPath)
     require(centroids.nonEmpty,
       s"no centroid table under $indexPath — not a writeIvfFlatIndex artifact")

@@ -92,11 +92,20 @@ object SemanticAdmission {
     * [[Similarity.writeIvfFlatIndex]]; extended under `stream/` as
     * batches admit). Admitted rows land under `outPath/batch-<id>/`;
     * returns the admitted vectors frame. */
+  /** `compactWhenTombstoneRatio` — [[AdmissionStream.runAdmission]]'s
+    * tombstone-pressure policy for this loop: when the deleted fraction
+    * of the standing assignments crosses the threshold at session
+    * START, [[compactStream]] folds deletes (and any prior session's
+    * streamed rows) physically before the first batch. Same
+    * cross-session caveat as running compactStream between sessions:
+    * under a SCRATCH checkpoint, do not re-run already-ingested
+    * landing files against the folded tree. */
   def runAdmission(spark: SparkSession, landingDir: String,
       indexPath: String, outPath: String,
       threshold: Double = 0.95,
       maxFilesPerTrigger: Option[Int] = None,
       schemaFallback: Option[StructType] = None,
+      compactWhenTombstoneRatio: Option[Double] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     // cross-session contract = AdmissionStream's: a DURABLE checkpoint
     // continues batch ids (committed landing files skipped, no clobber,
@@ -104,6 +113,19 @@ object SemanticAdmission {
     // single-generation bounded replay
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_semadmit_ckpt_"))
+    compactWhenTombstoneRatio.foreach { theta =>
+      val tp = s"$indexPath/${graft.operators.Fs.TombstonesSubdir}"
+      if (graft.operators.Fs.exists(tp)) {
+        // distinct over the O(|deleted|) table (replays must not
+        // inflate the pressure); metadata-only count on the data side
+        val tombs = spark.read.parquet(tp)
+          .select(col("vec_id")).distinct().count()
+        val data = scala.util.Try(
+          spark.read.parquet(s"$indexPath/assignments").count())
+          .getOrElse(0L)
+        if (data > 0L && tombs.toDouble / data > theta) compactStream(spark, indexPath)
+      }
+    }
     val landingSchema =
       scala.util.Try(spark.read.parquet(landingDir).schema).toOption
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)

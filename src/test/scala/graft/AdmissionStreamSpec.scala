@@ -59,6 +59,70 @@ class AdmissionStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("tombstone-pressure fold: deletes past the ratio fire exactly one session-start fold, admissions unchanged; below it nothing folds") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")
+    val standing = docs.filter(!isNew).select(col("doc_id"), col("text"))
+    val splitA = pmod(col("doc_id"), lit(2)) === 0
+    def setup(): java.nio.file.Path = {
+      val root = Files.createTempDirectory("graft_admit_theta_")
+      val landing = root.resolve("landing"); Files.createDirectory(landing)
+      def land(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+        val stage = Files.createTempDirectory("graft_admit_tstage_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, landing.resolve(name))
+        landing.resolve(name).toFile.setLastModified(mod)
+        ()
+      }
+      land(docs.filter(isNew && splitA).select(col("doc_id"), col("text")),
+        "a.parquet", 1000000L)
+      land(docs.filter(isNew && !splitA).select(col("doc_id"), col("text")),
+        "b.parquet", 2000000L)
+      val ix = root.resolve("index").toString
+      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$ix/seed")
+      // a fifth of the standing corpus deleted (replayed — set semantics)
+      val deleted = standing.filter(col("doc_id") % 5 === 2).select(col("doc_id"))
+      Dedup.deleteFromNearDupIndex(deleted, ix)
+      Dedup.deleteFromNearDupIndex(deleted, ix)
+      root
+    }
+    def run(root: java.nio.file.Path, theta: Option[Double]): Set[Long] =
+      AdmissionStream.runAdmission(spark, root.resolve("landing").toString,
+          root.resolve("index").toString, root.resolve("out").toString,
+          shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+          maxFilesPerTrigger = Some(1),
+          compactWhenTombstoneRatio = theta)
+        .select("doc_id").as[Long].collect().toSet
+    val rootA = setup(); val rootB = setup(); val rootC = setup()
+    try {
+      val tombsOf = (root: java.nio.file.Path) =>
+        graft.operators.Fs.exists(
+          s"${root.resolve("index")}/${graft.operators.Fs.TombstonesSubdir}")
+      // ~20% deleted: past θ=0.1 → the session-start fold fires ONCE —
+      // the tombstone table is folded away and the seed tree flattened
+      val folded = run(rootA, Some(0.1))
+      tombsOf(rootA) shouldBe false
+      new java.io.File(rootA.resolve("index").toString).list().toSeq
+        .filter(_ == "seed") shouldBe empty
+      // below θ=0.9: nothing folds, probes keep paying the mask
+      val masked = run(rootB, Some(0.9))
+      tombsOf(rootB) shouldBe true
+      // no knob at all: the reference behavior
+      val plain = run(rootC, None)
+      tombsOf(rootC) shouldBe true
+      // physical fold ≡ tombstone mask ≡ no knob — admissions identical
+      folded shouldBe plain
+      masked shouldBe plain
+    } finally {
+      Seq(rootA, rootB, rootC).foreach(r =>
+        graft.operators.Maintenance.rmTree(r.toFile))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("streaming admission equals sequential batch admission over the same file sequence") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")

@@ -196,6 +196,38 @@ class GenerationsSpec extends SparkSpecBase {
     admit(root) shouldBe Seq(10L, 11L)
   }
 
+  test("retain: a compaction's retention policy reclaims superseded generations in the same verb") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "red green blue cyan magenta yellow"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_genret_").toString + "/ndx"
+    Fs.publishGeneration(root)(p =>
+      graft.operators.Dedup.nearDupIndex(docs, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(p))
+    graft.operators.Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), root)
+    // retain = Some(0): the fold publishes gen-2 AND reclaims gen-1 —
+    // no out-of-band pruneGenerations sweep needed
+    graft.operators.Dedup.compactNearDupIndex(spark, root, retain = Some(0))
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-2")
+    Fs.exists(s"$root/gen-1") shouldBe false
+    // and the compacted index still answers probes
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    graft.operators.Dedup
+      .admitNewDocsWithIndex(incoming, root, col("doc_id"), col("text"),
+        threshold = 0.4)
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(10L, 11L)
+    // retain = Some(1) keeps exactly one superseded generation around
+    graft.operators.Dedup.deleteFromNearDupIndex(Seq(2L).toDF("doc_id"), root)
+    graft.operators.Dedup.compactNearDupIndex(spark, root, retain = Some(1))
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-3")
+    Fs.exists(s"$root/gen-2") shouldBe true
+  }
+
   test("near-dup admission accepts a pointer root: probe resolves the current generation, deletes land in it") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
