@@ -1695,7 +1695,11 @@ object SparkEntry {
       landing
     })
 
-  def q116StreamingAdmission(s: SparkSession, dir: String): DataFrame = {
+  def q116StreamingAdmission(s: SparkSession, dir: String): DataFrame =
+    probeQ116Variant(s, dir, Some(1))
+
+  private[graft] def probeQ116Variant(s: SparkSession, dir: String,
+      compactEvery: Option[Int]): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_q116_")
     val landing = root.resolve("landing")
     java.nio.file.Files.createDirectory(landing)
@@ -1726,7 +1730,7 @@ object SparkEntry {
     val admitted = streaming.AdmissionStream.runAdmission(s, landing.toString,
         root.resolve("index").toString, root.resolve("out").toString,
         shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
-        maxFilesPerTrigger = Some(1), compactEvery = Some(1))
+        maxFilesPerTrigger = Some(1), compactEvery = compactEvery)
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
       // pin the (admitted-ids-sized) result off the temp files so the

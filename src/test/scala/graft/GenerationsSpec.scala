@@ -160,6 +160,18 @@ class GenerationsSpec extends SparkSpecBase {
     Fs.exists(s"$root/gen-2/codebooks") shouldBe true
     Fs.exists(s"$root/gen-2/centroids") shouldBe true
     rows(root) shouldBe masked
+    // retention on the ANN verbs: a second fold with retain = Some(0)
+    // reclaims every superseded generation in the same call — without
+    // it each fold leaves a full index copy standing until an
+    // out-of-band pruneGenerations
+    Similarity.deleteFromAnnIndex(
+      corpus.map(_._1).filter(_ % 4 == 1).toDF("vec_id"), root)
+    val masked2 = rows(root)
+    Similarity.compactIvfPqIndex(spark, root, retain = Some(0))
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-3")
+    Fs.exists(s"$root/gen-1") shouldBe false
+    Fs.exists(s"$root/gen-2") shouldBe false
+    rows(root) shouldBe masked2
   }
 
   test("near-dup compact/rebuild on a pointer root publish new generations and fold deletes") {
