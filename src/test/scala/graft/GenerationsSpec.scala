@@ -136,6 +136,25 @@ class GenerationsSpec extends SparkSpecBase {
     // it still see their consistent view, tombstones included)
     Fs.exists(s"$g1/${Fs.TombstonesSubdir}") shouldBe true
     rows(g1) shouldBe masked
+    // partition pruning survives the pointer indirection + fold: one
+    // query probing nProbe=2 cells reads at most 2 of the 4 cell
+    // directories of the NEW generation (executed-scan metric, the
+    // VectorAndSimilaritySpec assertion through a pointer root)
+    val one = Similarity.ivfFlatProbe(
+      queries.filter(col("vec_id") === 900L), root, 5, nProbe = 2)
+    one.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    val cellScans = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    cellScans should not be empty
+    cellScans.map(_.metrics("numPartitions").value).sum should be <= 2L
   }
 
   test("compactIvfPqIndex on a pointer root publishes a new generation with codebooks carried") {

@@ -63,6 +63,59 @@ class SemanticAdmissionSpec extends SparkSpecBase {
     again shouldBe streamed
   }
 
+  test("tombstone-pressure fold at session start: past θ one compactStream fold fires, admissions unchanged; below θ the tombstone table stands") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isNew = substring(md5(col("vec_id").cast("string")), 1, 4) >= "cccc"
+    def setup(): java.nio.file.Path = {
+      val root = Files.createTempDirectory("graft_semadmit_theta_")
+      val ix = root.resolve("ix").toString
+      Similarity.writeIvfFlatIndex(e.filter(!isNew), nLists = 4, ix)
+      // a quarter of the standing corpus tombstoned (replayed)
+      val dead = e.filter(!isNew && col("vec_id") % 4 === 0).select(col("vec_id"))
+      Similarity.deleteFromAnnIndex(dead, ix)
+      Similarity.deleteFromAnnIndex(dead, ix)
+      val landing = root.resolve("landing"); Files.createDirectory(landing)
+      def land(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+        val stage = root.resolve(s"stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, landing.resolve(name))
+        landing.resolve(name).toFile.setLastModified(mod)
+        ()
+      }
+      land(e.filter(isNew && col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+        "a.parquet", 1000000L)
+      land(e.filter(isNew && col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
+        "b.parquet", 2000000L)
+      root
+    }
+    def run(root: java.nio.file.Path, theta: Option[Double]): Seq[Long] =
+      SemanticAdmission.runAdmission(spark, root.resolve("landing").toString,
+          root.resolve("ix").toString, root.resolve("out").toString,
+          threshold = 0.35, maxFilesPerTrigger = Some(1),
+          compactWhenTombstoneRatio = theta)
+        .select(col("vec_id")).as[Long].collect().toSeq.sorted
+    val rootA = setup(); val rootB = setup(); val rootC = setup()
+    try {
+      val tombsOf = (root: java.nio.file.Path) =>
+        graft.operators.Fs.exists(
+          s"${root.resolve("ix")}/${graft.operators.Fs.TombstonesSubdir}")
+      val folded = run(rootA, Some(0.1)) // 25% deleted > θ → fold fires
+      tombsOf(rootA) shouldBe false
+      val masked = run(rootB, Some(0.9)) // below θ → mask keeps paying
+      tombsOf(rootB) shouldBe true
+      val plain = run(rootC, None)
+      tombsOf(rootC) shouldBe true
+      folded shouldBe plain
+      masked shouldBe plain
+    } finally {
+      Seq(rootA, rootB, rootC).foreach(r =>
+        graft.operators.Maintenance.rmTree(r.toFile))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("compactStream between sessions: fold clears the tree, admissions unchanged") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val isNew = substring(md5(col("vec_id").cast("string")), 1, 4) >= "cccc"
