@@ -107,6 +107,60 @@ object Maintenance {
     n
   }
 
+  /** Describe an index-artifact tree — the observability side of the
+    * build/append/delete/compact/prune lifecycle, and the input to its
+    * maintenance decisions (when to fire a tombstone-pressure fold,
+    * when to prune generations, whether batch subdirs have accreted
+    * past the small-files point). One row per generation for a
+    * pointer-committed root (plus which one is current), one row for a
+    * plain root. Everything is filesystem metadata plus a
+    * parquet-footer row count for the tombstone table — nothing
+    * corpus-sized is read, so this is safe to run against a 100 TB
+    * artifact.
+    *
+    * Columns: (layout, generation, is_current, data_bytes, data_files,
+    * tombstone_rows, batch_subdirs). */
+  def describeArtifact(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def fileCount(p: String): Long = {
+      val (fs, hp) = Fs.resolve(p)
+      def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+        if (st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith(".")) 0L
+        else if (st.isDirectory) fs.listStatus(st.getPath).map(walk).sum
+        else 1L
+      if (!fs.exists(hp)) 0L else fs.listStatus(hp).map(walk).sum
+    }
+    def tombstoneRows(p: String): Long = {
+      val t = s"$p/${Fs.TombstonesSubdir}"
+      if (Fs.exists(t)) spark.read.parquet(t).count() else 0L
+    }
+    def batchSubdirs(p: String): Long =
+      Fs.listNames(p).count(n => n.startsWith("batch-") &&
+        Fs.isDirectory(s"$p/$n")).toLong
+    val cur = Fs.currentGeneration(path)
+    cur match {
+      case Some(current) =>
+        Fs.listNames(path)
+          .filter(n => n.startsWith(Fs.GenPrefix) &&
+            n.drop(Fs.GenPrefix.length).nonEmpty &&
+            n.drop(Fs.GenPrefix.length).forall(_.isDigit))
+          .sortBy(_.drop(Fs.GenPrefix.length).toLong)
+          .map { g =>
+            val gp = s"$path/$g"
+            ("pointer", g, gp == current, Fs.dataBytes(gp), fileCount(gp),
+              tombstoneRows(gp), batchSubdirs(gp))
+          }
+          .toDF("layout", "generation", "is_current", "data_bytes",
+            "data_files", "tombstone_rows", "batch_subdirs")
+      case None =>
+        Seq(("plain", null.asInstanceOf[String], true, Fs.dataBytes(path),
+          fileCount(path), tombstoneRows(path), batchSubdirs(path)))
+          .toDF("layout", "generation", "is_current", "data_bytes",
+            "data_files", "tombstone_rows", "batch_subdirs")
+    }
+  }
+
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
       clusterBy: Seq[String] = Nil,

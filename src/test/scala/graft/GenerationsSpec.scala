@@ -259,6 +259,47 @@ class GenerationsSpec extends SparkSpecBase {
     Fs.exists(s"$root/gen-2") shouldBe true
   }
 
+  test("describeArtifact reads the lifecycle state from metadata only: generations, current flag, tombstone load, batch subdirs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "red green blue cyan magenta yellow"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_gendesc_").toString + "/ndx"
+    Fs.publishGeneration(root)(p =>
+      graft.operators.Dedup.nearDupIndex(docs, col("doc_id"), col("text"),
+          shingleN = 3, k = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(p))
+    graft.operators.Dedup.deleteFromNearDupIndex(Seq(1L, 2L).toDF("doc_id"), root)
+    val before = graft.operators.Maintenance.describeArtifact(spark, root)
+      .orderBy("generation").collect()
+    before.map(_.getString(0)).toSet shouldBe Set("pointer")
+    before.map(r => (r.getString(1), r.getBoolean(2), r.getLong(5))).toSeq shouldBe
+      Seq(("gen-1", true, 2L))
+    // compact publishes gen-2 (tombstones folded) — describe shows both
+    // generations, current flipped, pressure cleared
+    graft.operators.Dedup.compactNearDupIndex(spark, root)
+    val after = graft.operators.Maintenance.describeArtifact(spark, root)
+      .orderBy("generation").collect()
+    after.map(r => (r.getString(1), r.getBoolean(2), r.getLong(5))).toSeq shouldBe
+      Seq(("gen-1", false, 2L), ("gen-2", true, 0L))
+    after.foreach { r =>
+      r.getLong(3) should be > 0L // data_bytes
+      r.getLong(4) should be > 0L // data_files
+    }
+    // a plain (pointer-less) artifact describes as one row
+    val plainRoot = Files.createTempDirectory("graft_gendescp_").toString + "/ix"
+    graft.operators.Dedup.nearDupIndex(docs, col("doc_id"), col("text"),
+        shingleN = 3, k = 8, rowsPerBand = 2)
+      .write.mode("overwrite").parquet(s"$plainRoot/seed")
+    docs.limit(1).select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$plainRoot/batch-0")
+    val plain = graft.operators.Maintenance.describeArtifact(spark, plainRoot)
+      .collect()
+    plain.length shouldBe 1
+    plain.head.getString(0) shouldBe "plain"
+    plain.head.getLong(6) shouldBe 1L // batch_subdirs
+  }
+
   test("near-dup admission accepts a pointer root: probe resolves the current generation, deletes land in it") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
