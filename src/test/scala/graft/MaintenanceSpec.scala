@@ -92,6 +92,28 @@ class MaintenanceSpec extends SparkSpecBase {
     spark.read.parquet(s"$path/seed").count() shouldBe 50L
   }
 
+  test("a crash after the final swap (stale __old + stale journal, target present) is pure garbage: recovery no-ops, the next fold clears it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctree_crash2_").toString
+    val path = s"$dir/ix"
+    (1L to 50L).map(i => (i, s"a_$i")).toDF("doc_id", "payload")
+      .write.parquet(s"$path/seed")
+    Seq(3L, 7L).toDF("doc_id").write.parquet(s"$path/_tombstones")
+    // simulate: the swap committed (target present, carried entries in
+    // it) but the crash hit before the __old/journal cleanup
+    (1L to 40L).map(i => (i, s"stale_$i")).toDF("doc_id", "payload")
+      .write.parquet(path + "__old")
+    graft.operators.Fs.writeText(path + "__carry", "_tombstones")
+    graft.operators.Fs.recoverStagedSwap(path) // target present → no-op
+    spark.read.parquet(s"$path/_tombstones")
+      .as[Long].collect().toSet shouldBe Set(3L, 7L)
+    Maintenance.compactTree(spark, path, targetFileBytes = 1L << 30) shouldBe 1
+    new java.io.File(path + "__old").exists() shouldBe false
+    new java.io.File(path + "__carry").exists() shouldBe false
+    spark.read.parquet(path).count() shouldBe 50L
+    spark.read.parquet(s"$path/_tombstones")
+      .as[Long].collect().toSet shouldBe Set(3L, 7L)
+  }
+
   test("compact recovers a table stranded mid-swap before reading it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash_").toString
     val path = s"$dir/t"
