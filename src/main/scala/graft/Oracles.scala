@@ -3099,6 +3099,63 @@ private[graft] object Oracles {
         |SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT query_id, neighbor_id,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
-        |  FROM cand) WHERE rnk <= 10""".stripMargin
+        |  FROM cand) WHERE rnk <= 10""".stripMargin,
+    // q151: the PCA co-moment pass replayed pairwise — every per-row
+    // product is ONE IEEE multiply + floor to micros (identical in any
+    // engine), so the aggregated longs are exact whatever the sum order
+    "q151_pca_comoment" ->
+      """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |             (x, i) -> struct_pack(i := i, x := x)) AS s
+        |           FROM embeddings
+        |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |p AS (SELECT a.u.i - 1 AS i, a.u.x AS xi, b.u.i - 1 AS j, b.u.x AS xj
+        |      FROM e, UNNEST(e.s) AS a(u), UNNEST(e.s) AS b(u))
+        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  CAST(SUM(CAST(floor(xi * xj * 1e6) AS BIGINT)) AS BIGINT) AS g_q
+        |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    // q152: q23's MinHash replay with `source` carried through — bucket
+    // ceiling grouped per (source, band), candidates joined within source
+    "q152_scoped_neardup" ->
+      """WITH d AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents WHERE trim(text) <> ''),
+        |sh AS (SELECT doc_id, source, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |mh AS (SELECT s.doc_id, s.source, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, s.source, r.seed),
+        |bs AS (SELECT source, seed, m FROM mh
+        |       GROUP BY source, seed, m HAVING COUNT(*) <= 30),
+        |cand AS (SELECT DISTINCT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM mh a JOIN mh b
+        |           ON a.source = b.source AND a.seed = b.seed AND a.m = b.m
+        |           AND a.doc_id < b.doc_id
+        |         JOIN bs ON bs.source = a.source AND bs.seed = a.seed AND bs.m = a.m),
+        |j AS (SELECT c.source, c.id_a, c.id_b,
+        |        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+        |          AS jaccard
+        |      FROM cand c
+        |      JOIN sh sa ON sa.doc_id = c.id_a
+        |      JOIN sh sb ON sb.doc_id = c.id_b)
+        |SELECT source, id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+        |ORDER BY source, id_a, id_b""".stripMargin,
+    // q153: the lifecycle report derived from the protocol's contract —
+    // generation names are the publish counter, gen-1 keeps the takedown
+    // batch it absorbed, the compacted gen-2 holds the pointer and no
+    // tombstones; the tombstone load replays the engine's delete predicate
+    "q153_artifact_describe" ->
+      """WITH del AS (SELECT COUNT(*) AS n FROM documents
+        |             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+        |               AND doc_id % 5 = 2)
+        |SELECT * FROM (
+        |  SELECT 'pointer' AS layout, 'gen-1' AS generation,
+        |         FALSE AS is_current, CAST(n AS BIGINT) AS tombstone_rows,
+        |         CAST(0 AS BIGINT) AS batch_subdirs
+        |  FROM del
+        |  UNION ALL
+        |  SELECT 'pointer', 'gen-2', TRUE, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |) ORDER BY generation""".stripMargin
   )
 }

@@ -2943,6 +2943,69 @@ object SparkEntry {
     res
   }
 
+  /** q151 — the distributed PCA/whitening FIT pass
+    * ([[operators.Pca.comomentGramian]]) on the hash-checked surface:
+    * one scan over the embeddings corpus folds per-partition d×d long
+    * Gramian partials (every per-row product floor-quantized to micros
+    * BEFORE accumulation — exact, order-independent integer sums), and
+    * the shuffle moves P·d² tiny rows, never vectors. This is the
+    * corpus-side half of [[operators.Pca.fit]]; the driver-side
+    * eigensolve + scan-fused projection are pinned by PcaSpec (an
+    * eigendecomposition is not SQL-expressible, the moment pass is). */
+  def q151PcaComoment(s: SparkSession, dir: String): DataFrame =
+    operators.Pca.comomentGramian(t(s, dir, "embeddings"), col("embedding"))
+      .orderBy(col("i"), col("j"))
+
+  /** q152 — SCOPED near-dup dedup ([[operators.Dedup
+    * .scopedMinhashNearDupPairs]]): q23's banded MinHash pipeline with
+    * the `source` column folded into the band key, so documents only
+    * pair WITHIN their source — the per-domain dedup pass web-scale
+    * pipelines run (FineWeb-style), where cross-domain template overlap
+    * is boilerplate's job, not dedup's. Same parameters as q23, so the
+    * output is exactly q23's pair set minus the cross-source pairs —
+    * and the blocking is cheaper, not just filtered: buckets split per
+    * scope before the df ceiling applies. */
+  def q152ScopedNearDup(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.scopedMinhashNearDupPairs(
+      t(s, dir, "documents").filter(trim(col("text")) =!= ""),
+      col("doc_id"), col("text"), col("source"), shingleN = 3, k = 8,
+      rowsPerBand = 1, threshold = 0.4, maxBandDf = Some(30L))
+      .orderBy(col("source"), col("id_a"), col("id_b"))
+
+  /** q153 — artifact lifecycle OBSERVABILITY on the hash-checked
+    * surface ([[operators.Maintenance.describeArtifact]]): a pointer
+    * root is taken through publish → delete → compact (q148's verbs),
+    * and the describe report — layout kind, generation inventory,
+    * current-pointer flag, tombstone load per generation — is the query
+    * result. The oracle derives the expected inventory from the base
+    * tables and the protocol's naming contract (`gen-1` superseded and
+    * still carrying its tombstones, `gen-2` current and clean), so the
+    * driver's hash check pins both the report AND the lifecycle layout
+    * it reads. Metadata-only: the report never scans index payload
+    * (GenerationsSpec pins that separately). */
+  def q153ArtifactDescribe(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q153_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    operators.Fs.publishGeneration(ix) { gen =>
+      linkTree(java.nio.file.Paths.get(standingIndex(s, dir)),
+        java.nio.file.Paths.get(gen))
+    }
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    val deleted = docs.filter(!isNew && col("doc_id") % 5 === 2)
+      .select(col("doc_id")).coalesce(1)
+    operators.Dedup.deleteFromNearDupIndex(deleted, ix)
+    operators.Dedup.compactNearDupIndex(s, ix) // folds → gen-2 + flip
+    val res = operators.Maintenance.describeArtifact(s, ix)
+      .select(col("layout"), col("generation"), col("is_current"),
+        col("tombstone_rows"), col("batch_subdirs"))
+      .orderBy(col("generation"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3093,7 +3156,10 @@ object SparkEntry {
     "q147_cluster_balanced_sample" -> (q147ClusterBalancedSample _),
     "q148_generation_lifecycle" -> (q148GenerationLifecycle _),
     "q149_ann_generation_lifecycle" -> (q149AnnGenerationLifecycle _),
-    "q150_streaming_dsir_model" -> (q150StreamingDsirModel _)
+    "q150_streaming_dsir_model" -> (q150StreamingDsirModel _),
+    "q151_pca_comoment" -> (q151PcaComoment _),
+    "q152_scoped_neardup" -> (q152ScopedNearDup _),
+    "q153_artifact_describe" -> (q153ArtifactDescribe _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

@@ -630,6 +630,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SCOPED MinHash near-dup pairs — [[minhashNearDupPairs]] restricted
+    * to pairs that share a `scope` value (source / domain / language —
+    * the FineWeb-style per-domain dedup every web-scale pipeline runs:
+    * dedup WITHIN a site or snapshot, never across, because cross-domain
+    * "duplicates" are usually templates you want handled by the
+    * boilerplate pass instead). The scope is folded INTO the band key
+    * before candidate generation, so cross-scope candidates never form:
+    * the blocking itself gets cheaper, not just the verification — band
+    * buckets split per scope, the df ceiling applies per (scope, band),
+    * and the shuffled band index carries (scope⊕band, id) rows only.
+    * Scope rides to the band index by a narrow (doc_id, scope) join —
+    * never attached to the shingle payload frame. Output
+    * (source, id_a, id_b, jaccard), both ids in the same scope by
+    * construction. */
+  def scopedMinhashNearDupPairs(df: DataFrame, id: Column, text: Column,
+      scope: Column, shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBandDf: Option[Long] = None): DataFrame = {
+    val docs = shingleBandFrame(df, id, text, shingleN, k, rowsPerBand)
+    val scopes = df.select(id.as("doc_id"), scope.cast("string").as("source"))
+    val all = docs.select(explode(col("bands")).as("b"), col("doc_id"))
+      .join(scopes, Seq("doc_id"))
+      .select(concat_ws("\u0001", col("source"), col("b")).as("band"),
+        col("doc_id"))
+    val cand = (maxBandDf match {
+      case Some(cap) =>
+        boundedBuckets(all, "band", "doc_id", cap, "ids")
+          .select(explode(col("ids")).as("id_a"), col("ids"))
+          .select(col("id_a"), explode(col("ids")).as("id_b"))
+          .filter(col("id_a") < col("id_b"))
+      case None =>
+        all.select(col("band"), col("doc_id").as("id_a"))
+          .join(all.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+    }).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .join(scopes.select(col("doc_id").as("id_a"), col("source")), Seq("id_a"))
+      .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs — the verification measure the
     * LSH paths reduce to ([[minhashNearDupPairs]] verifies its candidates
     * with exactly this), exposed standalone: |A∩B| / |A∪B| over the

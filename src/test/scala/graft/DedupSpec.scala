@@ -623,4 +623,46 @@ class DedupSpec extends SparkSpecBase {
       .as[(Long, Long, Double)].collect().toSeq.sorted
     pairs.sorted shouldBe exact
   }
+
+  test("scopedMinhashNearDupPairs ≡ unscoped pairs restricted to a shared scope (no ceiling)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(trim(col("text")) =!= "")
+    val scoped = Dedup.scopedMinhashNearDupPairs(docs, col("doc_id"),
+        col("text"), col("source"), shingleN = 3, k = 8, rowsPerBand = 1,
+        threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSeq.sorted
+    val src = docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val unscopedSameSource = Dedup.minhashNearDupPairs(docs, col("doc_id"),
+        col("text"), shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSeq
+      .filter { case (a, b, _) => src(a) == src(b) }.sorted
+    scoped shouldBe unscopedSameSource
+    assert(scoped.nonEmpty, "fixture should contain same-source near-dups")
+  }
+
+  test("scoped band ceiling applies PER SCOPE: a bucket over the global cap survives once split") {
+    // six IDENTICAL docs across two sources: every band bucket has df 6
+    // > cap 4 globally (dropped whole), but df 3 per source (kept)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = (0 until 6).map { i =>
+      (i.toLong, base, if (i < 3) "sA" else "sB")
+    }.toDF("doc_id", "text", "source")
+    val cap = Some(4L)
+    val unscoped = Dedup.minhashNearDupPairs(df, col("doc_id"), col("text"),
+      shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.3, maxBandDf = cap)
+    val scoped = Dedup.scopedMinhashNearDupPairs(df, col("doc_id"),
+      col("text"), col("source"), shingleN = 3, k = 8, rowsPerBand = 1,
+      threshold = 0.3, maxBandDf = cap)
+      .select("source", "id_a", "id_b").as[(String, Long, Long)]
+      .collect().toSeq.sorted
+    assert(scoped.map(p => (p._2, p._3)).toSet ===
+      Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
+    assert(scoped.forall { case (s, a, b) =>
+      (a < 3) == (s == "sA") && (b < 3) == (s == "sA") })
+    assert(unscoped.count() === 0L,
+      "identical bands: the global ceiling drops every df-6 bucket whole")
+  }
 }
