@@ -1081,6 +1081,17 @@ private[graft] object Oracles {
   /** q144's oracle (shared with q146: artifact-backed scoring is a
     * lossless persistence of the fit, so the selection output is
     * identical) — see the map entry comment for the replay shape. */
+  private val q151OracleSql: String =
+    """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+      |             (x, i) -> struct_pack(i := i, x := x)) AS s
+      |           FROM embeddings
+      |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |p AS (SELECT a.u.i - 1 AS i, a.u.x AS xi, b.u.i - 1 AS j, b.u.x AS xj
+      |      FROM e, UNNEST(e.s) AS a(u), UNNEST(e.s) AS b(u))
+      |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+      |  CAST(SUM(CAST(floor(xi * xj * 1e6) AS BIGINT)) AS BIGINT) AS g_q
+      |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
   private val q144OracleSql: String =
       """WITH d AS (SELECT doc_id, lang,
         |    CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
@@ -3103,16 +3114,7 @@ private[graft] object Oracles {
     // q151: the PCA co-moment pass replayed pairwise — every per-row
     // product is ONE IEEE multiply + floor to micros (identical in any
     // engine), so the aggregated longs are exact whatever the sum order
-    "q151_pca_comoment" ->
-      """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
-        |             (x, i) -> struct_pack(i := i, x := x)) AS s
-        |           FROM embeddings
-        |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
-        |p AS (SELECT a.u.i - 1 AS i, a.u.x AS xi, b.u.i - 1 AS j, b.u.x AS xj
-        |      FROM e, UNNEST(e.s) AS a(u), UNNEST(e.s) AS b(u))
-        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-        |  CAST(SUM(CAST(floor(xi * xj * 1e6) AS BIGINT)) AS BIGINT) AS g_q
-        |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q151_pca_comoment" -> q151OracleSql,
     // q152: q23's MinHash replay with `source` carried through — bucket
     // ceiling grouped per (source, band), candidates joined within source
     "q152_scoped_neardup" ->
@@ -3156,6 +3158,9 @@ private[graft] object Oracles {
         |  FROM del
         |  UNION ALL
         |  SELECT 'pointer', 'gen-2', TRUE, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-        |) ORDER BY generation""".stripMargin
+        |) ORDER BY generation""".stripMargin,
+    // q154: the streamed moment fold is exact (additive integer cells
+    // over disjoint batches), so the oracle is q151's one-pass SQL
+    "q154_streaming_pca_moments" -> q151OracleSql
   )
 }

@@ -3006,6 +3006,46 @@ object SparkEntry {
     res
   }
 
+  /** q154 — STREAMING PCA moment maintenance
+    * ([[streaming.GramianStream]]): the embeddings corpus lands as two
+    * mod-time-ordered files, one micro-batch each; every batch's
+    * quantized co-moment cells ([[operators.Pca.momentRows]] — ≤ d²+d+1
+    * rows however large the batch) fold additively into the standing
+    * state artifact under applied-batch markers, and
+    * [[operators.Pca.fitFromArtifact]] can serve a fresh whitening
+    * model at any point between batches without rescanning the corpus.
+    * The cells are exact integer sums over disjoint batches, so
+    * streamed fold ≡ one-pass batch moment computation EXACTLY — the
+    * oracle is q151's, hash-checked. */
+  def q154StreamingPcaMoments(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q154_")
+    root.toFile.deleteOnExit()
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    val embs = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def land(df: DataFrame, name: String, mod: Long): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, landing.resolve(name))
+      landing.resolve(name).toFile.setLastModified(mod)
+      ()
+    }
+    land(embs.filter(col("vec_id") % 2 === 0), "a.parquet", 1000000L)
+    land(embs.filter(col("vec_id") % 2 =!= 0), "b.parquet", 2000000L)
+    val state = root.resolve("moments").toString
+    streaming.GramianStream.runGramianStream(s, landing.toString, state,
+      maxFilesPerTrigger = Some(1))
+    val res = s.read.parquet(state)
+      .filter(col("i") >= 0 && col("j") >= 0)
+      .select(col("i"), col("j"), col("q").as("g_q"))
+      .orderBy(col("i"), col("j"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3159,7 +3199,8 @@ object SparkEntry {
     "q150_streaming_dsir_model" -> (q150StreamingDsirModel _),
     "q151_pca_comoment" -> (q151PcaComoment _),
     "q152_scoped_neardup" -> (q152ScopedNearDup _),
-    "q153_artifact_describe" -> (q153ArtifactDescribe _)
+    "q153_artifact_describe" -> (q153ArtifactDescribe _),
+    "q154_streaming_pca_moments" -> (q154StreamingPcaMoments _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

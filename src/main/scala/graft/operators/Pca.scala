@@ -133,20 +133,49 @@ object Pca {
     * every artifact in this repo carries. */
   def fit(df: DataFrame, vec: Column, k: Int, iterations: Int = 100,
       scale: Double = 1e6): PcaModel = {
-    require(k >= 1, "k must be >= 1")
     val rows = momentRows(df, vec, scale).collect() // d²+d+1 rows — bounded
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    solveFromMoments(rows, scale, k, iterations)
+  }
+
+  /** Fit from a standing MOMENT artifact
+    * ([[graft.streaming.GramianStream]]'s state table — the streamed
+    * fold of [[momentRows]]): the eigensolve half of [[fit]] without
+    * the corpus scan, so a continuously-maintained artifact serves
+    * fresh models on demand. Reads `p_scale` from the artifact (the
+    * embedded-parameter discipline of the versioned-artifact family)
+    * and fails fast on mixed widths. */
+  def fitFromArtifact(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, iterations: Int = 100): PcaModel = {
+    val t = spark.read.parquet(path)
+    val scales = t.select(col("p_scale")).distinct().collect()
+      .map(_.getDouble(0))
+    require(scales.length == 1,
+      s"moment artifact at $path carries ${scales.length} distinct " +
+        "p_scale values — not a single GramianStream state table")
+    val rows = t.select(col("i"), col("j"), col("q")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    solveFromMoments(rows, scales.head, k, iterations)
+  }
+
+  /** The driver-side eigensolve over collected moment rows (the
+    * [[momentRows]] shape: Gramian terms, dimension sums, count).
+    * Everything here is d²-bounded and deterministic — see [[fit]]. */
+  def solveFromMoments(moments: Seq[(Int, Int, Long)], scale: Double,
+      k: Int, iterations: Int = 100): PcaModel = {
+    require(k >= 1, "k must be >= 1")
+    val rows = moments
     require(rows.nonEmpty, "PCA fit over an empty corpus")
     var n = 0L
     rows.foreach { r =>
-      if (r.getInt(0) == -1) n = r.getLong(2)
+      if (r._1 == -1) n = r._3
     }
     require(n > 0, "PCA fit over an empty corpus")
-    val dim = rows.iterator.map(_.getInt(0)).max + 1
+    val dim = rows.iterator.map(_._1).max + 1
     require(k <= dim, s"k=$k exceeds embedding dim $dim")
     val gram = Array.ofDim[Double](dim, dim)
     val mean = new Array[Double](dim)
-    rows.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1); val q = r.getLong(2)
+    rows.foreach { case (i, j, q) =>
       if (i >= 0 && j >= 0) gram(i)(j) = q.toDouble / scale
       else if (i >= 0) mean(i) = q.toDouble / scale / n
     }

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.operators.{Pca, Upsert}
+
+/** STREAMING PCA MOMENT MAINTENANCE — the co-moment state behind a
+  * whitening/decorrelation model ([[Pca]]) kept CURRENT under an
+  * embedding firehose, the way [[ModelStream]] maintains the DSIR
+  * n-gram model: each micro-batch's quantized moment rows
+  * ([[Pca.momentRows]] — a d×d long Gramian + d sums + a count,
+  * ≤ d²+d+1 cells however large the batch) fold additively into the
+  * standing state table. The terms are exact integer sums over
+  * disjoint row sets, so per-batch partials merge EXACTLY: after any
+  * prefix of batches the artifact equals one [[Pca.momentRows]] pass
+  * over those batches' union, and [[Pca.fitFromArtifact]] serves a
+  * fresh model at any point between batches without ever rescanning
+  * the corpus — the fit every embedding pipeline wants "as of now",
+  * priced at a d²-bounded eigensolve instead of a corpus pass.
+  *
+  * Scale shape: per batch, one batch-sized scan collapsed to ≤ d²+d+1
+  * cells BEFORE the shuffle, then a merge against a same-bounded
+  * standing table. Exactly-once is [[Upsert.mergeParquet]]'s
+  * applied-batch marker: a replayed micro-batch (crash recovery
+  * re-runs the last uncommitted batch) is skipped outright instead of
+  * double-counting the additive fold. Parameters ride IN the artifact
+  * (`p_scale`, `p_dim`) and mismatches fail fast — folding moments
+  * quantized at different scales, or embeddings of different widths,
+  * silently corrupts every downstream eigensolve. The dim expectation
+  * is resolved ONCE per session from the standing table (the
+  * per-batch-FS-cost lesson), then carried forward in-session.
+  */
+object GramianStream {
+
+  /** Landing schema fallback for an empty landing dir (stream opened
+    * before the first file lands — footer probing needs a file). */
+  val defaultLandingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Standing-state parameter check: only an absent table counts as
+    * "no evidence"; any other read failure rethrows (damaged state
+    * must fail loudly, not slip past to be overwritten by the first
+    * merge). Returns the standing dim, when state exists. */
+  private def validateStanding(spark: SparkSession, targetPath: String,
+      scale: Double): Option[Int] =
+    if (!graft.operators.Fs.exists(targetPath)) None
+    else {
+      val t = spark.read.parquet(targetPath)
+      require(t.columns.contains("p_scale") && t.columns.contains("p_dim"),
+        s"state at $targetPath carries no p_scale/p_dim — not a " +
+          "GramianStream artifact; start a fresh targetPath")
+      val params = t.select(col("p_scale"), col("p_dim"))
+        .distinct().collect()
+      require(params.length == 1,
+        s"state at $targetPath carries ${params.length} distinct " +
+          "parameter rows — damaged artifact")
+      val (ps, pd) = (params.head.getDouble(0), params.head.getInt(1))
+      require(ps == scale,
+        s"state at $targetPath was quantized at scale $ps but the " +
+          s"stream was asked for $scale — folding across scales " +
+          "mis-weights every term; match the build-time scale or " +
+          "start a fresh targetPath")
+      Some(pd)
+    }
+
+  /** Run a bounded embedding stream to completion, folding each
+    * micro-batch's moment cells into the state at `targetPath`
+    * (created on the first batch; readable by [[Pca.fitFromArtifact]]
+    * at any point between batches). `vecCol` names the landing column
+    * holding the embedding array.
+    *
+    * Cross-session contract = [[ModelStream]]'s: a DURABLE
+    * `checkpointDir` continues batch ids across invocations (committed
+    * landing files are never re-folded); the scratch default is the
+    * single-generation bounded replay, refused against standing state
+    * whose applied-batch markers a restarted id sequence would collide
+    * with. */
+  def runGramianStream(spark: SparkSession, landingDir: String,
+      targetPath: String, scale: Double = 1e6, vecCol: String = "embedding",
+      maxFilesPerTrigger: Option[Int] = None,
+      schemaFallback: Option[StructType] = None,
+      checkpointDir: Option[String] = None): Unit = {
+    Upsert.recoverStagedSwap(targetPath)
+    var expectDim = validateStanding(spark, targetPath, scale)
+    require(checkpointDir.nonEmpty
+        || Upsert.appliedBatches(targetPath).isEmpty,
+      s"standing state at $targetPath already carries applied-batch " +
+        "markers and no durable checkpointDir was supplied — a scratch " +
+        "checkpoint restarts batch ids at 0, which would collide with " +
+        "the applied set and silently skip this session's data; pass " +
+        "the prior session's checkpointDir (or start a fresh targetPath)")
+    val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
+      .getOrElse(EventStreams.scratchDir("graft_gramian_ckpt_"))
+    val landingSchema =
+      scala.util.Try(spark.read.parquet(landingDir).schema).toOption
+        .orElse(schemaFallback).getOrElse(defaultLandingSchema)
+    val reader = spark.readStream.schema(landingSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the cells are the batch's ONLY scan — checkpoint them so the
+        // dim probe below doesn't re-run it
+        val cells = Pca.momentRows(batch, col(vecCol), scale)
+          .localCheckpoint(true)
+        if (cells.isEmpty) () // an empty batch folds nothing
+        else {
+          val batchDim =
+            cells.agg(max(col("i"))).head().getInt(0) + 1
+          expectDim.foreach(d => require(d == batchDim,
+            s"batch $batchId carries dim-$batchDim embeddings but the " +
+              s"standing state at $targetPath is dim-$d — folding " +
+              "mixed widths corrupts the Gramian; fix the landing data " +
+              "or start a fresh targetPath"))
+          expectDim = Some(batchDim)
+          val updates = cells.select(col("i"), col("j"), col("q"),
+            lit(scale).as("p_scale"), lit(batchDim).as("p_dim"))
+          Upsert.mergeParquet(spark, targetPath, updates,
+            batchId = Some(batchId)) { (current, updates) =>
+            // additive fold on the cell key; the merged table stays
+            // ≤ d²+d+1 rows, so one file is the right layout
+            Upsert.additiveMerge(current, updates,
+              keys = Seq("i", "j", "p_scale", "p_dim"), metrics = Seq("q"))
+              .coalesce(1)
+          }
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    if (checkpointDir.isEmpty)
+      graft.operators.Maintenance.rmTree(ckpt.toFile)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pca, Upsert}
+import graft.streaming.GramianStream
+
+/** Streaming PCA moment maintenance ≡ the one-pass batch moment
+  * computation; parameter guards; replay idempotence. */
+class GramianStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def embeddings =
+    graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  private def land(df: org.apache.spark.sql.DataFrame,
+      landing: java.nio.file.Path, name: String, mod: Long): Unit = {
+    val stage = Files.createTempDirectory("graft_gram_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, landing.resolve(name))
+    landing.resolve(name).toFile.setLastModified(mod)
+    ()
+  }
+
+  test("streamed moment fold equals the one-pass batch computation, cell for cell — fit included") {
+    val root = Files.createTempDirectory("graft_gram_eq_")
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val state = root.resolve("moments").toString
+    try {
+      land(embeddings.filter(col("vec_id") % 2 === 0), landing, "a.parquet", 1000000L)
+      land(embeddings.filter(col("vec_id") % 2 =!= 0), landing, "b.parquet", 2000000L)
+      GramianStream.runGramianStream(spark, landing.toString, state,
+        maxFilesPerTrigger = Some(1))
+      val streamed = spark.read.parquet(state)
+        .select(col("i"), col("j"), col("q"))
+        .as[(Int, Int, Long)].collect().toMap2
+      val batch = Pca.momentRows(embeddings, col("embedding"), 1e6)
+        .as[(Int, Int, Long)].collect().toMap2
+      assert(streamed === batch)
+      // and the artifact-served model is bit-identical to a direct fit
+      assert(Pca.fitFromArtifact(spark, state, k = 4) ===
+        Pca.fit(embeddings, col("embedding"), k = 4))
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
+  test("scale and dim mismatches fail fast; replays under a durable checkpoint fold nothing twice") {
+    val root = Files.createTempDirectory("graft_gram_guard_")
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val state = root.resolve("moments").toString
+    val ckpt = root.resolve("ckpt").toString
+    try {
+      land(embeddings.filter(col("vec_id") % 2 === 0), landing, "a.parquet", 1000000L)
+      GramianStream.runGramianStream(spark, landing.toString, state,
+        checkpointDir = Some(ckpt))
+      val afterOne = spark.read.parquet(state)
+        .select(col("i"), col("j"), col("q"))
+        .as[(Int, Int, Long)].collect().toMap2
+      // same session again: committed landing files are not re-folded
+      GramianStream.runGramianStream(spark, landing.toString, state,
+        checkpointDir = Some(ckpt))
+      val afterReplay = spark.read.parquet(state)
+        .select(col("i"), col("j"), col("q"))
+        .as[(Int, Int, Long)].collect().toMap2
+      assert(afterReplay === afterOne)
+      // scale mismatch against standing state
+      val exScale = intercept[IllegalArgumentException] {
+        GramianStream.runGramianStream(spark, landing.toString, state,
+          scale = 1e4, checkpointDir = Some(ckpt))
+      }
+      assert(exScale.getMessage.contains("scale"))
+      // dim mismatch: a dim-3 batch against the dim-64 standing state
+      land(Seq((9000001L, Seq(1.0f, 2.0f, 3.0f)))
+        .toDF("vec_id", "embedding"), landing, "c.parquet", 3000000L)
+      val exDim = intercept[Exception] {
+        GramianStream.runGramianStream(spark, landing.toString, state,
+          checkpointDir = Some(ckpt))
+      }
+      def mentionsDim(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("dim-3")) ||
+          mentionsDim(t.getCause))
+      assert(mentionsDim(exDim))
+      // scratch re-run against marked standing state is refused
+      val exScratch = intercept[IllegalArgumentException] {
+        GramianStream.runGramianStream(spark, landing.toString, state)
+      }
+      assert(exScratch.getMessage.contains("applied-batch"))
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Int, Int, Long)]) {
+    def toMap2: Map[(Int, Int), Long] =
+      rows.map { case (i, j, q) => ((i, j), q) }.toMap
+  }
+}
