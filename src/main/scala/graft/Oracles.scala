@@ -3161,6 +3161,47 @@ private[graft] object Oracles {
         |) ORDER BY generation""".stripMargin,
     // q154: the streamed moment fold is exact (additive integer cells
     // over disjoint batches), so the oracle is q151's one-pass SQL
-    "q154_streaming_pca_moments" -> q151OracleSql
+    "q154_streaming_pca_moments" -> q151OracleSql,
+    // q155: q152's scoped pair replay chained into the q43/q58 closure +
+    // keep-best CTEs — components computed over the scoped edge set only
+    "q155_scoped_dedup_survivors" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
+        |      FROM documents WHERE trim(text) <> ''),
+        |sh AS (SELECT doc_id, source, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(t) - 2, 1)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM d),
+        |mh AS (SELECT s.doc_id, s.source, r.seed,
+        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+        |       GROUP BY s.doc_id, s.source, r.seed),
+        |bs AS (SELECT source, seed, m FROM mh
+        |       GROUP BY source, seed, m HAVING COUNT(*) <= 30),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM mh a JOIN mh b
+        |           ON a.source = b.source AND a.seed = b.seed AND a.m = b.m
+        |           AND a.doc_id < b.doc_id
+        |         JOIN bs ON bs.source = a.source AND bs.seed = a.seed AND bs.m = a.m),
+        |p AS (SELECT c.id_a, c.id_b
+        |      FROM cand c
+        |      JOIN sh sa ON sa.doc_id = c.id_a
+        |      JOIN sh sb ON sb.doc_id = c.id_b
+        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+        |              >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        |comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+        |SELECT source, comp, keep_id, score FROM (
+        |  SELECT d0.source, c.comp, d0.doc_id AS keep_id,
+        |    CAST(d0.n_chars AS BIGINT) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY c.comp
+        |      ORDER BY d0.n_chars DESC, d0.doc_id ASC) AS rn
+        |  FROM comps c JOIN documents d0 ON d0.doc_id = c.id)
+        |WHERE rn = 1 ORDER BY comp""".stripMargin
   )
 }

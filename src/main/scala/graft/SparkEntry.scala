@@ -3046,6 +3046,27 @@ object SparkEntry {
     res
   }
 
+  /** q155 — the composed per-domain dedup PIPELINE (q152's scoped
+    * pairs → star connected components → q58's keep-best policy): what
+    * a FineWeb-style pass actually ships — one surviving representative
+    * per within-source duplicate cluster, highest n_chars winning, ties
+    * to the lower id. Components never span sources because the pair
+    * graph is scoped by construction; the output carries the source so
+    * downstream quota sampling (q85's shape) can cap survivors per
+    * domain. */
+  def q155ScopedDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    val pairs = operators.Dedup.scopedMinhashNearDupPairs(docs,
+      col("doc_id"), col("text"), col("source"), shingleN = 3, k = 8,
+      rowsPerBand = 1, threshold = 0.4, maxBandDf = Some(30L))
+    operators.Dedup.bestRepresentative(docs, pairs, col("doc_id"),
+        col("n_chars"))
+      .join(docs.select(col("doc_id").as("keep_id"), col("source")),
+        Seq("keep_id"))
+      .select(col("source"), col("comp"), col("keep_id"), col("score"))
+      .orderBy(col("comp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3200,7 +3221,8 @@ object SparkEntry {
     "q151_pca_comoment" -> (q151PcaComoment _),
     "q152_scoped_neardup" -> (q152ScopedNearDup _),
     "q153_artifact_describe" -> (q153ArtifactDescribe _),
-    "q154_streaming_pca_moments" -> (q154StreamingPcaMoments _)
+    "q154_streaming_pca_moments" -> (q154StreamingPcaMoments _),
+    "q155_scoped_dedup_survivors" -> (q155ScopedDedupSurvivors _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
