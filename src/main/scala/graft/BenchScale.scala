@@ -185,7 +185,23 @@ object BenchScale {
       // admission, minus the deleted fifth of the index side), at BOTH
       // scales — the tombstone table is O(|deleted|), never corpus-
       // sized, so the delta must not grow with the corpus
-      "q139_delete_probe", "q140_delete_admit")
+      "q139_delete_probe", "q140_delete_admit",
+      // the PCA co-moment pass: one corpus scan folded to P·(d²+d+1)
+      // tiny rows before the shuffle — the claim is strictly linear
+      // growth (ratio ≈ replicas·overhead) with a corpus-independent
+      // shuffle, the same bounded-state discipline as q144's fit
+      "q151_pca_comoment",
+      // scoped near-dup: the per-(scope, band) bucket split keeps the
+      // banded profile — replicas keep the fixture's source values, so
+      // per-source volume scales with the corpus and the ceiling caps
+      // per-scope buckets exactly as the unscoped path's are capped
+      "q152_scoped_neardup",
+      // the composed pipeline: q152's pairs through star components +
+      // keep-best — components are the superlinear risk (iterations ∝
+      // cluster diameter), but replicas never pair with each other, so
+      // diameters stay fixture-sized and the closure should track q51's
+      // ~linear profile
+      "q155_scoped_dedup_survivors")
 
     // ---- standing ANN artifacts per (kind, dir), built once ----
     val ixRoots = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
