@@ -3067,6 +3067,33 @@ object SparkEntry {
       .orderBy(col("comp"))
   }
 
+  /** q156 — the end-to-end corpus SELECTION pass: CorpusPipeline.cleanWith
+    * with the SCOPED pair policy (near-dup dedup confined within each
+    * source, exact dedup still global — a cross-source byte-identical
+    * copy is a dup no matter where it was crawled), then a per-source
+    * EXACT quota (Sampling.exactNPerStratum, n=10) capping every domain's
+    * contribution to the training mix. This is the selection shape a
+    * FineWeb-style pass ships: gate → dedup → domain cap, each stage a
+    * verified operator, the composition hash-checked end to end. Unlike
+    * q48's hash-bound stratified sample, the quota is exact-N — the mix
+    * recipe a tokens-per-domain budget actually specifies. */
+  def q156ScopedCorpusSelection(s: SparkSession, dir: String): DataFrame = {
+    val scoped: operators.CorpusPipeline.PairPolicy = (df, id, text) =>
+      operators.Dedup.scopedMinhashNearDupPairs(df, id, text, col("source"),
+        shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4,
+        maxBandDf = Some(30L)).select(col("id_a"), col("id_b"))
+    val cleaned = operators.CorpusPipeline.cleanWith(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text")),
+      stopwords = TF.DefaultLangMarkers("en"),
+      qualityThreshold = 0.5, pairPolicy = scoped)
+    operators.Sampling.exactNPerStratum(
+        cleaned.select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), n = 10)
+      .select(col("source"), col("doc_id"), col("__rank").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3222,7 +3249,8 @@ object SparkEntry {
     "q152_scoped_neardup" -> (q152ScopedNearDup _),
     "q153_artifact_describe" -> (q153ArtifactDescribe _),
     "q154_streaming_pca_moments" -> (q154StreamingPcaMoments _),
-    "q155_scoped_dedup_survivors" -> (q155ScopedDedupSurvivors _)
+    "q155_scoped_dedup_survivors" -> (q155ScopedDedupSurvivors _),
+    "q156_scoped_corpus_selection" -> (q156ScopedCorpusSelection _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
