@@ -106,7 +106,12 @@ private[graft] object Oracles {
     * only, every vector (standing + appended batch) is assigned under
     * them, the probe runs over the union — exactly what
     * build → append → probe produces over the artifact. */
-  private val q121OracleSql: String =
+  /** q121/q122's IVF probe oracle with an optional CANDIDATE-side
+    * predicate — "TRUE" is the plain artifact probe; q158 passes the
+    * tombstoned-vector exclusion (the standing index minus deleted
+    * vec_ids after the pressure fold — queries and cell geometry are
+    * untouched, only index membership shrinks). */
+  private def q121OracleSqlWith(candPred: String): String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |st AS (SELECT * FROM e
       |       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'cccc'),
@@ -129,11 +134,15 @@ private[graft] object Oracles {
       |      THEN 0.0
       |      ELSE list_inner_product(p.qv, c.v) /
       |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
-      |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+      |  FROM pr p JOIN cell c ON c.cell = p.cell AND c.vec_id <> p.query_id
+      |  WHERE CAND_PRED)
       |SELECT query_id, neighbor_id, rnk FROM (
       |  SELECT query_id, neighbor_id,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
       |  FROM cand) WHERE rnk <= 10""".stripMargin
+      .replace("CAND_PRED", candPred)
+
+  private val q121OracleSql: String = q121OracleSqlWith("TRUE")
 
   /** q109's incremental admission with an optional INDEX-side predicate
     * — `TRUE` is q109 verbatim; q140 passes the tombstoned-doc exclusion
@@ -756,13 +765,19 @@ private[graft] object Oracles {
     * the q116 oracle and q143's admitted-card composition so the two
     * replays cannot drift. Plain string: no interpolation, keeps the
     * regex escapes verbatim. */
-  private val streamingAdmissionCtes: String =
+  /** The q116 two-batch streaming-admission CTE chain. `standingPred`
+    * filters the STANDING index side (stage 0) — "TRUE" is q116/q143
+    * verbatim; q157 passes the tombstoned-doc exclusion so the oracle
+    * models the standing tree AFTER the pressure fold physically
+    * removed the deleted docs' signatures. */
+  private def streamingAdmissionCtes(standingPred: String): String =
     """d0 AS (SELECT doc_id, text,
-      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 0
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN
+      |           (CASE WHEN STANDING_PRED THEN 0 ELSE -1 END)
       |         WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS stage
       |  FROM documents),
       |t1 AS (SELECT doc_id, stage, string_split_regex(lower(trim(text)), '\s+') AS t
-      |       FROM d0 WHERE trim(COALESCE(text, '')) <> ''),
+      |       FROM d0 WHERE trim(COALESCE(text, '')) <> '' AND stage >= 0),
       |sh AS (SELECT doc_id, stage, list_distinct(list_transform(
       |         generate_series(1, greatest(len(t) - 2, 1)),
       |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
@@ -834,6 +849,7 @@ private[graft] object Oracles {
       |comp2 AS (SELECT id, MIN(r) AS comp FROM reach2 GROUP BY id),
       |adm2 AS (SELECT sv2.doc_id FROM sv2 LEFT JOIN comp2 ON comp2.id = sv2.doc_id
       |         WHERE comp2.id IS NULL OR comp2.comp = sv2.doc_id)""".stripMargin
+      .replace("STANDING_PRED", standingPred)
 
   /** The dataset-card CTE chain over `docFrom` (any relation exposing
     * documents' four card columns) + its final select — split so q143
@@ -2666,7 +2682,7 @@ private[graft] object Oracles {
     // second; stage 2 probes standing ∪ stage-1 admissions — the
     // fold-back invariant of the streaming ingest loop)
     "q116_streaming_admission" ->
-      s"""WITH RECURSIVE $streamingAdmissionCtes,
+      s"""WITH RECURSIVE ${streamingAdmissionCtes("TRUE")},
         |admitted AS (SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2)
         |SELECT doc_id FROM admitted
         |ORDER BY doc_id""".stripMargin,
@@ -2840,7 +2856,7 @@ private[graft] object Oracles {
     // q132 card CTEs restricted to the admitted ids; streaming
     // admission + streaming card ≡ this one batch SQL
     "q143_admitted_card" ->
-      s"""WITH RECURSIVE $streamingAdmissionCtes,
+      s"""WITH RECURSIVE ${streamingAdmissionCtes("TRUE")},
          |admitted AS (SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2),
          |${cardCtes("documents JOIN admitted USING (doc_id)")}
          |$cardTail""".stripMargin,
@@ -3264,6 +3280,22 @@ private[graft] object Oracles {
         |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM surv)
-        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // q157: q116's sequential two-batch admission chain with the
+    // standing side filtered to the post-fold tree — doc_id%5=2 of the
+    // standing corpus was tombstoned and the tombstone-pressure fold
+    // (20% load > θ=0.1) physically removed it before the first batch
+    "q157_pressure_admission" ->
+      s"""WITH RECURSIVE ${streamingAdmissionCtes("doc_id % 5 <> 2")},
+        |admitted AS (SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2)
+        |SELECT doc_id FROM admitted
+        |ORDER BY doc_id""".stripMargin,
+    // q158: q122's ingest-then-probe with the standing side's deleted
+    // tenth (vec_id%10=7) excluded from the candidate set — the ANN
+    // pressure fold physically removed those assignment rows before the
+    // first batch; centroids (cell geometry) and queries are untouched
+    "q158_ann_pressure_ingest" -> q121OracleSqlWith(
+      "NOT (substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 4) < 'cccc' " +
+        "AND c.vec_id % 10 = 7)")
   )
 }

@@ -3094,6 +3094,91 @@ object SparkEntry {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** q157 — tombstone-PRESSURE auto-compaction on the driver-verified
+    * path: the standing index takes a 20% takedown load (doc_id%5=2 of
+    * the standing corpus tombstoned, the delete replayed — idempotence),
+    * then the SAME two-batch streaming admission as q116 runs with
+    * `compactWhenTombstoneRatio = 0.1`. The session measures the
+    * pressure once at start (20% > θ), folds the tombstones physically
+    * (Dedup.compactNearDupIndex), and both batches admit against the
+    * folded, deleted-free tree. Oracle = q116's sequential admission
+    * chain with the deleted fifth excluded from the standing side: the
+    * fold must change exactly WHAT the probes see — deleted docs no
+    * longer suppress matching batch docs — and nothing else. */
+  def q157PressureAdmission(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q157_")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q116Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    val seedSrc = java.nio.file.Paths.get(standingIndex(s, dir))
+    val seedDst = root.resolve("index").resolve("seed")
+    java.nio.file.Files.createDirectories(seedDst)
+    eachEntry(seedSrc) { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        java.nio.file.Files.createLink(seedDst.resolve(p.getFileName.toString), p)
+        ()
+      }
+    }
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    val deleted = docs.filter(!isNew && col("doc_id") % 5 === 2)
+      .select(col("doc_id")).coalesce(1)
+    operators.Dedup.deleteFromNearDupIndex(deleted, root.resolve("index").toString)
+    operators.Dedup.deleteFromNearDupIndex(deleted, root.resolve("index").toString) // replay
+    val admitted = streaming.AdmissionStream.runAdmission(s, landing.toString,
+        root.resolve("index").toString, root.resolve("out").toString,
+        shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+        maxFilesPerTrigger = Some(1),
+        compactWhenTombstoneRatio = Some(0.1))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    admitted
+  }
+
+  /** q158 — tombstone-pressure auto-compaction on the ANN family's
+    * driver-verified path (the q157 shape for vectors): the standing
+    * 80% IVF-flat artifact takes a 10% takedown load (vec_id%10=7 of
+    * the standing vectors tombstoned, delete replayed), then q122's
+    * two-batch streaming ingest runs with `compactWhenTombstoneRatio =
+    * 0.05`: the session folds the deletes physically at start
+    * (Similarity.compactIvfFlatIndex — centroids carried, so cell
+    * geometry is untouched), ingests both batches against the folded
+    * tree, and the probe serves standing-minus-deleted ∪ ingested.
+    * Oracle = q121/q122's probe SQL with the deleted tenth excluded
+    * from the candidate side. */
+  def q158AnnPressureIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q158_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix")
+    linkTree(java.nio.file.Paths.get(standingAnn80Index(s, dir)), ix)
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q122Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    val e = t(s, dir, "embeddings")
+    val isNew = substring(md5(col("vec_id").cast("string")), 1, 4) >= "cccc"
+    val deleted = e.filter(!isNew && col("vec_id") % 10 === 7)
+      .select(col("vec_id")).coalesce(1)
+    operators.Similarity.deleteFromAnnIndex(deleted, ix.toString)
+    operators.Similarity.deleteFromAnnIndex(deleted, ix.toString) // replay
+    streaming.AnnIngest.runIngest(s, landing.toString, ix.toString,
+      maxFilesPerTrigger = Some(1),
+      compactWhenTombstoneRatio = Some(0.05))
+    val res = operators.Similarity.ivfFlatProbe(
+        e.filter(col("vec_id") < 5), ix.toString, 10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3250,7 +3335,9 @@ object SparkEntry {
     "q153_artifact_describe" -> (q153ArtifactDescribe _),
     "q154_streaming_pca_moments" -> (q154StreamingPcaMoments _),
     "q155_scoped_dedup_survivors" -> (q155ScopedDedupSurvivors _),
-    "q156_scoped_corpus_selection" -> (q156ScopedCorpusSelection _)
+    "q156_scoped_corpus_selection" -> (q156ScopedCorpusSelection _),
+    "q157_pressure_admission" -> (q157PressureAdmission _),
+    "q158_ann_pressure_ingest" -> (q158AnnPressureIngest _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
