@@ -3296,6 +3296,17 @@ private[graft] object Oracles {
     // first batch; centroids (cell geometry) and queries are untouched
     "q158_ann_pressure_ingest" -> q121OracleSqlWith(
       "NOT (substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 4) < 'cccc' " +
-        "AND c.vec_id % 10 = 7)")
+        "AND c.vec_id % 10 = 7)"),
+    // q159: the sequential two-batch per-source quota admission is
+    // exactly one global window — batch a (even new ids) lands first,
+    // so the admitted order per source is (doc_id % 2, doc_id)
+    "q159_streaming_quota" ->
+      """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY doc_id % 2, doc_id) AS rk
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccc')
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
   )
 }

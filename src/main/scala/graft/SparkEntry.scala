@@ -3179,6 +3179,31 @@ object SparkEntry {
     res
   }
 
+  /** q159 — streaming per-domain quota admission (QuotaStream): the
+    * q116 two-batch landing replayed through the |sources|-row quota
+    * state — every source admits its doc_id-ascending head until the
+    * RUNNING count reaches 3, across batches, first-come-first-served.
+    * `rk` is each row's position in its source's admitted sequence.
+    * Oracle = a single window over the new docs ordered (batch,
+    * doc_id): the sequential per-batch admission against folded counts
+    * is exactly the global per-source head. */
+  def q159StreamingQuotaAdmission(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q159_")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q116Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    val res = streaming.QuotaStream.runQuotaAdmission(s, landing.toString,
+        root.resolve("state").toString, root.resolve("out").toString,
+        capPerSource = 3L, maxFilesPerTrigger = Some(1))
+      .orderBy(col("source"), col("rk"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3337,7 +3362,8 @@ object SparkEntry {
     "q155_scoped_dedup_survivors" -> (q155ScopedDedupSurvivors _),
     "q156_scoped_corpus_selection" -> (q156ScopedCorpusSelection _),
     "q157_pressure_admission" -> (q157PressureAdmission _),
-    "q158_ann_pressure_ingest" -> (q158AnnPressureIngest _)
+    "q158_ann_pressure_ingest" -> (q158AnnPressureIngest _),
+    "q159_streaming_quota" -> (q159StreamingQuotaAdmission _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
