@@ -3307,6 +3307,21 @@ private[graft] object Oracles {
         |      ORDER BY doc_id % 2, doc_id) AS rk
         |  FROM documents
         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccc')
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    // q160: the q116 admission chain's per-batch admitted sets pushed
+    // through one global per-source quota window — batch a's admissions
+    // (adm1) precede batch b's (adm2), doc_id-ascending within each
+    "q160_dedup_quota_ingest" ->
+      s"""WITH RECURSIVE ${streamingAdmissionCtes("TRUE")},
+        |a1 AS (SELECT d.doc_id, d.source, 0 AS b
+        |       FROM documents d JOIN adm1 USING (doc_id)),
+        |a2 AS (SELECT d.doc_id, d.source, 1 AS b
+        |       FROM documents d JOIN adm2 USING (doc_id)),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY b, doc_id) AS rk
+        |  FROM u)
         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
   )
 }

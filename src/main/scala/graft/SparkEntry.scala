@@ -3204,6 +3204,46 @@ object SparkEntry {
     res
   }
 
+  /** q160 — the composed continuous-ingest pipeline: near-dup ADMISSION
+    * (q116's two-batch loop) feeding the per-domain QUOTA fold through
+    * the `onBatchAdmitted` observer seam — only deduped rows reach the
+    * quota, and each batch's quota fold commits exactly once under the
+    * state's applied markers. This is the ingest shape a production
+    * corpus runs: dedup against the standing index, then cap what each
+    * domain may contribute. Oracle = the q116 admission chain's per-batch
+    * admitted sets pushed through one global per-source window ordered
+    * (batch, doc_id). */
+  def q160DedupQuotaIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q160_")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q116Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    val seedSrc = java.nio.file.Paths.get(standingIndex(s, dir))
+    val seedDst = root.resolve("index").resolve("seed")
+    java.nio.file.Files.createDirectories(seedDst)
+    eachEntry(seedSrc) { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        java.nio.file.Files.createLink(seedDst.resolve(p.getFileName.toString), p)
+        ()
+      }
+    }
+    val qOut = root.resolve("quota_out").toString
+    streaming.AdmissionStream.runAdmission(s, landing.toString,
+      root.resolve("index").toString, root.resolve("out").toString,
+      shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+      maxFilesPerTrigger = Some(1),
+      onBatchAdmitted = Some(streaming.QuotaStream.quotaFold(s,
+        root.resolve("quota_state").toString, qOut, 3L)))
+    val res = s.read.option("recursiveFileLookup", "true").parquet(qOut)
+      .orderBy(col("source"), col("rk"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3363,7 +3403,8 @@ object SparkEntry {
     "q156_scoped_corpus_selection" -> (q156ScopedCorpusSelection _),
     "q157_pressure_admission" -> (q157PressureAdmission _),
     "q158_ann_pressure_ingest" -> (q158AnnPressureIngest _),
-    "q159_streaming_quota" -> (q159StreamingQuotaAdmission _)
+    "q159_streaming_quota" -> (q159StreamingQuotaAdmission _),
+    "q160_dedup_quota_ingest" -> (q160DedupQuotaIngest _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

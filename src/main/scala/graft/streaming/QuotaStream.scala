@@ -43,6 +43,54 @@ object QuotaStream {
     StructField("doc_id", LongType),
     StructField("source", StringType)))
 
+  /** The per-batch quota fold — [[runQuotaAdmission]]'s loop body,
+    * exposed so it also plugs straight into
+    * [[AdmissionStream.runAdmission]]'s `onBatchAdmitted` observer seam
+    * (the dedup → quota composition of a continuous ingest: only
+    * near-dup-admitted rows reach the quota, q160). Idempotent per
+    * batchId: the state's applied markers gate the WHOLE fold, so a
+    * replayed batch neither recomputes against post-fold counts nor
+    * double-counts. */
+  def quotaFold(spark: SparkSession, statePath: String, outPath: String,
+      capPerSource: Long)(batch: DataFrame, batchId: Long): Unit = {
+    // the state's applied-set gates the WHOLE batch: recomputing a
+    // replayed batch against the post-merge counts would admit a
+    // smaller (wrong) set — the original attempt's subdir stands
+    Upsert.recoverStagedSwap(statePath)
+    if (!Upsert.appliedBatches(statePath).contains(batchId)) {
+      val counts =
+        if (Fs.exists(statePath))
+          spark.read.parquet(statePath)
+            .select(col("source"), col("admitted").as("__got"))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("source", StringType),
+            StructField("__got", LongType))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id").asc)
+      val admitted = batch.select(col("doc_id"), col("source"))
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .join(broadcast(counts), Seq("source"), "left")
+        .filter(col("__rn") <=
+          lit(capPerSource) - coalesce(col("__got"), lit(0L)))
+        .withColumn("rk", col("__rn") + coalesce(col("__got"), lit(0L)))
+        .select(col("source"), col("doc_id"), col("rk"))
+        // one evaluation feeds the output write AND the state fold
+        .localCheckpoint(true)
+      // batchId-keyed subdir: a replayed batch overwrites itself
+      // with the identical set (exactly-once), never appends
+      admitted.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+      // state fold AFTER the output committed: a crash between the
+      // two replays into the not-applied branch above and rewrites
+      // the same rows before folding
+      Upsert.mergeParquet(spark, statePath,
+        admitted.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("admitted")),
+        Some(batchId))(
+        Upsert.additiveMerge(_, _, Seq("source"), Seq("admitted")))
+    }
+  }
+
   /** Run a bounded landing stream to completion, admitting per-source
     * heads until each source's running count reaches `capPerSource`.
     * Returns the admitted rows (`source`, `doc_id`, `rk`) across all
@@ -68,42 +116,7 @@ object QuotaStream {
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         lastBatchId = math.max(lastBatchId, batchId)
-        // the state's applied-set gates the WHOLE batch: recomputing a
-        // replayed batch against the post-merge counts would admit a
-        // smaller (wrong) set — the original attempt's subdir stands
-        Upsert.recoverStagedSwap(statePath)
-        if (!Upsert.appliedBatches(statePath).contains(batchId)) {
-          val counts =
-            if (Fs.exists(statePath))
-              spark.read.parquet(statePath)
-                .select(col("source"), col("admitted").as("__got"))
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("source", StringType),
-                StructField("__got", LongType))))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("source")).orderBy(col("doc_id").asc)
-          val admitted = batch.select(col("doc_id"), col("source"))
-            .withColumn("__rn", row_number().over(w).cast("long"))
-            .join(broadcast(counts), Seq("source"), "left")
-            .filter(col("__rn") <=
-              lit(capPerSource) - coalesce(col("__got"), lit(0L)))
-            .withColumn("rk", col("__rn") + coalesce(col("__got"), lit(0L)))
-            .select(col("source"), col("doc_id"), col("rk"))
-            // one evaluation feeds the output write AND the state fold
-            .localCheckpoint(true)
-          // batchId-keyed subdir: a replayed batch overwrites itself
-          // with the identical set (exactly-once), never appends
-          admitted.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
-          // state fold AFTER the output committed: a crash between the
-          // two replays into the not-applied branch above and rewrites
-          // the same rows before folding
-          Upsert.mergeParquet(spark, statePath,
-            admitted.groupBy(col("source"))
-              .agg(count(lit(1)).cast("long").as("admitted")),
-            Some(batchId))(
-            Upsert.additiveMerge(_, _, Seq("source"), Seq("admitted")))
-        }
+        quotaFold(spark, statePath, outPath, capPerSource)(batch, batchId)
         ()
       }
       .start()
