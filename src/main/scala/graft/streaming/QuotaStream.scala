@@ -57,15 +57,30 @@ object QuotaStream {
     // replayed batch against the post-merge counts would admit a
     // smaller (wrong) set — the original attempt's subdir stands
     Upsert.recoverStagedSwap(statePath)
+    val state =
+      if (Fs.exists(statePath)) Some(spark.read.parquet(statePath))
+      else None
+    // embedded-parameter fail-fast (the index p_* discipline): counts
+    // accumulated under one budget are not comparable under another — a
+    // cap change needs a fresh state table. Checked BEFORE the applied
+    // gate so a replayed batch under a changed cap fails loudly instead
+    // of silently serving the old budget's output. p_cap is an RLE'd
+    // constant; the distinct is |sources|-bounded.
+    state.foreach { st =>
+      val caps = st.select(col("p_cap")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      require(caps == Set(capPerSource),
+        s"quota state at $statePath was built with capPerSource=" +
+          s"${caps.mkString(",")}; refusing to fold with " +
+          s"$capPerSource — start a new state table for a new budget")
+    }
     if (!Upsert.appliedBatches(statePath).contains(batchId)) {
-      val counts =
-        if (Fs.exists(statePath))
-          spark.read.parquet(statePath)
-            .select(col("source"), col("admitted").as("__got"))
-        else spark.createDataFrame(
+      val counts = state
+        .map(_.select(col("source"), col("admitted").as("__got")))
+        .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("source", StringType),
-            StructField("__got", LongType))))
+            StructField("__got", LongType)))))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("doc_id").asc)
       val admitted = batch.select(col("doc_id"), col("source"))
@@ -85,9 +100,13 @@ object QuotaStream {
       // the same rows before folding
       Upsert.mergeParquet(spark, statePath,
         admitted.groupBy(col("source"))
-          .agg(count(lit(1)).cast("long").as("admitted")),
+          .agg(count(lit(1)).cast("long").as("admitted"))
+          .withColumn("p_cap", lit(capPerSource)),
         Some(batchId))(
-        Upsert.additiveMerge(_, _, Seq("source"), Seq("admitted")))
+        // p_cap rides as a grouping key: after the fail-fast above every
+        // row carries the same value, so the grouping is a no-op that
+        // persists the parameter with the counts it governs
+        Upsert.additiveMerge(_, _, Seq("source", "p_cap"), Seq("admitted")))
     }
   }
 

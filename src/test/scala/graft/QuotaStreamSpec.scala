@@ -52,8 +52,21 @@ class QuotaStreamSpec extends SparkSpecBase {
       // applied markers skip both folds — same set, counts unchanged
       run() shouldBe first
       spark.read.parquet(root.resolve("state").toString)
+        .select("source", "admitted")
         .as[(String, Long)].collect().toMap shouldBe
         Map("s1" -> 3L, "s2" -> 3L, "s3" -> 1L)
+      // counts under one budget are not comparable under another —
+      // folding the standing state with a different cap must fail fast
+      // even on replayed batches (the check precedes the applied gate);
+      // the stream wraps the cause, so walk the chain
+      val e = intercept[Exception] {
+        QuotaStream.runQuotaAdmission(spark, landing.toString,
+          root.resolve("state").toString, root.resolve("out").toString,
+          capPerSource = 5L, maxFilesPerTrigger = Some(1))
+      }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n") should
+        include("capPerSource=3")
       // a later session lands a third batch: full sources admit nothing,
       // s3 fills its remaining 2 slots in doc_id order
       land(landing)(
