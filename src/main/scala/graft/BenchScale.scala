@@ -201,7 +201,13 @@ object BenchScale {
       // cluster diameter), but replicas never pair with each other, so
       // diameters stay fixture-sized and the closure should track q51's
       // ~linear profile
-      "q155_scoped_dedup_survivors")
+      "q155_scoped_dedup_survivors",
+      // the full selection pass (gate → exact dedup → scoped near-dup →
+      // exact per-source quota): the quota window sorts per source, so
+      // the stress measures the one stage that grows with per-source
+      // volume (exactNPerStratum's prefilterHexBound is the production
+      // lever when a domain's corpus share outgrows a partition)
+      "q156_scoped_corpus_selection")
 
     // ---- standing ANN artifacts per (kind, dir), built once ----
     val ixRoots = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
