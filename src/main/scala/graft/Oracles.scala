@@ -3322,6 +3322,16 @@ private[graft] object Oracles {
         |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
         |      ORDER BY b, doc_id) AS rk
         |  FROM u)
-        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    // q161: a leaderboard is batch-order-invariant — the streamed board
+    // equals the global per-source top-2 by (n_chars desc, doc_id asc)
+    "q161_streaming_topn" ->
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccc')
+        |WHERE rn <= 2 ORDER BY source, doc_id""".stripMargin
   )
 }

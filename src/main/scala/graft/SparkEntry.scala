@@ -3244,6 +3244,31 @@ object SparkEntry {
     res
   }
 
+  /** q161 — streaming top-N per source with replacement (TopNStream):
+    * the reference's TopN snapshot made continuous — each source's
+    * standing board keeps its 2 highest-n_chars documents, and every
+    * micro-batch may displace standing entries. Replay is idempotent by
+    * top-N's merge property; state is board-sized. Oracle = the global
+    * per-source top-2 over the new docs (batch order is irrelevant to a
+    * leaderboard — exactly the property that distinguishes it from
+    * q159's first-come quota). */
+  def q161StreamingTopN(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q161_")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q116Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    val res = streaming.TopNStream.runTopN(s, landing.toString,
+        root.resolve("state").toString, n = 2, scoreCol = "n_chars",
+        maxFilesPerTrigger = Some(1))
+      .orderBy(col("source"), col("doc_id"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3404,7 +3429,8 @@ object SparkEntry {
     "q157_pressure_admission" -> (q157PressureAdmission _),
     "q158_ann_pressure_ingest" -> (q158AnnPressureIngest _),
     "q159_streaming_quota" -> (q159StreamingQuotaAdmission _),
-    "q160_dedup_quota_ingest" -> (q160DedupQuotaIngest _)
+    "q160_dedup_quota_ingest" -> (q160DedupQuotaIngest _),
+    "q161_streaming_topn" -> (q161StreamingTopN _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
