@@ -3332,6 +3332,17 @@ private[graft] object Oracles {
         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents
         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccc')
+        |WHERE rn <= 2 ORDER BY source, doc_id""".stripMargin,
+    // q162: the per-source top-2 over the ADMITTED set — the admission
+    // chain decides membership, the leaderboard is order-invariant
+    "q162_dedup_topn_ingest" ->
+      s"""WITH RECURSIVE ${streamingAdmissionCtes("TRUE")},
+        |admitted AS (SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2)
+        |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score FROM (
+        |  SELECT d.source, d.doc_id, d.n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        |  FROM documents d JOIN admitted USING (doc_id))
         |WHERE rn <= 2 ORDER BY source, doc_id""".stripMargin
   )
 }

@@ -3269,6 +3269,45 @@ object SparkEntry {
     res
   }
 
+  /** q162 — the dedup → LEADERBOARD composition (q160's shape with the
+    * board fold as the observer): q116's near-dup admission feeds
+    * TopNStream.boardFold through `onBatchAdmitted`, so only documents
+    * that survive dedup compete for each source's top-2 board. The
+    * oracle is the global per-source top-2 OVER THE ADMITTED SET — a
+    * leaderboard is batch-order-invariant, so unlike q160's quota the
+    * two-batch sequencing drops out and only WHICH docs were admitted
+    * matters. */
+  def q162DedupTopNIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q162_")
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q116Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    val seedSrc = java.nio.file.Paths.get(standingIndex(s, dir))
+    val seedDst = root.resolve("index").resolve("seed")
+    java.nio.file.Files.createDirectories(seedDst)
+    eachEntry(seedSrc) { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        java.nio.file.Files.createLink(seedDst.resolve(p.getFileName.toString), p)
+        ()
+      }
+    }
+    val statePath = root.resolve("board").toString
+    streaming.AdmissionStream.runAdmission(s, landing.toString,
+      root.resolve("index").toString, root.resolve("out").toString,
+      shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+      maxFilesPerTrigger = Some(1),
+      onBatchAdmitted = Some(streaming.TopNStream.boardFold(s,
+        statePath, 2, "n_chars")))
+    val res = streaming.TopNStream.readBoard(s, statePath)
+      .orderBy(col("source"), col("doc_id"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3430,7 +3469,8 @@ object SparkEntry {
     "q158_ann_pressure_ingest" -> (q158AnnPressureIngest _),
     "q159_streaming_quota" -> (q159StreamingQuotaAdmission _),
     "q160_dedup_quota_ingest" -> (q160DedupQuotaIngest _),
-    "q161_streaming_topn" -> (q161StreamingTopN _)
+    "q161_streaming_topn" -> (q161StreamingTopN _),
+    "q162_dedup_topn_ingest" -> (q162DedupTopNIngest _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

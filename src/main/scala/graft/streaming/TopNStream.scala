@@ -35,6 +35,62 @@ object TopNStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** The per-batch board fold — [[runTopN]]'s loop body, exposed so it
+    * also plugs into [[AdmissionStream.runAdmission]]'s `onBatchAdmitted`
+    * observer seam (the dedup → leaderboard composition: only
+    * near-dup-admitted rows compete for the board, q162). Idempotent per
+    * batchId — and idempotent even WITHOUT the marker, by top-N's merge
+    * property; the marker makes the skip free. */
+  def boardFold(spark: SparkSession, statePath: String, n: Int,
+      scoreCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    Upsert.recoverStagedSwap(statePath)
+    // board-size fail-fast (the p_* discipline): a board built at one n
+    // is a DIFFERENT leaderboard at another — the standing state must
+    // not silently shrink or pad
+    val state =
+      if (Fs.exists(statePath)) Some(spark.read.parquet(statePath))
+      else None
+    state.foreach { st =>
+      val ns = st.select(col("p_n")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      require(ns == Set(n),
+        s"top-N state at $statePath was built with n=${ns.mkString(",")}; " +
+          s"refusing to fold with n=$n — start a new state table for " +
+          "a new board size")
+    }
+    if (!Upsert.appliedBatches(statePath).contains(batchId)) {
+      val arrivals = batch.select(col("doc_id"), col("source"),
+        col(scoreCol).cast("long").as("score"))
+      val cand = state
+        .map(_.select(col("doc_id"), col("source"), col("score"))
+          .unionByName(arrivals))
+        .getOrElse(arrivals)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      // pinned off the state files BEFORE the swap relocates them
+      val next = cand.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .select(col("doc_id"), col("source"), col("score"))
+        .withColumn("p_n", lit(n))
+        .localCheckpoint(true)
+      // REPLACE semantics: the fold already merged the old board
+      Upsert.mergeParquet(spark, statePath, next,
+        Some(batchId))((_, updates) => updates)
+    }
+  }
+
+  /** Read the standing board at `statePath` (empty frame when none). */
+  def readBoard(spark: SparkSession, statePath: String): DataFrame =
+    if (Fs.exists(statePath))
+      spark.read.parquet(statePath)
+        .select(col("source"), col("doc_id"), col("score"))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("source", StringType),
+          StructField("doc_id", LongType), StructField("score", LongType))))
+
   /** Run a bounded landing stream to completion, maintaining each
     * source's top-`n` board by (`score` desc, doc_id asc). `scoreCol`
     * names the landing column used as the score (must be castable to
@@ -58,54 +114,13 @@ object TopNStream {
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Upsert.recoverStagedSwap(statePath)
-        // board-size fail-fast (the p_* discipline): a board built at
-        // one n is a DIFFERENT leaderboard at another — the standing
-        // state must not silently shrink or pad
-        val state =
-          if (Fs.exists(statePath)) Some(spark.read.parquet(statePath))
-          else None
-        state.foreach { st =>
-          val ns = st.select(col("p_n")).distinct()
-            .collect().map(_.getInt(0)).toSet
-          require(ns == Set(n),
-            s"top-N state at $statePath was built with n=${ns.mkString(",")}; " +
-              s"refusing to fold with n=$n — start a new state table for " +
-              "a new board size")
-        }
-        if (!Upsert.appliedBatches(statePath).contains(batchId)) {
-          val arrivals = batch.select(col("doc_id"), col("source"),
-            col(scoreCol).cast("long").as("score"))
-          val cand = state
-            .map(_.select(col("doc_id"), col("source"), col("score"))
-              .unionByName(arrivals))
-            .getOrElse(arrivals)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("source"))
-            .orderBy(col("score").desc, col("doc_id").asc)
-          // pinned off the state files BEFORE the swap relocates them
-          val next = cand.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") <= n)
-            .select(col("doc_id"), col("source"), col("score"))
-            .withColumn("p_n", lit(n))
-            .localCheckpoint(true)
-          // REPLACE semantics: the fold already merged the old board
-          Upsert.mergeParquet(spark, statePath, next,
-            Some(batchId))((_, updates) => updates)
-        }
+        boardFold(spark, statePath, n, scoreCol)(batch, batchId)
         ()
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
     if (checkpointDir.isEmpty)
       graft.operators.Maintenance.rmTree(ckpt.toFile)
-    if (Fs.exists(statePath))
-      spark.read.parquet(statePath)
-        .select(col("source"), col("doc_id"), col("score"))
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("source", StringType),
-          StructField("doc_id", LongType), StructField("score", LongType))))
+    readBoard(spark, statePath)
   }
 }
