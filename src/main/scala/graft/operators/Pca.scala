@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => V}
@@ -46,10 +47,19 @@ object Pca {
     *   i ≥ 0, j ≥ 0 → Σ_rows floor(vᵢ·vⱼ·scale)   (Gramian term)
     *   i ≥ 0, j = -1 → Σ_rows floor(vᵢ·scale)      (dimension sum)
     *   i = -1, j = -1 → row count
+    *   i = -2, j = d → count of PARTITIONS that saw dim-d rows (the
+    *     width marker — see below)
     * Quantization happens per TERM, so the aggregated longs are exact
     * and order-independent. Null / empty vectors are dropped; a
-    * mid-stream dimension change fails fast (ragged embeddings are a
-    * data bug, not something to average over). */
+    * dimension change fails fast (ragged embeddings are a data bug,
+    * not something to average over) — WITHIN a partition by the
+    * per-row require, and ACROSS partitions/batches by the (-2, d)
+    * marker each non-empty partition emits: every consumer of the
+    * moment rows ([[solveFromMoments]], [[comomentGramian]],
+    * [[graft.streaming.GramianStream]]) requires exactly one distinct
+    * marker dim, so two files of different widths can never silently
+    * fold into one Gramian (each partition alone is internally
+    * consistent, so without the marker nothing else would notice). */
   private[graft] def momentRows(df: DataFrame, vec: Column,
       scale: Double): DataFrame = {
     val spark = df.sparkSession
@@ -92,7 +102,7 @@ object Pca {
             yield (i, j, g(i * dim + j))
           gram.iterator ++
             (0 until dim).iterator.map(i => (i, -1, sums(i))) ++
-            Iterator((-1, -1, n))
+            Iterator((-1, -1, n), (-2, dim, 1L))
         }
       }
       .toDF("i", "j", "q")
@@ -107,11 +117,24 @@ object Pca {
     * any engine replays it bit-identically; the sums are then plain
     * integer arithmetic in any order). */
   def comomentGramian(df: DataFrame, vec: Column,
-      scale: Double = 1e6): DataFrame =
+      scale: Double = 1e6): DataFrame = {
+    // ragged fail-fast WITHOUT a second corpus pass: after the moment
+    // aggregation the frame is ≤ d²+d+2 rows, so one whole-frame window
+    // counting the (-2, d) width markers is a d²-sized shuffle, not a
+    // rescan; assert_true rides a filter (never pruned) and fires the
+    // moment two partitions of different widths meet
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     momentRows(df, vec, scale)
-      .filter(col("j") >= 0)
+      .withColumn("__dims",
+        count(when(col("i") === -2, lit(1))).over(w))
+      .filter(coalesce(assert_true(col("__dims") <= 1,
+        lit("ragged embeddings: partitions disagree on embedding dim")),
+        lit(true)))
+      .filter(col("i") >= 0 && col("j") >= 0)
       .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
         col("q").as("g_q"))
+  }
 
   /** A fitted PCA basis: `components` are unit vectors in eigenvalue
     * order (largest first), `eigenvalues` the matching covariance
@@ -171,7 +194,18 @@ object Pca {
       if (r._1 == -1) n = r._3
     }
     require(n > 0, "PCA fit over an empty corpus")
-    val dim = rows.iterator.map(_._1).max + 1
+    // width markers (-2, d): every non-empty partition/batch stamped its
+    // dim; more than one distinct d means two internally-consistent row
+    // sets of DIFFERENT widths were folded — corrupt by construction
+    val markerDims = rows.collect { case (-2, d, _) => d }.distinct
+    require(markerDims.size <= 1,
+      "ragged embeddings: moment rows carry dims " +
+        s"${markerDims.sorted.mkString(",")} — partitions/batches " +
+        "disagree on embedding width")
+    val dim = rows.iterator.filter(_._1 >= 0).map(_._1).max + 1
+    markerDims.headOption.foreach(d => require(d == dim,
+      s"moment rows are dim-$dim but the width marker says $d — " +
+        "damaged moment set"))
     require(k <= dim, s"k=$k exceeds embedding dim $dim")
     val gram = Array.ofDim[Double](dim, dim)
     val mean = new Array[Double](dim)

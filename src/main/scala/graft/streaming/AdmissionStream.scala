@@ -196,7 +196,15 @@ object AdmissionStream {
     // tombstone view (a fired fold leaves no table to mask). Row
     // counts are parquet-metadata-only jobs, paid once per session.
     compactWhenTombstoneRatio.foreach { theta =>
-      val tombPath = s"$indexPath/${graft.operators.Fs.TombstonesSubdir}"
+      // resolve a pointer-committed root to its CURRENT generation (the
+      // AnnIngest discipline): on pointer roots tombstones live inside
+      // the generation (deleteFromNearDupIndex writes them there), and a
+      // recursive root read would union every standing gen-* dir — the
+      // root-level probe both never found the tombstones AND inflated
+      // the denominator, so the fold silently never fired
+      val concrete = graft.operators.Fs.currentGeneration(indexPath)
+        .getOrElse(indexPath)
+      val tombPath = s"$concrete/${graft.operators.Fs.TombstonesSubdir}"
       if (graft.operators.Fs.exists(tombPath)) {
         // distinct on the O(|deleted|) tombstones (replayed deletes
         // must not inflate the pressure); plain metadata-only count on
@@ -205,7 +213,7 @@ object AdmissionStream {
           .select(col("doc_id")).distinct().count()
         val data = scala.util.Try(
           spark.read.option("recursiveFileLookup", "true")
-            .parquet(indexPath).count())
+            .parquet(concrete).count())
           .getOrElse(0L)
         if (data > 0L && tombs.toDouble / data > theta) {
           Dedup.compactNearDupIndex(spark, indexPath, retain = Some(1))
@@ -221,13 +229,32 @@ object AdmissionStream {
     val landingSchema =
       scala.util.Try(spark.read.parquet(landingDir).schema).toOption
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
+    // the concrete tree this SESSION works under, resolved once AFTER
+    // the pressure fold (a fired fold publishes a new generation on
+    // pointer roots): probes read it, batch fold-backs blind-append
+    // into it (the pointer protocol's allowed mutation — same
+    // discipline as SemanticAdmission's stream/ subdirs), and a
+    // root-level read would instead union every RETAINED superseded
+    // generation — re-surfacing exactly the deleted signatures the
+    // fold just removed
+    val concrete = graft.operators.Fs.currentGeneration(indexPath)
+      .getOrElse(indexPath)
+    // the mid-stream fold stage-swaps the tree IN PLACE — on a pointer
+    // root that would mutate a published (immutable) generation under
+    // readers; between-sessions compaction (compactNearDupIndex, or the
+    // pressure knob above) is the pointer-root maintenance path
+    require(compactEvery.isEmpty || concrete == indexPath,
+      s"compactEvery is an in-place mid-stream fold and $indexPath is a " +
+        "pointer-committed root (generations are immutable once " +
+        "published); compact between sessions via compactNearDupIndex " +
+        "or compactWhenTombstoneRatio instead")
     // parameter fail-fast ONCE, against the standing tree — the loop
     // probes the same artifact under the same fixed parameters every
     // batch, so re-collecting the RLE'd constants per batch is pure
     // fixed cost (a stale batch subdir from a crashed attempt carries
     // the same parameters; an empty tree has no evidence — both fine)
     scala.util.Try(spark.read.option("recursiveFileLookup", "true")
-        .parquet(indexPath)).toOption
+        .parquet(concrete)).toOption
       .foreach(ix => Dedup.validateIndexParams(ix, shingleN, k, rowsPerBand))
     // SESSION-scoped FS state, resolved once (after the pressure fold,
     // which may have emptied it): the loop never appends tombstones and
@@ -249,13 +276,13 @@ object AdmissionStream {
         // subdirs accreted — never the current batch's own (see the
         // index-lifecycle note above)
         compactEvery.foreach { every =>
-          val base = new org.apache.hadoop.fs.Path(indexPath)
+          val base = new org.apache.hadoop.fs.Path(concrete)
           val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val standingBatches = fs.listStatus(base).count(st =>
             st.isDirectory && st.getPath.getName.startsWith("batch-") &&
               st.getPath.getName != s"batch-$batchId")
           if (standingBatches >= every) {
-            graft.operators.Maintenance.compactTree(spark, indexPath,
+            graft.operators.Maintenance.compactTree(spark, concrete,
               keepSubdirs = Set(s"batch-$batchId"))
             ()
           }
@@ -273,7 +300,7 @@ object AdmissionStream {
             shingleN, k, rowsPerBand)
           .localCheckpoint(true)
         val admittedIds = Dedup.admitPrehashed(sigs,
-          indexExcludingBatch(spark, indexPath, batchId, sessionTombstones),
+          indexExcludingBatch(spark, concrete, batchId, sessionTombstones),
           threshold)
         val admitted = docs.join(admittedIds, Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
@@ -284,7 +311,7 @@ object AdmissionStream {
         // fold-back = the SAME signature rows, filtered to the admitted
         // ids (parameter columns ride along) — no re-shingle
         sigs.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .write.mode("overwrite").parquet(s"$indexPath/batch-$batchId")
+          .write.mode("overwrite").parquet(s"$concrete/batch-$batchId")
         // observer sees the admitted rows with EVERY landing column
         // (the raw batch semi-joined to the admitted ids) — after the
         // admission state commits, so its view is never ahead of the tree
@@ -298,7 +325,7 @@ object AdmissionStream {
     // a re-run over fewer landing files leaves the prior run's
     // higher-id batch subdirs standing in both trees — sweep them so
     // the final read (and the standing index) reflect THIS run only
-    pruneStaleBatches(spark, indexPath, lastBatchId)
+    pruneStaleBatches(spark, concrete, lastBatchId)
     pruneStaleBatches(spark, outPath, lastBatchId)
     // a caller-supplied durable checkpoint is KEPT (it is the
     // cross-session exactly-once state); only the scratch default is

@@ -110,16 +110,32 @@ object GramianStream {
           .localCheckpoint(true)
         if (cells.isEmpty) () // an empty batch folds nothing
         else {
-          val batchDim =
-            cells.agg(max(col("i"))).head().getInt(0) + 1
+          // the batch's dim comes from the (-2, d) width markers, one
+          // per non-empty partition: a batch whose FILES carry different
+          // widths yields several distinct markers (each partition alone
+          // is internally consistent, so max(i)+1 would just report the
+          // widest and silently fold the rest) — fail fast instead
+          val dims = cells.filter(col("i") === -2)
+            .select(col("j")).distinct().collect().map(_.getInt(0))
+          require(dims.length == 1,
+            s"batch $batchId carries embeddings of mixed widths " +
+              s"(${dims.sorted.mkString(",")}) — folding mixed widths " +
+              "corrupts the Gramian; fix the landing data")
+          val batchDim = dims.head
           expectDim.foreach(d => require(d == batchDim,
             s"batch $batchId carries dim-$batchDim embeddings but the " +
               s"standing state at $targetPath is dim-$d — folding " +
               "mixed widths corrupts the Gramian; fix the landing data " +
               "or start a fresh targetPath"))
           expectDim = Some(batchDim)
-          val updates = cells.select(col("i"), col("j"), col("q"),
-            lit(scale).as("p_scale"), lit(batchDim).as("p_dim"))
+          // width markers are a PER-BATCH check (consumed just above) —
+          // persisting them would fold partition COUNTS, which differ
+          // between a streamed fold and the one-pass batch computation
+          // the state is contracted to equal; cross-batch width drift is
+          // already guarded by p_dim + expectDim
+          val updates = cells.filter(col("i") >= -1)
+            .select(col("i"), col("j"), col("q"),
+              lit(scale).as("p_scale"), lit(batchDim).as("p_dim"))
           Upsert.mergeParquet(spark, targetPath, updates,
             batchId = Some(batchId)) { (current, updates) =>
             // additive fold on the cell key; the merged table stays

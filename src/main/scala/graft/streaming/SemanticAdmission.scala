@@ -114,14 +114,20 @@ object SemanticAdmission {
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_semadmit_ckpt_"))
     compactWhenTombstoneRatio.foreach { theta =>
-      val tp = s"$indexPath/${graft.operators.Fs.TombstonesSubdir}"
+      // pointer-committed roots keep tombstones AND assignments inside
+      // the CURRENT generation (deleteFromAnnIndex resolves before its
+      // blind append) — probe there, not at the root, or the fold
+      // silently never fires on pointer roots (the AnnIngest discipline)
+      val g = graft.operators.Fs.currentGeneration(indexPath)
+        .getOrElse(indexPath)
+      val tp = s"$g/${graft.operators.Fs.TombstonesSubdir}"
       if (graft.operators.Fs.exists(tp)) {
         // distinct over the O(|deleted|) table (replays must not
         // inflate the pressure); metadata-only count on the data side
         val tombs = spark.read.parquet(tp)
           .select(col("vec_id")).distinct().count()
         val data = scala.util.Try(
-          spark.read.parquet(s"$indexPath/assignments").count())
+          spark.read.parquet(s"$g/assignments").count())
           .getOrElse(0L)
         if (data > 0L && tombs.toDouble / data > theta) compactStream(spark, indexPath)
       }
@@ -129,15 +135,24 @@ object SemanticAdmission {
     val landingSchema =
       scala.util.Try(spark.read.parquet(landingDir).schema).toOption
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
+    // the concrete generation this SESSION works under, resolved once
+    // AFTER the pressure fold (a fired fold publishes a new generation):
+    // seed assignments and tombstones are read from it, and the streamed
+    // fold-back subdirs land inside it — blind appends into the current
+    // generation are the pointer protocol's allowed mutation, and
+    // [[compactStream]] folds `stream/` from the resolved generation too
+    val concrete = graft.operators.Fs.currentGeneration(indexPath)
+      .getOrElse(indexPath)
     // the frozen quantizer: read ONCE — the loop assigns every batch
     // under the artifact's centroids, never re-derives them
+    // (readCentroids resolves pointer roots itself)
     val centroids = Similarity.readCentroids(spark, indexPath)
     // tombstoned vectors (Similarity.deleteFromAnnIndex against this
     // artifact) are masked from the probed standing set, so a streamed
     // vector that matched ONLY deleted vectors admits; read once — the
     // table only changes between ingest sessions, like the centroids
-    val tombPath = s"$indexPath/${graft.operators.Fs.TombstonesSubdir}"
-    val seedAsg0 = spark.read.parquet(s"$indexPath/assignments")
+    val tombPath = s"$concrete/${graft.operators.Fs.TombstonesSubdir}"
+    val seedAsg0 = spark.read.parquet(s"$concrete/assignments")
       .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
     val seedAsg =
       if (graft.operators.Fs.exists(tombPath))
@@ -162,7 +177,7 @@ object SemanticAdmission {
         val asg = Similarity.assignCellsTable(
             batch.select(col("vec_id"), col("embedding")), centroids)
           .localCheckpoint(true)
-        val standing = streamedExcludingBatch(spark, indexPath, batchId)
+        val standing = streamedExcludingBatch(spark, concrete, batchId)
           .map(seedAsg.unionByName(_)).getOrElse(seedAsg)
         val admittedIds = Dedup.admitNewVecsPreassigned(asg, standing, threshold)
         val admittedAsg = asg
@@ -173,7 +188,7 @@ object SemanticAdmission {
         // fold-back = the SAME assignment rows filtered to admitted ids
         admittedAsg
           .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
-          .write.mode("overwrite").parquet(s"$indexPath/stream/batch-$batchId")
+          .write.mode("overwrite").parquet(s"$concrete/stream/batch-$batchId")
         ()
       }
       .start()
@@ -182,7 +197,7 @@ object SemanticAdmission {
     // run's higher-id batch subdirs standing in the streamed index tree
     // and the output tree — sweep them so the final read (and any later
     // session's full-tree read) reflects THIS run only
-    AdmissionStream.pruneStaleBatches(spark, s"$indexPath/stream", lastBatchId)
+    AdmissionStream.pruneStaleBatches(spark, s"$concrete/stream", lastBatchId)
     AdmissionStream.pruneStaleBatches(spark, outPath, lastBatchId)
     if (checkpointDir.isEmpty)
       graft.operators.Maintenance.rmTree(ckpt.toFile)

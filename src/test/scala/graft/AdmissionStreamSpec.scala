@@ -64,7 +64,7 @@ class AdmissionStreamSpec extends SparkSpecBase {
     val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= lit("cccc")
     val standing = docs.filter(!isNew).select(col("doc_id"), col("text"))
     val splitA = pmod(col("doc_id"), lit(2)) === 0
-    def setup(): java.nio.file.Path = {
+    def setup(pointer: Boolean = false): java.nio.file.Path = {
       val root = Files.createTempDirectory("graft_admit_theta_")
       val landing = root.resolve("landing"); Files.createDirectory(landing)
       def land(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
@@ -80,10 +80,14 @@ class AdmissionStreamSpec extends SparkSpecBase {
       land(docs.filter(isNew && !splitA).select(col("doc_id"), col("text")),
         "b.parquet", 2000000L)
       val ix = root.resolve("index").toString
-      Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
-          shingleN = 3, k = 8, rowsPerBand = 2)
-        .write.mode("overwrite").parquet(s"$ix/seed")
-      // a fifth of the standing corpus deleted (replayed — set semantics)
+      def writeSeed(base: String): Unit =
+        Dedup.nearDupIndex(standing, col("doc_id"), col("text"),
+            shingleN = 3, k = 8, rowsPerBand = 2)
+          .write.mode("overwrite").parquet(s"$base/seed")
+      if (pointer) { graft.operators.Fs.publishGeneration(ix)(writeSeed); () }
+      else writeSeed(ix)
+      // a fifth of the standing corpus deleted (replayed — set semantics);
+      // on a pointer root the delete resolves INTO the current generation
       val deleted = standing.filter(col("doc_id") % 5 === 2).select(col("doc_id"))
       Dedup.deleteFromNearDupIndex(deleted, ix)
       Dedup.deleteFromNearDupIndex(deleted, ix)
@@ -116,6 +120,32 @@ class AdmissionStreamSpec extends SparkSpecBase {
       // physical fold ≡ tombstone mask ≡ no knob — admissions identical
       folded shouldBe plain
       masked shouldBe plain
+      // POINTER-COMMITTED root: tombstones live INSIDE the current
+      // generation, so the pressure probe must resolve it (a root-level
+      // probe silently never fired); the fired fold publishes gen-2 and
+      // the session admits against it — identical set
+      val rootD = setup(pointer = true)
+      try {
+        val ixD = rootD.resolve("index").toString
+        run(rootD, Some(0.1)) shouldBe plain
+        val cur = graft.operators.Fs.currentGeneration(ixD).get
+        cur should endWith("gen-2")
+        graft.operators.Fs.exists(
+          s"$cur/${graft.operators.Fs.TombstonesSubdir}") shouldBe false
+        // the batch fold-backs landed inside the current generation
+        graft.operators.Fs.listNames(cur)
+          .count(_.startsWith("batch-")) should be >= 1
+        // mid-stream in-place folds would mutate a published generation —
+        // refused on pointer roots
+        val ePtr = intercept[IllegalArgumentException] {
+          AdmissionStream.runAdmission(spark,
+            rootD.resolve("landing").toString, ixD,
+            rootD.resolve("out2").toString, shingleN = 3, k = 8,
+            rowsPerBand = 2, threshold = 0.4, maxFilesPerTrigger = Some(1),
+            compactEvery = Some(1))
+        }
+        ePtr.getMessage should include("pointer-committed")
+      } finally graft.operators.Maintenance.rmTree(rootD.toFile)
     } finally {
       Seq(rootA, rootB, rootC).foreach(r =>
         graft.operators.Maintenance.rmTree(r.toFile))

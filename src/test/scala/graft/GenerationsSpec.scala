@@ -326,4 +326,73 @@ class GenerationsSpec extends SparkSpecBase {
     Fs.exists(s"$g1/${Fs.TombstonesSubdir}") shouldBe true
     admit(root) shouldBe Seq(10L, 11L)
   }
+
+  test("renameOverwrite on a FileContext-less scheme (the object-store fallback): one-PUT replace, src deleted, pointer protocol end to end; a failed post-PUT delete leaves dst committed") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", classOf[MockObjectStoreFs].getName)
+    conf.set("fs.mockfail.impl", classOf[MockFailingDeleteFs].getName)
+    // the scheme really has no AbstractFileSystem binding — the exact
+    // condition s3a/gs present, driving the create-overwrite PUT branch
+    intercept[org.apache.hadoop.fs.UnsupportedFileSystemException] {
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        java.net.URI.create("mock:///"), conf)
+    }
+    val dir = Files.createTempDirectory("graft_mockfs_").toString
+    // dst absent: created with src's content, src gone
+    Fs.writeText(s"mock:$dir/src_a", "alpha")
+    Fs.renameOverwrite(s"mock:$dir/src_a", s"mock:$dir/ptr")
+    Fs.readText(s"mock:$dir/ptr") shouldBe Some("alpha")
+    Fs.exists(s"mock:$dir/src_a") shouldBe false
+    // dst present: REPLACED in one create-overwrite, src gone
+    Fs.writeText(s"mock:$dir/src_b", "beta")
+    Fs.renameOverwrite(s"mock:$dir/src_b", s"mock:$dir/ptr")
+    Fs.readText(s"mock:$dir/ptr") shouldBe Some("beta")
+    Fs.exists(s"mock:$dir/src_b") shouldBe false
+    // the full generation protocol over the scheme: both publishes route
+    // their pointer flip through the fallback (first = create, second =
+    // overwrite), history immutable
+    val root = s"mock:$dir/tbl"
+    val g1 = Fs.publishGeneration(root)(p => Fs.writeText(s"$p/a.txt", "one"))
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-1")
+    Fs.publishGeneration(root)(p => Fs.writeText(s"$p/a.txt", "two"))
+    Fs.currentGeneration(root) shouldBe Some(s"$root/gen-2")
+    Fs.readText(s"$g1/a.txt") shouldBe Some("one")
+    Fs.readText(s"$root/gen-2/a.txt") shouldBe Some("two")
+    // a delete failure AFTER the PUT: dst is already committed — the new
+    // pointer is visible even though the call throws; the stranded tmp
+    // file is harmless (the next publish rewrites it)
+    val fdir = Files.createTempDirectory("graft_mockfailfs_").toString
+    Fs.writeText(s"mockfail:$fdir/p__tmp", "gamma")
+    intercept[java.io.IOException] {
+      Fs.renameOverwrite(s"mockfail:$fdir/p__tmp", s"mockfail:$fdir/ptr")
+    }
+    Fs.readText(s"mockfail:$fdir/ptr") shouldBe Some("gamma")
+    Fs.exists(s"mockfail:$fdir/p__tmp") shouldBe true
+  }
+}
+
+/** A `mock:` scheme [[org.apache.hadoop.fs.FileSystem]] with NO
+  * `AbstractFileSystem` binding — `FileContext.getFileContext` throws
+  * `UnsupportedFileSystemException` for it, exactly the condition the
+  * s3a/gs object-store connectors present, which drives
+  * [[graft.operators.Fs.renameOverwrite]] into its create-overwrite PUT
+  * fallback. Backed by local disk. Registered per test via
+  * `fs.mock.impl`. */
+class MockObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mock"
+  override def getUri: java.net.URI = java.net.URI.create("mock:///")
+}
+
+/** [[MockObjectStoreFs]] whose delete of a `__tmp` file throws — pins
+  * that the PUT commit PRECEDES the source cleanup: a failed delete
+  * must leave the destination already replaced. */
+class MockFailingDeleteFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfail"
+  override def getUri: java.net.URI = java.net.URI.create("mockfail:///")
+  override def delete(p: org.apache.hadoop.fs.Path,
+      recursive: Boolean): Boolean =
+    if (p.getName.endsWith("__tmp"))
+      throw new java.io.IOException(
+        s"simulated object-store delete failure: $p")
+    else super.delete(p, recursive)
 }

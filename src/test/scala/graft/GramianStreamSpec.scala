@@ -38,6 +38,7 @@ class GramianStreamSpec extends SparkSpecBase {
         .select(col("i"), col("j"), col("q"))
         .as[(Int, Int, Long)].collect().toMap2
       val batch = Pca.momentRows(embeddings, col("embedding"), 1e6)
+        .filter(col("i") >= -1) // width markers carry partition counts
         .as[(Int, Int, Long)].collect().toMap2
       assert(streamed === batch)
       // and the artifact-served model is bit-identical to a direct fit
@@ -87,6 +88,30 @@ class GramianStreamSpec extends SparkSpecBase {
         GramianStream.runGramianStream(spark, landing.toString, state)
       }
       assert(exScratch.getMessage.contains("applied-batch"))
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
+  test("mixed embedding widths inside ONE micro-batch fail fast — width markers") {
+    // two landing files of different dims arrive in the same trigger:
+    // each file's partitions are internally consistent, so only the
+    // per-partition (-2, d) markers can see the mismatch (max(i)+1
+    // would just report the widest and silently fold the narrower file)
+    val root = Files.createTempDirectory("graft_gram_mixed_")
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val state = root.resolve("moments").toString
+    try {
+      land(Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"),
+        landing, "a.parquet", 1000000L)
+      land(Seq((2L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding"),
+        landing, "b.parquet", 2000000L)
+      def mentionsMixed(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("mixed widths")) ||
+          mentionsMixed(t.getCause))
+      assert(mentionsMixed(intercept[Exception] {
+        GramianStream.runGramianStream(spark, landing.toString, state)
+      }))
+      // nothing was folded: the guard fired before the merge
+      assert(!graft.operators.Fs.exists(state))
     } finally graft.operators.Maintenance.rmTree(root.toFile)
   }
 

@@ -131,4 +131,25 @@ class PcaSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("ragged") ||
       Option(ex.getCause).exists(_.getMessage.contains("ragged")))
   }
+
+  test("ragged embeddings ACROSS partitions fail fast — width markers") {
+    // each partition is internally consistent (the per-row require can't
+    // see the mismatch); only the (-2, d) markers can
+    def mentionsRagged(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("ragged")) ||
+        mentionsRagged(t.getCause))
+    val a = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding").coalesce(1)
+    val b = Seq((2L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding").coalesce(1)
+    val bad = a.unionByName(b)
+    assert(mentionsRagged(intercept[Exception] {
+      Pca.comomentGramian(bad, col("embedding")).collect()
+    }))
+    assert(mentionsRagged(intercept[Exception] {
+      Pca.fit(bad, col("embedding"), k = 1)
+    }))
+    // the single-width frame still passes through the marker check
+    val ok = a.unionByName(
+      Seq((3L, Seq(4.0, 5.0))).toDF("vec_id", "embedding").coalesce(1))
+    assert(Pca.comomentGramian(ok, col("embedding")).count() === 4L)
+  }
 }

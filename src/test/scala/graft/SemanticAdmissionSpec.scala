@@ -66,11 +66,16 @@ class SemanticAdmissionSpec extends SparkSpecBase {
   test("tombstone-pressure fold at session start: past θ one compactStream fold fires, admissions unchanged; below θ the tombstone table stands") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val isNew = substring(md5(col("vec_id").cast("string")), 1, 4) >= "cccc"
-    def setup(): java.nio.file.Path = {
+    def setup(pointer: Boolean = false): java.nio.file.Path = {
       val root = Files.createTempDirectory("graft_semadmit_theta_")
       val ix = root.resolve("ix").toString
-      Similarity.writeIvfFlatIndex(e.filter(!isNew), nLists = 4, ix)
-      // a quarter of the standing corpus tombstoned (replayed)
+      if (pointer)
+        graft.operators.Fs.publishGeneration(ix) { gen =>
+          Similarity.writeIvfFlatIndex(e.filter(!isNew), nLists = 4, gen)
+        }
+      else Similarity.writeIvfFlatIndex(e.filter(!isNew), nLists = 4, ix)
+      // a quarter of the standing corpus tombstoned (replayed); on a
+      // pointer root the delete resolves INTO the current generation
       val dead = e.filter(!isNew && col("vec_id") % 4 === 0).select(col("vec_id"))
       Similarity.deleteFromAnnIndex(dead, ix)
       Similarity.deleteFromAnnIndex(dead, ix)
@@ -109,6 +114,21 @@ class SemanticAdmissionSpec extends SparkSpecBase {
       tombsOf(rootC) shouldBe true
       folded shouldBe plain
       masked shouldBe plain
+      // POINTER-COMMITTED root: tombstones live INSIDE the current
+      // generation — the pressure probe must resolve it (a root-level
+      // probe silently never fired); the fired fold publishes gen-2 and
+      // the session admits against it, fold-backs landing in its stream/
+      val rootD = setup(pointer = true)
+      try {
+        val ixD = rootD.resolve("ix").toString
+        run(rootD, Some(0.1)) shouldBe plain
+        val cur = graft.operators.Fs.currentGeneration(ixD).get
+        cur should endWith("gen-2")
+        graft.operators.Fs.exists(
+          s"$cur/${graft.operators.Fs.TombstonesSubdir}") shouldBe false
+        graft.operators.Fs.listNames(s"$cur/stream")
+          .count(_.startsWith("batch-")) should be >= 1
+      } finally graft.operators.Maintenance.rmTree(rootD.toFile)
     } finally {
       Seq(rootA, rootB, rootC).foreach(r =>
         graft.operators.Maintenance.rmTree(r.toFile))
