@@ -43,71 +43,106 @@ object QuotaStream {
     StructField("doc_id", LongType),
     StructField("source", StringType)))
 
-  /** The per-batch quota fold — [[runQuotaAdmission]]'s loop body,
-    * exposed so it also plugs straight into
+  /** The SESSION-scoped quota fold — [[runQuotaAdmission]]'s loop body,
+    * exposed as a factory so it also plugs straight into
     * [[AdmissionStream.runAdmission]]'s `onBatchAdmitted` observer seam
     * (the dedup → quota composition of a continuous ingest: only
     * near-dup-admitted rows reach the quota, q160). Idempotent per
     * batchId: the state's applied markers gate the WHOLE fold, so a
     * replayed batch neither recomputes against post-fold counts nor
-    * double-counts. */
+    * double-counts.
+    *
+    * Construction resolves the standing state ONCE — crash recovery,
+    * the embedded-budget fail-fast, the applied set, and the
+    * |sources|-row counts (pinned with an eager localCheckpoint) — and
+    * each batch then carries the counts forward IN MEMORY: the fold
+    * already computes the post-batch counts, so re-reading the state
+    * parquet it just wrote (plus its p_cap distinct and applied marker)
+    * every micro-batch was pure per-batch fixed cost, the dominant term
+    * of the composed-ingest benches (the q116 per-batch-FS-cost lesson).
+    * State WRITES keep the full mergeParquet staged-swap + applied-marker
+    * discipline, now with replace semantics (the in-memory counts are
+    * the whole table). Sound under the single-writer contract every
+    * artifact mutation here assumes: within a session nothing else
+    * mutates the state, and a crash restarts the session, which re-reads
+    * the table (markers included) from disk. */
   def quotaFold(spark: SparkSession, statePath: String, outPath: String,
-      capPerSource: Long)(batch: DataFrame, batchId: Long): Unit = {
-    // the state's applied-set gates the WHOLE batch: recomputing a
-    // replayed batch against the post-merge counts would admit a
-    // smaller (wrong) set — the original attempt's subdir stands
+      capPerSource: Long): (DataFrame, Long) => Unit = {
     Upsert.recoverStagedSwap(statePath)
     val state =
       if (Fs.exists(statePath)) Some(spark.read.parquet(statePath))
       else None
     // embedded-parameter fail-fast (the index p_* discipline): counts
     // accumulated under one budget are not comparable under another — a
-    // cap change needs a fresh state table. Checked BEFORE the applied
-    // gate so a replayed batch under a changed cap fails loudly instead
-    // of silently serving the old budget's output. p_cap is an RLE'd
-    // constant; the distinct is |sources|-bounded.
+    // cap change needs a fresh state table. Checked at session start,
+    // BEFORE any applied gate, so a replayed batch under a changed cap
+    // fails loudly instead of silently serving the old budget's output.
+    // p_cap is an RLE'd constant; the distinct is |sources|-bounded. An
+    // empty distinct set is a ZERO-ROW state table (a legacy empty-batch
+    // merge) — no evidence of a budget, treated as absent.
     state.foreach { st =>
       val caps = st.select(col("p_cap")).distinct()
         .collect().map(_.getLong(0)).toSet
-      require(caps == Set(capPerSource),
+      require(caps.isEmpty || caps == Set(capPerSource),
         s"quota state at $statePath was built with capPerSource=" +
           s"${caps.mkString(",")}; refusing to fold with " +
           s"$capPerSource — start a new state table for a new budget")
     }
-    if (!Upsert.appliedBatches(statePath).contains(batchId)) {
-      val counts = state
-        .map(_.select(col("source"), col("admitted").as("__got")))
-        .getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("source", StringType),
-            StructField("__got", LongType)))))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id").asc)
-      val admitted = batch.select(col("doc_id"), col("source"))
-        .withColumn("__rn", row_number().over(w).cast("long"))
-        .join(broadcast(counts), Seq("source"), "left")
-        .filter(col("__rn") <=
-          lit(capPerSource) - coalesce(col("__got"), lit(0L)))
-        .withColumn("rk", col("__rn") + coalesce(col("__got"), lit(0L)))
-        .select(col("source"), col("doc_id"), col("rk"))
-        // one evaluation feeds the output write AND the state fold
-        .localCheckpoint(true)
-      // batchId-keyed subdir: a replayed batch overwrites itself
-      // with the identical set (exactly-once), never appends
-      admitted.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
-      // state fold AFTER the output committed: a crash between the
-      // two replays into the not-applied branch above and rewrites
-      // the same rows before folding
-      Upsert.mergeParquet(spark, statePath,
-        admitted.groupBy(col("source"))
-          .agg(count(lit(1)).cast("long").as("admitted"))
-          .withColumn("p_cap", lit(capPerSource)),
-        Some(batchId))(
-        // p_cap rides as a grouping key: after the fail-fast above every
-        // row carries the same value, so the grouping is a no-op that
-        // persists the parameter with the counts it governs
-        Upsert.additiveMerge(_, _, Seq("source", "p_cap"), Seq("admitted")))
-    }
+    var applied = Upsert.appliedBatches(statePath)
+    var counts = state
+      .map(_.select(col("source"), col("admitted")))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("source", StringType),
+          StructField("admitted", LongType)))))
+      .localCheckpoint(true)
+
+    (batch: DataFrame, batchId: Long) =>
+      // the applied-set gates the WHOLE batch: recomputing a replayed
+      // batch against the post-merge counts would admit a smaller
+      // (wrong) set — the original attempt's subdir stands
+      if (!applied.contains(batchId)) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id").asc)
+        val admitted = batch.select(col("doc_id"), col("source"))
+          .withColumn("__rn", row_number().over(w).cast("long"))
+          .join(broadcast(counts.select(col("source"),
+            col("admitted").as("__got"))), Seq("source"), "left")
+          .filter(col("__rn") <=
+            lit(capPerSource) - coalesce(col("__got"), lit(0L)))
+          .withColumn("rk", col("__rn") + coalesce(col("__got"), lit(0L)))
+          .select(col("source"), col("doc_id"), col("rk"))
+          // one evaluation feeds the output write AND the state fold
+          .localCheckpoint(true)
+        // batchId-keyed subdir: a replayed batch overwrites itself
+        // with the identical set (exactly-once), never appends
+        admitted.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+        // a batch that admits NOTHING (empty landing file, or every
+        // source already at cap) folds nothing — merging it would just
+        // create a zero-row state table on a first batch. Skipping the
+        // marker is safe: a replay recomputes against the same pre-batch
+        // counts (later batches only run after this one committed its
+        // checkpoint) and reaches the same empty set
+        if (!admitted.isEmpty) {
+          // post-batch counts, carried to the next batch in memory; the
+          // merge work is |sources|-sized and disk is never re-read
+          val next = Upsert.additiveMerge(counts,
+              admitted.groupBy(col("source"))
+                .agg(count(lit(1)).cast("long").as("admitted")),
+              keys = Seq("source"), metrics = Seq("admitted"))
+            .localCheckpoint(true)
+          // state fold AFTER the output committed: a crash between the
+          // two replays into the not-applied branch above and rewrites
+          // the same rows before folding. Replace semantics — `next` IS
+          // the table — under the same staged-swap + applied-marker
+          // exactly-once discipline as the additive form it supersedes.
+          Upsert.mergeParquet(spark, statePath,
+            next.withColumn("p_cap", lit(capPerSource)),
+            Some(batchId))((_, updates) => updates)
+          counts = next
+          applied += batchId
+        }
+      }
   }
 
   /** Run a bounded landing stream to completion, admitting per-source
@@ -121,6 +156,19 @@ object QuotaStream {
       schemaFallback: Option[StructType] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(capPerSource > 0, "capPerSource must be positive")
+    // cross-session guard (ModelStream/GramianStream's contract): against
+    // standing state with applied-batch markers, a SCRATCH checkpoint
+    // restarts batch ids at 0 — a colliding id whose batch now contains
+    // NEW landing files would be skipped by the marker, silently dropping
+    // that data from the quota output
+    Upsert.recoverStagedSwap(statePath)
+    require(checkpointDir.nonEmpty
+        || Upsert.appliedBatches(statePath).isEmpty,
+      s"standing quota state at $statePath already carries applied-batch " +
+        "markers and no durable checkpointDir was supplied — a scratch " +
+        "checkpoint restarts batch ids at 0, which would collide with " +
+        "the applied set and silently skip this session's data; pass " +
+        "the prior session's checkpointDir (or start a fresh statePath)")
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_quota_ckpt_"))
     val landingSchema =
@@ -130,12 +178,15 @@ object QuotaStream {
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
     var lastBatchId = -1L
+    // ONE session fold: standing counts + applied set resolved here,
+    // carried across batches in memory
+    val fold = quotaFold(spark, statePath, outPath, capPerSource)
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         lastBatchId = math.max(lastBatchId, batchId)
-        quotaFold(spark, statePath, outPath, capPerSource)(batch, batchId)
+        fold(batch, batchId)
         ()
       }
       .start()

@@ -35,49 +35,77 @@ object TopNStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** The per-batch board fold — [[runTopN]]'s loop body, exposed so it
-    * also plugs into [[AdmissionStream.runAdmission]]'s `onBatchAdmitted`
-    * observer seam (the dedup → leaderboard composition: only
-    * near-dup-admitted rows compete for the board, q162). Idempotent per
-    * batchId — and idempotent even WITHOUT the marker, by top-N's merge
-    * property; the marker makes the skip free. */
+  /** The SESSION-scoped board fold — [[runTopN]]'s loop body, exposed as
+    * a factory so it also plugs into [[AdmissionStream.runAdmission]]'s
+    * `onBatchAdmitted` observer seam (the dedup → leaderboard
+    * composition: only near-dup-admitted rows compete for the board,
+    * q162). Idempotent per batchId — and idempotent even WITHOUT the
+    * marker, by top-N's merge property; the marker makes the skip free.
+    *
+    * Construction resolves the standing state ONCE — crash recovery, the
+    * embedded-board-size fail-fast, the applied set, and the board rows
+    * (pinned with an eager localCheckpoint) — and each batch carries the
+    * board forward IN MEMORY: the fold already computes the post-batch
+    * board, so re-reading the state parquet it just wrote (plus its p_n
+    * distinct and applied marker) every micro-batch was pure per-batch
+    * fixed cost (the [[QuotaStream.quotaFold]] discipline). State writes
+    * keep the full mergeParquet staged-swap + applied-marker replace.
+    * Sound under the single-writer contract: within a session nothing
+    * else mutates the state; a crash restarts the session, which
+    * re-reads the table from disk. */
   def boardFold(spark: SparkSession, statePath: String, n: Int,
-      scoreCol: String)(batch: DataFrame, batchId: Long): Unit = {
+      scoreCol: String): (DataFrame, Long) => Unit = {
     Upsert.recoverStagedSwap(statePath)
     // board-size fail-fast (the p_* discipline): a board built at one n
     // is a DIFFERENT leaderboard at another — the standing state must
-    // not silently shrink or pad
+    // not silently shrink or pad. Empty distinct set = zero-row state
+    // table (a legacy empty-batch fold) — treated as absent.
     val state =
       if (Fs.exists(statePath)) Some(spark.read.parquet(statePath))
       else None
     state.foreach { st =>
       val ns = st.select(col("p_n")).distinct()
         .collect().map(_.getInt(0)).toSet
-      require(ns == Set(n),
+      require(ns.isEmpty || ns == Set(n),
         s"top-N state at $statePath was built with n=${ns.mkString(",")}; " +
           s"refusing to fold with n=$n — start a new state table for " +
           "a new board size")
     }
-    if (!Upsert.appliedBatches(statePath).contains(batchId)) {
-      val arrivals = batch.select(col("doc_id"), col("source"),
-        col(scoreCol).cast("long").as("score"))
-      val cand = state
-        .map(_.select(col("doc_id"), col("source"), col("score"))
-          .unionByName(arrivals))
-        .getOrElse(arrivals)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-      // pinned off the state files BEFORE the swap relocates them
-      val next = cand.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= n)
-        .select(col("doc_id"), col("source"), col("score"))
-        .withColumn("p_n", lit(n))
-        .localCheckpoint(true)
-      // REPLACE semantics: the fold already merged the old board
-      Upsert.mergeParquet(spark, statePath, next,
-        Some(batchId))((_, updates) => updates)
-    }
+    var applied = Upsert.appliedBatches(statePath)
+    var board = state
+      .map(_.select(col("doc_id"), col("source"), col("score")))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("score", LongType)))))
+      .localCheckpoint(true)
+
+    (batch: DataFrame, batchId: Long) =>
+      // an EMPTY batch (zero-row landing file) cannot displace anything —
+      // folding it would just stage-swap the board in place (and, on a
+      // FIRST batch, create a zero-row state table that poisons the p_n
+      // check). Skipping the marker is safe: a replay reaches the same
+      // empty arrivals and skips again
+      if (!applied.contains(batchId) && !batch.isEmpty) {
+        val arrivals = batch.select(col("doc_id"), col("source"),
+          col(scoreCol).cast("long").as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        // the post-batch board, pinned in memory for the next batch (and
+        // off the state files before the swap relocates them)
+        val next = board.unionByName(arrivals)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n)
+          .select(col("doc_id"), col("source"), col("score"))
+          .localCheckpoint(true)
+        // REPLACE semantics: the fold already merged the old board
+        Upsert.mergeParquet(spark, statePath,
+          next.withColumn("p_n", lit(n)), Some(batchId))((_, updates) => updates)
+        board = next
+        applied += batchId
+      }
   }
 
   /** Read the standing board at `statePath` (empty frame when none). */
@@ -102,6 +130,17 @@ object TopNStream {
       schemaFallback: Option[StructType] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(n > 0, "n must be positive")
+    // cross-session guard (ModelStream/GramianStream's contract): a
+    // scratch checkpoint against standing applied markers restarts batch
+    // ids at 0 and a colliding id's NEW landing data is silently skipped
+    Upsert.recoverStagedSwap(statePath)
+    require(checkpointDir.nonEmpty
+        || Upsert.appliedBatches(statePath).isEmpty,
+      s"standing top-N state at $statePath already carries applied-batch " +
+        "markers and no durable checkpointDir was supplied — a scratch " +
+        "checkpoint restarts batch ids at 0, which would collide with " +
+        "the applied set and silently skip this session's data; pass " +
+        "the prior session's checkpointDir (or start a fresh statePath)")
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_topn_ckpt_"))
     val landingSchema =
@@ -110,11 +149,14 @@ object TopNStream {
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
+    // ONE session fold: standing board + applied set resolved here,
+    // carried across batches in memory
+    val fold = boardFold(spark, statePath, n, scoreCol)
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        boardFold(spark, statePath, n, scoreCol)(batch, batchId)
+        fold(batch, batchId)
         ()
       }
       .start()
