@@ -1160,8 +1160,100 @@ private[graft] object Oracles {
         |QUALIFY ROW_NUMBER() OVER (ORDER BY key_micros DESC, doc_id) <= 120
         |ORDER BY key_micros DESC, doc_id""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  /** q163's oracle, generated AT ACCESS TIME: the whitening basis the
+    * query run itself fitted ([[SparkEntry.pcaModelCache]] — Verify runs
+    * every query BEFORE dumping oracle_sql.json) renders as double-array
+    * literals into the q123-shaped projection, and the whitened IVF
+    * build→probe replays as the q49 CTE chain over the projected
+    * vectors next to the raw-space one. The basis enters as a rendered
+    * ARTIFACT, not a SQL re-derivation — its own correctness is pinned
+    * upstream (q151/q154 hash-check the integer moments; PcaSpec pins
+    * the deterministic eigensolve), so this oracle checks the whiten →
+    * build → probe chain GIVEN the basis. Placeholder when no model has
+    * been fitted in this process (the entry is then never compared). */
+  private def q163OracleSql: String =
+    SparkEntry.pcaModelCache.toSeq.sortBy(_._1).headOption.map(_._2) match {
+      case None =>
+        "SELECT 'unfitted' AS variant, 0 AS query_id, 0 AS truth, 0 AS hits WHERE FALSE"
+      case Some(m) =>
+        val proj = m.components.lazyZip(m.eigenvalues).map { (w, ev) =>
+          val off = m.means.lazyZip(w).map(_ * _).sum
+          val inv = 1.0 / math.sqrt(ev)
+          s"(list_inner_product(v, ${w.mkString("[", ", ", "]")}) - $off) * $inv"
+        }.mkString("[", ",\n   ", "]")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |gt AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rnk
+           |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5)
+           |  WHERE rnk <= 10),
+           |red AS (SELECT vec_id, $proj AS r FROM e),
+           |ctrw AS (SELECT r AS cv,
+           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+           |        FROM red
+           |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+           |asgw AS (SELECT red.vec_id, red.r, c.idx,
+           |          list_inner_product(red.r, red.r)
+           |            - 2.0 * list_inner_product(red.r, c.cv)
+           |            + list_inner_product(c.cv, c.cv) AS d
+           |        FROM red CROSS JOIN ctrw c),
+           |cellw AS (SELECT vec_id, r, idx AS cell FROM asgw
+           |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+           |prw AS (SELECT vec_id AS query_id, r AS qv, idx AS cell FROM asgw
+           |       WHERE vec_id < 5
+           |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
+           |candw AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.r, c.r)) = 0
+           |      THEN 0.0
+           |      ELSE list_inner_product(p.qv, c.r) /
+           |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.r, c.r))) END AS cos
+           |  FROM prw p JOIN cellw c ON c.cell = p.cell AND c.vec_id <> p.query_id),
+           |apw AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM candw) WHERE rnk <= 10),
+           |ctrr AS (SELECT v AS cv,
+           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+           |        FROM e
+           |        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+           |asgr AS (SELECT e.vec_id, e.v, c.idx,
+           |          list_inner_product(e.v, e.v)
+           |            - 2.0 * list_inner_product(e.v, c.cv)
+           |            + list_inner_product(c.cv, c.cv) AS d
+           |        FROM e CROSS JOIN ctrr c),
+           |cellr AS (SELECT vec_id, v, idx AS cell FROM asgr
+           |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) = 1),
+           |prr AS (SELECT vec_id AS query_id, v AS qv, idx AS cell FROM asgr
+           |       WHERE vec_id < 5
+           |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, idx) <= 2),
+           |candr AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v)) = 0
+           |      THEN 0.0
+           |      ELSE list_inner_product(p.qv, c.v) /
+           |        (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.v, c.v))) END AS cos
+           |  FROM prr p JOIN cellr c ON c.cell = p.cell AND c.vec_id <> p.query_id),
+           |apr AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM candr) WHERE rnk <= 10)
+           |SELECT 'whitened' AS variant, gt.query_id,
+           |  CAST(COUNT(*) AS BIGINT) AS truth,
+           |  CAST(COUNT(*) FILTER (WHERE apw.neighbor_id IS NOT NULL) AS BIGINT) AS hits
+           |FROM gt LEFT JOIN apw USING (query_id, neighbor_id)
+           |GROUP BY 1, 2
+           |UNION ALL
+           |SELECT 'raw' AS variant, gt.query_id,
+           |  CAST(COUNT(*) AS BIGINT) AS truth,
+           |  CAST(COUNT(*) FILTER (WHERE apr.neighbor_id IS NOT NULL) AS BIGINT) AS hits
+           |FROM gt LEFT JOIN apr USING (query_id, neighbor_id)
+           |GROUP BY 1, 2
+           |ORDER BY variant, query_id""".stripMargin
+    }
+
+  def sql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
+    "q163_whitened_ann_serve" -> q163OracleSql,
     "q25_neardup_embedding" -> q25OracleSql,
     "q33_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

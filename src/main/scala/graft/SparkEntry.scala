@@ -2710,17 +2710,17 @@ object SparkEntry {
       }
     }
     val cardPath = root.resolve("card").toString
+    // ONE session card fold (CardStream.cardFold): standing card +
+    // applied set resolved once, carried across batches in memory
+    val cardFold = streaming.CardStream.cardFold(s, cardPath, q130Weights,
+      k = 64)
     streaming.AdmissionStream.runAdmission(s, landing.toString,
       root.resolve("index").toString, root.resolve("out").toString,
       shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
       maxFilesPerTrigger = Some(1),
       onBatchAdmitted = Some((admitted, batchId) =>
-        operators.Upsert.mergeParquet(s, cardPath,
-          streaming.CardStream.cardPartial(
-            admitted.select(col("doc_id"), col("source"), col("n_chars"),
-              col("text")),
-            q130Weights, k = 64),
-          batchId = Some(batchId))(streaming.CardStream.mergeCards(64))))
+        cardFold(admitted.select(col("doc_id"), col("source"),
+          col("n_chars"), col("text")), batchId)))
     val res = streaming.CardStream.readCard(s, cardPath, k = 64)
       .orderBy(col("source"))
       .localCheckpoint(true)
@@ -3308,6 +3308,79 @@ object SparkEntry {
     res
   }
 
+  /** Standing PCA whitening model per fixture dir, fit ONCE per JVM off
+    * a standing MOMENT artifact ([[streaming.GramianStream]]'s state
+    * shape — one momentRows pass materialized with its embedded
+    * p_scale/p_dim, then [[operators.Pca.fitFromArtifact]]): the
+    * production lifecycle where the continuously-maintained co-moment
+    * table serves fresh models without a corpus rescan. Cached for two
+    * readers: q163's query body AND its generated oracle, which renders
+    * THIS basis as SQL literals (the q28-planes discipline — the fit
+    * itself is pinned separately: q151/q154 hash-check the moments, and
+    * PcaSpec pins the deterministic eigensolve). */
+  private[graft] val pcaModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, operators.Pca.PcaModel]
+
+  private def standingPcaModel(s: SparkSession, dir: String): operators.Pca.PcaModel =
+    pcaModelCache.getOrElseUpdate(dir, {
+      val art = java.nio.file.Files.createTempDirectory("graft_pca_art_")
+        .resolve("moments").toString
+      val e = t(s, dir, "embeddings")
+      // ONE moment pass; the artifact = GramianStream's state shape (the
+      // co-moment cells plus count/sum/width rows and the embedded
+      // parameters), dim read off the width marker
+      val cells = operators.Pca.momentRows(e, col("embedding"), 1e6)
+        .localCheckpoint(true)
+      val dim = cells.filter(col("i") === -2).select(col("j"))
+        .head().getInt(0)
+      cells.select(col("i"), col("j"), col("q"),
+          lit(1e6).as("p_scale"), lit(dim).as("p_dim"))
+        .coalesce(1).write.mode("overwrite").parquet(art)
+      operators.Pca.fitFromArtifact(s, art, k = 16)
+    })
+
+  /** q163 — the WHITENED ANN SERVING stack: the standard embedding
+    * pipeline fit → whiten → build → probe composed end to end. The
+    * standing moment artifact serves a 16-component whitening model
+    * ([[operators.Pca.fitFromArtifact]] — d²-bounded eigensolve, no
+    * corpus rescan), the corpus projects through the scan-fused whitened
+    * basis ([[operators.Pca.whiten]] — k native dots per row, inverse
+    * std-devs as multiplied literals), the whitened vectors build an
+    * IVF-flat artifact and the probe runs against it; the recall report
+    * puts the whitened index's hits next to the UNWHITENED index's on
+    * the same full-space ground truth. Oracle: the q123/q49 CTE chains
+    * with the whitening matrix rendered as literals from the cached
+    * model (the basis itself is hash-pinned via q151's moments and
+    * PcaSpec's deterministic eigensolve). */
+  def q163WhitenedAnnServe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = standingPcaModel(s, dir)
+    val white = operators.Pca.whiten(e, col("vec_id"), col("embedding"), model)
+      .localCheckpoint(true) // feeds build AND probe AND ground truth
+    val root = java.nio.file.Files.createTempDirectory("graft_q163_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    operators.Similarity.writeIvfFlatIndex(white, nLists = 8, ix)
+    val whiteProbe = operators.Similarity.ivfFlatProbe(
+      white.filter(col("vec_id") < 5), ix, 10, nProbe = 2)
+    val rawIx = root.resolve("ix_raw").toString
+    operators.Similarity.writeIvfFlatIndex(
+      e.select(col("vec_id"), col("embedding")), nLists = 8, rawIx)
+    val rawProbe = operators.Similarity.ivfFlatProbe(
+      e.filter(col("vec_id") < 5), rawIx, 10, nProbe = 2)
+    val gt = operators.Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 5), e, 10).localCheckpoint(true)
+    val res = operators.Similarity.recallReport(gt, whiteProbe)
+      .withColumn("variant", lit("whitened"))
+      .unionByName(operators.Similarity.recallReport(gt, rawProbe)
+        .withColumn("variant", lit("raw")))
+      .select(col("variant"), col("query_id"), col("truth"), col("hits"))
+      .orderBy(col("variant"), col("query_id"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3470,7 +3543,8 @@ object SparkEntry {
     "q159_streaming_quota" -> (q159StreamingQuotaAdmission _),
     "q160_dedup_quota_ingest" -> (q160DedupQuotaIngest _),
     "q161_streaming_topn" -> (q161StreamingTopN _),
-    "q162_dedup_topn_ingest" -> (q162DedupTopNIngest _)
+    "q162_dedup_topn_ingest" -> (q162DedupTopNIngest _),
+    "q163_whitened_ann_serve" -> (q163WhitenedAnnServe _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

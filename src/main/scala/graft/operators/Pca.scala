@@ -291,4 +291,34 @@ object Pca {
         p => V.dot(vec, p.getField("_1")) - p.getField("_2"))
         .as("embedding"))
   }
+
+  /** WHITENED projection: [[project]] with each component additionally
+    * scaled to unit variance — yⱼ = (⟨v, wⱼ⟩ − ⟨μ, wⱼ⟩) · (1/√λⱼ) — the
+    * standard decorrelate-and-equalize step before semantic dedup or ANN
+    * indexing (SemDeDup clusters in a whitened space; without the
+    * rescale, the top component dominates every cosine). The inverse
+    * standard deviations are computed ONCE on the driver and ride the
+    * plan as literals MULTIPLIED per row (never a per-row division), so
+    * an oracle rendering the same literals replays the identical IEEE
+    * ops. Same scan-fused table-literal shape as [[project]]: k native
+    * dots per row, zero shuffle. Fails fast on a non-positive
+    * eigenvalue — whitening a zero-variance direction is a fit bug, not
+    * something to stretch to infinity. */
+  def whiten(df: DataFrame, id: Column, vec: Column,
+      model: PcaModel): DataFrame = {
+    model.eigenvalues.zipWithIndex.foreach { case (ev, i) =>
+      require(ev > 0.0,
+        s"component $i has eigenvalue $ev — cannot whiten a " +
+          "zero/negative-variance direction; fit with smaller k")
+    }
+    val rows: Seq[(Seq[Double], Double, Double)] =
+      model.components.lazyZip(model.eigenvalues).map { (w, ev) =>
+        (w, model.means.lazyZip(w).map(_ * _).sum, 1.0 / math.sqrt(ev))
+      }
+    df.select(id.as("vec_id"),
+      transform(typedlit(rows),
+        p => (V.dot(vec, p.getField("_1")) - p.getField("_2"))
+          * p.getField("_3"))
+        .as("embedding"))
+  }
 }

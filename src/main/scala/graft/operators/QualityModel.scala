@@ -49,7 +49,25 @@ object QualityModel {
     *              + Σ W[h₁(bigram)] over DISTINCT bigrams,
     * kept ⇔ score ≥ 0. One scan-fused projection per row. */
   def score(docs: DataFrame, id: Column, text: Column,
-      weights: Seq[Long], bias: Long = 0L): DataFrame = {
+      weights: Seq[Long], bias: Long = 0L): DataFrame =
+    docs
+      .select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        T.tokenShingles(col("toks"), 2).as("bi"))
+      .select(col("doc_id"),
+        (size(col("toks")) + size(col("bi"))).cast("long").as("n_feats"),
+        scoreMicrosExpr(col("toks"), col("bi"), weights, bias)
+          .as("score_micros"))
+      .withColumn("kept", col("score_micros") >= 0L)
+
+  /** The per-row score as a COLUMN over a pre-tokenized lowercase token
+    * array and its bigram array — the expression [[score]] wraps,
+    * exposed so a fused scan (e.g. the streaming card's single-pass
+    * partial) can share one tokenization across legs. Identical
+    * expression tree to [[score]]'s, so composing it reproduces the
+    * model's integers bit for bit. */
+  def scoreMicrosExpr(toks: Column, bi: Column, weights: Seq[Long],
+      bias: Long = 0L): Column = {
     val n = weights.size
     require(n >= 2, "weights must have >= 2 buckets")
     val wLit = typedlit(weights)
@@ -57,14 +75,6 @@ object QualityModel {
       element_at(wLit, (Sketch.cmsPos(salt, gram, n) + 1).cast("int"))
     def foldSum(arr: Column, salt: Int): Column =
       aggregate(arr, lit(0L), (acc, g) => acc + w(salt, g))
-    docs
-      .select(id.as("doc_id"), T.tokens(lower(text)).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        T.tokenShingles(col("toks"), 2).as("bi"))
-      .select(col("doc_id"),
-        (size(col("toks")) + size(col("bi"))).cast("long").as("n_feats"),
-        (lit(bias) + foldSum(col("toks"), 0) + foldSum(col("bi"), 1))
-          .as("score_micros"))
-      .withColumn("kept", col("score_micros") >= 0L)
+    lit(bias) + foldSum(toks, 0) + foldSum(bi, 1)
   }
 }

@@ -47,35 +47,51 @@ object CardStream {
 
   /** One micro-batch's card partial: per-source counters + the batch's
     * KMV token sketch — exactly q132's three legs computed over the
-    * batch alone. Source-count-sized output. */
+    * batch alone. Source-count-sized output.
+    *
+    * ONE scan, ONE aggregation: every leg's per-row term (counters, the
+    * model score, and the row's own k-min-distinct hash array) comes out
+    * of a single fused projection, and the per-source fold merges the
+    * row sketches with [[Sketch.kmvMerge]] — whose merge law makes the
+    * result bit-identical to the k smallest distinct hashes over the
+    * source's full token stream (any union-wide top-k hash is in its
+    * own row's top-k). The previous shape scanned the batch THREE times
+    * (counters, exploded-token sketch, model gate) and joined twice —
+    * at firehose cadence that tripled the batch's text reads and
+    * tokenization per micro-batch. */
   private[graft] def cardPartial(batch: DataFrame, weights: Seq[Long],
-      k: Int): DataFrame = {
-    val base = batch.groupBy(col("source")).agg(
-      count(lit(1)).as("docs"),
-      sum(col("n_chars")).cast("long").as("chars"),
-      sum(TF.tokenCount(col("text"))).cast("long").as("tokens"))
-    val mins = batch
-      .select(col("source"), explode(TF.tokens(lower(col("text")))).as("w"))
-      .select(col("source"), Sketch.hash60(col("w")).as("__h"))
-      .filter(col("__h").isNotNull)
+      k: Int): DataFrame =
+    batch
+      .select(col("source"), col("n_chars"),
+        TF.tokenCount(col("text")).as("__tc"),
+        TF.tokens(lower(col("text"))).as("__toks"))
+      .select(col("source"), col("n_chars"), col("__tc"), col("__toks"),
+        TF.tokenShingles(col("__toks"), 2).as("__bi"))
+      .select(col("source"), col("n_chars"), col("__tc"),
+        // the model score over the SAME tokenization (QualityModel's
+        // expression tree verbatim — integers bit-identical to score())
+        QualityModel.scoreMicrosExpr(col("__toks"), col("__bi"), weights)
+          .as("__score"),
+        // the row's KMV: k smallest distinct token hashes, ascending —
+        // the same semilattice element the per-source merge folds
+        slice(array_sort(array_distinct(filter(
+          transform(col("__toks"), w => Sketch.hash60(w)),
+          h => h.isNotNull))), 1, k).as("__mins"))
       .groupBy(col("source"))
-      .agg(Sketch.kmv(k)(col("__h")).as("mins"))
-    val gate = QualityModel.score(batch, col("doc_id"), col("text"), weights)
-      .join(batch.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(sum(col("score_micros")).as("model_score_micros"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
-    base.join(mins, Seq("source"), "left")
-      .join(gate, Seq("source"), "left")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        sum(col("__tc")).cast("long").as("tokens"),
+        sum(col("__score")).as("model_score_micros"),
+        sum(when(col("__score") >= 0L, 1L).otherwise(0L)).as("kept_docs"),
+        Sketch.kmvMerge(k)(col("__mins")).as("mins"))
       .select(col("source") +: (stateCols.map(col) ++ Seq(
-        coalesce(col("mins"), expr("CAST(array() AS array<bigint>)"))
-          .as("mins"),
+        col("mins"),
         // the sketch size rides the state as an embedded parameter (the
         // nearDupIndex versioned-artifact discipline): merging or
         // reading k-A state as k-B silently corrupts the estimate, so
         // both fail fast instead
         lit(k).as("p_k"))): _*)
-  }
 
   /** Fold a batch partial into the standing card state: counters sum
     * (full outer on source — a batch can introduce a new source), mins
@@ -124,6 +140,43 @@ object CardStream {
       }
     }
 
+  /** The SESSION-scoped card fold — [[runCardStream]]'s loop body,
+    * exposed as a factory so compositions share it (the admission loop's
+    * `onBatchAdmitted` observer: the card over only the ADMITTED docs,
+    * q143). Construction resolves the standing state ONCE — crash
+    * recovery, the embedded-k fail-fast, the applied set, and the card
+    * rows (pinned with an eager localCheckpoint) — and each batch then
+    * folds its partial against the IN-MEMORY card and replace-writes the
+    * result under mergeParquet's staged-swap + applied-marker discipline:
+    * re-reading the sources-sized state parquet (plus its p_k distinct
+    * and marker) every micro-batch was pure per-batch fixed cost (the
+    * [[QuotaStream.quotaFold]] discipline). Single-writer contract as
+    * everywhere: within a session nothing else mutates the state; a
+    * crash restarts the session, which re-reads the table from disk. */
+  def cardFold(spark: SparkSession, targetPath: String, weights: Seq[Long],
+      k: Int): (DataFrame, Long) => Unit = {
+    // a prior session may have died mid-swap — restore the table BEFORE
+    // any pre-merge read, or the recoverable state looks missing and the
+    // fail-fast guard silently passes (the recoverStagedSwap contract)
+    Upsert.recoverStagedSwap(targetPath)
+    validateCardK(spark, targetPath, k)
+    var applied = Upsert.appliedBatches(targetPath)
+    var card: Option[DataFrame] =
+      if (graft.operators.Fs.exists(targetPath))
+        Some(spark.read.parquet(targetPath).localCheckpoint(true))
+      else None
+    (batch: DataFrame, batchId: Long) =>
+      if (!applied.contains(batchId)) {
+        val partial = cardPartial(batch, weights, k)
+        val next = card.map(mergeCards(k)(_, partial)).getOrElse(partial)
+          .localCheckpoint(true)
+        Upsert.mergeParquet(spark, targetPath, next,
+          batchId = Some(batchId))((_, updates) => updates)
+        card = Some(next)
+        applied += batchId
+      }
+  }
+
   /** Run a bounded document stream to completion, folding each
     * micro-batch's card partial into the standing state at
     * `targetPath`. `weights` is the quality model (q130's shape);
@@ -135,12 +188,7 @@ object CardStream {
     // same silent-data-loss guard as streamingCmsCells: a standing card
     // + scratch checkpoint means restarted batch ids colliding with the
     // applied set
-    // a prior session may have died mid-swap — restore the table BEFORE
-    // any pre-merge read, or the recoverable state looks missing and
-    // BOTH fail-fast guards below silently pass (the recoverStagedSwap
-    // contract)
     Upsert.recoverStagedSwap(targetPath)
-    validateCardK(spark, targetPath, k)
     require(checkpointDir.nonEmpty
         || Upsert.appliedBatches(targetPath).isEmpty,
       s"standing card at $targetPath already carries applied-batch " +
@@ -153,13 +201,14 @@ object CardStream {
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
+    // ONE session fold: standing card + applied set resolved here,
+    // carried across batches in memory
+    val fold = cardFold(spark, targetPath, weights, k)
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Upsert.mergeParquet(spark, targetPath,
-          cardPartial(batch, weights, k), batchId = Some(batchId))(
-          mergeCards(k))
+        fold(batch, batchId)
         ()
       }
       .start()

@@ -122,6 +122,26 @@ class PcaSpec extends SparkSpecBase {
     assert(pcaRecall >= 0.15, s"PCA-16 recall@10 too low: $pcaRecall")
   }
 
+  test("whiten = project scaled by the literal 1/sqrt(eigenvalue) per component — bit-exact; non-positive eigenvalues fail fast") {
+    val m = Pca.fit(embeddings, col("embedding"), k = 4)
+    val inv = m.eigenvalues.map(ev => 1.0 / math.sqrt(ev))
+    val proj = Pca.project(embeddings, col("vec_id"), col("embedding"), m)
+      .as[(Long, Seq[Double])].collect().toMap
+    val white = Pca.whiten(embeddings, col("vec_id"), col("embedding"), m)
+      .as[(Long, Seq[Double])].collect().toMap
+    white.keySet shouldBe proj.keySet
+    white.foreach { case (id, w) =>
+      // (dot - off) * inv with the identical (dot - off) subtree — the
+      // scale is one IEEE multiply, so equality is exact, not approximate
+      w shouldBe proj(id).lazyZip(inv).map(_ * _)
+    }
+    val degenerate = m.copy(eigenvalues = m.eigenvalues.updated(1, 0.0))
+    val ex = intercept[IllegalArgumentException] {
+      Pca.whiten(embeddings, col("vec_id"), col("embedding"), degenerate)
+    }
+    ex.getMessage should include("whiten")
+  }
+
   test("ragged embeddings fail fast instead of averaging over a data bug") {
     val bad = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 3.0)))
       .toDF("vec_id", "embedding").coalesce(1)
