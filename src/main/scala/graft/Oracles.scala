@@ -1160,6 +1160,72 @@ private[graft] object Oracles {
         |QUALIFY ROW_NUMBER() OVER (ORDER BY key_micros DESC, doc_id) <= 120
         |ORDER BY key_micros DESC, doc_id""".stripMargin
 
+  /** q156's scoped-selection replay (gate → exact dedup → scoped pairs
+    * → components → min-id representatives → per-source exact quota),
+    * parameterized at its two composition seams: `prefixCtes` injects
+    * CTEs before `d0` (q164's contamination screen) and `d0Where`
+    * narrows the input slice (q164's decontaminated candidates). q156
+    * passes both empty — verbatim its original text. */
+  private def scopedSelectionSql(prefixCtes: String, d0Where: String): String =
+    s"""WITH RECURSIVE
+       |${prefixCtes}d0 AS (SELECT doc_id, source, COALESCE(text, '') AS text
+       |       FROM documents$d0Where),
+       |f AS (SELECT doc_id, source, text,
+       |  CASE WHEN trim(text) = '' THEN 0
+       |    ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tok,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE) END AS punct,
+       |  CASE WHEN trim(text) = '' THEN 0.0 ELSE
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> list_contains(['the','and','of','to','a','in','is','it','you','that'], x))) AS DOUBLE)
+       |    / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) END AS stopratio
+       |  FROM d0),
+       |qual AS (SELECT doc_id, source, text FROM f
+       |  WHERE floor((least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
+       |             + least(stopratio * 4.0, 1.0)
+       |             + greatest(1.0 - punct * 4.0, 0.0)) / 3.0 * 1e6) / 1e6 >= 0.5),
+       |ex AS (SELECT doc_id, source, text FROM qual
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |t1 AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |       FROM ex WHERE trim(text) <> ''),
+       |sh AS (SELECT doc_id, source, list_distinct(list_transform(
+       |         generate_series(1, greatest(len(t) - 2, 1)),
+       |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
+       |mh AS (SELECT s.doc_id, s.source, r.seed,
+       |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
+       |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
+       |       GROUP BY s.doc_id, s.source, r.seed),
+       |bs AS (SELECT source, seed, m FROM mh
+       |       GROUP BY source, seed, m HAVING COUNT(*) <= 30),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM mh a JOIN mh b
+       |           ON a.source = b.source AND a.seed = b.seed AND a.m = b.m
+       |           AND a.doc_id < b.doc_id
+       |         JOIN bs ON bs.source = a.source AND bs.seed = a.seed AND bs.m = a.m),
+       |p AS (SELECT c.id_a, c.id_b
+       |      FROM cand c
+       |      JOIN sh sa ON sa.doc_id = c.id_a
+       |      JOIN sh sb ON sb.doc_id = c.id_b
+       |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+       |              >= 0.4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |surv AS (SELECT e.doc_id, e.source FROM ex e
+       |         LEFT JOIN comp c ON e.doc_id = c.id
+       |         WHERE c.id IS NULL OR c.comp = e.doc_id)
+       |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM surv)
+       |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   /** q163's oracle, generated AT ACCESS TIME: the whitening basis the
     * query run itself fitted ([[SparkEntry.pcaModelCache]] — Verify runs
     * every query BEFORE dumping oracle_sql.json) renders as double-array
@@ -3314,65 +3380,40 @@ private[graft] object Oracles {
     // q156: q48's gate→exact-dedup prefix, q152/q155's scoped pair
     // replay over the gated survivors, min-id representatives, then the
     // q85 exact-quota tail per source
-    "q156_scoped_corpus_selection" ->
-      """WITH RECURSIVE
-        |d0 AS (SELECT doc_id, source, COALESCE(text, '') AS text
-        |       FROM documents),
-        |f AS (SELECT doc_id, source, text,
-        |  CASE WHEN trim(text) = '' THEN 0
-        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok,
-        |  CASE WHEN length(text) = 0 THEN 0.0
-        |    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-        |      / CAST(length(text) AS DOUBLE) END AS punct,
-        |  CASE WHEN trim(text) = '' THEN 0.0 ELSE
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> list_contains(['the','and','of','to','a','in','is','it','you','that'], x))) AS DOUBLE)
-        |    / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stopratio
-        |  FROM d0),
-        |qual AS (SELECT doc_id, source, text FROM f
-        |  WHERE floor((least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
-        |             + least(stopratio * 4.0, 1.0)
-        |             + greatest(1.0 - punct * 4.0, 0.0)) / 3.0 * 1e6) / 1e6 >= 0.5),
-        |ex AS (SELECT doc_id, source, text FROM qual
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-        |t1 AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
-        |       FROM ex WHERE trim(text) <> ''),
-        |sh AS (SELECT doc_id, source, list_distinct(list_transform(
-        |         generate_series(1, greatest(len(t) - 2, 1)),
-        |         i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM t1),
-        |mh AS (SELECT s.doc_id, s.source, r.seed,
-        |         MIN(md5(CAST(r.seed AS VARCHAR) || ':' || u.sv)) AS m
-        |       FROM sh s, UNNEST(s.shingles) AS u(sv), range(8) AS r(seed)
-        |       GROUP BY s.doc_id, s.source, r.seed),
-        |bs AS (SELECT source, seed, m FROM mh
-        |       GROUP BY source, seed, m HAVING COUNT(*) <= 30),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM mh a JOIN mh b
-        |           ON a.source = b.source AND a.seed = b.seed AND a.m = b.m
-        |           AND a.doc_id < b.doc_id
-        |         JOIN bs ON bs.source = a.source AND bs.seed = a.seed AND bs.m = a.m),
-        |p AS (SELECT c.id_a, c.id_b
-        |      FROM cand c
-        |      JOIN sh sa ON sa.doc_id = c.id_a
-        |      JOIN sh sb ON sb.doc_id = c.id_b
-        |      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |            CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
-        |              >= 0.4),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |          UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
-        |surv AS (SELECT e.doc_id, e.source FROM ex e
-        |         LEFT JOIN comp c ON e.doc_id = c.id
-        |         WHERE c.id IS NULL OR c.comp = e.doc_id)
-        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
-        |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM surv)
-        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "q156_scoped_corpus_selection" -> scopedSelectionSql("", ""),
+    // q164: q156's selection over the DECONTAMINATED candidate set —
+    // the benchmark slice (doc_id % 97 = 0) is the gram source, the
+    // exact trigram screen (q53's arithmetic) drops confirmed-
+    // contaminated candidates before the chain, and benchmark rows stay
+    // out of selection (eval data, not training input). The engine's
+    // Bloom pre-screen has no false negatives, so the exact replay IS
+    // the composed output.
+    "q164_decontaminated_selection" -> scopedSelectionSql(
+      """braw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |         FROM documents
+        |         WHERE doc_id % 97 = 0 AND trim(COALESCE(text, '')) <> ''),
+        |bg AS (SELECT DISTINCT u.sv AS gram FROM
+        |        (SELECT list_distinct(list_transform(
+        |           generate_series(1, greatest(len(t) - 2, 1)),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |         FROM braw) b,
+        |        UNNEST(b.shingles) AS u(sv)),
+        |craw AS (SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(t) - 2, 1)),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |         FROM (SELECT doc_id,
+        |                 string_split_regex(lower(trim(text)), '\s+') AS t
+        |               FROM documents
+        |               WHERE doc_id % 97 <> 0
+        |                 AND trim(COALESCE(text, '')) <> '')),
+        |cm AS (SELECT craw.doc_id, COUNT(*) AS matched
+        |       FROM craw, UNNEST(craw.shingles) AS u(sv)
+        |       WHERE u.sv IN (SELECT gram FROM bg) GROUP BY 1),
+        |bad AS (SELECT craw.doc_id FROM craw LEFT JOIN cm USING (doc_id)
+        |        WHERE COALESCE(cm.matched, 0) * 2 >= len(craw.shingles)),
+        |""".stripMargin,
+      """ WHERE doc_id % 97 <> 0
+        |         AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin),
     // q157: q116's sequential two-batch admission chain with the
     // standing side filtered to the post-fold tree — doc_id%5=2 of the
     // standing corpus was tombstoned and the tombstone-pressure fold

@@ -3381,6 +3381,57 @@ object SparkEntry {
     res
   }
 
+  /** q164 — benchmark DECONTAMINATION composed into the complete
+    * selection pass: q156's gate → exact dedup → scoped near-dup →
+    * per-source quota chain, with the contamination screen every
+    * production corpus runs before selection. The held-out benchmark
+    * slice (the q53/q126 fixture convention, doc_id % 97 = 0) builds the
+    * 2048-bit Bloom pre-screen ([[operators.Contamination.bloomBits]] —
+    * the bits ride the plan as one literal; at 100 TB that replaces a
+    * multi-GB benchmark-gram broadcast for the no-hit majority), only
+    * Bloom SUSPECTS pay the exact trigram confirm
+    * ([[operators.Contamination.ngramOverlap]] — sound: the filter has
+    * no false negatives, so zero-hit docs are exactly-clean), and
+    * confirmed-contaminated documents are dropped before the selection
+    * chain. The screen is a per-row predicate independent of the
+    * quality gate, so screening the input ≡ screening between gate and
+    * dedup — applied first here so the gate never pays for doomed rows.
+    * Benchmark rows themselves are eval data, not training input, and
+    * stay out of the selection. Oracle: q156's CTE chain over the
+    * decontaminated candidate set, the screen replayed exactly (q53's
+    * arithmetic). */
+  def q164DecontaminatedSelection(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val isBench = col("doc_id") % 97 === 0
+    val nonEmpty = trim(coalesce(col("text"), lit(""))) =!= ""
+    val bench = docs.filter(isBench && nonEmpty)
+    val cand = docs.filter(!isBench)
+    val probed = cand.filter(nonEmpty)
+    val bits = operators.Contamination.bloomBits(bench, col("text"),
+      n = 3, m = 2048, k = 3)
+    val suspects = operators.Contamination.bloomNgramOverlap(
+        probed, bits, col("doc_id"), col("text"), n = 3, k = 3)
+      .filter(col("bloom_matched") > 0).select(col("doc_id"))
+    val contaminated = operators.Contamination.ngramOverlap(
+        probed.join(suspects, Seq("doc_id"), "left_semi"),
+        bench, col("doc_id"), col("text"), n = 3, denomFactor = 2)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val screened = cand.join(contaminated, Seq("doc_id"), "left_anti")
+    val scoped: operators.CorpusPipeline.PairPolicy = (df, id, text) =>
+      operators.Dedup.scopedMinhashNearDupPairs(df, id, text, col("source"),
+        shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4,
+        maxBandDf = Some(30L)).select(col("id_a"), col("id_b"))
+    val cleaned = operators.CorpusPipeline.cleanWith(screened,
+      stopwords = TF.DefaultLangMarkers("en"),
+      qualityThreshold = 0.5, pairPolicy = scoped)
+    operators.Sampling.exactNPerStratum(
+        cleaned.select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), n = 10)
+      .select(col("source"), col("doc_id"), col("__rank").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3544,7 +3595,8 @@ object SparkEntry {
     "q160_dedup_quota_ingest" -> (q160DedupQuotaIngest _),
     "q161_streaming_topn" -> (q161StreamingTopN _),
     "q162_dedup_topn_ingest" -> (q162DedupTopNIngest _),
-    "q163_whitened_ann_serve" -> (q163WhitenedAnnServe _)
+    "q163_whitened_ann_serve" -> (q163WhitenedAnnServe _),
+    "q164_decontaminated_selection" -> (q164DecontaminatedSelection _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
