@@ -82,6 +82,15 @@ object AnnIngest {
         }
       }
     }
+    // the concrete generation this SESSION extends, resolved once AFTER
+    // the pressure fold (a fired fold publishes a new generation): the
+    // streamed sink must land INSIDE it — probes and the compaction fold
+    // both read `<generation>/assignments_stream`, so a root-level sink
+    // on a pointer root would be silently invisible to every reader
+    // (blind appends into the current generation are the pointer
+    // protocol's allowed mutation, the SemanticAdmission discipline)
+    val concrete = graft.operators.Fs.currentGeneration(indexPath)
+      .getOrElse(indexPath)
     val centroids = Similarity.readCentroids(spark, indexPath)
     require(centroids.nonEmpty,
       s"no centroid table under $indexPath — not a writeIvfFlatIndex artifact")
@@ -91,7 +100,7 @@ object AnnIngest {
     // folds the streamed table away between sessions, so a compacted
     // index passes; a durable checkpointDir continues ids safely)
     val sinkLog = new org.apache.hadoop.fs.Path(
-      s"$indexPath/assignments_stream/_spark_metadata")
+      s"$concrete/assignments_stream/_spark_metadata")
     require(checkpointDir.nonEmpty ||
         !sinkLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(sinkLog),
@@ -110,7 +119,7 @@ object AnnIngest {
     val q = Similarity.assignCells(reader.parquet(landingDir), centroids)
       .writeStream
       .format("parquet")
-      .option("path", s"$indexPath/assignments_stream")
+      .option("path", s"$concrete/assignments_stream")
       .option("checkpointLocation", ckpt.toString)
       .partitionBy("cell")
       .outputMode("append")

@@ -63,8 +63,12 @@ object CardStream {
       k: Int): DataFrame =
     batch
       .select(col("source"), col("n_chars"),
-        TF.tokenCount(col("text")).as("__tc"),
+        // ONE tokenization per row: the token COUNT is taken off the
+        // same lowered array the sketch and the model score consume —
+        // lower() never creates or removes whitespace, so the count is
+        // bit-identical to tokenCount(text) (pinned by the q132 oracle)
         TF.tokens(lower(col("text"))).as("__toks"))
+      .withColumn("__tc", size(col("__toks")))
       .select(col("source"), col("n_chars"), col("__tc"), col("__toks"),
         TF.tokenShingles(col("__toks"), 2).as("__bi"))
       .select(col("source"), col("n_chars"), col("__tc"),

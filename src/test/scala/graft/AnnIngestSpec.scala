@@ -64,6 +64,47 @@ class AnnIngestSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("ingest into a POINTER root lands inside the current generation — probes see it") {
+    // the sink used to land at the ROOT of a pointer-committed artifact,
+    // where neither ivfFlatProbe (reads <generation>/assignments_stream)
+    // nor compactIvfFlatIndex's fold ever looked — silently invisible data
+    val rnd = new Random(11)
+    def cluster(base: Float, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, Seq.fill(8)(base + rnd.nextFloat() * 0.01f)))
+    val standing = vecDF(cluster(1f, 20, 0L) ++ cluster(-1f, 20, 100L))
+    val newVecs = cluster(1f, 6, 300L) ++ cluster(-1f, 6, 400L)
+    val queries = vecDF(Seq((0L, Seq.fill(8)(1.002f)), (100L, Seq.fill(8)(-1.002f))))
+    val root = Files.createTempDirectory("graft_annin_ptr_")
+    root.toFile.deleteOnExit()
+    try {
+      val ix = root.resolve("ix").toString
+      val gen1 = graft.operators.Fs.publishGeneration(ix)(p =>
+        Similarity.writeIvfFlatIndex(standing, nLists = 4, p))
+      val landing = root.resolve("landing"); Files.createDirectory(landing)
+      val stage = root.resolve("stage")
+      vecDF(newVecs).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, landing.resolve("a.parquet"))
+      AnnIngest.runIngest(spark, landing.toString, ix)
+      // the streamed table landed INSIDE gen-1, not at the root
+      graft.operators.Fs.exists(s"$gen1/assignments_stream") shouldBe true
+      graft.operators.Fs.exists(s"$ix/assignments_stream") shouldBe false
+      // probe through the ROOT ≡ the plain-dir ingest of the same data
+      val ix2 = root.resolve("ix2").toString
+      Similarity.writeIvfFlatIndex(standing, nLists = 4, ix2)
+      Similarity.appendToIvfFlatIndex(vecDF(newVecs), ix2)
+      Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+        .orderBy("query_id", "rnk").collect().toSeq shouldBe
+        Similarity.ivfFlatProbe(queries, ix2, 5, nProbe = 2)
+          .orderBy("query_id", "rnk").collect().toSeq
+      // and the ingested vectors actually surface (not just the standing)
+      Similarity.ivfFlatProbe(queries, ix, 5, nProbe = 2)
+        .select("neighbor_id").as[Long].collect().toSet
+        .exists(_ >= 300L) shouldBe true
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
   test("trained-quantizer artifact: lloydTrain centroids → writeIvfFlatIndex → probe ≡ direct ivfFlatTopK") {
     val rnd = new Random(11)
     def cluster(base: Float, n: Int, off: Long) =
