@@ -207,7 +207,14 @@ object BenchScale {
       // the stress measures the one stage that grows with per-source
       // volume (exactNPerStratum's prefilterHexBound is the production
       // lever when a domain's corpus share outgrows a partition)
-      "q156_scoped_corpus_selection")
+      "q156_scoped_corpus_selection",
+      // q156 plus the decontamination screen: the benchmark slice is
+      // ~1/97 of the corpus at every scale, so the Bloom bits stay one
+      // 2048-entry literal, the exact-confirm broadcast grows with the
+      // benchmark (linear), and the candidate side pays one extra
+      // scan-fused bit-test pass — the whole screen should track the
+      // chain it feeds
+      "q164_decontaminated_selection")
 
     // ---- standing ANN artifacts per (kind, dir), built once ----
     val ixRoots = scala.collection.mutable.ArrayBuffer.empty[java.io.File]

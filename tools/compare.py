@@ -58,3 +58,17 @@ for name, sql in sorted(oracle.items()):
 print(f"PASS {len(passes)}  FAIL {len(fails)}  ABSENT {len(absent)}")
 for n, why in fails: print(f"  FAIL {n}: {why}")
 for n in absent: print(f"  ABSENT {n}")
+
+# Optional per-query JSON artifact (the builder-side correctness record —
+# survives a driver artifact failure): 4th argv or CORRECTNESS_OUT env.
+art = sys.argv[4] if len(sys.argv) > 4 else os.environ.get("CORRECTNESS_OUT")
+if art:
+    with open(art, "w") as f:
+        json.dump({
+            "sf": SF,
+            "pass": len(passes), "fail": len(fails), "absent": len(absent),
+            "queries": {**{n: "pass" for n in passes},
+                        **{n: f"fail: {why}" for n, why in fails},
+                        **{n: "absent" for n in absent}},
+        }, f, indent=1, sort_keys=True)
+    print(f"wrote {art}")
