@@ -257,10 +257,13 @@ object AdmissionStream {
         .parquet(concrete)).toOption
       .foreach(ix => Dedup.validateIndexParams(ix, shingleN, k, rowsPerBand))
     // SESSION-scoped FS state, resolved once (after the pressure fold,
-    // which may have emptied it): the loop never appends tombstones and
-    // the mid-stream compaction carries the table unchanged, so
-    // re-resolving per micro-batch was pure fixed cost per batch
-    val sessionTombstones = Dedup.sessionTombstones(spark, indexPath)
+    // which may have emptied it) and against the CONCRETE tree — on a
+    // pointer root the tombstone table lives inside the generation, so
+    // a root-level read silently skipped the mask: the loop never
+    // appends tombstones and the mid-stream compaction carries the
+    // table unchanged, so re-resolving per micro-batch was pure fixed
+    // cost per batch
+    val sessionTombstones = Dedup.sessionTombstones(spark, concrete)
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     // highest batch id this run actually processed — feeds the

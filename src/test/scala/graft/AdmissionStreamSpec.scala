@@ -125,8 +125,12 @@ class AdmissionStreamSpec extends SparkSpecBase {
       // probe silently never fired); the fired fold publishes gen-2 and
       // the session admits against it — identical set
       val rootD = setup(pointer = true)
+      val rootE = setup(pointer = true)
       try {
         val ixD = rootD.resolve("index").toString
+        val ixE = rootE.resolve("index").toString
+        // past θ: the fold fires, publishes gen-2, and the session
+        // admits against it — identical set
         run(rootD, Some(0.1)) shouldBe plain
         val cur = graft.operators.Fs.currentGeneration(ixD).get
         cur should endWith("gen-2")
@@ -135,6 +139,14 @@ class AdmissionStreamSpec extends SparkSpecBase {
         // the batch fold-backs landed inside the current generation
         graft.operators.Fs.listNames(cur)
           .count(_.startsWith("batch-")) should be >= 1
+        // BELOW θ on a (fresh) pointer root: the tombstones stand inside
+        // gen-1 and the session must still MASK them — a root-level
+        // tombstone read silently skipped the mask, so deleted standing
+        // docs kept suppressing matching batch docs
+        run(rootE, Some(0.9)) shouldBe plain
+        graft.operators.Fs.exists(
+          s"${graft.operators.Fs.currentGeneration(ixE).get}/" +
+            graft.operators.Fs.TombstonesSubdir) shouldBe true
         // mid-stream in-place folds would mutate a published generation —
         // refused on pointer roots
         val ePtr = intercept[IllegalArgumentException] {
@@ -145,7 +157,10 @@ class AdmissionStreamSpec extends SparkSpecBase {
             compactEvery = Some(1))
         }
         ePtr.getMessage should include("pointer-committed")
-      } finally graft.operators.Maintenance.rmTree(rootD.toFile)
+      } finally {
+        graft.operators.Maintenance.rmTree(rootD.toFile)
+        graft.operators.Maintenance.rmTree(rootE.toFile)
+      }
     } finally {
       Seq(rootA, rootB, rootC).foreach(r =>
         graft.operators.Maintenance.rmTree(r.toFile))
