@@ -78,6 +78,16 @@ object Maintenance {
       targetFileBytes: Long = 128L << 20,
       keepSubdirs: Set[String] = Set.empty): Int = {
     Fs.recoverStagedSwap(path)
+    // a pointer-committed root is NOT a foldable batch tree: the fold
+    // would union every generation as data and the swap would drop the
+    // `_current` pointer (a hidden FILE — deliberately not carried) —
+    // destroying the protocol. The artifact's own compaction verbs
+    // (compactNearDupIndex / compactIvfFlatIndex) publish a new
+    // generation instead.
+    require(Fs.currentGeneration(path).isEmpty,
+      s"compactTree folds a plain batch-keyed tree and $path is a " +
+        "pointer-committed root — use the artifact's own compaction " +
+        "verb, which publishes the fold as a new generation")
     val entries = Fs.listNames(path)
     // `_`/`.`-prefixed entries (tombstone tables, markers) are hidden
     // from the fold's read anyway — keep them out of the included set so

@@ -204,4 +204,19 @@ class MaintenanceSpec extends SparkSpecBase {
     spark.read.parquet(zOrdered).orderBy("payload").collect() shouldBe
       grid.toDF("x", "y", "payload").orderBy("payload").collect()
   }
+
+  test("compactTree refuses a pointer-committed root — the fold would union generations and drop the pointer file") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ctree_ptr_").toString + "/tbl"
+    graft.operators.Fs.publishGeneration(root) { gen =>
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$gen/seed")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.compactTree(spark, root)
+    }
+    ex.getMessage should include("pointer-committed")
+    // untouched: pointer still names gen-1, data intact
+    graft.operators.Fs.currentGeneration(root).get should endWith("gen-1")
+    spark.read.parquet(s"$root/gen-1/seed").count() shouldBe 1L
+  }
 }
