@@ -1237,16 +1237,43 @@ private[graft] object Oracles {
     * the deterministic eigensolve), so this oracle checks the whiten →
     * build → probe chain GIVEN the basis. Placeholder when no model has
     * been fitted in this process (the entry is then never compared). */
+  /** The whitened-projection DuckDB expression over a `v` DOUBLE[]
+    * column, rendered from the fitted basis — shared by every oracle
+    * that replays [[graft.operators.Pca.whiten]] (q163, q165). */
+  private def whitenedProjSql(m: graft.operators.Pca.PcaModel): String =
+    m.components.lazyZip(m.eigenvalues).map { (w, ev) =>
+      val off = m.means.lazyZip(w).map(_ * _).sum
+      val inv = 1.0 / math.sqrt(ev)
+      s"(list_inner_product(v, ${w.mkString("[", ", ", "]")}) - $off) * $inv"
+    }.mkString("[", ",\n   ", "]")
+
+  /** q165's oracle: q121's frozen-quantizer ingest-probe chain run over
+    * the WHITENED projection (basis literals rendered at dump time —
+    * the q163 discipline; the fit itself is pinned by q151/q154 and
+    * PcaSpec). Generated by rewriting the chain's corpus CTE to the
+    * projected one, so the retrieval text can never drift from
+    * q121/q122/q158's. */
+  private def q165OracleSql: String =
+    SparkEntry.pcaModelCache.toSeq.sortBy(_._1).headOption.map(_._2) match {
+      case None =>
+        "SELECT 0 AS query_id, 0 AS neighbor_id, 0 AS rnk WHERE FALSE"
+      case Some(m) =>
+        val head = "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        val whitenedHead =
+          s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (SELECT vec_id, ${whitenedProjSql(m)} AS v FROM e0),""".stripMargin
+        val sql = q121OracleSql.replace(head, whitenedHead)
+        require(sql != q121OracleSql,
+          "q165 oracle generation failed to rewrite the corpus CTE")
+        sql
+    }
+
   private def q163OracleSql: String =
     SparkEntry.pcaModelCache.toSeq.sortBy(_._1).headOption.map(_._2) match {
       case None =>
         "SELECT 'unfitted' AS variant, 0 AS query_id, 0 AS truth, 0 AS hits WHERE FALSE"
       case Some(m) =>
-        val proj = m.components.lazyZip(m.eigenvalues).map { (w, ev) =>
-          val off = m.means.lazyZip(w).map(_ * _).sum
-          val inv = 1.0 / math.sqrt(ev)
-          s"(list_inner_product(v, ${w.mkString("[", ", ", "]")}) - $off) * $inv"
-        }.mkString("[", ",\n   ", "]")
+        val proj = whitenedProjSql(m)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |gt AS (SELECT query_id, neighbor_id FROM (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1320,6 +1347,7 @@ private[graft] object Oracles {
   def sql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
     "q163_whitened_ann_serve" -> q163OracleSql,
+    "q165_whitened_stream_ingest" -> q165OracleSql,
     "q25_neardup_embedding" -> q25OracleSql,
     "q33_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -3432,6 +3432,45 @@ object SparkEntry {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** q165 — the WHITENED CONTINUOUS-INGEST serving loop: q163's
+    * fit → whiten → build → probe pipeline with the ingest leg streaming.
+    * The standing 80% (q121's md5 split) is whitened under the standing
+    * PCA model and builds the frozen-quantizer index; the NEW 20% lands
+    * raw as two micro-batches and each batch whitens IN the ingest loop
+    * through [[streaming.AnnIngest.runIngest]]'s stateless `transform`
+    * seam (the same frozen model — a pure scan-fused projection, so the
+    * zero-state file-sink loop shape is unchanged); the probe then runs
+    * whitened queries over standing ∪ ingested. Oracle: q121's frozen-
+    * quantizer CTE chain over the whitened projection (basis literals
+    * rendered at dump time, the q163 discipline). */
+  def q165WhitenedStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = standingPcaModel(s, dir)
+    val white = operators.Pca.whiten(e, col("vec_id"), col("embedding"), model)
+      .localCheckpoint(true) // standing build + query side
+    val isNew = substring(md5(col("vec_id").cast("string")), 1, 4) >= "cccc"
+    val root = java.nio.file.Files.createTempDirectory("graft_q165_")
+    root.toFile.deleteOnExit()
+    val ix = root.resolve("ix").toString
+    operators.Similarity.writeIvfFlatIndex(white.filter(!isNew), nLists = 8, ix)
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q122Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    streaming.AnnIngest.runIngest(s, landing.toString, ix,
+      maxFilesPerTrigger = Some(1),
+      transform = Some(batch =>
+        operators.Pca.whiten(batch, col("vec_id"), col("embedding"), model)))
+    val res = operators.Similarity.ivfFlatProbe(
+        white.filter(col("vec_id") < 5), ix, 10, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top_deck_types" -> (q01TopDeckTypes _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -3596,7 +3635,8 @@ object SparkEntry {
     "q161_streaming_topn" -> (q161StreamingTopN _),
     "q162_dedup_topn_ingest" -> (q162DedupTopNIngest _),
     "q163_whitened_ann_serve" -> (q163WhitenedAnnServe _),
-    "q164_decontaminated_selection" -> (q164DecontaminatedSelection _)
+    "q164_decontaminated_selection" -> (q164DecontaminatedSelection _),
+    "q165_whitened_stream_ingest" -> (q165WhitenedStreamIngest _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)

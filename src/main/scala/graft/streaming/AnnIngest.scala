@@ -60,11 +60,21 @@ object AnnIngest {
     * after a fired fold exactly as it does after a manual one.
     * Pointer roots publish the fold as a new generation with ONE
     * superseded generation retained for in-flight readers. */
+  /** `transform` — an optional STATELESS per-row projection applied to
+    * each micro-batch before cell assignment (must yield
+    * (vec_id, embedding)): the composition seam for a frozen-artifact
+    * preprocessing step, e.g. [[graft.operators.Pca.whiten]] under a
+    * standing whitening model — the production firehose shape
+    * fit → whiten → ingest. Stateless is load-bearing: the file-sink
+    * loop has no state store, so the transform must be a pure column
+    * projection (scan-fused, exactly like the assignment itself). */
   def runIngest(spark: SparkSession, landingDir: String, indexPath: String,
       maxFilesPerTrigger: Option[Int] = None,
       schemaFallback: Option[StructType] = None,
       compactWhenTombstoneRatio: Option[Double] = None,
-      checkpointDir: Option[String] = None): Unit = {
+      checkpointDir: Option[String] = None,
+      transform: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame] = None): Unit = {
     compactWhenTombstoneRatio.foreach { theta =>
       val concrete = graft.operators.Fs.currentGeneration(indexPath)
         .getOrElse(indexPath)
@@ -116,7 +126,9 @@ object AnnIngest {
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    val q = Similarity.assignCells(reader.parquet(landingDir), centroids)
+    val src = reader.parquet(landingDir)
+    val q = Similarity.assignCells(
+        transform.map(_(src)).getOrElse(src), centroids)
       .writeStream
       .format("parquet")
       .option("path", s"$concrete/assignments_stream")
