@@ -3484,6 +3484,44 @@ private[graft] object Oracles {
         |      ORDER BY b, doc_id) AS rk
         |  FROM u)
         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    // q166: q160's admitted set minus the q164-style contaminated set
+    // (the screen is a per-row predicate, so per-batch screening equals
+    // one global exclusion), then the same per-source quota window.
+    // Candidates are the ADMITTED docs verbatim — an arriving benchmark
+    // doc (doc_id % 97 = 0 in the landing) self-matches and drops.
+    "q166_decontaminated_quota_ingest" ->
+      s"""WITH RECURSIVE ${streamingAdmissionCtes("TRUE")},
+        |a1 AS (SELECT d.doc_id, d.source, 0 AS b
+        |       FROM documents d JOIN adm1 USING (doc_id)),
+        |a2 AS (SELECT d.doc_id, d.source, 1 AS b
+        |       FROM documents d JOIN adm2 USING (doc_id)),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2),
+        |braw AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+        |         FROM documents
+        |         WHERE doc_id % 97 = 0 AND trim(COALESCE(text, '')) <> ''),
+        |bg AS (SELECT DISTINCT uv.sv AS gram FROM
+        |        (SELECT list_distinct(list_transform(
+        |           generate_series(1, greatest(len(t) - 2, 1)),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |         FROM braw) bb,
+        |        UNNEST(bb.shingles) AS uv(sv)),
+        |craw AS (SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(t) - 2, 1)),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |         FROM (SELECT d.doc_id,
+        |                 string_split_regex(lower(trim(d.text)), '\\s+') AS t
+        |               FROM documents d JOIN u USING (doc_id)
+        |               WHERE trim(COALESCE(d.text, '')) <> '')),
+        |cm AS (SELECT craw.doc_id, COUNT(*) AS matched
+        |       FROM craw, UNNEST(craw.shingles) AS uv(sv)
+        |       WHERE uv.sv IN (SELECT gram FROM bg) GROUP BY 1),
+        |bad AS (SELECT craw.doc_id FROM craw LEFT JOIN cm USING (doc_id)
+        |        WHERE COALESCE(cm.matched, 0) * 2 >= len(craw.shingles))
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY b, doc_id) AS rk
+        |  FROM u WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     // q161: a leaderboard is batch-order-invariant — the streamed board
     // equals the global per-source top-2 by (n_chars desc, doc_id asc)
     "q161_streaming_topn" ->

@@ -3432,6 +3432,70 @@ object SparkEntry {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** q166 — the COMPLETE production continuous-ingest pipeline: q160's
+    * dedup → quota composition with the DECONTAMINATION screen between
+    * them (q164's batch screen made per-micro-batch): each batch's
+    * near-dup-admitted rows pass the Bloom pre-screen (one 2048-bit plan
+    * literal, scan-fused bit tests) and only Bloom suspects pay the
+    * exact trigram confirm against the broadcast benchmark grams —
+    * confirmed-contaminated documents never reach the per-source quota.
+    * The screen is a per-row predicate, so batching drops out of the
+    * oracle: q160's admission chain minus the q164-style contaminated
+    * set, through one global per-source window ordered (batch, doc_id).
+    * Note the benchmark slice (doc_id % 97 = 0) cuts across the landing
+    * docs too — an arriving benchmark document self-matches and is
+    * dropped, exactly what a production screen does. */
+  def q166DecontaminatedQuotaIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q166_")
+    root.toFile.deleteOnExit()
+    val landing = root.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    eachEntry(q116Landing(s, dir)) { p =>
+      java.nio.file.Files.createLink(landing.resolve(p.getFileName.toString), p)
+      ()
+    }
+    val seedSrc = java.nio.file.Paths.get(standingIndex(s, dir))
+    val seedDst = root.resolve("index").resolve("seed")
+    java.nio.file.Files.createDirectories(seedDst)
+    eachEntry(seedSrc) { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        java.nio.file.Files.createLink(seedDst.resolve(p.getFileName.toString), p)
+        ()
+      }
+    }
+    val docs = t(s, dir, "documents")
+    val nonEmpty = trim(coalesce(col("text"), lit(""))) =!= ""
+    val bench = docs.filter(col("doc_id") % 97 === 0 && nonEmpty)
+    val bits = operators.Contamination.bloomBits(bench, col("text"),
+      n = 3, m = 2048, k = 3)
+    val qOut = root.resolve("quota_out").toString
+    val quota = streaming.QuotaStream.quotaFold(s,
+      root.resolve("quota_state").toString, qOut, 3L)
+    streaming.AdmissionStream.runAdmission(s, landing.toString,
+      root.resolve("index").toString, root.resolve("out").toString,
+      shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
+      maxFilesPerTrigger = Some(1),
+      onBatchAdmitted = Some { (admitted0, batchId) =>
+        // one evaluation feeds the pre-screen, the confirm AND the
+        // final anti-join
+        val adm = admitted0.localCheckpoint(true)
+        val probed = adm.filter(nonEmpty)
+        val suspects = operators.Contamination.bloomNgramOverlap(
+            probed, bits, col("doc_id"), col("text"), n = 3, k = 3)
+          .filter(col("bloom_matched") > 0).select(col("doc_id"))
+        val bad = operators.Contamination.ngramOverlap(
+            probed.join(suspects, Seq("doc_id"), "left_semi"),
+            bench, col("doc_id"), col("text"), n = 3, denomFactor = 2)
+          .filter(col("contaminated")).select(col("doc_id"))
+        quota(adm.join(bad, Seq("doc_id"), "left_anti"), batchId)
+      })
+    val res = s.read.option("recursiveFileLookup", "true").parquet(qOut)
+      .orderBy(col("source"), col("rk"))
+      .localCheckpoint(true)
+    operators.Maintenance.rmTree(root.toFile)
+    res
+  }
+
   /** q165 — the WHITENED CONTINUOUS-INGEST serving loop: q163's
     * fit → whiten → build → probe pipeline with the ingest leg streaming.
     * The standing 80% (q121's md5 split) is whitened under the standing
@@ -3636,7 +3700,8 @@ object SparkEntry {
     "q162_dedup_topn_ingest" -> (q162DedupTopNIngest _),
     "q163_whitened_ann_serve" -> (q163WhitenedAnnServe _),
     "q164_decontaminated_selection" -> (q164DecontaminatedSelection _),
-    "q165_whitened_stream_ingest" -> (q165WhitenedStreamIngest _)
+    "q165_whitened_stream_ingest" -> (q165WhitenedStreamIngest _),
+    "q166_decontaminated_quota_ingest" -> (q166DecontaminatedQuotaIngest _)
   )
 
   /** DuckDB oracle SQL (driver contract: one entry per `queries` key)
