@@ -3082,9 +3082,14 @@ object SparkEntry {
       operators.Dedup.scopedMinhashNearDupPairs(df, id, text, col("source"),
         shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4,
         maxBandDf = Some(30L)).select(col("id_a"), col("id_b"))
+    // lang is NOT selected: this chain never samples by language (empty
+    // bounds — the stratified stage's expression never references the
+    // stratum), and the chain's persisted exact-dedup frame is a pruning
+    // BARRIER (an InMemoryRelation caches every input column), so an
+    // unused column here is scanned AND cached through the whole pipeline
     val cleaned = operators.CorpusPipeline.cleanWith(
       t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"), col("text")),
+        .select(col("doc_id"), col("source"), col("text")),
       stopwords = TF.DefaultLangMarkers("en"),
       qualityThreshold = 0.5, pairPolicy = scoped)
     operators.Sampling.exactNPerStratum(
@@ -3401,8 +3406,10 @@ object SparkEntry {
     * decontaminated candidate set, the screen replayed exactly (q53's
     * arithmetic). */
   def q164DecontaminatedSelection(s: SparkSession, dir: String): DataFrame = {
+    // lang is NOT selected — see q156: the chain never samples by
+    // language and the persisted exact-dedup frame is a pruning barrier
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("text"))
     val isBench = col("doc_id") % 97 === 0
     val nonEmpty = trim(coalesce(col("text"), lit(""))) =!= ""
     val bench = docs.filter(isBench && nonEmpty)

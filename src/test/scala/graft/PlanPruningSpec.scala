@@ -74,6 +74,23 @@ class PlanPruningSpec extends SparkSpecBase {
     scans.exists(_.contains("doc_id")) shouldBe true
   }
 
+  test("q164 decontaminated selection: every documents scan prunes to ⊆ (doc_id, source, text)") {
+    // the screen + selection chain never touches lang or n_chars; the
+    // final plan holds several documents scans (bench grams, candidate
+    // screen, gated chain) — assert per-scan subsets (the q73 pattern)
+    val df = SparkEntry.queries("q164_decontaminated_selection")(
+      spark, "/root/testdata/sf0.001")
+    val scans = allScans(df.queryExecution.sparkPlan).collect {
+      case f if f.relation.location.rootPaths.head.getName
+          .startsWith("documents") =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    scans should not be empty
+    scans.foreach(s =>
+      assert(s.subsetOf(Set("doc_id", "source", "text")), s.toString))
+    scans.exists(_.contains("source")) shouldBe true
+  }
+
   test("q76 top-fraction gate reads only (doc_id, lang, n_chars)") {
     scanSchemas("q76_top_fraction")("documents") shouldBe
       Set("doc_id", "lang", "n_chars")
