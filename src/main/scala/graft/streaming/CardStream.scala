@@ -77,9 +77,14 @@ object CardStream {
         QualityModel.scoreMicrosExpr(col("__toks"), col("__bi"), weights)
           .as("__score"),
         // the row's KMV: k smallest distinct token hashes, ascending —
-        // the same semilattice element the per-source merge folds
+        // the same semilattice element the per-source merge folds.
+        // Tokens dedup BEFORE hashing: repeated tokens collapse in the
+        // distinct either way, so hashing each instance paid |tokens|
+        // md5s for an |distinct tokens| result (the md5 is the whole
+        // data-linear cost of this leg); the post-hash distinct stays
+        // for the collision case
         slice(array_sort(array_distinct(filter(
-          transform(col("__toks"), w => Sketch.hash60(w)),
+          transform(array_distinct(col("__toks")), w => Sketch.hash60(w)),
           h => h.isNotNull))), 1, k).as("__mins"))
       .groupBy(col("source"))
       .agg(
