@@ -26,11 +26,20 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       (if (sibling.isDirectory) Seq(sibling.getPath) else Seq.empty) :+ sfDir
     }
+    // one retry per warmup failure: the warmup is also what builds every
+    // per-dir standing artifact (signature indexes, ANN trees, staged
+    // landings) — a transient failure here would push that build into a
+    // timed pass, where min-of-passes can no longer hide it if the other
+    // pass hits contention (the q109 driver-vs-builder 2x spread of r17)
     warmDirs.foreach { dir =>
       SparkEntry.queries.foreach { case (name, fn) =>
         try fn(spark, dir).count()
         catch { case e: Throwable =>
-          System.err.println(s"[bench-warmup] $name: ${e.getMessage}") }
+          System.err.println(s"[bench-warmup] $name: ${e.getMessage}; retrying")
+          try fn(spark, dir).count()
+          catch { case e2: Throwable =>
+            System.err.println(s"[bench-warmup-retry] $name: ${e2.getMessage}") }
+        }
       }
     }
     // Two timed passes per query, keep the per-query MIN. Wall-clock in

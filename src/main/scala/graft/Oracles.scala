@@ -1253,8 +1253,23 @@ private[graft] object Oracles {
     * PcaSpec). Generated by rewriting the chain's corpus CTE to the
     * projected one, so the retrieval text can never drift from
     * q121/q122/q158's. */
+  /** The fitted whitening model this dump's parquet was produced under,
+    * or None when no whitened query ran in this process (the oracle is
+    * then a never-compared placeholder). Verify fits models for exactly
+    * ONE fixture dir; a JVM that fitted several (multi-SF verify/bench
+    * run) cannot know which basis the dumped parquet used, so fail
+    * loudly instead of silently picking the lexicographically-first
+    * dir's basis and producing a spurious mismatch. */
+  private def dumpPcaModel: Option[graft.operators.Pca.PcaModel] = {
+    val models = SparkEntry.pcaModelCache
+    require(models.size <= 1,
+      s"oracle dump ambiguous: PCA models fitted for ${models.keys.toSeq.sorted.mkString(", ")} — " +
+        "dump oracles from a JVM that ran queries against exactly one fixture dir")
+    models.values.headOption
+  }
+
   private def q165OracleSql: String =
-    SparkEntry.pcaModelCache.toSeq.sortBy(_._1).headOption.map(_._2) match {
+    dumpPcaModel match {
       case None =>
         "SELECT 0 AS query_id, 0 AS neighbor_id, 0 AS rnk WHERE FALSE"
       case Some(m) =>
@@ -1269,7 +1284,7 @@ private[graft] object Oracles {
     }
 
   private def q163OracleSql: String =
-    SparkEntry.pcaModelCache.toSeq.sortBy(_._1).headOption.map(_._2) match {
+    dumpPcaModel match {
       case None =>
         "SELECT 'unfitted' AS variant, 0 AS query_id, 0 AS truth, 0 AS hits WHERE FALSE"
       case Some(m) =>
@@ -1344,7 +1359,38 @@ private[graft] object Oracles {
            |ORDER BY variant, query_id""".stripMargin
     }
 
-  def sql: Map[String, String] = Map(
+  /** DuckDB 1.0 inlines every non-recursive CTE at each reference site,
+    * so a shared CTE chain is re-evaluated once per downstream mention —
+    * the q116 admission replay feeds five oracles, and q143 fans the
+    * 6-branch card CTEs out over it, multiplying the whole
+    * shingle/minhash/closure chain (judge-timed at 795 s for q143 alone
+    * at sf0.01). `AS MATERIALIZED` pins each named CTE to one
+    * evaluation: q116 24.9 s → 0.3 s locally, row-for-row identical.
+    * The rewrite is safe to apply globally because every plain CTE head
+    * here is the bare `name AS (` form — recursive and VALUES CTEs use
+    * the `name(cols) AS (` form whose identifier is followed by `)`,
+    * not ` AS (`, and `UNNEST(..) AS uv(sv)` aliases put the identifier
+    * AFTER the AS — so the pattern below matches CTE heads and nothing
+    * else (audited over the full dumped oracle surface; the one other
+    * shape, a named `WINDOW w AS (...)` clause, is excluded by the
+    * lookbehind). One more exclusion: a name DEFINED TWICE in one
+    * statement (a nested `WITH` shadowing an outer CTE of the same
+    * name, q142's shape) stays inlined — DuckDB hoists materialized
+    * CTEs and rejects the resulting duplicate alias, while inlined
+    * shadowing is fine. */
+  private val CteHead = """(?<!WINDOW )(\w+) AS \(""".r
+  private def materialize(sqlText: String): String = {
+    val counts = CteHead.findAllMatchIn(sqlText).toSeq
+      .groupBy(_.group(1)).view.mapValues(_.size).toMap
+    CteHead.replaceAllIn(sqlText, m =>
+      if (counts(m.group(1)) == 1) s"${m.group(1)} AS MATERIALIZED ("
+      else m.matched)
+  }
+
+  def sql: Map[String, String] =
+    rawSql.map { case (name, text) => name -> materialize(text) }
+
+  private def rawSql: Map[String, String] = Map(
     "q28_ann_srp" -> q28OracleSql,
     "q163_whitened_ann_serve" -> q163OracleSql,
     "q165_whitened_stream_ingest" -> q165OracleSql,

@@ -2412,9 +2412,15 @@ object SparkEntry {
       val stageRoot = java.nio.file.Files.createTempDirectory("graft_q135_stage_")
       stageRoot.toFile.deleteOnExit()
       val landing = stageRoot.resolve("landing")
+      // 24 files / 8 per trigger = the same 3 micro-batches, but each
+      // batch's scan splits 8 ways: a small parquet file is one row
+      // group = ONE task, and the card partial's tokenize+hash
+      // projection is the data-linear cost — on a single file per batch
+      // it ran single-core, which is what turned the 10× scale stress
+      // super-linear (the card fold itself is sources-sized)
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
-        .repartition(3).write.parquet(landing.toString)
+        .repartition(24).write.parquet(landing.toString)
       landing
     })
 
@@ -2442,7 +2448,7 @@ object SparkEntry {
     }
     val target = root.resolve("card").toString
     streaming.CardStream.runCardStream(s, landing.toString, target,
-      q130Weights, k = 64, maxFilesPerTrigger = Some(1))
+      q130Weights, k = 64, maxFilesPerTrigger = Some(8))
     val res = streaming.CardStream.readCard(s, target, k = 64)
       .orderBy(col("source"))
       // pin the sources-sized card off the temp state so the scratch
@@ -2721,6 +2727,8 @@ object SparkEntry {
       onBatchAdmitted = Some((admitted, batchId) =>
         cardFold(admitted.select(col("doc_id"), col("source"),
           col("n_chars"), col("text")), batchId)))
+    // group-committed state: one flush at session end (scratch-ckpt run)
+    cardFold.flush()
     val res = streaming.CardStream.readCard(s, cardPath, k = 64)
       .orderBy(col("source"))
       .localCheckpoint(true)
@@ -3236,12 +3244,15 @@ object SparkEntry {
       }
     }
     val qOut = root.resolve("quota_out").toString
+    val quotaFold = streaming.QuotaStream.quotaFold(s,
+      root.resolve("quota_state").toString, qOut, 3L)
     streaming.AdmissionStream.runAdmission(s, landing.toString,
       root.resolve("index").toString, root.resolve("out").toString,
       shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
       maxFilesPerTrigger = Some(1),
-      onBatchAdmitted = Some(streaming.QuotaStream.quotaFold(s,
-        root.resolve("quota_state").toString, qOut, 3L)))
+      onBatchAdmitted = Some(quotaFold))
+    // group-committed state: one flush at session end (scratch-ckpt run)
+    quotaFold.flush()
     val res = s.read.option("recursiveFileLookup", "true").parquet(qOut)
       .orderBy(col("source"), col("rk"))
       .localCheckpoint(true)
@@ -3300,12 +3311,14 @@ object SparkEntry {
       }
     }
     val statePath = root.resolve("board").toString
+    val boardFold = streaming.TopNStream.boardFold(s, statePath, 2, "n_chars")
     streaming.AdmissionStream.runAdmission(s, landing.toString,
       root.resolve("index").toString, root.resolve("out").toString,
       shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
       maxFilesPerTrigger = Some(1),
-      onBatchAdmitted = Some(streaming.TopNStream.boardFold(s,
-        statePath, 2, "n_chars")))
+      onBatchAdmitted = Some(boardFold))
+    // group-committed state: one flush at session end (scratch-ckpt run)
+    boardFold.flush()
     val res = streaming.TopNStream.readBoard(s, statePath)
       .orderBy(col("source"), col("doc_id"))
       .localCheckpoint(true)
@@ -3496,6 +3509,8 @@ object SparkEntry {
           .filter(col("contaminated")).select(col("doc_id"))
         quota(adm.join(bad, Seq("doc_id"), "left_anti"), batchId)
       })
+    // group-committed state: one flush at session end (scratch-ckpt run)
+    quota.flush()
     val res = s.read.option("recursiveFileLookup", "true").parquet(qOut)
       .orderBy(col("source"), col("rk"))
       .localCheckpoint(true)

@@ -160,10 +160,24 @@ object Upsert {
 
   def mergeParquet(spark: SparkSession, path: String, updates: DataFrame,
       batchId: Option[Long] = None)(
+      combine: (DataFrame, DataFrame) => DataFrame): Unit =
+    mergeParquetBatches(spark, path, updates, batchId.toSet)(combine)
+
+  /** [[mergeParquet]] for a GROUP COMMIT: one staged swap records a whole
+    * SET of batch ids (a [[graft.streaming.StateFold]] flush covering
+    * every batch folded since the last one). Skipped only when every id
+    * is already applied — a replayed flush; a PARTIAL overlap still
+    * writes (the in-memory state is the union, and replace-semantics
+    * callers pass the whole table), recording the full union of markers.
+    * An empty id set is an unconditional merge (the non-streaming
+    * callers' shape). */
+  def mergeParquetBatches(spark: SparkSession, path: String,
+      updates: DataFrame, batchIds: Set[Long])(
       combine: (DataFrame, DataFrame) => DataFrame): Unit = {
     Fs.recoverStagedSwap(path)
     val applied = appliedBatches(path)
-    if (batchId.exists(applied.contains)) return // replayed batch: no-op
+    if (batchIds.nonEmpty && (batchIds -- applied).isEmpty)
+      return // replayed batch/flush: no-op
     Fs.stagedSwap(path) { staged =>
       val merged =
         if (Fs.exists(path)) combine(spark.read.parquet(path), updates)
@@ -171,7 +185,7 @@ object Upsert {
       merged.write.mode(SaveMode.Overwrite).parquet(staged)
       // the applied-set survives every rewrite (marker files don't survive
       // SaveMode.Overwrite, so it is re-written into the staged dir)
-      val nextApplied = applied ++ batchId
+      val nextApplied = applied ++ batchIds
       if (nextApplied.nonEmpty) writeApplied(staged, nextApplied)
     }
   }

@@ -154,36 +154,115 @@ object CardStream {
     * `onBatchAdmitted` observer: the card over only the ADMITTED docs,
     * q143). Construction resolves the standing state ONCE — crash
     * recovery, the embedded-k fail-fast, the applied set, and the card
-    * rows (pinned with an eager localCheckpoint) — and each batch then
-    * folds its partial against the IN-MEMORY card and replace-writes the
-    * result under mergeParquet's staged-swap + applied-marker discipline:
-    * re-reading the sources-sized state parquet (plus its p_k distinct
-    * and marker) every micro-batch was pure per-batch fixed cost (the
-    * [[QuotaStream.quotaFold]] discipline). Single-writer contract as
-    * everywhere: within a session nothing else mutates the state; a
-    * crash restarts the session, which re-reads the table from disk. */
+    * rows, collected DRIVER-SIDE (|sources| rows of five counters plus a
+    * k-long mins array — the bounded-collect discipline) — and each
+    * batch then folds its partial against the IN-MEMORY card: the
+    * per-batch work is ONE job (the partial's scan+agg, collected back);
+    * the driver-side merge is [[mergeCards]]'s law on longs (counter
+    * sums; mins = k smallest distinct of the union), bit-identical by
+    * [[CardStreamSpec]]'s local≡DF pin. State WRITES are GROUP-COMMITTED
+    * ([[StateFold]]): one staged swap per `flushEvery` folded batches
+    * and at session end, carrying every covered batch's marker.
+    * Single-writer contract enforced by [[StateFold.takeLease]]; a
+    * crash restarts the session, which re-reads the table from disk —
+    * see [[StateFold]] for the group-commit durability contract. */
   def cardFold(spark: SparkSession, targetPath: String, weights: Seq[Long],
-      k: Int): (DataFrame, Long) => Unit = {
+      k: Int, flushEvery: Int = Int.MaxValue): StateFold = {
     // a prior session may have died mid-swap — restore the table BEFORE
     // any pre-merge read, or the recoverable state looks missing and the
     // fail-fast guard silently passes (the recoverStagedSwap contract)
     Upsert.recoverStagedSwap(targetPath)
     validateCardK(spark, targetPath, k)
     var applied = Upsert.appliedBatches(targetPath)
-    var card: Option[DataFrame] =
+    var card: Map[String, CardRow] =
       if (graft.operators.Fs.exists(targetPath))
-        Some(spark.read.parquet(targetPath).localCheckpoint(true))
-      else None
-    (batch: DataFrame, batchId: Long) =>
-      if (!applied.contains(batchId)) {
-        val partial = cardPartial(batch, weights, k)
-        val next = card.map(mergeCards(k)(_, partial)).getOrElse(partial)
-          .localCheckpoint(true)
-        Upsert.mergeParquet(spark, targetPath, next,
-          batchId = Some(batchId))((_, updates) => updates)
-        card = Some(next)
-        applied += batchId
+        collectCard(spark.read.parquet(targetPath))
+      else Map.empty
+    var pending = Set.empty[Long]
+    var dirty = false
+    val assertLease = StateFold.takeLease(targetPath, "card")
+    def doFlush(): Unit =
+      // an only-empty-fold session against no standing table records
+      // nothing (the zero-row-table poison); once a table exists, a
+      // flush also marker-annotates batches that folded nothing
+      if (pending.nonEmpty && (dirty || graft.operators.Fs.exists(targetPath))) {
+        assertLease()
+        Upsert.mergeParquetBatches(spark, targetPath,
+          cardDf(spark, card, k).coalesce(1),
+          pending)((_, updates) => updates)
+        applied ++= pending
+        pending = Set.empty
+        dirty = false
       }
+    new StateFold {
+      override def apply(batch: DataFrame, batchId: Long): Unit =
+        if (!applied.contains(batchId) && !pending.contains(batchId)) {
+          val partial = collectCard(cardPartial(batch, weights, k))
+          if (partial.nonEmpty) {
+            card = mergeCardsLocal(card, partial, k)
+            dirty = true
+          }
+          pending += batchId
+          if (pending.size >= flushEvery) doFlush()
+        }
+      override def flush(): Unit = doFlush()
+    }
+  }
+
+  /** The card state's one-row-per-source payload, held driver-side by
+    * [[cardFold]]: the five counters plus the KMV mins (ascending, ≤ k
+    * distinct hashes). */
+  private[graft] final case class CardRow(docs: Long, chars: Long,
+      tokens: Long, modelScoreMicros: Long, keptDocs: Long,
+      mins: Vector[Long])
+
+  /** Collect a card table/partial (the [[cardPartial]] shape) into the
+    * driver-side map — |sources|-bounded by construction. */
+  private[graft] def collectCard(df: DataFrame): Map[String, CardRow] =
+    df.select(col("source") +: (stateCols.map(col) :+ col("mins")): _*)
+      .collect()
+      .map { r =>
+        r.getString(0) -> CardRow(r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) Vector.empty
+          else r.getSeq[Long](6).toVector)
+      }.toMap
+
+  /** [[mergeCards]]'s law applied driver-side: counters sum per source
+    * (full outer — a batch can introduce a new source), mins merge as
+    * the k smallest DISTINCT of the union, ascending. Exact long
+    * arithmetic on both sides, so local ≡ DF bit-for-bit
+    * (CardStreamSpec pins it). */
+  private[graft] def mergeCardsLocal(cur: Map[String, CardRow],
+      upd: Map[String, CardRow], k: Int): Map[String, CardRow] =
+    (cur.keySet ++ upd.keySet).iterator.map { src =>
+      val merged = (cur.get(src), upd.get(src)) match {
+        case (Some(a), Some(b)) => CardRow(
+          a.docs + b.docs, a.chars + b.chars, a.tokens + b.tokens,
+          a.modelScoreMicros + b.modelScoreMicros, a.keptDocs + b.keptDocs,
+          (a.mins ++ b.mins).distinct.sorted.take(k))
+        case (Some(a), None) => a
+        case (None, b) => b.get
+      }
+      src -> merged
+    }.toMap
+
+  /** Render the driver-side card back to the state-table shape (sorted
+    * by source for deterministic files; `p_k` embedded). */
+  private def cardDf(spark: SparkSession, card: Map[String, CardRow],
+      k: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("source", StringType)) ++
+      stateCols.map(StructField(_, LongType)) ++ Seq(
+      StructField("mins",
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)),
+      StructField("p_k", org.apache.spark.sql.types.IntegerType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(card.toSeq.sortBy(_._1).map {
+        case (src, r) => org.apache.spark.sql.Row(src, r.docs, r.chars,
+          r.tokens, r.modelScoreMicros, r.keptDocs, r.mins, k)
+      }: _*)
+    spark.createDataFrame(rows, schema)
   }
 
   /** Run a bounded document stream to completion, folding each
@@ -207,12 +286,20 @@ object CardStream {
         "the prior session's checkpointDir (or start a fresh targetPath)")
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_card_ckpt_"))
+    // group-commit crash guard (durable continuations only) — see
+    // StateFold.requireNoLostFolds
+    checkpointDir.foreach(c =>
+      StateFold.requireNoLostFolds(targetPath, c, "card"))
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
     // ONE session fold: standing card + applied set resolved here,
-    // carried across batches in memory
-    val fold = cardFold(spark, targetPath, weights, k)
+    // carried across batches in memory; scratch checkpoints flush once
+    // at session end, durable ones every DefaultFlushEvery batches
+    val fold = cardFold(spark, targetPath, weights, k,
+      flushEvery =
+        if (checkpointDir.isEmpty) Int.MaxValue
+        else StateFold.DefaultFlushEvery)
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
@@ -221,7 +308,8 @@ object CardStream {
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // flush in the finally: a half-run session persists what it folded
+    try { q.processAllAvailable() } finally { q.stop(); fold.flush() }
     if (checkpointDir.isEmpty)
       graft.operators.Maintenance.rmTree(ckpt.toFile)
   }

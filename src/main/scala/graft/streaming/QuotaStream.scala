@@ -54,20 +54,27 @@ object QuotaStream {
     *
     * Construction resolves the standing state ONCE — crash recovery,
     * the embedded-budget fail-fast, the applied set, and the
-    * |sources|-row counts (pinned with an eager localCheckpoint) — and
-    * each batch then carries the counts forward IN MEMORY: the fold
-    * already computes the post-batch counts, so re-reading the state
-    * parquet it just wrote (plus its p_cap distinct and applied marker)
-    * every micro-batch was pure per-batch fixed cost, the dominant term
-    * of the composed-ingest benches (the q116 per-batch-FS-cost lesson).
-    * State WRITES keep the full mergeParquet staged-swap + applied-marker
-    * discipline, now with replace semantics (the in-memory counts are
-    * the whole table). Sound under the single-writer contract every
-    * artifact mutation here assumes: within a session nothing else
-    * mutates the state, and a crash restarts the session, which re-reads
-    * the table (markers included) from disk. */
+    * |sources|-row counts, collected to a DRIVER-SIDE map (bounded by
+    * the domain vocabulary, the same budget as the broadcast the old
+    * shape paid every batch) — and each batch then carries the counts
+    * forward IN MEMORY: re-reading the state parquet every micro-batch
+    * (plus its p_cap distinct and applied marker) was pure per-batch
+    * fixed cost, the dominant term of the composed-ingest benches (the
+    * q116 per-batch-FS-cost lesson). Per batch the ONLY jobs left are
+    * the output write and a read-back of the tiny written subdir for
+    * the per-source delta (one evaluation of the admission window — no
+    * localCheckpoint, no broadcast-collect, no state write). State
+    * WRITES are GROUP-COMMITTED ([[StateFold]]): one mergeParquet
+    * staged swap per `flushEvery` folded batches and at session end,
+    * carrying the applied markers of every batch it covers. Sound under
+    * the single-writer contract every artifact mutation here assumes:
+    * within a session nothing else mutates the state, and a crash
+    * restarts the session, which re-reads the table (markers included)
+    * from disk — see [[StateFold]] for the group-commit durability
+    * contract. */
   def quotaFold(spark: SparkSession, statePath: String, outPath: String,
-      capPerSource: Long): (DataFrame, Long) => Unit = {
+      capPerSource: Long,
+      flushEvery: Int = Int.MaxValue): StateFold = {
     Upsert.recoverStagedSwap(statePath)
     val state =
       if (Fs.exists(statePath)) Some(spark.read.parquet(statePath))
@@ -89,60 +96,74 @@ object QuotaStream {
           s"$capPerSource — start a new state table for a new budget")
     }
     var applied = Upsert.appliedBatches(statePath)
-    var counts = state
-      .map(_.select(col("source"), col("admitted")))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("source", StringType),
-          StructField("admitted", LongType)))))
-      .localCheckpoint(true)
-
-    (batch: DataFrame, batchId: Long) =>
-      // the applied-set gates the WHOLE batch: recomputing a replayed
-      // batch against the post-merge counts would admit a smaller
-      // (wrong) set — the original attempt's subdir stands
-      if (!applied.contains(batchId)) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id").asc)
-        val admitted = batch.select(col("doc_id"), col("source"))
-          .withColumn("__rn", row_number().over(w).cast("long"))
-          .join(broadcast(counts.select(col("source"),
-            col("admitted").as("__got"))), Seq("source"), "left")
-          .filter(col("__rn") <=
-            lit(capPerSource) - coalesce(col("__got"), lit(0L)))
-          .withColumn("rk", col("__rn") + coalesce(col("__got"), lit(0L)))
-          .select(col("source"), col("doc_id"), col("rk"))
-          // one evaluation feeds the output write AND the state fold
-          .localCheckpoint(true)
-        // batchId-keyed subdir: a replayed batch overwrites itself
-        // with the identical set (exactly-once), never appends
-        admitted.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
-        // a batch that admits NOTHING (empty landing file, or every
-        // source already at cap) folds nothing — merging it would just
-        // create a zero-row state table on a first batch. Skipping the
-        // marker is safe: a replay recomputes against the same pre-batch
-        // counts (later batches only run after this one committed its
-        // checkpoint) and reaches the same empty set
-        if (!admitted.isEmpty) {
-          // post-batch counts, carried to the next batch in memory; the
-          // merge work is |sources|-sized and disk is never re-read
-          val next = Upsert.additiveMerge(counts,
-              admitted.groupBy(col("source"))
-                .agg(count(lit(1)).cast("long").as("admitted")),
-              keys = Seq("source"), metrics = Seq("admitted"))
-            .localCheckpoint(true)
-          // state fold AFTER the output committed: a crash between the
-          // two replays into the not-applied branch above and rewrites
-          // the same rows before folding. Replace semantics — `next` IS
-          // the table — under the same staged-swap + applied-marker
-          // exactly-once discipline as the additive form it supersedes.
-          Upsert.mergeParquet(spark, statePath,
-            next.withColumn("p_cap", lit(capPerSource)),
-            Some(batchId))((_, updates) => updates)
-          counts = next
-          applied += batchId
-        }
+    val stateSchema = StructType(Seq(StructField("source", StringType),
+      StructField("admitted", LongType)))
+    // THE state: one long per source, |sources|-bounded by construction
+    // (the same budget the old per-batch broadcast already collected)
+    var counts: Map[String, Long] = state
+      .map(_.select(col("source"), col("admitted")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
+    var pending = Set.empty[Long] // folded since the last flush
+    var dirty = false             // counts changed since the last flush
+    val assertLease = StateFold.takeLease(statePath, "quota")
+    def countsDf(): DataFrame = {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(counts.toSeq.sortBy(_._1).map {
+          case (src, n) => org.apache.spark.sql.Row(src, n) }: _*)
+      spark.createDataFrame(rows, stateSchema)
+    }
+    def doFlush(): Unit =
+      // only-empty-fold sessions against no standing table record
+      // nothing (replaying those batches re-reaches the same empty
+      // sets); once a table exists, a flush also marker-annotates
+      // batches that folded nothing, keeping the applied set complete
+      // for StateFold.requireNoLostFolds
+      if (pending.nonEmpty && (dirty || Fs.exists(statePath))) {
+        assertLease()
+        Upsert.mergeParquetBatches(spark, statePath,
+          countsDf().withColumn("p_cap", lit(capPerSource)).coalesce(1),
+          pending)((_, updates) => updates)
+        applied ++= pending
+        pending = Set.empty
+        dirty = false
       }
+
+    new StateFold {
+      // the applied-set gates the WHOLE batch: recomputing a replayed
+      // batch against the post-fold counts would admit a smaller
+      // (wrong) set — the original attempt's subdir stands
+      override def apply(batch: DataFrame, batchId: Long): Unit =
+        if (!applied.contains(batchId) && !pending.contains(batchId)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("doc_id").asc)
+          val admitted = batch.select(col("doc_id"), col("source"))
+            .withColumn("__rn", row_number().over(w).cast("long"))
+            .join(broadcast(countsDf()
+              .withColumnRenamed("admitted", "__got")), Seq("source"), "left")
+            .filter(col("__rn") <=
+              lit(capPerSource) - coalesce(col("__got"), lit(0L)))
+            .withColumn("rk", col("__rn") + coalesce(col("__got"), lit(0L)))
+            .select(col("source"), col("doc_id"), col("rk"))
+          // batchId-keyed subdir: a replayed batch overwrites itself
+          // with the identical set (exactly-once), never appends. ONE
+          // evaluation of the admission window: the per-source delta is
+          // read back off the tiny file just written instead of
+          // re-running (or checkpointing) the plan
+          admitted.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+          val delta = spark.read.parquet(s"$outPath/batch-$batchId")
+            .groupBy(col("source")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          if (delta.nonEmpty) {
+            counts = delta.foldLeft(counts) { case (m, (src, n)) =>
+              m.updated(src, m.getOrElse(src, 0L) + n) }
+            dirty = true
+          }
+          pending += batchId
+          if (pending.size >= flushEvery) doFlush()
+        }
+      override def flush(): Unit = doFlush()
+    }
   }
 
   /** Run a bounded landing stream to completion, admitting per-source
@@ -171,6 +192,12 @@ object QuotaStream {
         "the prior session's checkpointDir (or start a fresh statePath)")
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_quota_ckpt_"))
+    // group-commit crash guard (durable continuations only): batches
+    // the checkpoint committed but the state never applied died in
+    // memory between flushes — fail loudly, the stream will never
+    // re-present their landing files
+    checkpointDir.foreach(c =>
+      StateFold.requireNoLostFolds(statePath, c, "quota"))
     val landingSchema =
       scala.util.Try(spark.read.parquet(landingDir).schema).toOption
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
@@ -179,8 +206,13 @@ object QuotaStream {
       reader.option("maxFilesPerTrigger", n.toString))
     var lastBatchId = -1L
     // ONE session fold: standing counts + applied set resolved here,
-    // carried across batches in memory
-    val fold = quotaFold(spark, statePath, outPath, capPerSource)
+    // carried across batches in memory; scratch-checkpoint runs flush
+    // once at session end (a restart replays everything anyway),
+    // durable ones bound the crash window at DefaultFlushEvery
+    val fold = quotaFold(spark, statePath, outPath, capPerSource,
+      flushEvery =
+        if (checkpointDir.isEmpty) Int.MaxValue
+        else StateFold.DefaultFlushEvery)
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
@@ -190,7 +222,8 @@ object QuotaStream {
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // flush in the finally: a half-run session persists what it folded
+    try { q.processAllAvailable() } finally { q.stop(); fold.flush() }
     AdmissionStream.pruneStaleBatches(spark, outPath, lastBatchId)
     if (checkpointDir.isEmpty)
       graft.operators.Maintenance.rmTree(ckpt.toFile)

@@ -43,18 +43,20 @@ object TopNStream {
     * marker, by top-N's merge property; the marker makes the skip free.
     *
     * Construction resolves the standing state ONCE — crash recovery, the
-    * embedded-board-size fail-fast, the applied set, and the board rows
-    * (pinned with an eager localCheckpoint) — and each batch carries the
-    * board forward IN MEMORY: the fold already computes the post-batch
-    * board, so re-reading the state parquet it just wrote (plus its p_n
-    * distinct and applied marker) every micro-batch was pure per-batch
-    * fixed cost (the [[QuotaStream.quotaFold]] discipline). State writes
-    * keep the full mergeParquet staged-swap + applied-marker replace.
-    * Sound under the single-writer contract: within a session nothing
-    * else mutates the state; a crash restarts the session, which
-    * re-reads the table from disk. */
+    * embedded-board-size fail-fast, the applied set, and the board rows,
+    * collected DRIVER-SIDE (n×|sources|-bounded by construction) — and
+    * each batch carries the board forward IN MEMORY: the per-batch work
+    * is ONE job (the top-N window over local-board ∪ arrivals, collected
+    * back) — no localCheckpoint, no isEmpty probe (an empty batch simply
+    * reproduces the board, detected by comparison), no state write.
+    * State WRITES are GROUP-COMMITTED ([[StateFold]]): one staged swap
+    * per `flushEvery` folded batches and at session end, carrying every
+    * covered batch's applied marker. Single-writer contract enforced by
+    * [[StateFold.takeLease]]; a crash restarts the session, which
+    * re-reads the table from disk — see [[StateFold]] for the
+    * group-commit durability contract. */
   def boardFold(spark: SparkSession, statePath: String, n: Int,
-      scoreCol: String): (DataFrame, Long) => Unit = {
+      scoreCol: String, flushEvery: Int = Int.MaxValue): StateFold = {
     Upsert.recoverStagedSwap(statePath)
     // board-size fail-fast (the p_* discipline): a board built at one n
     // is a DIFFERENT leaderboard at another — the standing state must
@@ -72,40 +74,65 @@ object TopNStream {
           "a new board size")
     }
     var applied = Upsert.appliedBatches(statePath)
-    var board = state
-      .map(_.select(col("doc_id"), col("source"), col("score")))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("source", StringType),
-          StructField("score", LongType)))))
-      .localCheckpoint(true)
-
-    (batch: DataFrame, batchId: Long) =>
-      // an EMPTY batch (zero-row landing file) cannot displace anything —
-      // folding it would just stage-swap the board in place (and, on a
-      // FIRST batch, create a zero-row state table that poisons the p_n
-      // check). Skipping the marker is safe: a replay reaches the same
-      // empty arrivals and skips again
-      if (!applied.contains(batchId) && !batch.isEmpty) {
-        val arrivals = batch.select(col("doc_id"), col("source"),
-          col(scoreCol).cast("long").as("score"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"))
-          .orderBy(col("score").desc, col("doc_id").asc)
-        // the post-batch board, pinned in memory for the next batch (and
-        // off the state files before the swap relocates them)
-        val next = board.unionByName(arrivals)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= n)
-          .select(col("doc_id"), col("source"), col("score"))
-          .localCheckpoint(true)
-        // REPLACE semantics: the fold already merged the old board
-        Upsert.mergeParquet(spark, statePath,
-          next.withColumn("p_n", lit(n)), Some(batchId))((_, updates) => updates)
-        board = next
-        applied += batchId
+    val boardSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("score", LongType)))
+    // THE state: at most n×|sources| (doc_id, source, score) rows, held
+    // driver-side in canonical (source, score desc, doc_id) order so
+    // fold-result comparisons and flushed files are deterministic
+    def canonical(rows: Seq[(Long, String, Long)]): Vector[(Long, String, Long)] =
+      rows.sortBy { case (id, src, sc) => (src, -sc, id) }.toVector
+    var board: Vector[(Long, String, Long)] = canonical(state
+      .map(_.select(col("doc_id"), col("source"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+      .getOrElse(Seq.empty))
+    var pending = Set.empty[Long]
+    var dirty = false
+    val assertLease = StateFold.takeLease(statePath, "top-N")
+    def boardDf(): DataFrame = {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(board.map { case (id, src, sc) =>
+          org.apache.spark.sql.Row(id, src, sc) }: _*)
+      spark.createDataFrame(rows, boardSchema)
+    }
+    def doFlush(): Unit =
+      // a never-dirty session against no standing table records nothing
+      // (an all-empty stream must not create a zero-row board that
+      // poisons the p_n check); once a table exists, the flush also
+      // marker-annotates batches that displaced nothing
+      if (pending.nonEmpty && (dirty || Fs.exists(statePath))) {
+        assertLease()
+        Upsert.mergeParquetBatches(spark, statePath,
+          boardDf().withColumn("p_n", lit(n)).coalesce(1),
+          pending)((_, updates) => updates)
+        applied ++= pending
+        pending = Set.empty
+        dirty = false
       }
+
+    new StateFold {
+      override def apply(batch: DataFrame, batchId: Long): Unit =
+        if (!applied.contains(batchId) && !pending.contains(batchId)) {
+          val arrivals = batch.select(col("doc_id"), col("source"),
+            col(scoreCol).cast("long").as("score"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))
+            .orderBy(col("score").desc, col("doc_id").asc)
+          // ONE job: top-N(local board ∪ arrivals) collected back to the
+          // driver — an empty batch reproduces the board bit-for-bit and
+          // marks itself without dirtying anything
+          val next = canonical(boardDf().unionByName(arrivals)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= n)
+            .select(col("doc_id"), col("source"), col("score"))
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+          if (next != board) { board = next; dirty = true }
+          pending += batchId
+          if (pending.size >= flushEvery) doFlush()
+        }
+      override def flush(): Unit = doFlush()
+    }
   }
 
   /** Read the standing board at `statePath` (empty frame when none). */
@@ -143,6 +170,10 @@ object TopNStream {
         "the prior session's checkpointDir (or start a fresh statePath)")
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_topn_ckpt_"))
+    // group-commit crash guard (durable continuations only) — see
+    // StateFold.requireNoLostFolds
+    checkpointDir.foreach(c =>
+      StateFold.requireNoLostFolds(statePath, c, "top-N"))
     val landingSchema =
       scala.util.Try(spark.read.parquet(landingDir).schema).toOption
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
@@ -150,8 +181,12 @@ object TopNStream {
     maxFilesPerTrigger.foreach(m =>
       reader.option("maxFilesPerTrigger", m.toString))
     // ONE session fold: standing board + applied set resolved here,
-    // carried across batches in memory
-    val fold = boardFold(spark, statePath, n, scoreCol)
+    // carried across batches in memory; scratch checkpoints flush once
+    // at session end, durable ones every DefaultFlushEvery batches
+    val fold = boardFold(spark, statePath, n, scoreCol,
+      flushEvery =
+        if (checkpointDir.isEmpty) Int.MaxValue
+        else StateFold.DefaultFlushEvery)
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
@@ -160,7 +195,8 @@ object TopNStream {
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // flush in the finally: a half-run session persists what it folded
+    try { q.processAllAvailable() } finally { q.stop(); fold.flush() }
     if (checkpointDir.isEmpty)
       graft.operators.Maintenance.rmTree(ckpt.toFile)
     readBoard(spark, statePath)

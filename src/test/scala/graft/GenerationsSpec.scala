@@ -331,6 +331,7 @@ class GenerationsSpec extends SparkSpecBase {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.mock.impl", classOf[MockObjectStoreFs].getName)
     conf.set("fs.mockfail.impl", classOf[MockFailingDeleteFs].getName)
+    try {
     // the scheme really has no AbstractFileSystem binding — the exact
     // condition s3a/gs present, driving the create-overwrite PUT branch
     intercept[org.apache.hadoop.fs.UnsupportedFileSystemException] {
@@ -368,6 +369,19 @@ class GenerationsSpec extends SparkSpecBase {
     }
     Fs.readText(s"mockfail:$fdir/ptr") shouldBe Some("gamma")
     Fs.exists(s"mockfail:$fdir/p__tmp") shouldBe true
+    } finally {
+      // the shared session's Hadoop conf outlives this test — unset the
+      // mock schemes and evict exactly their cached FileSystem instances
+      // (close() removes a cache entry; closeAll would drop the live
+      // local FS out from under the session), or the fake filesystems
+      // leak into every later test in the JVM
+      Seq("mock:///", "mockfail:///").foreach { u =>
+        org.apache.hadoop.fs.FileSystem
+          .get(java.net.URI.create(u), conf).close()
+      }
+      conf.unset("fs.mock.impl")
+      conf.unset("fs.mockfail.impl")
+    }
   }
 }
 

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CardStream, QuotaStream, StateFold}
+
+/** The group-commit state-fold machinery ([[graft.streaming.StateFold]]):
+  * flush cadence must not change WHAT is recorded (same table, markers
+  * covering every folded batch), the driver-side card merge must be
+  * bit-identical to the DataFrame merge law it mirrors, the
+  * single-writer lease must fail a superseded writer fast, and the
+  * lost-fold guard must fire exactly on committed-but-unapplied ids. */
+class StateFoldSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("driver-side card merge ≡ DataFrame mergeCards bit-for-bit") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    val a = CardStream.cardPartial(docs.filter(col("doc_id") % 2 === 0),
+      SparkEntry.q130Weights, 64)
+    val b = CardStream.cardPartial(docs.filter(col("doc_id") % 2 =!= 0),
+      SparkEntry.q130Weights, 64)
+    val local = CardStream.mergeCardsLocal(
+      CardStream.collectCard(a), CardStream.collectCard(b), 64)
+    val df = CardStream.collectCard(CardStream.mergeCards(64)(a, b))
+    local shouldBe df
+  }
+
+  test("flush cadence is invisible: per-batch flushes ≡ one end flush, markers complete") {
+    val batches = Seq(
+      Seq((1L, "s1"), (2L, "s1"), (5L, "s2")).toDF("doc_id", "source"),
+      Seq.empty[(Long, String)].toDF("doc_id", "source"), // folds nothing
+      Seq((3L, "s1"), (6L, "s2"), (7L, "s2")).toDF("doc_id", "source"))
+    def run(root: java.nio.file.Path, flushEvery: Int)
+        : (Map[String, Long], Set[Long]) = {
+      val state = root.resolve("state").toString
+      val fold = QuotaStream.quotaFold(spark, state,
+        root.resolve("out").toString, capPerSource = 2L, flushEvery)
+      batches.zipWithIndex.foreach { case (b, i) => fold(b, i.toLong) }
+      fold.flush()
+      val counts = spark.read.parquet(state)
+        .select("source", "admitted").as[(String, Long)].collect().toMap
+      (counts, graft.operators.Upsert.appliedBatches(state))
+    }
+    val r1 = Files.createTempDirectory("graft_sf_every_")
+    val r2 = Files.createTempDirectory("graft_sf_end_")
+    try {
+      val perBatch = run(r1, flushEvery = 1)
+      val endOnly = run(r2, flushEvery = Int.MaxValue)
+      perBatch shouldBe endOnly
+      perBatch._1 shouldBe Map("s1" -> 2L, "s2" -> 2L)
+      // the empty batch 1 is marker-annotated too (requireNoLostFolds
+      // needs the applied set complete once a table exists)
+      perBatch._2 shouldBe Set(0L, 1L, 2L)
+    } finally {
+      graft.operators.Maintenance.rmTree(r1.toFile)
+      graft.operators.Maintenance.rmTree(r2.toFile)
+    }
+  }
+
+  test("second writer takes the lease; the superseded fold's flush fails fast") {
+    val root = Files.createTempDirectory("graft_sf_lease_")
+    try {
+      val state = root.resolve("state").toString
+      val first = QuotaStream.quotaFold(spark, state,
+        root.resolve("out_a").toString, capPerSource = 2L)
+      first(Seq((1L, "s1")).toDF("doc_id", "source"), 0L)
+      // a second factory against the SAME state path supersedes the lease
+      val second = QuotaStream.quotaFold(spark, state,
+        root.resolve("out_b").toString, capPerSource = 2L)
+      val e = intercept[IllegalArgumentException] { first.flush() }
+      e.getMessage should include("leased to another session")
+      // the live writer is unaffected
+      second(Seq((2L, "s1")).toDF("doc_id", "source"), 0L)
+      second.flush()
+      spark.read.parquet(state).select("source", "admitted")
+        .as[(String, Long)].collect().toMap shouldBe Map("s1" -> 1L)
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
+  test("requireNoLostFolds fires on committed-but-unapplied ids, passes otherwise") {
+    val root = Files.createTempDirectory("graft_sf_lost_")
+    try {
+      val state = root.resolve("state").toString
+      val ckpt = root.resolve("ckpt")
+      Files.createDirectories(ckpt.resolve("commits"))
+      Seq("0", "1").foreach(n =>
+        Files.writeString(ckpt.resolve("commits").resolve(n), "{}"))
+      // state absent: no marker evidence, guard must stay silent (the
+      // documented residual window)
+      StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+      // fold + flush batch 0 only — batch 1's fold "died in memory"
+      val fold = QuotaStream.quotaFold(spark, state,
+        root.resolve("out").toString, capPerSource = 2L, flushEvery = 1)
+      fold(Seq((1L, "s1")).toDF("doc_id", "source"), 0L)
+      val e = intercept[IllegalArgumentException] {
+        StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+      }
+      e.getMessage should include("committed batches 1")
+      // after batch 1 is folded and flushed the continuation is clean
+      fold(Seq((2L, "s1")).toDF("doc_id", "source"), 1L)
+      StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+}
