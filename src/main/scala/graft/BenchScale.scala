@@ -214,7 +214,23 @@ object BenchScale {
       // benchmark (linear), and the candidate side pays one extra
       // scan-fused bit-test pass — the whole screen should track the
       // chain it feeds
-      "q164_decontaminated_selection")
+      "q164_decontaminated_selection",
+      // the whitened serving surface (r17 gap: the newest serving loops
+      // had no 10× measurement). q163: one standing PCA fit per dir
+      // (moment pass linear, shuffle d²-bounded, cached per JVM — pass
+      // 1 pays the fit, min-of-2 keeps the serving cost, the ANN-probe
+      // discipline) + whitened-vs-raw IVF recall, whose brute-force
+      // ground truth is 5 queries × corpus (linear); q165: the
+      // frozen-quantizer whitened ingest loop (2 micro-batches, probe
+      // ∝ cells touched)
+      "q163_whitened_ann_serve", "q165_whitened_stream_ingest",
+      // the complete production pipeline (dedup → decontaminate →
+      // quota) — the flat bench's most expensive query. Each per-batch
+      // leg is linear-or-bounded (admission probe pays |batch|, Bloom
+      // screen is one 2048-bit plan literal, exact trigram confirm only
+      // for Bloom suspects, quota fold sources-sized) — measured
+      // composed, because composition is where super-linear terms hide
+      "q166_decontaminated_quota_ingest")
 
     // ---- standing ANN artifacts per (kind, dir), built once ----
     val ixRoots = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
@@ -417,7 +433,12 @@ object BenchScale {
       f""""$n":{"base_sec":${base(n)}%.3f,"scaled_sec":${scaled(n)}%.3f,"ratio":$r%.2f$parts}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scale_stress","replicas":$replicas,"base":"$sfDir",""" +
+      // cpus is part of the artifact's identity: scaled-side times are
+      // CPU-bound, so ratios recorded at different local[n] are not
+      // comparable (a 32-thread run reads ~3x faster scaled times than
+      // the 4-thread default on the banded family — the r17/r18
+      // "drift" that turned out to be exactly this field missing)
+      s"""{"metric":"scale_stress","replicas":$replicas,"cpus":$cpus,"base":"$sfDir",""" +
         s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim; q127 runs nCells=64 base / 64x$replicas scaled, q129 nCells=8 base / 8x$replicas scaled, and the ANN artifact probes (q120/q133/q134/q138/q139) build their standing indexes at nLists=8 base / 8x$replicas scaled (cells are the per-cell-population deployment knob); parts_* = cell partitions actually read by the probe's artifact scans; q139 = q120's probe with vec_id%10=7 tombstoned (compare to q120: the tombstone anti-join delta must not grow with the corpus), q140 = q109's admission with standing doc_id%5=2 tombstoned (compare to q109)",""" +
         s""""queries":$qs}"""
     println(line)
