@@ -518,11 +518,73 @@ object Dedup {
       .join(sv.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .filter(jaccardOk(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"))
-    val comps = connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+    val comps = boundedComponents(pairs, col("id_a"), col("id_b"))
     sv.select(col("doc_id"))
       .join(comps, sv("doc_id") === comps("id"), "left")
       .filter(col("comp").isNull || col("comp") === col("doc_id"))
       .select(col("doc_id"))
+  }
+
+  /** Components over the in-batch survivor pair graph, driver-side when
+    * BOUNDED: an admission batch's internal near-dup pairs are
+    * micro-batch-sized by construction (both endpoints are batch docs),
+    * so the star-contraction fixpoint — ~6 small jobs per batch
+    * (checkpoint + emptiness probe + per-round contraction + convergence
+    * check), pure driver job latency at this graph size — is replaced by
+    * ONE bounded collect and an exact union-find. BOUNDED means: collect
+    * at most [[InBatchPairCap]]+1 rows (a `limit` bounds the transfer,
+    * ~2 MB of id pairs at the cap); a graph past the cap, or non-integral
+    * ids (the local min must reproduce Spark's ordering exactly —
+    * guaranteed for integral types, not for UTF8 strings), falls back to
+    * the distributed [[connectedComponentsStar]] loop unchanged.
+    * AdmitCoreComponentsSpec pins local ≡ star on random pair graphs. */
+  private[graft] val InBatchPairCap = 131072
+
+  private def boundedComponents(pairs: DataFrame, idA: Column,
+      idB: Column): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(idA.as("u"), idB.as("v"))
+    val integral = p.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (!integral) return connectedComponentsStar(pairs, idA, idB)
+    val head = p.limit(InBatchPairCap + 1)
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue))
+    if (head.length > InBatchPairCap)
+      return connectedComponentsStar(pairs, idA, idB) // unbounded: stay distributed
+    val comp = localMinLabelComponents(head)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(comp.toSeq.sortBy(_._1).map { case (id, c) =>
+        org.apache.spark.sql.Row(id, c) }: _*)
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Exact min-label connected components over a local edge list —
+    * union-find with path compression; every node maps to the smallest
+    * id reachable from it (the representative policy every distributed
+    * components loop here implements). */
+  private[graft] def localMinLabelComponents(
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
   }
 
   /** Cross-TABLE MinHash fuzzy join — record/entity linkage between two

@@ -290,11 +290,11 @@ object AdmissionStream {
             ()
           }
         }
-        // the batch plan is re-evaluated by every consumer below
-        // (admission probe + verify + output write + index write) —
-        // localCheckpoint pins one evaluation of the scan
+        // the landing scan is cheap to re-run (one small parquet file per
+        // trigger) — the EXPENSIVE shared work is the signature hash,
+        // pinned below; eagerly checkpointing the raw batch too was one
+        // more per-batch job for no saved compute
         val docs = batch.select(col("doc_id"), col("text"))
-          .localCheckpoint(true)
         // hash the batch ONCE (signatures feed the probe AND the index
         // fold-back — rebuilding them per use would shingle the batch
         // twice per micro-batch); batch-sized, so the eager checkpoint
