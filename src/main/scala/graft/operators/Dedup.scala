@@ -186,9 +186,10 @@ object Dedup {
     * admissions back). */
   def admitNewDocs(newDf: DataFrame, indexDf: DataFrame, id: Column,
       text: Column, shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, broadcastNew: Boolean = true): DataFrame =
     admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
-      shingleBandFrame(indexDf, id, text, shingleN, k, rowsPerBand), threshold)
+      shingleBandFrame(indexDf, id, text, shingleN, k, rowsPerBand),
+      threshold, broadcastNew)
 
   /** [[admitNewDocs]] against a PRECOMPUTED [[nearDupIndex]] frame — the
     * cross-job ingest path: the standing corpus's (doc_id, sh, bands)
@@ -258,10 +259,12 @@ object Dedup {
 
   def admitNewDocsWithIndex(newDf: DataFrame, indexFrame: DataFrame,
       id: Column, text: Column, shingleN: Int = 3, k: Int = 16,
-      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      broadcastNew: Boolean = true): DataFrame = {
     validateIndexParams(indexFrame, shingleN, k, rowsPerBand)
     admitCore(shingleBandFrame(newDf, id, text, shingleN, k, rowsPerBand),
-      indexFrame.select(col("doc_id"), col("sh"), col("bands")), threshold)
+      indexFrame.select(col("doc_id"), col("sh"), col("bands")),
+      threshold, broadcastNew)
   }
 
   /** The ARTIFACT form of [[admitNewDocsWithIndex]] — the easy path made
@@ -304,6 +307,10 @@ object Dedup {
     // params came FROM the artifact — the frame overload's mismatch
     // check would re-scan them only to confirm a tautology, so go
     // straight to the core
+    // the artifact path IS the bounded-ingest contract ("each ingest
+    // pays |new| shingling"), so the new side always broadcasts here; a
+    // corpus-scale probe belongs on the frame overload, which has the
+    // broadcastNew opt-out
     admitCore(
       shingleBandFrame(newDf, id, text, g.getInt(0), g.getInt(1), g.getInt(2)),
       ix.select(col("doc_id"), col("sh"), col("bands")), threshold)
@@ -483,18 +490,36 @@ object Dedup {
   }
 
   private def admitCore(nw: DataFrame, ix: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastNew: Boolean = true): DataFrame = {
     def jaccardOk(a: Column, b: Column): Column =
       (size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double")) >= threshold
+    def bcast(df: DataFrame): DataFrame =
+      if (broadcastNew) broadcast(df) else df
     // new-vs-index: one band join, (band, id) pairs only; shingles join
-    // in for the surviving candidate set
-    val matched = nw.select(explode(col("bands")).as("band"),
-        col("doc_id").as("id_n"))
-      .join(ix.select(explode(col("bands")).as("band"),
-        col("doc_id").as("id_o")), Seq("band"))
+    // in for the surviving candidate set. `broadcastNew` (default on)
+    // pins the BUILD side of both index-touching joins to the NEW/
+    // candidate side: the new side is an ingest batch — bounded by the
+    // deployment's trigger — while the index is corpus-sized, and the
+    // optimizer can't see that through a checkpointed batch's unknown
+    // stats. Without the hint, at bench scale the SMALL index side
+    // auto-broadcasts (same plan class, fine), but past the broadcast
+    // threshold the join degrades to shuffling the CORPUS-SIZED band
+    // index every micro-batch — exactly the "probe pays |new|" contract
+    // inverted. The hint makes the contract true in plan shape at every
+    // index size (AdmitCoreComponentsSpec pins it with auto-broadcast
+    // off); pass false when probing with a genuinely corpus-scale new
+    // frame, where the optimizer should choose.
+    val nwBands = nw.select(explode(col("bands")).as("band"),
+      col("doc_id").as("id_n"))
+    val ixBands = ix.select(explode(col("bands")).as("band"),
+      col("doc_id").as("id_o"))
+    val cand = bcast(nwBands).join(ixBands, Seq("band"))
       .select(col("id_n"), col("id_o")).distinct()
-      .join(nw.select(col("doc_id").as("id_n"), col("sh").as("sh_n")), Seq("id_n"))
+    val withShN = cand
+      .join(bcast(nw.select(col("doc_id").as("id_n"), col("sh").as("sh_n"))),
+        Seq("id_n"))
+    val matched = bcast(withShN)
       .join(ix.select(col("doc_id").as("id_o"), col("sh").as("sh_o")), Seq("id_o"))
       .filter(jaccardOk(col("sh_n"), col("sh_o")))
       .select(col("id_n")).distinct()
@@ -507,15 +532,22 @@ object Dedup {
     // localCheckpoint is the components-loop idiom: survivors are
     // batch-sized, and admit* is already an eager API (the components
     // fixpoint below runs driver-side rounds).
-    val sv = nw.join(matched, nw("doc_id") === matched("id_n"), "left_anti")
+    // every frame below is batch-bounded (survivors ⊆ the new batch), so
+    // the same hint keeps the whole in-batch dedup shuffle-free past the
+    // auto-broadcast threshold
+    val sv = nw.join(bcast(matched), nw("doc_id") === matched("id_n"),
+        "left_anti")
       .localCheckpoint(true)
     val svb = sv.select(explode(col("bands")).as("band"), col("doc_id"))
     val pairs = svb.select(col("band"), col("doc_id").as("id_a"))
-      .join(svb.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+      .join(bcast(svb.select(col("band"), col("doc_id").as("id_b"))),
+        Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-      .join(sv.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sv.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(bcast(sv.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))),
+        Seq("id_a"))
+      .join(bcast(sv.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))),
+        Seq("id_b"))
       .filter(jaccardOk(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"))
     val comps = boundedComponents(pairs, col("id_a"), col("id_b"))
@@ -562,7 +594,10 @@ object Dedup {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(comp.toSeq.sortBy(_._1).map { case (id, c) =>
         org.apache.spark.sql.Row(id, c) }: _*)
-    spark.createDataFrame(rows, schema)
+    // bounded by the cap — hint the label join's build side so the
+    // survivor frame never shuffles for it (the fallback branch's star
+    // output is pair-graph-sized and stays unhinted)
+    broadcast(spark.createDataFrame(rows, schema))
   }
 
   /** Exact min-label connected components over a local edge list —

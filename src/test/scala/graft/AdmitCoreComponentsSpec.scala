@@ -40,6 +40,80 @@ class AdmitCoreComponentsSpec extends SparkSpecBase {
       Map(3L -> 3L, 5L -> 3L, 8L -> 8L, 9L -> 8L)
   }
 
+  test("broadcastNew pins the probe's build side to the batch: no index shuffle even past the auto-broadcast threshold") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 4) >= "cccc"
+    val conf = spark.conf
+    val (thr0, aqe0) = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.get("spark.sql.adaptive.enabled"))
+    try {
+      // simulate the 100 TB condition: the index side is PAST the
+      // auto-broadcast threshold (disable it outright) — without the
+      // hint the band probe degrades to shuffling the index per batch
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // the probe's joins run inside admitCore's eager survivor
+      // checkpoint, so the shape check watches EVERY executed plan of
+      // the call via a listener, not just the returned frame's tail
+      val smj = new java.util.concurrent.atomic.AtomicInteger
+      val bhj = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = {
+          smj.addAndGet(qe.executedPlan
+            .collect { case j: SortMergeJoinExec => j }.size)
+          bhj.addAndGet(qe.executedPlan
+            .collect { case j: BroadcastHashJoinExec => j }.size)
+          ()
+        }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      def admitted(broadcastNew: Boolean): (Seq[Long], Int, Int) = {
+        smj.set(0); bhj.set(0)
+        spark.listenerManager.register(listener)
+        val ids = try {
+          val r = Dedup.admitNewDocsWithIndex(
+            docs.filter(isNew), Dedup.nearDupIndex(docs.filter(!isNew),
+              col("doc_id"), col("text"), 3, 8, 2),
+            col("doc_id"), col("text"), shingleN = 3, k = 8,
+            rowsPerBand = 2, threshold = 0.4, broadcastNew = broadcastNew)
+            .as[Long].collect().sorted.toSeq
+          // async listener bus — poll until the counters stabilize (the
+          // BenchScale partitionsRead idiom; listenerBus is private)
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          var last = (-1, -1); var stable = 0
+          while (stable < 3 && System.nanoTime() < deadline) {
+            Thread.sleep(100)
+            val cur = (smj.get, bhj.get)
+            if (cur == last && cur._2 > 0) stable += 1 else stable = 0
+            last = cur
+          }
+          r
+        } finally spark.listenerManager.unregister(listener)
+        (ids, smj.get, bhj.get)
+      }
+      val (hintedIds, hintedSmj, hintedBhj) = admitted(broadcastNew = true)
+      val (freeIds, freeSmj, _) = admitted(broadcastNew = false)
+      // the hinted probe keeps every index-touching join broadcast with
+      // the batch as build side; the unhinted one sort-merges (shuffling
+      // the index) under the same threshold — the knob is what makes
+      // "probe pays |new|" true in plan shape at every index size
+      assert(hintedSmj == 0, s"hinted probe still sort-merged $hintedSmj joins")
+      assert(hintedBhj >= 2, s"expected the probe's joins broadcast, saw $hintedBhj")
+      assert(freeSmj > 0, "control: the unhinted probe should sort-merge here")
+      // and the strategy cannot change the admitted set
+      hintedIds shouldBe freeIds
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+    }
+  }
+
   test("admission output is unchanged by the strategy swap (q109 shape)") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
