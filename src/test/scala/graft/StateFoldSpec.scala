@@ -60,6 +60,39 @@ class StateFoldSpec extends SparkSpecBase {
     }
   }
 
+  test("board and card folds: flush cadence is invisible too") {
+    import graft.streaming.{CardStream, TopNStream}
+    val batches = Seq(
+      Seq((1L, "s1", 10L), (2L, "s1", 30L)).toDF("doc_id", "source", "n_chars"),
+      Seq((3L, "s1", 20L), (4L, "s2", 5L)).toDF("doc_id", "source", "n_chars"))
+    def boardRun(root: java.nio.file.Path, every: Int): Set[(String, Long, Long)] = {
+      val state = root.resolve("board").toString
+      val fold = TopNStream.boardFold(spark, state, n = 2, "n_chars", every)
+      batches.zipWithIndex.foreach { case (b, i) => fold(b, i.toLong) }
+      fold.flush()
+      TopNStream.readBoard(spark, state)
+        .as[(String, Long, Long)].collect().toSet
+    }
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    def cardRun(root: java.nio.file.Path, every: Int): Seq[org.apache.spark.sql.Row] = {
+      val state = root.resolve("card").toString
+      val fold = CardStream.cardFold(spark, state, SparkEntry.q130Weights,
+        k = 64, flushEvery = every)
+      fold(docs.filter(col("doc_id") % 2 === 0), 0L)
+      fold(docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      fold.flush()
+      CardStream.readCard(spark, state, k = 64).orderBy("source").collect().toSeq
+    }
+    val roots = Seq.fill(4)(Files.createTempDirectory("graft_sf_bc_"))
+    try {
+      boardRun(roots(0), 1) shouldBe boardRun(roots(1), Int.MaxValue)
+      boardRun(roots(0), 1) shouldBe Set(("s1", 2L, 30L), ("s1", 3L, 20L),
+        ("s2", 4L, 5L))
+      cardRun(roots(2), 1) shouldBe cardRun(roots(3), Int.MaxValue)
+    } finally roots.foreach(r => graft.operators.Maintenance.rmTree(r.toFile))
+  }
+
   test("second writer takes the lease; the superseded fold's flush fails fast") {
     val root = Files.createTempDirectory("graft_sf_lease_")
     try {
