@@ -113,6 +113,43 @@ class StateFoldSpec extends SparkSpecBase {
     } finally graft.operators.Maintenance.rmTree(root.toFile)
   }
 
+  test("a runner refuses a durable continuation whose state lost a fold") {
+    import graft.streaming.TopNStream
+    val root = Files.createTempDirectory("graft_sf_runlost_")
+    try {
+      val landing = root.resolve("landing"); Files.createDirectory(landing)
+      def land(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+        val stage = Files.createTempDirectory("graft_sf_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, landing.resolve(name))
+        landing.resolve(name).toFile.setLastModified(mod); ()
+      }
+      land(Seq((1L, "s1", 10L), (2L, "s1", 20L))
+        .toDF("doc_id", "source", "n_chars"), "a.parquet", 1000000L)
+      land(Seq((3L, "s1", 30L)).toDF("doc_id", "source", "n_chars"),
+        "b.parquet", 2000000L)
+      val state = root.resolve("state").toString
+      val ckpt = root.resolve("ckpt").toString
+      TopNStream.runTopN(spark, landing.toString, state, n = 2,
+        scoreCol = "n_chars", maxFilesPerTrigger = Some(1),
+        checkpointDir = Some(ckpt))
+      // simulate a crash-lost fold: strike batch 1 from the applied
+      // markers while the checkpoint still shows it committed — the
+      // next durable continuation must fail loudly, not serve a board
+      // missing that batch's displacements
+      // rewrite through Fs (Hadoop local FS is checksummed — a raw nio
+      // write would leave a stale .crc sidecar)
+      graft.operators.Fs.writeText(s"$state/_graft_applied_batches", "0\n")
+      val e = intercept[IllegalArgumentException] {
+        TopNStream.runTopN(spark, landing.toString, state, n = 2,
+          scoreCol = "n_chars", maxFilesPerTrigger = Some(1),
+          checkpointDir = Some(ckpt))
+      }
+      e.getMessage should include("missing the folds")
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
   test("requireNoLostFolds fires on committed-but-unapplied ids, passes otherwise") {
     val root = Files.createTempDirectory("graft_sf_lost_")
     try {
