@@ -403,19 +403,75 @@ object EventStreams {
         "the prior session's checkpointDir (or start a fresh targetPath)")
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(scratchDir("graft_cms_ckpt_"))
+    // group-commit crash guard (durable continuations only) — see
+    // StateFold.requireNoLostFolds
+    checkpointDir.foreach(c =>
+      StateFold.requireNoLostFolds(targetPath, c, "cms"))
+    // SESSION-scoped fold (the [[StateFold]] discipline): standing cells
+    // collected ONCE driver-side (≤ depth·width rows — bounded by the
+    // sketch geometry, never the stream), each batch contributes ONE
+    // cmsCells job collected and summed in memory, and the staged-swap
+    // WRITE group-commits (session end on the scratch default, every
+    // DefaultFlushEvery batches on a durable checkpoint) instead of a
+    // read-merge-rewrite pair per micro-batch.
+    var applied = graft.operators.Upsert.appliedBatches(targetPath)
+    var cellsMap: Map[(Int, Long), Long] =
+      if (graft.operators.Fs.exists(targetPath))
+        spark.read.parquet(targetPath).select(col("r"), col("c"), col("cnt"))
+          .collect()
+          .map(row => (row.getInt(0), row.getLong(1)) -> row.getLong(2)).toMap
+      else Map.empty
+    var pending = Set.empty[Long]
+    var dirty = false
+    val assertLease = StateFold.takeLease(targetPath, "cms")
+    val flushEvery =
+      if (checkpointDir.isEmpty) Int.MaxValue
+      else StateFold.DefaultFlushEvery
+    def doFlush(): Unit =
+      if (pending.nonEmpty &&
+          (dirty || graft.operators.Fs.exists(targetPath))) {
+        assertLease()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("c",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(cellsMap.toSeq.sortBy(_._1).map {
+            case ((r, c), n) => org.apache.spark.sql.Row(r, c, n)
+          }: _*)
+        graft.operators.Upsert.mergeParquetBatches(spark, targetPath,
+          spark.createDataFrame(rows, schema).coalesce(1),
+          pending)((_, updates) => updates)
+        applied ++= pending
+        pending = Set.empty
+        dirty = false
+      }
     val q = readEventStream(spark, path, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cells = graft.operators.Sketch.cmsCells(batch, item, depth, width)
-        graft.operators.Upsert.mergeParquet(spark, targetPath, cells,
-          batchId = Some(batchId))(
-          graft.operators.Upsert.additiveMerge(_, _,
-            keys = Seq("r", "c"), metrics = Seq("cnt")))
+        if (!applied.contains(batchId) && !pending.contains(batchId)) {
+          // ONE job: ≤ depth·width cells, the documented bounded collect
+          val delta = graft.operators.Sketch.cmsCells(batch, item, depth, width)
+            .select(col("r"), col("c"), col("cnt")).collect()
+          if (delta.nonEmpty) {
+            cellsMap = delta.foldLeft(cellsMap) { (m, row) =>
+              val k = (row.getInt(0), row.getLong(1))
+              m.updated(k, m.getOrElse(k, 0L) + row.getLong(2))
+            }
+            dirty = true
+          }
+          pending += batchId
+          if (pending.size >= flushEvery) doFlush()
+        }
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // flush in the finally: a half-run session persists what it folded
+    try { q.processAllAvailable() } finally { q.stop(); doFlush() }
     // a caller-supplied durable checkpoint is KEPT (it is the
     // cross-session exactly-once state); only the scratch default is
     // reclaimed

@@ -100,55 +100,101 @@ object GramianStream {
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
+    // group-commit crash guard (durable continuations only) — see
+    // StateFold.requireNoLostFolds
+    checkpointDir.foreach(c =>
+      StateFold.requireNoLostFolds(targetPath, c, "gramian"))
+    // SESSION-scoped fold (the [[StateFold]] discipline): the standing
+    // cells are collected ONCE driver-side (≤ d²+d+1 rows — bounded by
+    // the embedding width, never the corpus), each batch contributes ONE
+    // momentRows job collected and summed in memory (width markers
+    // checked off the same collect — no separate dim-probe job, no
+    // checkpoint, no isEmpty probe), and the staged-swap WRITE
+    // group-commits: session end under the scratch default, every
+    // DefaultFlushEvery batches under a durable checkpoint.
+    var applied = Upsert.appliedBatches(targetPath)
+    var moments: Map[(Int, Int), Long] =
+      if (graft.operators.Fs.exists(targetPath))
+        spark.read.parquet(targetPath).select(col("i"), col("j"), col("q"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      else Map.empty
+    var pending = Set.empty[Long]
+    var dirty = false
+    val assertLease = StateFold.takeLease(targetPath, "gramian")
+    val flushEvery =
+      if (checkpointDir.isEmpty) Int.MaxValue
+      else StateFold.DefaultFlushEvery
+    def doFlush(): Unit =
+      if (pending.nonEmpty &&
+          (dirty || graft.operators.Fs.exists(targetPath))) {
+        assertLease()
+        val dim = expectDim.getOrElse(
+          throw new IllegalStateException("flush with no dim evidence"))
+        val schema = StructType(Seq(
+          StructField("i", org.apache.spark.sql.types.IntegerType),
+          StructField("j", org.apache.spark.sql.types.IntegerType),
+          StructField("q", LongType),
+          StructField("p_scale", org.apache.spark.sql.types.DoubleType),
+          StructField("p_dim", org.apache.spark.sql.types.IntegerType)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(moments.toSeq.sortBy(_._1).map {
+            case ((i, j), v) => org.apache.spark.sql.Row(i, j, v, scale, dim)
+          }: _*)
+        Upsert.mergeParquetBatches(spark, targetPath,
+          spark.createDataFrame(rows, schema).coalesce(1),
+          pending)((_, updates) => updates)
+        applied ++= pending
+        pending = Set.empty
+        dirty = false
+      }
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the cells are the batch's ONLY scan — checkpoint them so the
-        // dim probe below doesn't re-run it
-        val cells = Pca.momentRows(batch, col(vecCol), scale)
-          .localCheckpoint(true)
-        if (cells.isEmpty) () // an empty batch folds nothing
-        else {
-          // the batch's dim comes from the (-2, d) width markers, one
-          // per non-empty partition: a batch whose FILES carry different
-          // widths yields several distinct markers (each partition alone
-          // is internally consistent, so max(i)+1 would just report the
-          // widest and silently fold the rest) — fail fast instead
-          val dims = cells.filter(col("i") === -2)
-            .select(col("j")).distinct().collect().map(_.getInt(0))
-          require(dims.length == 1,
-            s"batch $batchId carries embeddings of mixed widths " +
-              s"(${dims.sorted.mkString(",")}) — folding mixed widths " +
-              "corrupts the Gramian; fix the landing data")
-          val batchDim = dims.head
-          expectDim.foreach(d => require(d == batchDim,
-            s"batch $batchId carries dim-$batchDim embeddings but the " +
-              s"standing state at $targetPath is dim-$d — folding " +
-              "mixed widths corrupts the Gramian; fix the landing data " +
-              "or start a fresh targetPath"))
-          expectDim = Some(batchDim)
-          // width markers are a PER-BATCH check (consumed just above) —
-          // persisting them would fold partition COUNTS, which differ
-          // between a streamed fold and the one-pass batch computation
-          // the state is contracted to equal; cross-batch width drift is
-          // already guarded by p_dim + expectDim
-          val updates = cells.filter(col("i") >= -1)
-            .select(col("i"), col("j"), col("q"),
-              lit(scale).as("p_scale"), lit(batchDim).as("p_dim"))
-          Upsert.mergeParquet(spark, targetPath, updates,
-            batchId = Some(batchId)) { (current, updates) =>
-            // additive fold on the cell key; the merged table stays
-            // ≤ d²+d+1 rows, so one file is the right layout
-            Upsert.additiveMerge(current, updates,
-              keys = Seq("i", "j", "p_scale", "p_dim"), metrics = Seq("q"))
-              .coalesce(1)
+        if (!applied.contains(batchId) && !pending.contains(batchId)) {
+          // ONE job: the batch's cells, ≤ d²+d+1 data rows plus one
+          // (-2, d) width marker per non-empty partition — the
+          // documented bounded collect
+          val cells = Pca.momentRows(batch, col(vecCol), scale)
+            .select(col("i"), col("j"), col("q")).collect()
+          if (cells.nonEmpty) {
+            // the batch's dim comes from the width markers: a batch
+            // whose FILES carry different widths yields several distinct
+            // markers (each partition alone is internally consistent, so
+            // max(i)+1 would just report the widest and silently fold
+            // the rest) — fail fast instead. Markers are a PER-BATCH
+            // check and never persist: their counts differ between a
+            // streamed fold and the one-pass batch computation the
+            // state is contracted to equal.
+            val dims = cells.filter(_.getInt(0) == -2)
+              .map(_.getInt(1)).distinct
+            require(dims.length == 1,
+              s"batch $batchId carries embeddings of mixed widths " +
+                s"(${dims.sorted.mkString(",")}) — folding mixed widths " +
+                "corrupts the Gramian; fix the landing data")
+            val batchDim = dims.head
+            expectDim.foreach(d => require(d == batchDim,
+              s"batch $batchId carries dim-$batchDim embeddings but the " +
+                s"standing state at $targetPath is dim-$d — folding " +
+                "mixed widths corrupts the Gramian; fix the landing data " +
+                "or start a fresh targetPath"))
+            expectDim = Some(batchDim)
+            moments = cells.filter(_.getInt(0) >= -1).foldLeft(moments) {
+              (m, r) =>
+                val k = (r.getInt(0), r.getInt(1))
+                m.updated(k, m.getOrElse(k, 0L) + r.getLong(2))
+            }
+            dirty = true
           }
+          pending += batchId
+          if (pending.size >= flushEvery) doFlush()
         }
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // flush in the finally: a half-run session persists what it folded
+    try { q.processAllAvailable() } finally { q.stop(); doFlush() }
     if (checkpointDir.isEmpty)
       graft.operators.Maintenance.rmTree(ckpt.toFile)
   }

@@ -24,9 +24,12 @@ import graft.operators.{Selection, Upsert}
   * ≤ 2·nBuckets-row standing table — the model state is bounded by the
   * hash width whatever the corpus, which is what makes continuous
   * maintenance viable when the stream is a firehose. Exactly-once is
-  * [[Upsert.mergeParquet]]'s applied-batch marker: a replayed
-  * micro-batch (crash recovery re-runs the last uncommitted batch) is
-  * skipped outright instead of double-counting the additive fold.
+  * the applied-batch marker: a replayed micro-batch (crash recovery
+  * re-runs the last uncommitted batch) is skipped outright instead of
+  * double-counting the additive fold. WRITES are GROUP-COMMITTED under
+  * the [[StateFold]] discipline (driver-held bounded cells, one staged
+  * swap per flush window + session end, single-writer lease, lost-fold
+  * guard on durable continuations).
   */
 object ModelStream {
 
@@ -100,25 +103,74 @@ object ModelStream {
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
+    // group-commit crash guard (durable continuations only) — see
+    // StateFold.requireNoLostFolds
+    checkpointDir.foreach(c =>
+      StateFold.requireNoLostFolds(targetPath, c, "model"))
+    // SESSION-scoped fold (the [[StateFold]] discipline the quota/board/
+    // card folds set): the standing cells are collected ONCE driver-side
+    // (≤ 2·nBuckets rows — the model state is hash-width-bounded by
+    // construction), each batch contributes ONE gramCells job collected
+    // and summed in memory, and the staged-swap WRITE group-commits —
+    // session end under the scratch default, every DefaultFlushEvery
+    // batches under a durable checkpoint — carrying every covered
+    // batch's applied marker. The old shape re-read and replace-wrote
+    // the table every micro-batch: two jobs of pure fixed cost per batch
+    // for a table whose size never grows.
+    var applied = Upsert.appliedBatches(targetPath)
+    var cells: Map[(Int, Long), Long] =
+      if (graft.operators.Fs.exists(targetPath))
+        spark.read.parquet(targetPath).select(col("s"), col("b"), col("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      else Map.empty
+    var pending = Set.empty[Long]
+    var dirty = false
+    val assertLease = StateFold.takeLease(targetPath, "model")
+    val flushEvery =
+      if (checkpointDir.isEmpty) Int.MaxValue
+      else StateFold.DefaultFlushEvery
+    def doFlush(): Unit =
+      if (pending.nonEmpty && (dirty || graft.operators.Fs.exists(targetPath))) {
+        assertLease()
+        val schema = StructType(Seq(
+          StructField("s", org.apache.spark.sql.types.IntegerType),
+          StructField("b", LongType),
+          StructField("c", LongType),
+          StructField("p_nbuckets", org.apache.spark.sql.types.IntegerType)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(cells.toSeq.sortBy(_._1).map {
+            case ((s, b), c) => org.apache.spark.sql.Row(s, b, c, nBuckets)
+          }: _*)
+        Upsert.mergeParquetBatches(spark, targetPath,
+          spark.createDataFrame(rows, schema).coalesce(1),
+          pending)((_, updates) => updates)
+        applied ++= pending
+        pending = Set.empty
+        dirty = false
+      }
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cells = Selection.gramCells(batch, col(textCol), nBuckets)
-          .select(col("s"), col("b"), col("c"),
-            lit(nBuckets).as("p_nbuckets"))
-        Upsert.mergeParquet(spark, targetPath, cells,
-          batchId = Some(batchId)) { (current, updates) =>
-          // additive fold on the cell key; the merged table stays
-          // ≤ 2·nBuckets rows, so one file is the right layout
-          Upsert.additiveMerge(current, updates,
-            keys = Seq("s", "b", "p_nbuckets"), metrics = Seq("c"))
-            .coalesce(1)
+        if (!applied.contains(batchId) && !pending.contains(batchId)) {
+          val delta = Selection.gramCells(batch, col(textCol), nBuckets)
+            .collect() // ≤ 2·nBuckets rows, the documented bounded collect
+          if (delta.nonEmpty) {
+            cells = delta.foldLeft(cells) { (m, r) =>
+              val k = (r.getInt(0), r.getLong(1))
+              m.updated(k, m.getOrElse(k, 0L) + r.getLong(2))
+            }
+            dirty = true
+          }
+          pending += batchId
+          if (pending.size >= flushEvery) doFlush()
         }
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // flush in the finally: a half-run session persists what it folded
+    try { q.processAllAvailable() } finally { q.stop(); doFlush() }
     if (checkpointDir.isEmpty)
       graft.operators.Maintenance.rmTree(ckpt.toFile)
   }
