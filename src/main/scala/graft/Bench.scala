@@ -79,6 +79,11 @@ object Bench {
     }
     gateLog += (if (load1() > gate) f"gave_up:${load1()}%.2f"
                 else f"ok:${load1()}%.2f")
+    // CHANNEL CALIBRATION ([[Calib]]): pinned CPU-bound probes recorded
+    // in every artifact so cross-channel seconds can be normalized —
+    // run AFTER the load gate so the probes measure the same conditions
+    // as the timed passes.
+    val calib = Calib.json(spark, sfDir)
     val loadBefore = loadavg()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = (1 to 2).map { _ =>
@@ -109,7 +114,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":2,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_gate":"${gateLog.mkString(",")}"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":2,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load_gate":"${gateLog.mkString(",")}","calib_sec":$calib,"cpus":$cpus}"""
     println(full)
     // The full line above can exceed a log tail's capture window (round 6
     // recorded parsed:null after the driver's tail cut off its head). Tails

@@ -56,21 +56,13 @@ object BenchScale {
         }.toMap
     }
   }
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    // ---- synthesize the blown-up documents table ----
-    val scaledRoot = java.nio.file.Files.createTempDirectory("graft_scale_")
+  /** Stage the salted `replicas`× documents table under
+    * `dest/documents.parquet` — the object scaladoc's per-replica
+    * vocabulary-permutation blow-up, shared with the pairs-count
+    * decomposition probe ([[ScalePairsProbe]]). */
+  private[graft] def stageScaledDocuments(spark: SparkSession,
+      sfDir: String, replicas: Int, dest: java.nio.file.Path,
+      partitions: Int): Unit = {
     val docs = sources.Tables.documents(spark, sfDir)
     val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1L
     // the fixture vocabulary (bounded collect — synthetic fixtures carry
@@ -101,9 +93,27 @@ object BenchScale {
         (col("doc_id") + col("replica") * maxId).as("doc_id"),
         when(col("replica") === 0L, col("text")).otherwise(renamed).as("text"),
         col("lang"), col("source"), col("n_chars"))
-      .repartition(cpus.toInt)
+      .repartition(partitions)
       .write.mode("overwrite")
-      .parquet(scaledRoot.resolve("documents.parquet").toString)
+      .parquet(dest.resolve("documents.parquet").toString)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- synthesize the blown-up documents table ----
+    val scaledRoot = java.nio.file.Files.createTempDirectory("graft_scale_")
+    stageScaledDocuments(spark, sfDir, replicas, scaledRoot, cpus.toInt)
 
     // ---- synthesize the blown-up embeddings table ----
     // per-replica DIMENSION permutation (seeded shuffle of the 64 dims):
@@ -224,6 +234,16 @@ object BenchScale {
       // frozen-quantizer whitened ingest loop (2 micro-batches, probe
       // ∝ cells touched)
       "q163_whitened_ann_serve", "q165_whitened_stream_ingest",
+      // the semantic-admission and tombstone-pressure ingest loops
+      // (r18 gap: top-8 flat-bench queries with no 10× measurement).
+      // q128: two micro-batches against the standing 80% IVF artifact —
+      // per-batch cost is |batch| assignment + probes bounded by the
+      // touched cells (built verbatim at the driver's nLists, the
+      // q165 treatment); q157: the 20% takedown load fires the pressure
+      // fold once at session start (a linear rewrite of the standing
+      // tree), then the same two-batch admission as q116 runs against
+      // the folded tree
+      "q128_streaming_semantic_admission", "q157_pressure_admission",
       // the complete production pipeline (dedup → decontaminate →
       // quota) — the flat bench's most expensive query. Each per-batch
       // leg is linear-or-bounded (admission probe pays |batch|, Bloom
@@ -417,6 +437,9 @@ object BenchScale {
         }.toMap
       }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
 
+    // channel calibration ([[Calib]]) — lets the next reader normalize
+    // this artifact's absolute seconds against any other channel's
+    val calib = Calib.json(spark, sfDir)
     val base = timeAll(sfDir)
     val scaled = timeAll(scaledRoot.toString)
     val partsBase = probeQueries.toSeq.sorted
@@ -438,7 +461,7 @@ object BenchScale {
       // comparable (a 32-thread run reads ~3x faster scaled times than
       // the 4-thread default on the banded family — the r17/r18
       // "drift" that turned out to be exactly this field missing)
-      s"""{"metric":"scale_stress","replicas":$replicas,"cpus":$cpus,"base":"$sfDir",""" +
+      s"""{"metric":"scale_stress","replicas":$replicas,"cpus":$cpus,"calib_sec":$calib,"base":"$sfDir",""" +
         s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim; q127 runs nCells=64 base / 64x$replicas scaled, q129 nCells=8 base / 8x$replicas scaled, and the ANN artifact probes (q120/q133/q134/q138/q139) build their standing indexes at nLists=8 base / 8x$replicas scaled (cells are the per-cell-population deployment knob); parts_* = cell partitions actually read by the probe's artifact scans; q139 = q120's probe with vec_id%10=7 tombstoned (compare to q120: the tombstone anti-join delta must not grow with the corpus), q140 = q109's admission with standing doc_id%5=2 tombstoned (compare to q109)",""" +
         s""""queries":$qs}"""
     println(line)

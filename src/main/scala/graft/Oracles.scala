@@ -1372,19 +1372,73 @@ private[graft] object Oracles {
     * not ` AS (`, and `UNNEST(..) AS uv(sv)` aliases put the identifier
     * AFTER the AS — so the pattern below matches CTE heads and nothing
     * else (audited over the full dumped oracle surface; the one other
-    * shape, a named `WINDOW w AS (...)` clause, is excluded by the
-    * lookbehind). One more exclusion: a name DEFINED TWICE in one
-    * statement (a nested `WITH` shadowing an outer CTE of the same
-    * name, q142's shape) stays inlined — DuckDB hoists materialized
-    * CTEs and rejects the resulting duplicate alias, while inlined
-    * shadowing is fine. */
-  private val CteHead = """(?<!WINDOW )(\w+) AS \(""".r
-  private def materialize(sqlText: String): String = {
-    val counts = CteHead.findAllMatchIn(sqlText).toSeq
-      .groupBy(_.group(1)).view.mapValues(_.size).toMap
-    CteHead.replaceAllIn(sqlText, m =>
-      if (counts(m.group(1)) == 1) s"${m.group(1)} AS MATERIALIZED ("
-      else m.matched)
+    * shape, a named `WINDOW w AS (...)` clause, is excluded by a
+    * scanner, not a lookbehind — a lookbehind only covered the FIRST
+    * definition, and a future comma-separated
+    * `WINDOW w1 AS (...), w2 AS (...)` clause would have had its second
+    * definition rewritten into invalid SQL; [[windowDefNameStarts]]
+    * walks every definition of every WINDOW clause through balanced
+    * parens, and OraclesMaterializeSpec pins the multi-window shape).
+    * One more exclusion: a name DEFINED TWICE in one statement (a
+    * nested `WITH` shadowing an outer CTE of the same name, q142's
+    * shape) stays inlined — DuckDB hoists materialized CTEs and rejects
+    * the resulting duplicate alias, while inlined shadowing is fine. */
+  private val CteHead = """(\w+) AS \(""".r
+
+  /** Start offsets of every window-definition NAME in every
+    * `WINDOW w1 AS (...), w2 AS (...)` clause of `sqlText`: from each
+    * `WINDOW` keyword, walk the comma-separated `name AS (balanced)`
+    * list, recording each name's position. These positions must never
+    * be rewritten by [[materialize]] — `w AS MATERIALIZED (...)` is not
+    * window-clause syntax. */
+  private def windowDefNameStarts(sqlText: String): Set[Int] = {
+    val starts = scala.collection.mutable.Set[Int]()
+    val W = """(?i)\bWINDOW\s+""".r
+    val Head = """^(\w+)\s+AS\s*\(""".r
+    for (w <- W.findAllMatchIn(sqlText)) {
+      var i = w.end
+      var continue = true
+      while (continue) {
+        continue = false
+        Head.findFirstMatchIn(sqlText.substring(i)).foreach { h =>
+          starts += i
+          // skip this definition's balanced parens
+          var depth = 1
+          var k = i + h.end
+          while (k < sqlText.length && depth > 0) {
+            val ch = sqlText.charAt(k)
+            if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+            k += 1
+          }
+          // a comma (possibly newline-separated) continues the list
+          var j = k
+          while (j < sqlText.length && sqlText.charAt(j).isWhitespace) j += 1
+          if (j < sqlText.length && sqlText.charAt(j) == ',') {
+            i = j + 1
+            while (i < sqlText.length && sqlText.charAt(i).isWhitespace)
+              i += 1
+            continue = true
+          }
+        }
+      }
+    }
+    starts.toSet
+  }
+
+  private[graft] def materialize(sqlText: String): String = {
+    val windowNames = windowDefNameStarts(sqlText)
+    val heads = CteHead.findAllMatchIn(sqlText).toSeq
+      .filterNot(m => windowNames(m.start))
+    val counts = heads.groupBy(_.group(1)).view.mapValues(_.size).toMap
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    for (m <- heads if counts(m.group(1)) == 1) {
+      sb.append(sqlText, last, m.start)
+      sb.append(m.group(1)).append(" AS MATERIALIZED (")
+      last = m.end
+    }
+    sb.append(sqlText, last, sqlText.length)
+    sb.toString
   }
 
   def sql: Map[String, String] =

@@ -3495,10 +3495,12 @@ object SparkEntry {
       root.resolve("index").toString, root.resolve("out").toString,
       shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.4,
       maxFilesPerTrigger = Some(1),
-      onBatchAdmitted = Some { (admitted0, batchId) =>
-        // one evaluation feeds the pre-screen, the confirm AND the
-        // final anti-join
-        val adm = admitted0.localCheckpoint(true)
+      onBatchAdmitted = Some { (adm, batchId) =>
+        // no pin here: every use below folds into the quota fold's ONE
+        // collect action, and adm is a landing-file scan semi-joined to
+        // the loop's already-pinned admitted ids — re-evaluating that
+        // subtree inside one job is cheaper than a per-batch checkpoint
+        // job of its own (the composed-ingest fixed-cost lesson)
         val probed = adm.filter(nonEmpty)
         val suspects = operators.Contamination.bloomNgramOverlap(
             probed, bits, col("doc_id"), col("text"), n = 3, k = 3)

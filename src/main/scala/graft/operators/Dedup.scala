@@ -226,21 +226,42 @@ object Dedup {
     * — not an NPE on getInt. */
   private[graft] def validateIndexParams(indexFrame: DataFrame,
       shingleN: Int, k: Int, rowsPerBand: Int): Unit = {
+    validateIndexParamsAndCount(indexFrame, shingleN, k, rowsPerBand,
+      needCount = false)
+    ()
+  }
+
+  /** [[validateIndexParams]] fused with the tree's row count in ONE
+    * aggregate job — the session-prologue consolidation: the
+    * tombstone-pressure policy needs the standing row count and the
+    * fail-fast needs the distinct parameter evidence, and both are a
+    * map-side-collapsed pass over the same tree, so paying two scans
+    * (one per verb) was pure per-session fixed cost. Returns the row
+    * count when `needCount` (else 0 without counting anything extra —
+    * the count aggregate still rides the same single job; the flag
+    * only documents intent). */
+  private[graft] def validateIndexParamsAndCount(indexFrame: DataFrame,
+      shingleN: Int, k: Int, rowsPerBand: Int,
+      needCount: Boolean = true): Long = {
     val paramCols = Seq("p_shingle_n", "p_k", "p_rows_per_band")
     if (paramCols.forall(indexFrame.columns.contains)) {
-      indexFrame.select(paramCols.map(col): _*)
-        .filter(paramCols.map(col(_).isNotNull).reduce(_ && _))
-        .distinct().collect()
-        .foreach { r =>
-          val (in, ik, ir) = (r.getInt(0), r.getInt(1), r.getInt(2))
-          require(in == shingleN && ik == k && ir == rowsPerBand,
-            s"near-dup index was built under (shingleN=$in, k=$ik, " +
-              s"rowsPerBand=$ir) but probed with (shingleN=$shingleN, " +
-              s"k=$k, rowsPerBand=$rowsPerBand) — admissions would be " +
-              "silently wrong; rebuild the index or probe with the " +
-              "build-time parameters")
-        }
-    }
+      val row = indexFrame.agg(
+        count(lit(1)).as("__n"),
+        collect_set(when(paramCols.map(col(_).isNotNull).reduce(_ && _),
+          struct(paramCols.map(col): _*))).as("__params"))
+        .head()
+      row.getSeq[org.apache.spark.sql.Row](1).foreach { r =>
+        val (in, ik, ir) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        require(in == shingleN && ik == k && ir == rowsPerBand,
+          s"near-dup index was built under (shingleN=$in, k=$ik, " +
+            s"rowsPerBand=$ir) but probed with (shingleN=$shingleN, " +
+            s"k=$k, rowsPerBand=$rowsPerBand) — admissions would be " +
+            "silently wrong; rebuild the index or probe with the " +
+            "build-time parameters")
+      }
+      row.getLong(0)
+    } else if (needCount) indexFrame.count()
+    else 0L
   }
 
   /** [[admitNewDocsWithIndex]] minus BOTH the parameter fail-fast and
@@ -519,7 +540,16 @@ object Dedup {
     val withShN = cand
       .join(bcast(nw.select(col("doc_id").as("id_n"), col("sh").as("sh_n"))),
         Seq("id_n"))
-    val matched = bcast(withShN)
+    // the verify join is deliberately UNHINTED: withShN is bounded by
+    // |candidate pairs| × shingle payload, which scales with corpus-side
+    // band collisions (hot/skewed bands), not the ingest batch — a
+    // forced broadcast would fail the job outright past the driver/
+    // broadcast limit where a sort-merge completes. At bench scale the
+    // small side still auto-broadcasts, and under AQE a runtime-small
+    // candidate frame is converted to a broadcast join anyway — the
+    // optimizer-chosen path is the only one safe at every collision
+    // profile.
+    val matched = withShN
       .join(ix.select(col("doc_id").as("id_o"), col("sh").as("sh_o")), Seq("id_o"))
       .filter(jaccardOk(col("sh_n"), col("sh_o")))
       .select(col("id_n")).distinct()
@@ -1306,7 +1336,11 @@ object Dedup {
       .filter(V.cosineFromNorms(col("v_a"), col("v_b"),
         col("n_a"), col("n_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val comps = connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+    // in-batch survivor components: micro-batch-bounded pair graph over
+    // integral vec_ids — the bounded driver union-find (admitCore's
+    // r18 shape; ~6 driver-latency star rounds per micro-batch
+    // otherwise), distributed star fallback past the cap unchanged
+    val comps = boundedComponents(pairs, col("id_a"), col("id_b"))
     sv.select(col("vec_id"))
       .join(comps, sv("vec_id") === comps("id"), "left")
       .filter(col("comp").isNull || col("comp") === sv("vec_id"))

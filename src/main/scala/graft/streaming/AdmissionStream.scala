@@ -192,32 +192,49 @@ object AdmissionStream {
       onBatchAdmitted: Option[(DataFrame, Long) => Unit] = None): DataFrame = {
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_admit_ckpt_"))
-    // tombstone-pressure fold, BEFORE the session resolves its
-    // tombstone view (a fired fold leaves no table to mask). Row
-    // counts are parquet-metadata-only jobs, paid once per session.
+    // ---- ONE artifact-state resolution per session ----
+    // The session prologue previously paid one scan per VERB: the
+    // pressure policy counted the tombstones and the index, the
+    // parameter fail-fast re-scanned the index for its RLE'd constants,
+    // and the tombstone mask read the table a second time — four jobs
+    // where the artifact state is one tree + one side table. Now: the
+    // tombstone table is read ONCE (distinct + pinned — the distinct
+    // both dedups replayed deletes for the pressure numerator and
+    // shrinks the per-batch anti-join's build side), and the index pays
+    // ONE aggregate job carrying both the parameter evidence and the
+    // pressure denominator. The pre-fold evidence stands for the
+    // post-fold tree too: compaction carries the p_* columns through
+    // unchanged, it only drops deleted rows.
+    // (Pointer-root discipline unchanged: resolve the CURRENT
+    // generation first — tombstones live inside it, and a root-level
+    // read would union every retained superseded generation.)
+    val pre = graft.operators.Fs.currentGeneration(indexPath)
+      .getOrElse(indexPath)
+    val preTombPath = s"$pre/${graft.operators.Fs.TombstonesSubdir}"
+    val preTombs: Option[DataFrame] =
+      if (graft.operators.Fs.exists(preTombPath))
+        Some(spark.read.parquet(preTombPath).select(col("doc_id"))
+          .distinct().localCheckpoint(true))
+      else None
+    val standingRows = scala.util.Try(
+        spark.read.option("recursiveFileLookup", "true").parquet(pre))
+      .toOption
+      .map(ix => Dedup.validateIndexParamsAndCount(ix, shingleN, k,
+        rowsPerBand,
+        needCount = compactWhenTombstoneRatio.isDefined && preTombs.nonEmpty))
+      .getOrElse(0L)
+    // tombstone-pressure fold (deletes are a between-sessions verb, so
+    // the ratio is checked once at session start): a fired fold removes
+    // the tombstone table WITH the deleted rows, so the session mask
+    // below is None
+    var folded = false
     compactWhenTombstoneRatio.foreach { theta =>
-      // resolve a pointer-committed root to its CURRENT generation (the
-      // AnnIngest discipline): on pointer roots tombstones live inside
-      // the generation (deleteFromNearDupIndex writes them there), and a
-      // recursive root read would union every standing gen-* dir — the
-      // root-level probe both never found the tombstones AND inflated
-      // the denominator, so the fold silently never fired
-      val concrete = graft.operators.Fs.currentGeneration(indexPath)
-        .getOrElse(indexPath)
-      val tombPath = s"$concrete/${graft.operators.Fs.TombstonesSubdir}"
-      if (graft.operators.Fs.exists(tombPath)) {
-        // distinct on the O(|deleted|) tombstones (replayed deletes
-        // must not inflate the pressure); plain metadata-only count on
-        // the index side (one signature row per doc)
-        val tombs = spark.read.parquet(tombPath)
-          .select(col("doc_id")).distinct().count()
-        val data = scala.util.Try(
-          spark.read.option("recursiveFileLookup", "true")
-            .parquet(concrete).count())
-          .getOrElse(0L)
-        if (data > 0L && tombs.toDouble / data > theta) {
+      preTombs.foreach { tb =>
+        // count off the pinned distinct frame — no table re-read
+        val tombs = tb.count()
+        if (standingRows > 0L && tombs.toDouble / standingRows > theta) {
           Dedup.compactNearDupIndex(spark, indexPath, retain = Some(1))
-          ()
+          folded = true
         }
       }
     }
@@ -229,14 +246,11 @@ object AdmissionStream {
     val landingSchema =
       scala.util.Try(spark.read.parquet(landingDir).schema).toOption
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
-    // the concrete tree this SESSION works under, resolved once AFTER
-    // the pressure fold (a fired fold publishes a new generation on
-    // pointer roots): probes read it, batch fold-backs blind-append
-    // into it (the pointer protocol's allowed mutation — same
-    // discipline as SemanticAdmission's stream/ subdirs), and a
-    // root-level read would instead union every RETAINED superseded
-    // generation — re-surfacing exactly the deleted signatures the
-    // fold just removed
+    // the concrete tree this SESSION works under, resolved AFTER the
+    // pressure fold (a fired fold publishes a new generation on pointer
+    // roots): probes read it, batch fold-backs blind-append into it
+    // (the pointer protocol's allowed mutation — same discipline as
+    // SemanticAdmission's stream/ subdirs)
     val concrete = graft.operators.Fs.currentGeneration(indexPath)
       .getOrElse(indexPath)
     // the mid-stream fold stage-swaps the tree IN PLACE — on a pointer
@@ -248,22 +262,10 @@ object AdmissionStream {
         "pointer-committed root (generations are immutable once " +
         "published); compact between sessions via compactNearDupIndex " +
         "or compactWhenTombstoneRatio instead")
-    // parameter fail-fast ONCE, against the standing tree — the loop
-    // probes the same artifact under the same fixed parameters every
-    // batch, so re-collecting the RLE'd constants per batch is pure
-    // fixed cost (a stale batch subdir from a crashed attempt carries
-    // the same parameters; an empty tree has no evidence — both fine)
-    scala.util.Try(spark.read.option("recursiveFileLookup", "true")
-        .parquet(concrete)).toOption
-      .foreach(ix => Dedup.validateIndexParams(ix, shingleN, k, rowsPerBand))
-    // SESSION-scoped FS state, resolved once (after the pressure fold,
-    // which may have emptied it) and against the CONCRETE tree — on a
-    // pointer root the tombstone table lives inside the generation, so
-    // a root-level read silently skipped the mask: the loop never
-    // appends tombstones and the mid-stream compaction carries the
-    // table unchanged, so re-resolving per micro-batch was pure fixed
-    // cost per batch
-    val sessionTombstones = Dedup.sessionTombstones(spark, concrete)
+    // SESSION-scoped tombstone mask: the pinned pre-fold read (deletes
+    // cannot change under a running session; a fired fold has no table
+    // left to mask — re-resolving per micro-batch was pure fixed cost)
+    val sessionTombstones = if (folded) None else preTombs
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     // highest batch id this run actually processed — feeds the
@@ -308,13 +310,24 @@ object AdmissionStream {
         val admitted = docs.join(admittedIds, Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
         // batchId-keyed subdirs: a replayed batch overwrites itself
-        // (exactly-once) instead of appending duplicates
-        admitted.write.mode("overwrite")
-          .parquet(s"$outPath/batch-$batchId")
-        // fold-back = the SAME signature rows, filtered to the admitted
-        // ids (parameter columns ride along) — no re-shingle
-        sigs.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .write.mode("overwrite").parquet(s"$concrete/batch-$batchId")
+        // (exactly-once) instead of appending duplicates. The two
+        // appends are INDEPENDENT (both read only the pinned sigs /
+        // admitted frames, write disjoint dirs) and each is a small
+        // driver-latency-bound job, so they run CONCURRENTLY — wall
+        // pays max, not sum; crash recovery is unchanged (either write
+        // missing ⇒ the batch is uncommitted and replays, overwriting
+        // both). Fold-back = the SAME signature rows, filtered to the
+        // admitted ids (parameter columns ride along) — no re-shingle.
+        val writes = Seq(
+          () => admitted.write.mode("overwrite")
+            .parquet(s"$outPath/batch-$batchId"),
+          () => sigs.join(admitted.select(col("doc_id")), Seq("doc_id"),
+              "left_semi")
+            .write.mode("overwrite").parquet(s"$concrete/batch-$batchId"))
+          .map(w => scala.concurrent.Future(w())(
+            scala.concurrent.ExecutionContext.global))
+        writes.foreach(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
         // observer sees the admitted rows with EVERY landing column
         // (the raw batch semi-joined to the admitted ids) — after the
         // admission state commits, so its view is never ahead of the tree

@@ -173,6 +173,11 @@ object CardStream {
     // fail-fast guard silently passes (the recoverStagedSwap contract)
     Upsert.recoverStagedSwap(targetPath)
     validateCardK(spark, targetPath, k)
+    // finite flushEvery = the durable cadence: prime construction-time
+    // marker evidence (StateFold's first-flush-window contract)
+    if (flushEvery != Int.MaxValue)
+      StateFold.primeMarkerEvidence(spark, targetPath,
+        cardDf(spark, Map.empty, k).schema)
     var applied = Upsert.appliedBatches(targetPath)
     var card: Map[String, CardRow] =
       if (graft.operators.Fs.exists(targetPath))

@@ -405,8 +405,15 @@ object EventStreams {
       .getOrElse(scratchDir("graft_cms_ckpt_"))
     // group-commit crash guard (durable continuations only) — see
     // StateFold.requireNoLostFolds
-    checkpointDir.foreach(c =>
-      StateFold.requireNoLostFolds(targetPath, c, "cms"))
+    checkpointDir.foreach { c =>
+      StateFold.requireNoLostFolds(targetPath, c, "cms")
+      // prime construction-time marker evidence (StateFold's
+      // first-flush-window contract — durable sessions only)
+      StateFold.primeMarkerEvidence(spark, targetPath, StructType(Seq(
+        StructField("r", IntegerType),
+        StructField("c", LongType),
+        StructField("cnt", LongType))))
+    }
     // SESSION-scoped fold (the [[StateFold]] discipline): standing cells
     // collected ONCE driver-side (≤ depth·width rows — bounded by the
     // sketch geometry, never the stream), each batch contributes ONE

@@ -102,8 +102,17 @@ object GramianStream {
       reader.option("maxFilesPerTrigger", n.toString))
     // group-commit crash guard (durable continuations only) — see
     // StateFold.requireNoLostFolds
-    checkpointDir.foreach(c =>
-      StateFold.requireNoLostFolds(targetPath, c, "gramian"))
+    checkpointDir.foreach { c =>
+      StateFold.requireNoLostFolds(targetPath, c, "gramian")
+      // prime construction-time marker evidence (StateFold's
+      // first-flush-window contract — durable sessions only)
+      StateFold.primeMarkerEvidence(spark, targetPath, StructType(Seq(
+        StructField("i", org.apache.spark.sql.types.IntegerType),
+        StructField("j", org.apache.spark.sql.types.IntegerType),
+        StructField("q", LongType),
+        StructField("p_scale", org.apache.spark.sql.types.DoubleType),
+        StructField("p_dim", org.apache.spark.sql.types.IntegerType))))
+    }
     // SESSION-scoped fold (the [[StateFold]] discipline): the standing
     // cells are collected ONCE driver-side (≤ d²+d+1 rows — bounded by
     // the embedding width, never the corpus), each batch contributes ONE

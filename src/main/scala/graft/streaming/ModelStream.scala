@@ -105,8 +105,16 @@ object ModelStream {
       reader.option("maxFilesPerTrigger", n.toString))
     // group-commit crash guard (durable continuations only) — see
     // StateFold.requireNoLostFolds
-    checkpointDir.foreach(c =>
-      StateFold.requireNoLostFolds(targetPath, c, "model"))
+    checkpointDir.foreach { c =>
+      StateFold.requireNoLostFolds(targetPath, c, "model")
+      // prime construction-time marker evidence (StateFold's
+      // first-flush-window contract — durable sessions only)
+      StateFold.primeMarkerEvidence(spark, targetPath, StructType(Seq(
+        StructField("s", org.apache.spark.sql.types.IntegerType),
+        StructField("b", LongType),
+        StructField("c", LongType),
+        StructField("p_nbuckets", org.apache.spark.sql.types.IntegerType))))
+    }
     // SESSION-scoped fold (the [[StateFold]] discipline the quota/board/
     // card folds set): the standing cells are collected ONCE driver-side
     // (≤ 2·nBuckets rows — the model state is hash-width-bounded by

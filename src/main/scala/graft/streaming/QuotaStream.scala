@@ -60,10 +60,12 @@ object QuotaStream {
     * forward IN MEMORY: re-reading the state parquet every micro-batch
     * (plus its p_cap distinct and applied marker) was pure per-batch
     * fixed cost, the dominant term of the composed-ingest benches (the
-    * q116 per-batch-FS-cost lesson). Per batch the ONLY jobs left are
-    * the output write and a read-back of the tiny written subdir for
-    * the per-source delta (one evaluation of the admission window — no
-    * localCheckpoint, no broadcast-collect, no state write). State
+    * q116 per-batch-FS-cost lesson). Per batch the ONLY full-plan job
+    * left is the admission window's COLLECT (quota-bounded by
+    * construction — see the fold body); the subdir write replays the
+    * collected rows through a trivial local plan and the per-source
+    * delta folds driver-side (no localCheckpoint, no read-back, no
+    * state write). State
     * WRITES are GROUP-COMMITTED ([[StateFold]]): one mergeParquet
     * staged swap per `flushEvery` folded batches and at session end,
     * carrying the applied markers of every batch it covers. Sound under
@@ -76,6 +78,15 @@ object QuotaStream {
       capPerSource: Long,
       flushEvery: Int = Int.MaxValue): StateFold = {
     Upsert.recoverStagedSwap(statePath)
+    // a finite flushEvery is the durable-checkpoint cadence (see the
+    // runner): prime construction-time marker evidence so a session
+    // that dies before its first flush is detectable — StateFold's
+    // first-flush-window contract
+    if (flushEvery != Int.MaxValue)
+      StateFold.primeMarkerEvidence(spark, statePath, StructType(Seq(
+        StructField("source", StringType),
+        StructField("admitted", LongType),
+        StructField("p_cap", LongType))))
     val state =
       if (Fs.exists(statePath)) Some(spark.read.parquet(statePath))
       else None
@@ -145,18 +156,29 @@ object QuotaStream {
               lit(capPerSource) - coalesce(col("__got"), lit(0L)))
             .withColumn("rk", col("__rn") + coalesce(col("__got"), lit(0L)))
             .select(col("source"), col("doc_id"), col("rk"))
-          // batchId-keyed subdir: a replayed batch overwrites itself
-          // with the identical set (exactly-once), never appends. ONE
-          // evaluation of the admission window: the per-source delta is
-          // read back off the tiny file just written instead of
-          // re-running (or checkpointing) the plan
-          admitted.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
-          val delta = spark.read.parquet(s"$outPath/batch-$batchId")
-            .groupBy(col("source")).agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getString(0) -> r.getLong(1))
-          if (delta.nonEmpty) {
-            counts = delta.foldLeft(counts) { case (m, (src, n)) =>
-              m.updated(src, m.getOrElse(src, 0L) + n) }
+          // ONE evaluation of the admission window, COLLECTED: the
+          // post-filter set is quota-bounded (≤ remaining budget ≤
+          // capPerSource·|sources| rows however large the batch — a
+          // tighter bound than the state itself), so the bounded-collect
+          // discipline applies and both downstream uses are driver-side:
+          // the per-source delta is a local fold, and the batchId-keyed
+          // subdir (a replayed batch overwrites itself with the
+          // identical set — exactly-once) writes the collected rows
+          // through one trivial local plan instead of re-running the
+          // window plan and reading the file back (two full-plan jobs
+          // per micro-batch of pure driver latency, the composed-ingest
+          // fixed-cost lesson). Sorted canonically so the written file
+          // is deterministic across replays.
+          val rows = admitted.collect()
+            .sortBy(r => (r.getString(0), r.getLong(1)))
+          val local: java.util.List[org.apache.spark.sql.Row] =
+            java.util.Arrays.asList(rows: _*)
+          spark.createDataFrame(local, admitted.schema).coalesce(1)
+            .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+          if (rows.nonEmpty) {
+            counts = rows.groupBy(_.getString(0)).foldLeft(counts) {
+              case (m, (src, rs)) =>
+                m.updated(src, m.getOrElse(src, 0L) + rs.length) }
             dirty = true
           }
           pending += batchId

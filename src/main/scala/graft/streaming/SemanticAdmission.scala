@@ -113,23 +113,35 @@ object SemanticAdmission {
     // single-generation bounded replay
     val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
       .getOrElse(EventStreams.scratchDir("graft_semadmit_ckpt_"))
+    // ---- ONE artifact-state resolution per session (the
+    // AdmissionStream consolidation, vector form): the tombstone table
+    // is read once — distinct + pinned, feeding both the pressure
+    // numerator and the seed mask — instead of once per verb.
+    // Pointer-committed roots keep tombstones AND assignments inside
+    // the CURRENT generation (deleteFromAnnIndex resolves before its
+    // blind append) — probe there, not at the root, or the fold
+    // silently never fires on pointer roots (the AnnIngest discipline).
+    val pre = graft.operators.Fs.currentGeneration(indexPath)
+      .getOrElse(indexPath)
+    val preTombPath = s"$pre/${graft.operators.Fs.TombstonesSubdir}"
+    val preTombs: Option[DataFrame] =
+      if (graft.operators.Fs.exists(preTombPath))
+        Some(spark.read.parquet(preTombPath).select(col("vec_id"))
+          .distinct().localCheckpoint(true))
+      else None
+    // a fired fold removes the tombstone table with the deleted rows,
+    // so the seed mask below is None
+    var folded = false
     compactWhenTombstoneRatio.foreach { theta =>
-      // pointer-committed roots keep tombstones AND assignments inside
-      // the CURRENT generation (deleteFromAnnIndex resolves before its
-      // blind append) — probe there, not at the root, or the fold
-      // silently never fires on pointer roots (the AnnIngest discipline)
-      val g = graft.operators.Fs.currentGeneration(indexPath)
-        .getOrElse(indexPath)
-      val tp = s"$g/${graft.operators.Fs.TombstonesSubdir}"
-      if (graft.operators.Fs.exists(tp)) {
-        // distinct over the O(|deleted|) table (replays must not
-        // inflate the pressure); metadata-only count on the data side
-        val tombs = spark.read.parquet(tp)
-          .select(col("vec_id")).distinct().count()
+      preTombs.foreach { tb =>
+        val tombs = tb.count() // off the pinned distinct — no re-read
         val data = scala.util.Try(
-          spark.read.parquet(s"$g/assignments").count())
+          spark.read.parquet(s"$pre/assignments").count())
           .getOrElse(0L)
-        if (data > 0L && tombs.toDouble / data > theta) compactStream(spark, indexPath)
+        if (data > 0L && tombs.toDouble / data > theta) {
+          compactStream(spark, indexPath)
+          folded = true
+        }
       }
     }
     val landingSchema =
@@ -137,8 +149,8 @@ object SemanticAdmission {
         .orElse(schemaFallback).getOrElse(defaultLandingSchema)
     // the concrete generation this SESSION works under, resolved once
     // AFTER the pressure fold (a fired fold publishes a new generation):
-    // seed assignments and tombstones are read from it, and the streamed
-    // fold-back subdirs land inside it — blind appends into the current
+    // seed assignments are read from it, and the streamed fold-back
+    // subdirs land inside it — blind appends into the current
     // generation are the pointer protocol's allowed mutation, and
     // [[compactStream]] folds `stream/` from the resolved generation too
     val concrete = graft.operators.Fs.currentGeneration(indexPath)
@@ -149,16 +161,15 @@ object SemanticAdmission {
     val centroids = Similarity.readCentroids(spark, indexPath)
     // tombstoned vectors (Similarity.deleteFromAnnIndex against this
     // artifact) are masked from the probed standing set, so a streamed
-    // vector that matched ONLY deleted vectors admits; read once — the
-    // table only changes between ingest sessions, like the centroids
-    val tombPath = s"$concrete/${graft.operators.Fs.TombstonesSubdir}"
+    // vector that matched ONLY deleted vectors admits; the pinned
+    // pre-fold read — deletes are a between-sessions verb, like the
+    // centroids
     val seedAsg0 = spark.read.parquet(s"$concrete/assignments")
       .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
-    val seedAsg =
-      if (graft.operators.Fs.exists(tombPath))
-        seedAsg0.join(spark.read.parquet(tombPath).select(col("vec_id")),
-          Seq("vec_id"), "left_anti")
-      else seedAsg0
+    val seedAsg = (if (folded) None else preTombs) match {
+      case Some(tb) => seedAsg0.join(tb, Seq("vec_id"), "left_anti")
+      case None => seedAsg0
+    }
     val reader = spark.readStream.schema(landingSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     // highest batch id this run processed — feeds the stale-generation
@@ -183,12 +194,22 @@ object SemanticAdmission {
         val admittedAsg = asg
           .join(admittedIds, Seq("vec_id"), "left_semi")
           .localCheckpoint(true)
-        admittedAsg.select(col("vec_id"), col("embedding"))
-          .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
-        // fold-back = the SAME assignment rows filtered to admitted ids
-        admittedAsg
-          .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
-          .write.mode("overwrite").parquet(s"$concrete/stream/batch-$batchId")
+        // the two appends are independent projections of the pinned
+        // admitted assignments into disjoint dirs — run concurrently
+        // (wall pays max, not sum; recovery unchanged: either missing ⇒
+        // the batch replays and overwrites both). Fold-back = the SAME
+        // assignment rows filtered to admitted ids.
+        val writes = Seq(
+          () => admittedAsg.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(s"$outPath/batch-$batchId"),
+          () => admittedAsg
+            .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
+            .write.mode("overwrite")
+            .parquet(s"$concrete/stream/batch-$batchId"))
+          .map(w => scala.concurrent.Future(w())(
+            scala.concurrent.ExecutionContext.global))
+        writes.foreach(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
         ()
       }
       .start()

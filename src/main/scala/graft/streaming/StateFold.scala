@@ -31,12 +31,16 @@ import graft.operators.Upsert
   *    never re-presented, so folds that died in memory between flushes
   *    are unrecoverable from the stream. Runners therefore (a) pass a
   *    finite `flushEvery` ([[StateFold.DefaultFlushEvery]]) to bound the
-  *    window, and (b) run [[StateFold.requireNoLostFolds]] at session
+  *    window, (b) run [[StateFold.requireNoLostFolds]] at session
   *    start, which turns the loss into a loud failure instead of a
-  *    silently short count. The residual undetected window is a session
-  *    that dies before its FIRST flush ever creates the state table
-  *    (no marker evidence exists to compare against) — lower
-  *    `flushEvery` if that window matters more than the write rate.
+  *    silently short count, and (c) prime marker evidence at
+  *    construction ([[StateFold.primeMarkerEvidence]]): when no state
+  *    table exists yet, a ZERO-ROW table is written before the stream
+  *    starts, so even a session that dies before its FIRST flush leaves
+  *    the table whose (empty) applied set exposes every
+  *    checkpoint-committed id as lost. There is no undetected window:
+  *    a missing table plus a non-empty commit log is itself reported
+  *    as loss by the guard.
   *
   * A replayed batch (crash between a flush and the checkpoint commit)
   * is gated exactly as before: the in-memory applied set is the union
@@ -100,16 +104,21 @@ object StateFold {
     * applied were folded only in memory by a session that died before
     * its flush — the stream will never re-present their landing files,
     * so the loss is permanent and must be loud, not a silently short
-    * count. Only meaningful once the state table exists (a first
-    * session that died before ANY flush leaves no marker evidence —
-    * the documented residual window). Batches that folded nothing
-    * still enter the pending marker set, so a committed-but-unmarked
-    * id after a clean session end cannot occur. */
+    * count. Batches that folded nothing still enter the pending marker
+    * set (once the table exists — guaranteed from construction by
+    * [[primeMarkerEvidence]]), so a committed-but-unmarked id after a
+    * clean session end cannot occur. A MISSING table with a non-empty
+    * commit log is the same loss in its most total form: every
+    * committed batch's fold is gone (a pre-prime session died before
+    * its first flush, or the table was removed out-of-band) — for a
+    * quota that silence would even let the restart re-admit up to the
+    * cap ON TOP of the lost session's still-on-disk outputs, so it too
+    * must fail here, not downstream. */
   def requireNoLostFolds(statePath: String, ckptDir: String,
-      what: String): Unit =
+      what: String): Unit = {
+    val committed = committedBatchIds(ckptDir)
     if (graft.operators.Fs.exists(statePath)) {
-      val lost = (committedBatchIds(ckptDir) --
-        Upsert.appliedBatches(statePath)).toSeq.sorted
+      val lost = (committed -- Upsert.appliedBatches(statePath)).toSeq.sorted
       require(lost.isEmpty,
         s"$what state at $statePath is missing the folds of checkpoint-" +
           s"committed batches ${lost.mkString(",")} — a prior session " +
@@ -117,5 +126,38 @@ object StateFold {
           "landing files are never re-presented; restart from a fresh " +
           "statePath + checkpointDir (re-presenting all landing files), " +
           "or lower flushEvery to shrink this window")
-    }
+    } else require(committed.isEmpty,
+      s"the checkpoint at $ckptDir has committed batches " +
+        s"${committed.toSeq.sorted.mkString(",")} but no $what state " +
+        s"table exists at $statePath — every committed batch's fold is " +
+        "lost (a prior session died before its construction-time " +
+        "evidence write, or the table was removed), and committed " +
+        "landing files are never re-presented; restart from a fresh " +
+        "statePath + checkpointDir (re-presenting all landing files)")
+  }
+
+  /** Construction-time marker evidence for a DURABLE-checkpoint session:
+    * when no state table exists at `statePath` yet, write a ZERO-ROW
+    * table of the fold's flushed schema (no applied markers) BEFORE the
+    * stream starts. Closes the first-flush crash window: a session that
+    * dies before its first flush now leaves a table whose empty applied
+    * set exposes every checkpoint-committed id to
+    * [[requireNoLostFolds]], instead of no evidence at all — and an
+    * empty-only session's flushes are no longer skipped by the
+    * only-empty-folds-against-no-table guard, so its committed ids get
+    * markers and a later healthy continuation is not mistaken for a
+    * loss. Zero-row tables carry no embedded-parameter evidence (every
+    * p_* fail-fast reads a DISTINCT set, empty for zero rows, treated
+    * as absent), so priming never pins a budget/width the first real
+    * flush didn't choose. Scratch-checkpoint sessions never prime: a
+    * restart replays everything, so there is no loss to evidence — and
+    * the write would be pure fixed cost on the bounded-replay path. */
+  def primeMarkerEvidence(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    if (!graft.operators.Fs.exists(statePath))
+      Upsert.mergeParquetBatches(spark, statePath,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema).coalesce(1),
+        Set.empty)((_, updates) => updates)
 }

@@ -58,6 +58,14 @@ object TopNStream {
   def boardFold(spark: SparkSession, statePath: String, n: Int,
       scoreCol: String, flushEvery: Int = Int.MaxValue): StateFold = {
     Upsert.recoverStagedSwap(statePath)
+    // finite flushEvery = the durable cadence: prime construction-time
+    // marker evidence (StateFold's first-flush-window contract)
+    if (flushEvery != Int.MaxValue)
+      StateFold.primeMarkerEvidence(spark, statePath, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("score", LongType),
+        StructField("p_n", IntegerType))))
     // board-size fail-fast (the p_* discipline): a board built at one n
     // is a DIFFERENT leaderboard at another — the standing state must
     // not silently shrink or pad. Empty distinct set = zero-row state

@@ -99,12 +99,20 @@ class AdmitCoreComponentsSpec extends SparkSpecBase {
       }
       val (hintedIds, hintedSmj, hintedBhj) = admitted(broadcastNew = true)
       val (freeIds, freeSmj, _) = admitted(broadcastNew = false)
-      // the hinted probe keeps every index-touching join broadcast with
+      // the hinted probe keeps every BATCH-BOUNDED join broadcast with
       // the batch as build side; the unhinted one sort-merges (shuffling
       // the index) under the same threshold — the knob is what makes
-      // "probe pays |new|" true in plan shape at every index size
-      assert(hintedSmj == 0, s"hinted probe still sort-merged $hintedSmj joins")
+      // "probe pays |new|" true in plan shape at every index size. The
+      // ONE deliberate exception is the candidate-pair verify join
+      // (withShN ⋈ index shingles): its build side scales with band
+      // collisions, not the batch, so it is left to the optimizer (AQE
+      // converts it at runtime when small) and may sort-merge here —
+      // never more than that single join.
+      assert(hintedSmj <= 1, s"hinted probe sort-merged $hintedSmj joins " +
+        "(only the unhinted candidate-pair verify join may)")
       assert(hintedBhj >= 2, s"expected the probe's joins broadcast, saw $hintedBhj")
+      assert(freeSmj > hintedSmj,
+        "control: the unhinted probe should sort-merge strictly more")
       assert(freeSmj > 0, "control: the unhinted probe should sort-merge here")
       // and the strategy cannot change the admitted set
       hintedIds shouldBe freeIds

@@ -158,9 +158,13 @@ class StateFoldSpec extends SparkSpecBase {
       Files.createDirectories(ckpt.resolve("commits"))
       Seq("0", "1").foreach(n =>
         Files.writeString(ckpt.resolve("commits").resolve(n), "{}"))
-      // state absent: no marker evidence, guard must stay silent (the
-      // documented residual window)
-      StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+      // state absent + committed batches: the total-loss form (a
+      // pre-prime session died before its evidence write, or the table
+      // was removed out-of-band) — loud, never silent
+      val e0 = intercept[IllegalArgumentException] {
+        StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+      }
+      e0.getMessage should include("no quota state table")
       // fold + flush batch 0 only — batch 1's fold "died in memory"
       val fold = QuotaStream.quotaFold(spark, state,
         root.resolve("out").toString, capPerSource = 2L, flushEvery = 1)
@@ -172,6 +176,61 @@ class StateFoldSpec extends SparkSpecBase {
       // after batch 1 is folded and flushed the continuation is clean
       fold(Seq((2L, "s1")).toDF("doc_id", "source"), 1L)
       StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
+  test("first-flush crash window is closed: a durable session dying " +
+      "before ANY flush fails the next continuation loudly") {
+    val root = Files.createTempDirectory("graft_sf_prime_")
+    try {
+      val state = root.resolve("state").toString
+      val ckpt = root.resolve("ckpt")
+      Files.createDirectories(ckpt.resolve("commits"))
+      // session 1 (durable cadence = finite flushEvery): construction
+      // primes the zero-row evidence table BEFORE any batch
+      val fold = QuotaStream.quotaFold(spark, state,
+        root.resolve("out").toString, capPerSource = 2L,
+        flushEvery = StateFold.DefaultFlushEvery)
+      graft.operators.Fs.exists(state) shouldBe true
+      spark.read.parquet(state).count() shouldBe 0L
+      // batch 0 folds, the checkpoint commits it... and the session
+      // dies before its first flush (no fold.flush())
+      fold(Seq((1L, "s1")).toDF("doc_id", "source"), 0L)
+      Files.writeString(ckpt.resolve("commits").resolve("0"), "{}")
+      // session 2's start guard: the zero-row table's EMPTY applied set
+      // exposes the committed-but-never-flushed batch 0
+      val e = intercept[IllegalArgumentException] {
+        StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+      }
+      e.getMessage should include("committed batches 0")
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
+  test("an empty-only durable first session still markers its batches — " +
+      "the healthy continuation is not mistaken for a loss") {
+    val root = Files.createTempDirectory("graft_sf_empty1_")
+    try {
+      val state = root.resolve("state").toString
+      val ckpt = root.resolve("ckpt")
+      Files.createDirectories(ckpt.resolve("commits"))
+      Seq("0", "1").foreach(n =>
+        Files.writeString(ckpt.resolve("commits").resolve(n), "{}"))
+      // session 1: every batch folds nothing, clean end (flush). The
+      // primed table means the flush is NOT skipped — both ids get
+      // applied markers even though no data ever arrived.
+      val fold = QuotaStream.quotaFold(spark, state,
+        root.resolve("out").toString, capPerSource = 2L,
+        flushEvery = StateFold.DefaultFlushEvery)
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+      fold(empty, 0L); fold(empty, 1L); fold.flush()
+      graft.operators.Upsert.appliedBatches(state) shouldBe Set(0L, 1L)
+      // session 2's start guard passes: nothing was lost
+      StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+      // and the zero-row table carries no budget evidence — a fresh
+      // fold under the same cap constructs cleanly
+      QuotaStream.quotaFold(spark, state, root.resolve("out2").toString,
+        capPerSource = 2L, flushEvery = StateFold.DefaultFlushEvery)
+      ()
     } finally graft.operators.Maintenance.rmTree(root.toFile)
   }
 }
