@@ -427,6 +427,16 @@ object BenchScale {
         System.err.println(s"[bench-scale warmup] $n: ${e.getMessage}") }
     }
 
+    // Per-dir sweep timing, two passes, min per query (r18's committed
+    // methodology, kept for cross-round ratio comparability). Round 19
+    // trialed interleaving each query's base/scaled runs back-to-back
+    // to cancel slow host drift — but measured it introducing real
+    // cross-dataset interference instead (a query's base pass running
+    // right after the previous query's 10× pass inherits its context-
+    // cleaner/GC debt: the star-components loop read a phantom 3.5×,
+    // and the winnowing clean chain's BASE doubled). Drift is handled
+    // by the loadavg gate below + the recorded `calib_sec`, not by
+    // reordering the runs.
     def timeAll(dir: String): Map[String, Double] =
       (1 to 2).map { _ =>
         spark.catalog.clearCache()
@@ -437,6 +447,41 @@ object BenchScale {
         }.toMap
       }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
 
+    // loadavg gate before the timed passes (Bench's discipline): a
+    // scale artifact recorded under sibling-process contention reads
+    // phantom super-linear ratios on untouched operators
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).trim
+        .split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    val gate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
+      .getOrElse(math.max(2.0, cpus.toDouble / 4.0))
+    val maxWaits =
+      sys.env.get("SPARK_GRAFT_LOAD_RETRIES").map(_.toInt).getOrElse(10)
+    var waits = 0
+    while (load1() > gate && waits < maxWaits) {
+      waits += 1
+      Thread.sleep(60000L)
+    }
+    val gateNote =
+      if (load1() > gate) f"gave_up:${load1()}%.2f" else f"ok:${load1()}%.2f"
+
+    // parallel-capacity gate (optional, SPARK_GRAFT_SCAN_GATE seconds):
+    // loadavg cannot see a noisy neighbor stealing shared cores — the
+    // 32-thread scan probe can (round 19: spin1 stayed 0.75 s across
+    // four runs while scan32 drifted 0.103 → 0.132 s, inflating every
+    // saturation-bound scaled ratio ~25% with loadavg reading "idle").
+    // Wait for the parallel probe to come back under the gate before
+    // the timed passes; give up after the loadavg gate's retry budget.
+    sys.env.get("SPARK_GRAFT_SCAN_GATE").map(_.toDouble).foreach { g =>
+      var w = 0
+      while ((1 to 2).map(_ => Calib.scanAll(spark, sfDir)).min > g
+          && w < maxWaits) {
+        w += 1
+        Thread.sleep(60000L)
+      }
+    }
     // channel calibration ([[Calib]]) — lets the next reader normalize
     // this artifact's absolute seconds against any other channel's
     val calib = Calib.json(spark, sfDir)
@@ -461,7 +506,7 @@ object BenchScale {
       // comparable (a 32-thread run reads ~3x faster scaled times than
       // the 4-thread default on the banded family — the r17/r18
       // "drift" that turned out to be exactly this field missing)
-      s"""{"metric":"scale_stress","replicas":$replicas,"cpus":$cpus,"calib_sec":$calib,"base":"$sfDir",""" +
+      s"""{"metric":"scale_stress","replicas":$replicas,"cpus":$cpus,"calib_sec":$calib,"load_gate":"$gateNote","base":"$sfDir",""" +
         s""""salt":"per-replica vocabulary permutation (length- and stopword-preserving); replica 0 verbatim; q127 runs nCells=64 base / 64x$replicas scaled, q129 nCells=8 base / 8x$replicas scaled, and the ANN artifact probes (q120/q133/q134/q138/q139) build their standing indexes at nLists=8 base / 8x$replicas scaled (cells are the per-cell-population deployment knob); parts_* = cell partitions actually read by the probe's artifact scans; q139 = q120's probe with vec_id%10=7 tombstoned (compare to q120: the tombstone anti-join delta must not grow with the corpus), q140 = q109's admission with standing doc_id%5=2 tombstoned (compare to q109)",""" +
         s""""queries":$qs}"""
     println(line)

@@ -54,6 +54,11 @@ object GramianStream {
           "GramianStream artifact; start a fresh targetPath")
       val params = t.select(col("p_scale"), col("p_dim"))
         .distinct().collect()
+      // a ZERO-ROW table is primed marker evidence (StateFold's
+      // first-flush-window contract) — no parameter evidence, treated
+      // as absent, exactly like the quota/board folds' empty-distinct
+      // handling
+      if (params.isEmpty) return None
       require(params.length == 1,
         s"state at $targetPath carries ${params.length} distinct " +
           "parameter rows — damaged artifact")
@@ -138,18 +143,26 @@ object GramianStream {
       if (pending.nonEmpty &&
           (dirty || graft.operators.Fs.exists(targetPath))) {
         assertLease()
-        val dim = expectDim.getOrElse(
-          throw new IllegalStateException("flush with no dim evidence"))
         val schema = StructType(Seq(
           StructField("i", org.apache.spark.sql.types.IntegerType),
           StructField("j", org.apache.spark.sql.types.IntegerType),
           StructField("q", LongType),
           StructField("p_scale", org.apache.spark.sql.types.DoubleType),
           StructField("p_dim", org.apache.spark.sql.types.IntegerType)))
+        // an empty-only session against a PRIMED table (durable
+        // cadence) flushes zero rows — markers only: there is no dim
+        // evidence yet, and demanding one here would crash exactly the
+        // session the priming exists to keep healthy
         val rows: java.util.List[org.apache.spark.sql.Row] =
-          java.util.Arrays.asList(moments.toSeq.sortBy(_._1).map {
-            case ((i, j), v) => org.apache.spark.sql.Row(i, j, v, scale, dim)
-          }: _*)
+          if (moments.isEmpty) java.util.Collections.emptyList()
+          else {
+            val dim = expectDim.getOrElse(
+              throw new IllegalStateException("flush with no dim evidence"))
+            java.util.Arrays.asList(moments.toSeq.sortBy(_._1).map {
+              case ((i, j), v) =>
+                org.apache.spark.sql.Row(i, j, v, scale, dim)
+            }: _*)
+          }
         Upsert.mergeParquetBatches(spark, targetPath,
           spark.createDataFrame(rows, schema).coalesce(1),
           pending)((_, updates) => updates)

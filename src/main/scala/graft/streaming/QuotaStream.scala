@@ -170,7 +170,7 @@ object QuotaStream {
           // fixed-cost lesson). Sorted canonically so the written file
           // is deterministic across replays.
           val rows = admitted.collect()
-            .sortBy(r => (r.getString(0), r.getLong(1)))
+            .sortBy(r => (String.valueOf(r.getString(0)), r.getLong(1)))
           val local: java.util.List[org.apache.spark.sql.Row] =
             java.util.Arrays.asList(rows: _*)
           spark.createDataFrame(local, admitted.schema).coalesce(1)

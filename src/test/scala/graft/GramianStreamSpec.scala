@@ -115,6 +115,40 @@ class GramianStreamSpec extends SparkSpecBase {
     } finally graft.operators.Maintenance.rmTree(root.toFile)
   }
 
+  test("an empty-only durable first session flushes markers without dim " +
+      "evidence; the data continuation folds cleanly") {
+    val root = Files.createTempDirectory("graft_gram_empty1_")
+    val landing = root.resolve("landing"); Files.createDirectory(landing)
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    try {
+      // session 1: one zero-row landing file — the batch folds nothing,
+      // but the primed table (StateFold.primeMarkerEvidence) means the
+      // session-end flush records the applied marker instead of either
+      // skipping (the old poison) or demanding dim evidence (the old
+      // flush crash)
+      land(embeddings.filter(lit(false)), landing, "a.parquet", 1000000L)
+      GramianStream.runGramianStream(spark, landing.toString, state,
+        checkpointDir = Some(ckpt))
+      Upsert.appliedBatches(state) shouldBe Set(0L)
+      spark.read.parquet(state).count() shouldBe 0L
+      // session 2: real data continues against the primed state — the
+      // zero-row table carries no p_scale/p_dim evidence, so any scale
+      // is accepted and the fold lands
+      land(embeddings, landing, "b.parquet", 2000000L)
+      GramianStream.runGramianStream(spark, landing.toString, state,
+        checkpointDir = Some(ckpt))
+      val streamed = spark.read.parquet(state)
+        .select(col("i"), col("j"), col("q"))
+        .as[(Int, Int, Long)].collect().toMap2
+      val direct = Pca.momentRows(embeddings, col("embedding"), 1e6)
+        .filter(col("i") >= -1)
+        .select(col("i"), col("j"), col("q"))
+        .as[(Int, Int, Long)].collect().toMap2
+      streamed shouldBe direct
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
   private implicit class Tup3Ops(rows: Array[(Int, Int, Long)]) {
     def toMap2: Map[(Int, Int), Long] =
       rows.map { case (i, j, q) => ((i, j), q) }.toMap
