@@ -79,6 +79,19 @@ object Bench {
     }
     gateLog += (if (load1() > gate) f"gave_up:${load1()}%.2f"
                 else f"ok:${load1()}%.2f")
+    // parallel-capacity gate (optional, SPARK_GRAFT_SCAN_GATE seconds —
+    // BenchScale's): loadavg cannot see a noisy neighbor on shared
+    // cores; the 32-thread scan probe can. Wait for it to come back
+    // under the gate, bounded by the loadavg gate's retry budget.
+    sys.env.get("SPARK_GRAFT_SCAN_GATE").map(_.toDouble).foreach { g =>
+      var w = 0
+      while ((1 to 2).map(_ => Calib.scanAll(spark, sfDir)).min > g
+          && w < maxWaits) {
+        w += 1
+        gateLog += f"scan_wait:$w%d"
+        Thread.sleep(60000L)
+      }
+    }
     // CHANNEL CALIBRATION ([[Calib]]): pinned CPU-bound probes recorded
     // in every artifact so cross-channel seconds can be normalized —
     // run AFTER the load gate so the probes measure the same conditions
