@@ -85,12 +85,16 @@ object Bench {
     // under the gate, bounded by the loadavg gate's retry budget.
     sys.env.get("SPARK_GRAFT_SCAN_GATE").map(_.toDouble).foreach { g =>
       var w = 0
-      while ((1 to 2).map(_ => Calib.scanAll(spark, sfDir)).min > g
-          && w < maxWaits) {
+      var s = (1 to 2).map(_ => Calib.scanAll(spark, sfDir)).min
+      while (s > g && w < maxWaits) {
         w += 1
-        gateLog += f"scan_wait:$w%d"
+        gateLog += f"scan_wait:$s%.3f"
         Thread.sleep(60000L)
+        s = (1 to 2).map(_ => Calib.scanAll(spark, sfDir)).min
       }
+      // every gate decision lands in the artifact — a gave-up marker is
+      // the do-not-trust flag
+      gateLog += (if (s > g) f"scan_gave_up:$s%.3f" else f"scan_ok:$s%.3f")
     }
     // CHANNEL CALIBRATION ([[Calib]]): pinned CPU-bound probes recorded
     // in every artifact so cross-channel seconds can be normalized —

@@ -459,13 +459,15 @@ object BenchScale {
       .getOrElse(math.max(2.0, cpus.toDouble / 4.0))
     val maxWaits =
       sys.env.get("SPARK_GRAFT_LOAD_RETRIES").map(_.toInt).getOrElse(10)
+    val gateLog = new scala.collection.mutable.ArrayBuffer[String]
     var waits = 0
     while (load1() > gate && waits < maxWaits) {
       waits += 1
+      gateLog += f"wait:${load1()}%.2f"
       Thread.sleep(60000L)
     }
-    val gateNote =
-      if (load1() > gate) f"gave_up:${load1()}%.2f" else f"ok:${load1()}%.2f"
+    gateLog += (if (load1() > gate) f"gave_up:${load1()}%.2f"
+                else f"ok:${load1()}%.2f")
 
     // parallel-capacity gate (optional, SPARK_GRAFT_SCAN_GATE seconds):
     // loadavg cannot see a noisy neighbor stealing shared cores — the
@@ -476,12 +478,18 @@ object BenchScale {
     // the timed passes; give up after the loadavg gate's retry budget.
     sys.env.get("SPARK_GRAFT_SCAN_GATE").map(_.toDouble).foreach { g =>
       var w = 0
-      while ((1 to 2).map(_ => Calib.scanAll(spark, sfDir)).min > g
-          && w < maxWaits) {
+      var s = (1 to 2).map(_ => Calib.scanAll(spark, sfDir)).min
+      while (s > g && w < maxWaits) {
         w += 1
+        gateLog += f"scan_wait:$s%.3f"
         Thread.sleep(60000L)
+        s = (1 to 2).map(_ => Calib.scanAll(spark, sfDir)).min
       }
+      // every gate decision lands in the artifact — a gave-up marker is
+      // the do-not-trust flag the loadavg gate established
+      gateLog += (if (s > g) f"scan_gave_up:$s%.3f" else f"scan_ok:$s%.3f")
     }
+    val gateNote = gateLog.mkString(",")
     // channel calibration ([[Calib]]) — lets the next reader normalize
     // this artifact's absolute seconds against any other channel's
     val calib = Calib.json(spark, sfDir)

@@ -43,10 +43,14 @@ object Calib {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** The `"calib_sec"` JSON fragment: both probes, min over reps. */
+  /** The `"calib_sec"` JSON fragment: both probes, min over reps.
+    * Locale.ROOT formatting — the default-locale `f` interpolator
+    * renders comma decimals on e.g. de_DE, corrupting the artifact. */
   def json(spark: SparkSession, sfDir: String): String = {
     val spin = (1 to 3).map(_ => spin1()).min
     val scan = (1 to 2).map(_ => scanAll(spark, sfDir)).min
-    f"""{"spin1":$spin%.3f,"scan32":$scan%.3f}"""
+    String.format(java.util.Locale.ROOT,
+      """{"spin1":%.3f,"scan32":%.3f}""",
+      Double.box(spin), Double.box(scan))
   }
 }

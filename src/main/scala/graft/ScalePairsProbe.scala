@@ -58,10 +58,14 @@ object ScalePairsProbe {
     val (c23s, v23s) = q23Counts(scaledRoot.toString)
     val (c97b, v97b) = q97Counts(sfDir)
     val (c97s, v97s) = q97Counts(scaledRoot.toString)
-    def r(a: Long, b: Long): Double =
-      if (b == 0) Double.NaN else a.toDouble / b
+    // Locale.ROOT + a null for a zero denominator: NaN and comma
+    // decimals are both invalid JSON
+    def r(a: Long, b: Long): String =
+      if (b == 0) "null"
+      else String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(a.toDouble / b))
     println(
-      f"""{"metric":"pairs_decomposition","replicas":$replicas,"base":"$sfDir","q23":{"cand_base":$c23b,"cand_scaled":$c23s,"cand_ratio":${r(c23s, c23b)}%.2f,"verified_base":$v23b,"verified_scaled":$v23s,"verified_ratio":${r(v23s, v23b)}%.2f},"q97":{"cand_base":$c97b,"cand_scaled":$c97s,"cand_ratio":${r(c97s, c97b)}%.2f,"verified_base":$v97b,"verified_scaled":$v97s,"verified_ratio":${r(v97s, v97b)}%.2f}}""")
+      s"""{"metric":"pairs_decomposition","replicas":$replicas,"base":"$sfDir","q23":{"cand_base":$c23b,"cand_scaled":$c23s,"cand_ratio":${r(c23s, c23b)},"verified_base":$v23b,"verified_scaled":$v23s,"verified_ratio":${r(v23s, v23b)}},"q97":{"cand_base":$c97b,"cand_scaled":$c97s,"cand_ratio":${r(c97s, c97b)},"verified_base":$v97b,"verified_scaled":$v97s,"verified_ratio":${r(v97s, v97b)}}}""")
     graft.operators.Maintenance.rmTree(scaledRoot.toFile)
     spark.stop()
   }

@@ -173,6 +173,12 @@ object Pca {
     val t = spark.read.parquet(path)
     val scales = t.select(col("p_scale")).distinct().collect()
       .map(_.getDouble(0))
+    // a ZERO-ROW table is a healthy durable session's primed marker
+    // evidence (StateFold's first-flush-window contract) with no folds
+    // yet — say so, instead of the damaged-artifact message
+    require(scales.nonEmpty,
+      s"moment artifact at $path holds no moment rows yet (a primed " +
+        "state table before its first data flush) — nothing to fit")
     require(scales.length == 1,
       s"moment artifact at $path carries ${scales.length} distinct " +
         "p_scale values — not a single GramianStream state table")

@@ -326,8 +326,14 @@ object AdmissionStream {
             .write.mode("overwrite").parquet(s"$concrete/batch-$batchId"))
           .map(w => scala.concurrent.Future(w())(
             scala.concurrent.ExecutionContext.global))
-        writes.foreach(f => scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf))
+        // await BOTH before rethrowing: failing out of the batch on the
+        // first error while the sibling future is still writing would
+        // leave an in-flight writer racing session teardown (and any
+        // same-JVM retry of this batch's subdir)
+        val outcomes = writes.map(f => scala.util.Try(
+          scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)))
+        outcomes.foreach(_.get)
         // observer sees the admitted rows with EVERY landing column
         // (the raw batch semi-joined to the admitted ids) — after the
         // admission state commits, so its view is never ahead of the tree

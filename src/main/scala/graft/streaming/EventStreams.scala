@@ -17,6 +17,14 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** The CMS fold's flushed state-table schema — ONE definition shared
+    * by the construction-time evidence priming and every flush, so the
+    * primed table and the first real flush can never diverge. */
+  private val cmsStateSchema: StructType = StructType(Seq(
+    StructField("r", IntegerType),
+    StructField("c", LongType),
+    StructField("cnt", LongType)))
+
   /** events.parquet logical layout with `ts` as raw long nanos — the
     * LEGACY physical encoding (see [[graft.sources.Tables.events]] for the
     * encodings the fixture has shipped). Kept public for specs that stage
@@ -409,10 +417,7 @@ object EventStreams {
       StateFold.requireNoLostFolds(targetPath, c, "cms")
       // prime construction-time marker evidence (StateFold's
       // first-flush-window contract — durable sessions only)
-      StateFold.primeMarkerEvidence(spark, targetPath, StructType(Seq(
-        StructField("r", IntegerType),
-        StructField("c", LongType),
-        StructField("cnt", LongType))))
+      StateFold.primeMarkerEvidence(spark, targetPath, cmsStateSchema)
     }
     // SESSION-scoped fold (the [[StateFold]] discipline): standing cells
     // collected ONCE driver-side (≤ depth·width rows — bounded by the
@@ -438,13 +443,7 @@ object EventStreams {
       if (pending.nonEmpty &&
           (dirty || graft.operators.Fs.exists(targetPath))) {
         assertLease()
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("r",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("c",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cnt",
-            org.apache.spark.sql.types.LongType)))
+        val schema = cmsStateSchema
         val rows: java.util.List[org.apache.spark.sql.Row] =
           java.util.Arrays.asList(cellsMap.toSeq.sortBy(_._1).map {
             case ((r, c), n) => org.apache.spark.sql.Row(r, c, n)

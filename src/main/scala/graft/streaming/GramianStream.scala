@@ -40,6 +40,16 @@ object GramianStream {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** The flushed state-table schema — ONE definition shared by the
+    * construction-time evidence priming and every flush, so the primed
+    * table and the first real flush can never diverge. */
+  private val stateSchema: StructType = StructType(Seq(
+    StructField("i", org.apache.spark.sql.types.IntegerType),
+    StructField("j", org.apache.spark.sql.types.IntegerType),
+    StructField("q", LongType),
+    StructField("p_scale", org.apache.spark.sql.types.DoubleType),
+    StructField("p_dim", org.apache.spark.sql.types.IntegerType)))
+
   /** Standing-state parameter check: only an absent table counts as
     * "no evidence"; any other read failure rethrows (damaged state
     * must fail loudly, not slip past to be overwritten by the first
@@ -111,12 +121,7 @@ object GramianStream {
       StateFold.requireNoLostFolds(targetPath, c, "gramian")
       // prime construction-time marker evidence (StateFold's
       // first-flush-window contract — durable sessions only)
-      StateFold.primeMarkerEvidence(spark, targetPath, StructType(Seq(
-        StructField("i", org.apache.spark.sql.types.IntegerType),
-        StructField("j", org.apache.spark.sql.types.IntegerType),
-        StructField("q", LongType),
-        StructField("p_scale", org.apache.spark.sql.types.DoubleType),
-        StructField("p_dim", org.apache.spark.sql.types.IntegerType))))
+      StateFold.primeMarkerEvidence(spark, targetPath, stateSchema)
     }
     // SESSION-scoped fold (the [[StateFold]] discipline): the standing
     // cells are collected ONCE driver-side (≤ d²+d+1 rows — bounded by
@@ -143,12 +148,7 @@ object GramianStream {
       if (pending.nonEmpty &&
           (dirty || graft.operators.Fs.exists(targetPath))) {
         assertLease()
-        val schema = StructType(Seq(
-          StructField("i", org.apache.spark.sql.types.IntegerType),
-          StructField("j", org.apache.spark.sql.types.IntegerType),
-          StructField("q", LongType),
-          StructField("p_scale", org.apache.spark.sql.types.DoubleType),
-          StructField("p_dim", org.apache.spark.sql.types.IntegerType)))
+        val schema = stateSchema
         // an empty-only session against a PRIMED table (durable
         // cadence) flushes zero rows — markers only: there is no dim
         // evidence yet, and demanding one here would crash exactly the

@@ -33,6 +33,15 @@ import graft.operators.{Selection, Upsert}
   */
 object ModelStream {
 
+  /** The flushed state-table schema — ONE definition shared by the
+    * construction-time evidence priming and every flush, so the primed
+    * table and the first real flush can never diverge. */
+  private val stateSchema: StructType = StructType(Seq(
+    StructField("s", org.apache.spark.sql.types.IntegerType),
+    StructField("b", LongType),
+    StructField("c", LongType),
+    StructField("p_nbuckets", org.apache.spark.sql.types.IntegerType)))
+
   /** Landing schema fallback for an empty landing dir (stream opened
     * before the first file lands — footer probing needs a file). */
   val defaultLandingSchema: StructType = StructType(Seq(
@@ -109,11 +118,7 @@ object ModelStream {
       StateFold.requireNoLostFolds(targetPath, c, "model")
       // prime construction-time marker evidence (StateFold's
       // first-flush-window contract — durable sessions only)
-      StateFold.primeMarkerEvidence(spark, targetPath, StructType(Seq(
-        StructField("s", org.apache.spark.sql.types.IntegerType),
-        StructField("b", LongType),
-        StructField("c", LongType),
-        StructField("p_nbuckets", org.apache.spark.sql.types.IntegerType))))
+      StateFold.primeMarkerEvidence(spark, targetPath, stateSchema)
     }
     // SESSION-scoped fold (the [[StateFold]] discipline the quota/board/
     // card folds set): the standing cells are collected ONCE driver-side
@@ -141,11 +146,7 @@ object ModelStream {
     def doFlush(): Unit =
       if (pending.nonEmpty && (dirty || graft.operators.Fs.exists(targetPath))) {
         assertLease()
-        val schema = StructType(Seq(
-          StructField("s", org.apache.spark.sql.types.IntegerType),
-          StructField("b", LongType),
-          StructField("c", LongType),
-          StructField("p_nbuckets", org.apache.spark.sql.types.IntegerType)))
+        val schema = stateSchema
         val rows: java.util.List[org.apache.spark.sql.Row] =
           java.util.Arrays.asList(cells.toSeq.sortBy(_._1).map {
             case ((s, b), c) => org.apache.spark.sql.Row(s, b, c, nBuckets)

@@ -208,8 +208,12 @@ object SemanticAdmission {
             .parquet(s"$concrete/stream/batch-$batchId"))
           .map(w => scala.concurrent.Future(w())(
             scala.concurrent.ExecutionContext.global))
-        writes.foreach(f => scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf))
+        // await BOTH before rethrowing (the AdmissionStream discipline):
+        // no in-flight sibling writer may outlive the batch
+        val outcomes = writes.map(f => scala.util.Try(
+          scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)))
+        outcomes.foreach(_.get)
         ()
       }
       .start()
