@@ -98,31 +98,16 @@ object BenchScale {
       .parquet(dest.resolve("documents.parquet").toString)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    // ---- synthesize the blown-up documents table ----
-    val scaledRoot = java.nio.file.Files.createTempDirectory("graft_scale_")
-    stageScaledDocuments(spark, sfDir, replicas, scaledRoot, cpus.toInt)
-
-    // ---- synthesize the blown-up embeddings table ----
-    // per-replica DIMENSION permutation (seeded shuffle of the 64 dims):
-    // permutations are orthogonal, so dot(Pv, Pw) = dot(v, w) — each
-    // replica's internal cosine/neighbor structure is EXACTLY the
-    // base's — while against the FIXED SRP planes / centroids /
-    // codebooks a permuted vector looks unrelated, so replicas spread
-    // across buckets and cells instead of piling into the base's.
-    // Replica 0 verbatim, ids offset.
+  /** Per-replica DIMENSION permutation (seeded shuffle of the 64 dims):
+    * permutations are orthogonal, so dot(Pv, Pw) = dot(v, w) — each
+    * replica's internal cosine/neighbor structure is EXACTLY the
+    * base's — while against the FIXED SRP planes / centroids /
+    * codebooks a permuted vector looks unrelated, so replicas spread
+    * across buckets and cells instead of piling into the base's.
+    * Replica 0 verbatim, ids offset. */
+  private[graft] def stageScaledEmbeddings(spark: SparkSession,
+      sfDir: String, replicas: Int, dest: java.nio.file.Path,
+      partitions: Int): Unit = {
     val embs = sources.Tables.embeddings(spark, sfDir)
     val maxVecId = embs.agg(max("vec_id")).head.getLong(0) + 1L
     val dim = embs.select(size(col("embedding"))).head.getInt(0)
@@ -146,9 +131,33 @@ object BenchScale {
         when(col("replica") === 0L, col("embedding")).otherwise(permutedVec)
           .as("embedding"),
         col("label"))
-      .repartition(cpus.toInt)
+      .repartition(partitions)
       .write.mode("overwrite")
-      .parquet(scaledRoot.resolve("embeddings.parquet").toString)
+      .parquet(dest.resolve("embeddings.parquet").toString)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    // .toInt fails fast on a non-numeric setting — the value is
+    // interpolated unquoted into the artifact JSON (Bench has the same
+    // guard)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- synthesize the blown-up documents table ----
+    val scaledRoot = java.nio.file.Files.createTempDirectory("graft_scale_")
+    stageScaledDocuments(spark, sfDir, replicas, scaledRoot, cpus)
+
+    // ---- synthesize the blown-up embeddings table ----
+    stageScaledEmbeddings(spark, sfDir, replicas, scaledRoot, cpus)
 
     // ---- the banded/blocked family (documents + embeddings inputs) ----
     val family = Seq(

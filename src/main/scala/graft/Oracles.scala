@@ -1402,12 +1402,23 @@ private[graft] object Oracles {
         continue = false
         Head.findFirstMatchIn(sqlText.substring(i)).foreach { h =>
           starts += i
-          // skip this definition's balanced parens
+          // skip this definition's balanced parens, treating
+          // single-quoted literals as opaque: a paren inside a string
+          // (e.g. ORDER BY split_part(x, '(', 1)) would otherwise
+          // desynchronize the walk, miss the next definition's name,
+          // and let materialize() rewrite it into invalid
+          // `w2 AS MATERIALIZED (` SQL. '' is SQL's escaped quote —
+          // two literals back-to-back parse identically, so plain
+          // in-string toggling handles it.
           var depth = 1
           var k = i + h.end
+          var inStr = false
           while (k < sqlText.length && depth > 0) {
             val ch = sqlText.charAt(k)
-            if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+            if (ch == '\'') inStr = !inStr
+            else if (!inStr) {
+              if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+            }
             k += 1
           }
           // a comma (possibly newline-separated) continues the list

@@ -3407,17 +3407,19 @@ object SparkEntry {
     * 2048-bit Bloom pre-screen ([[operators.Contamination.bloomBits]] —
     * the bits ride the plan as one literal; at 100 TB that replaces a
     * multi-GB benchmark-gram broadcast for the no-hit majority), only
-    * Bloom SUSPECTS pay the exact trigram confirm
-    * ([[operators.Contamination.ngramOverlap]] — sound: the filter has
-    * no false negatives, so zero-hit docs are exactly-clean), and
-    * confirmed-contaminated documents are dropped before the selection
-    * chain. The screen is a per-row predicate independent of the
-    * quality gate, so screening the input ≡ screening between gate and
-    * dedup — applied first here so the gate never pays for doomed rows.
-    * Benchmark rows themselves are eval data, not training input, and
-    * stay out of the selection. Oracle: q156's CTE chain over the
-    * decontaminated candidate set, the screen replayed exactly (q53's
-    * arithmetic). */
+    * Bloom SUSPECTS pay the exact trigram confirm (sound: the filter
+    * has no false negatives, so zero-hit docs are exactly-clean), and
+    * confirmed-contaminated documents are dropped before near-dup.
+    * The whole chain is [[operators.CorpusPipeline
+    * .cleanDecontaminatedScoped]] — screen, confirm and banding share
+    * ONE staged shingle frame, and the screen runs after gate + exact
+    * dedup (it is a pure function of text, so it commutes past both;
+    * the operator's scaladoc carries the proof, this query's unchanged
+    * hash the evidence — r19 ran the screen first on the raw corpus,
+    * paying a second full tokenize pass). Benchmark rows themselves are
+    * eval data, not training input, and stay out of the selection.
+    * Oracle: q156's CTE chain over the decontaminated candidate set,
+    * the screen replayed exactly (q53's arithmetic). */
   def q164DecontaminatedSelection(s: SparkSession, dir: String): DataFrame = {
     // lang is NOT selected — see q156: the chain never samples by
     // language and the persisted exact-dedup frame is a pruning barrier
@@ -3427,24 +3429,11 @@ object SparkEntry {
     val nonEmpty = trim(coalesce(col("text"), lit(""))) =!= ""
     val bench = docs.filter(isBench && nonEmpty)
     val cand = docs.filter(!isBench)
-    val probed = cand.filter(nonEmpty)
-    val bits = operators.Contamination.bloomBits(bench, col("text"),
-      n = 3, m = 2048, k = 3)
-    val suspects = operators.Contamination.bloomNgramOverlap(
-        probed, bits, col("doc_id"), col("text"), n = 3, k = 3)
-      .filter(col("bloom_matched") > 0).select(col("doc_id"))
-    val contaminated = operators.Contamination.ngramOverlap(
-        probed.join(suspects, Seq("doc_id"), "left_semi"),
-        bench, col("doc_id"), col("text"), n = 3, denomFactor = 2)
-      .filter(col("contaminated")).select(col("doc_id"))
-    val screened = cand.join(contaminated, Seq("doc_id"), "left_anti")
-    val scoped: operators.CorpusPipeline.PairPolicy = (df, id, text) =>
-      operators.Dedup.scopedMinhashNearDupPairs(df, id, text, col("source"),
-        shingleN = 3, k = 8, rowsPerBand = 1, threshold = 0.4,
-        maxBandDf = Some(30L)).select(col("id_a"), col("id_b"))
-    val cleaned = operators.CorpusPipeline.cleanWith(screened,
-      stopwords = TF.DefaultLangMarkers("en"),
-      qualityThreshold = 0.5, pairPolicy = scoped)
+    val cleaned = operators.CorpusPipeline.cleanDecontaminatedScoped(
+      cand, bench, stopwords = TF.DefaultLangMarkers("en"),
+      qualityThreshold = 0.5, scope = col("source"), shingleN = 3,
+      minhashK = 8, rowsPerBand = 1, jaccardThreshold = 0.4,
+      maxBandDf = Some(30L), bloomM = 2048, bloomK = 3, denomFactor = 2)
     operators.Sampling.exactNPerStratum(
         cleaned.select(col("doc_id"), col("source")),
         col("doc_id"), col("source"), n = 10)

@@ -119,6 +119,56 @@ object Contamination {
       size(col("sh")).cast("long").as("total"))
   }
 
+  /** The COMPOSED decontamination screen from a pre-shingled frame —
+    * [[bloomNgramOverlap]]'s suspect pre-filter and [[ngramOverlap]]'s
+    * exact confirm sharing ONE staged (doc_id, sh) projection instead
+    * of each re-tokenizing the corpus from raw text (the r19 flat-bench
+    * finding: the screen's duplicate tokenize+shingle pass was q164's
+    * dominant cost, ~flat for three rounds). Returns the
+    * confirmed-contaminated doc_ids:
+    *
+    *   - suspects = rows with ≥ 1 shingle passing all k Bloom bit tests
+    *     (`exists` over the staged sh array — zero-join, scan-fused, and
+    *     short-circuiting where [[bloomNgramOverlap]]'s full count
+    *     can't; sound because the filter has no false negatives, so
+    *     non-suspects are exactly-clean);
+    *   - confirmed = suspects whose distinct-gram overlap with the
+    *     broadcast benchmark gram set reaches 1/denomFactor of their own
+    *     gram count — [[ngramOverlap]]'s integer arithmetic
+    *     (matched·f ≥ total, total > 0 guard) over the SAME sh sets.
+    *
+    * The shingle n is whatever the staged frame was built with — the
+    * caller shares the frame with the near-dup banding
+    * ([[Dedup.stagedScopedShingles]]), which is what makes the screen's
+    * marginal tokenize cost zero. `n` here shapes only the benchmark
+    * side and must match the staged frame's. */
+  def contaminatedIdsFromShingles(staged: DataFrame, bits: Seq[Boolean],
+      benchmark: DataFrame, text: Column, n: Int = 3, k: Int = 3,
+      denomFactor: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val m = bits.size
+    val bitsLit = typedlit(bits)
+    val maybe = (g: Column) => (0 until k)
+      .map(j => element_at(bitsLit,
+        (Sketch.cmsPos(j, g, m) + lit(1L)).cast("int")))
+      .reduce(_ && _)
+    val suspects = staged.filter(exists(col("sh"), maybe))
+    val benchGrams = benchmark
+      .select(T.tokens(lower(text)).as("toks"))
+      .select(explode(T.tokenShingles(col("toks"), n)).as("gram"))
+      .distinct()
+    val matched = suspects
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched"))
+    suspects.select(col("doc_id"), size(col("sh")).cast("long").as("total"))
+      .join(matched, Seq("doc_id"), "left")
+      .filter(col("total") > 0L &&
+        coalesce(col("matched"), lit(0L)) * denomFactor >= col("total"))
+      .select(col("doc_id"))
+  }
+
   /** Cross-split near-duplicate leakage — the OTHER contamination axis:
     * [[ngramOverlap]] audits a corpus against an external benchmark;
     * this audits a corpus against its OWN train/val/test split, finding

@@ -13,9 +13,11 @@ import graft.functions.{TextFunctions => T}
   *      uniform-hash shuffle;
   *   3. near-dup cluster dedup: MinHash+LSH candidate pairs
   *      ([[Dedup.minhashNearDupPairs]]) → connected components
-  *      ([[Dedup.connectedComponentsStar]] — label-identical to the plain
-  *      iterative variant, proven by spec and shared oracle, and faster
-  *      on candidate-pair graphs) → keep each cluster's minimum id;
+  *      ([[Dedup.connectedComponentsAuto]] — the bounded driver-side
+  *      union-find when the verified pair graph is micro-sized, the
+  *      distributed star loop past the cap; label-identical either way,
+  *      proven by spec and shared oracle) → keep each cluster's
+  *      minimum id;
   *   4. stratified downsample ([[Sampling.stratifiedSample]]) — per-row
   *      predicate, deterministic in (doc_id, stratum).
   *
@@ -116,7 +118,7 @@ object CorpusPipeline {
       col("doc_id"), col("text"))
     val surv =
       if (!keepBestByQuality) {
-        val comps = Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+        val comps = Dedup.connectedComponentsAuto(pairs, col("id_a"), col("id_b"))
         exact
           .join(comps, col("doc_id") === col("id"), "left")
           .filter(col("id").isNull || col("comp") === col("doc_id"))
@@ -127,7 +129,7 @@ object CorpusPipeline {
         // ONCE and shared by the representative pick and the membership
         // anti-join — the iterative components job is the expensive
         // stage of this branch.
-        val comps = Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+        val comps = Dedup.connectedComponentsAuto(pairs, col("id_a"), col("id_b"))
         val reps = Dedup.bestRepresentativeIn(
           exact.select(col("doc_id"), col("quality")), comps,
           col("doc_id"), col("quality"))
@@ -138,6 +140,89 @@ object CorpusPipeline {
             reps.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi"))
       }
     Sampling.stratifiedSample(surv, col("doc_id"), col("lang"),
+      sampleBounds, defaultBound)
+  }
+
+  /** [[cleanWith]] with benchmark DECONTAMINATION fused into the chain —
+    * the q164 composition: quality gate → exact dedup → ONE staged
+    * shingle frame → Bloom screen + exact confirm (suspects only) →
+    * scoped near-dup banding from the SAME shingles → components →
+    * min-id representative → stratified sample.
+    *
+    * Semantics are IDENTICAL to screening the raw corpus first and then
+    * running [[cleanWith]] with the scoped MinHash policy (the r19 q164
+    * shape), because the screen is a pure function of `text`: it
+    * commutes past the quality gate (both per-row text predicates) and
+    * past exact dedup (an exact-dup group shares one text, so the screen
+    * keeps or drops the GROUP whole — the min-id representative of every
+    * surviving group is unchanged). The driver's q164 hash check pins
+    * the equivalence. What changes is the cost: the screen's
+    * tokenize+shingle pass — previously a second full-corpus pass on top
+    * of the near-dup staging's — is gone, both consumers reading one
+    * persisted [[Dedup.stagedScopedShingles]] frame, and the screen
+    * now runs on gate+dedup survivors instead of the raw corpus.
+    *
+    * The scoped policy is hardcoded (not a [[PairPolicy]]): the sharing
+    * only exists because the screen's gram size and the banding's
+    * shingle size are the SAME projection, which a policy-shaped seam
+    * cannot see. `shingleN` therefore feeds both.
+    *
+    * Cache lifecycle: same contract as [[cleanWith]] — the exact
+    * survivors and ONE enriched band frame
+    * ([[Dedup.scopedShingleBandFrame]] — sh AND bands in the same cache
+    * entry, read by the screen, the band explode and both verify-join
+    * sides) are persisted, and the caller clears the session cache once
+    * the result is consumed. The contaminated-id set is persisted
+    * lazily (NOT eagerly checkpointed — the extra job barrier measured
+    * slower than the cache at fixture scale): both anti-joins reference
+    * the same plan, so the first evaluation populates the cache and the
+    * Bloom pass (k md5 evals per gram — the cost the fusion exists to
+    * pay once) runs once. */
+  def cleanDecontaminatedScoped(docs: DataFrame, benchmark: DataFrame,
+      stopwords: Seq[String], qualityThreshold: Double,
+      scope: Column, shingleN: Int = 3, minhashK: Int = 8,
+      rowsPerBand: Int = 1, jaccardThreshold: Double = 0.4,
+      maxBandDf: Option[Long] = Some(30L),
+      bloomM: Int = 2048, bloomK: Int = 3, denomFactor: Int = 2,
+      sampleBounds: Map[String, String] = Map.empty,
+      defaultBound: String = "g"): DataFrame = {
+    val bits = Contamination.bloomBits(benchmark, col("text"), shingleN,
+      bloomM, bloomK)
+    val base = docs.withColumn("text", coalesce(col("text"), lit("")))
+    val qual = base
+      .withColumn("quality", T.qualityScore(col("text"), stopwords))
+      .filter(col("quality") >= qualityThreshold)
+    val exact = qual.join(
+      Dedup.exactByContent(qual, col("text"), col("doc_id")).select("keep_id"),
+      col("doc_id") === col("keep_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = Dedup.scopedShingleBandFrame(
+        Dedup.stagedScopedShingles(
+          exact.filter(trim(col("text")) =!= ""),
+          col("doc_id"), col("text"), scope, shingleN),
+        minhashK, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contaminated = Contamination.contaminatedIdsFromShingles(
+        banded, bits, benchmark, col("text"), shingleN, bloomK, denomFactor)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dropping screened docs from the cached band frame BEFORE the band
+    // explode ≡ banding the decontaminated corpus (see
+    // scopedMinhashNearDupPairsFromBands) — the screen costs no second
+    // tokenize/banding pass
+    val pairs = Dedup.scopedMinhashNearDupPairsFromBands(
+        banded.join(contaminated, Seq("doc_id"), "left_anti"),
+        jaccardThreshold, maxBandDf)
+      .select(col("id_a"), col("id_b"))
+    // empty-text docs are absent from `staged` but must survive the
+    // screen (they share no grams with anything) — the anti-join runs on
+    // the exact frame, not the staged one
+    val surv = exact.join(contaminated, Seq("doc_id"), "left_anti")
+    val comps = Dedup.connectedComponentsAuto(pairs, col("id_a"), col("id_b"))
+    val out = surv
+      .join(comps, col("doc_id") === col("id"), "left")
+      .filter(col("id").isNull || col("comp") === col("doc_id"))
+      .drop("id", "comp")
+    Sampling.stratifiedSample(out, col("doc_id"), col("lang"),
       sampleBounds, defaultBound)
   }
 
@@ -195,7 +280,7 @@ object CorpusPipeline {
       pool.filter(trim(col("text")) =!= ""),
       col("doc_id"), col("text"), shingleN, minhashK,
       rowsPerBand = rowsPerBand, threshold = jaccardThreshold)
-    val comps = Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponentsAuto(pairs, col("id_a"), col("id_b"))
     val survNew = newExact
       .join(comps, col("doc_id") === col("id"), "left")
       .filter(col("id").isNull || col("comp") === col("doc_id"))

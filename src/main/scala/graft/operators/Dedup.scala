@@ -602,6 +602,23 @@ object Dedup {
     * AdmitCoreComponentsSpec pins local ≡ star on random pair graphs. */
   private[graft] val InBatchPairCap = 131072
 
+  /** [[connectedComponentsStar]] with the micro-graph fast path: when
+    * the pair graph is integral-keyed and holds ≤ [[InBatchPairCap]]
+    * edges, ONE bounded collect + exact union-find replaces the
+    * contraction loop's ~6 driver-latency jobs per round
+    * (label-identical — AdmitCoreComponentsSpec pins local ≡ star on
+    * random graphs); larger or string-keyed graphs run the distributed
+    * loop unchanged. The batch cleaning pipelines route through this:
+    * their pair graphs are post-banding VERIFIED near-dup edges —
+    * df-ceiling-bounded and tiny relative to the corpus — so the
+    * common case pays one bounded collect while a pathological graph
+    * (cap exceeded) still gets the distributed loop. The returned
+    * frame is broadcast-hinted on the fast path, so the survivor label
+    * join never shuffles for it. */
+  def connectedComponentsAuto(pairs: DataFrame, idA: Column,
+      idB: Column): DataFrame =
+    boundedComponents(pairs, idA, idB)
+
   private def boundedComponents(pairs: DataFrame, idA: Column,
       idB: Column): DataFrame = {
     val spark = pairs.sparkSession
@@ -777,12 +794,26 @@ object Dedup {
     * construction. */
   def scopedMinhashNearDupPairs(df: DataFrame, id: Column, text: Column,
       scope: Column, shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, maxBandDf: Option[Long] = None): DataFrame = {
-    // nearDupIndex's staged projection with the scope carried through —
-    // same HOF staging (tokens, shingles, signature, bands each in
-    // their own projection: the re-eval traps in nearDupIndex's
-    // scaladoc), persisted for the same three readers
-    val docs = ensureParallelism(
+      threshold: Double = 0.5, maxBandDf: Option[Long] = None): DataFrame =
+    scopedMinhashNearDupPairsFromBands(
+      scopedShingleBandFrame(
+          stagedScopedShingles(df, id, text, scope, shingleN),
+          k, rowsPerBand)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold, maxBandDf)
+
+  /** The scoped family's staged shingle projection — (doc_id, source,
+    * sh) with tokens in their own projection (the HOF re-eval traps in
+    * nearDupIndex's scaladoc), exposed so a COMPOSED pipeline can build
+    * it ONCE and share it between the decontamination screen's bit
+    * tests / exact confirm and the near-dup banding
+    * ([[CorpusPipeline.cleanDecontaminatedScoped]] — the r19 flat-bench
+    * finding was exactly this frame being rebuilt from raw text by each
+    * consumer). Empty-token docs are dropped (they have nothing to
+    * band — the same filter every consumer applied). */
+  def stagedScopedShingles(df: DataFrame, id: Column, text: Column,
+      scope: Column, shingleN: Int): DataFrame =
+    ensureParallelism(
         df.select(id.as("doc_id"), scope.cast("string").as("source"),
           text.as("txt")), col("doc_id"))
       .select(col("doc_id"), col("source"),
@@ -790,11 +821,33 @@ object Dedup {
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("source"),
         T.tokenShingles(col("toks"), shingleN).as("sh"))
+
+  /** [[stagedScopedShingles]] extended with the signature and band-key
+    * projections (each in its own projection — re-eval traps): the full
+    * (doc_id, source, sh, bands) input [[scopedMinhashNearDupPairsFromBands]]
+    * reads. NOT persisted — the caller persists, because the caller
+    * knows how many consumers there are (the pair search reads it three
+    * times; a fused pipeline adds the contamination screen as a
+    * fourth). */
+  def scopedShingleBandFrame(staged: DataFrame, k: Int,
+      rowsPerBand: Int): DataFrame =
+    staged
       .select(col("doc_id"), col("source"), col("sh"),
         T.minhashSignature(col("sh"), k).as("sig"))
       .select(col("doc_id"), col("source"), col("sh"),
         T.bandKeys(col("sig"), rowsPerBand).as("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[scopedMinhashNearDupPairs]]' candidate generation + verification
+    * from a pre-built [[scopedShingleBandFrame]] — `docs` must already
+    * be persisted (it is read by the band explode and both verify-join
+    * sides). Exposed so a composed pipeline can band ONCE and drop rows
+    * (e.g. contamination-screened docs) from the same cached frame:
+    * filtering the frame BEFORE the band explode is exactly equivalent
+    * to banding the filtered corpus — bucket membership, the per-(scope,
+    * band) df ceiling, and the verify joins all see only surviving
+    * docs. */
+  def scopedMinhashNearDupPairsFromBands(docs: DataFrame,
+      threshold: Double, maxBandDf: Option[Long]): DataFrame = {
     val all = docs
       .select(explode(col("bands")).as("b"), col("source"), col("doc_id"))
       .select(concat_ws("\u0001", col("source"), col("b")).as("band"),
@@ -1090,6 +1143,22 @@ object Dedup {
       .select(col("comp"), col("id").as("keep_id"), col("score"))
   }
 
+  /** Work-unit counters for [[connectedComponentsStar]]'s contraction
+    * loop — filled only when a probe passes one in (the timed paths pass
+    * nothing, so the counting jobs never run there). `inputEdges` = the
+    * deduplicated initial edge set; `rounds` = contraction rounds to the
+    * star-forest fixpoint; `edgeRows` = Σ per-round post-contraction edge
+    * counts (the loop's total shuffled frontier — the quantity that would
+    * grow superlinearly if scale inflated either the graph or its
+    * convergence). Each count lands on an already-localCheckpointed
+    * frame, so a probe pays one cheap job per round, and the timed
+    * query's plan is untouched. */
+  final class StarStats {
+    var inputEdges: Long = -1L
+    var rounds: Int = 0
+    var edgeRows: Long = 0L
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the scale path for POWER-LAW dedup graphs, where
@@ -1116,7 +1185,7 @@ object Dedup {
     * random graphs; q51 hash-checks it against the same recursive-CTE
     * oracle as q43). */
   def connectedComponentsStar(pairs: DataFrame, idA: Column, idB: Column,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, stats: StarStats = null): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val mins = adj.groupBy("u")
@@ -1149,6 +1218,7 @@ object Dedup {
     // full round's contraction + convergence jobs)
     if (edges.isEmpty)
       return edges.select(col("u").as("id"), col("v").as("comp"))
+    if (stats != null) stats.inputEdges = edges.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -1160,6 +1230,7 @@ object Dedup {
         .unionAll(edges.exceptAll(next)).isEmpty
       edges = next
       i += 1
+      if (stats != null) { stats.rounds = i; stats.edgeRows += edges.count() }
     }
     // star forest: every edge is (member, root); roots label themselves
     edges.select(col("u").as("id"), col("v").as("comp"))

@@ -44,6 +44,40 @@ import graft.operators.Dedup
   */
 object AdmissionStream {
 
+  /** Bound on each concurrent batch write's await: a hung write job
+    * fails the batch (which the checkpoint then replays) instead of
+    * wedging the foreachBatch thread — and with it session teardown —
+    * forever. Generous: the writes are batch-sized appends that
+    * normally finish in well under a second. */
+  private[streaming] val WriteAwait =
+    scala.concurrent.duration.Duration(10, scala.concurrent.duration.MINUTES)
+
+  /** Run independent batch writes CONCURRENTLY (wall pays max, not sum)
+    * with the calling thread's Spark job group COPIED onto each worker.
+    * Job group / description are THREAD-locals: a job submitted from a
+    * bare global-EC future carries none, so `q.stop()`'s cancelJobGroup
+    * cannot interrupt it and it keeps writing through session teardown.
+    * Each future sets the captured group before its write (and clears
+    * it after — global-EC threads are pooled and would otherwise leak
+    * the group onto unrelated work), is awaited with [[WriteAwait]],
+    * and ALL futures are awaited before the first error is rethrown: no
+    * in-flight sibling writer may outlive the batch (crash recovery
+    * relies on a failed batch replaying and overwriting every subdir). */
+  private[graft] def runConcurrentWrites(spark: SparkSession,
+      writes: Seq[() => Unit]): Unit = {
+    val sc = spark.sparkContext
+    val group = sc.getLocalProperty("spark.jobGroup.id")
+    val desc = sc.getLocalProperty("spark.job.description")
+    val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    val fs = writes.map(w => scala.concurrent.Future {
+      if (group != null) sc.setJobGroup(group, desc, "true".equals(interrupt))
+      try w() finally if (group != null) sc.clearJobGroup()
+    }(scala.concurrent.ExecutionContext.global))
+    val outcomes = fs.map(f => scala.util.Try(
+      scala.concurrent.Await.result(f, WriteAwait)))
+    outcomes.foreach(_.get)
+  }
+
   /** The landing schema assumed when the landing dir holds no parquet
     * file yet (footer probing needs at least one file): the admission
     * document shape. A production firehose opens the stream BEFORE the
@@ -313,27 +347,17 @@ object AdmissionStream {
         // (exactly-once) instead of appending duplicates. The two
         // appends are INDEPENDENT (both read only the pinned sigs /
         // admitted frames, write disjoint dirs) and each is a small
-        // driver-latency-bound job, so they run CONCURRENTLY — wall
-        // pays max, not sum; crash recovery is unchanged (either write
-        // missing ⇒ the batch is uncommitted and replays, overwriting
-        // both). Fold-back = the SAME signature rows, filtered to the
+        // driver-latency-bound job, so they run CONCURRENTLY through
+        // [[runConcurrentWrites]] (wall pays max, not sum; job group
+        // propagated, awaits bounded, both awaited before rethrow).
+        // Fold-back = the SAME signature rows, filtered to the
         // admitted ids (parameter columns ride along) — no re-shingle.
-        val writes = Seq(
+        runConcurrentWrites(spark, Seq(
           () => admitted.write.mode("overwrite")
             .parquet(s"$outPath/batch-$batchId"),
           () => sigs.join(admitted.select(col("doc_id")), Seq("doc_id"),
               "left_semi")
-            .write.mode("overwrite").parquet(s"$concrete/batch-$batchId"))
-          .map(w => scala.concurrent.Future(w())(
-            scala.concurrent.ExecutionContext.global))
-        // await BOTH before rethrowing: failing out of the batch on the
-        // first error while the sibling future is still writing would
-        // leave an in-flight writer racing session teardown (and any
-        // same-JVM retry of this batch's subdir)
-        val outcomes = writes.map(f => scala.util.Try(
-          scala.concurrent.Await.result(f,
-            scala.concurrent.duration.Duration.Inf)))
-        outcomes.foreach(_.get)
+            .write.mode("overwrite").parquet(s"$concrete/batch-$batchId")))
         // observer sees the admitted rows with EVERY landing column
         // (the raw batch semi-joined to the admitted ids) — after the
         // admission state commits, so its view is never ahead of the tree

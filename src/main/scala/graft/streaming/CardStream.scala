@@ -167,15 +167,18 @@ object CardStream {
     * crash restarts the session, which re-reads the table from disk —
     * see [[StateFold]] for the group-commit durability contract. */
   def cardFold(spark: SparkSession, targetPath: String, weights: Seq[Long],
-      k: Int, flushEvery: Int = Int.MaxValue): StateFold = {
+      k: Int, flushEvery: Int = Int.MaxValue,
+      durable: Boolean = false): StateFold = {
     // a prior session may have died mid-swap — restore the table BEFORE
     // any pre-merge read, or the recoverable state looks missing and the
     // fail-fast guard silently passes (the recoverStagedSwap contract)
     Upsert.recoverStagedSwap(targetPath)
     validateCardK(spark, targetPath, k)
-    // finite flushEvery = the durable cadence: prime construction-time
-    // marker evidence (StateFold's first-flush-window contract)
-    if (flushEvery != Int.MaxValue)
+    // durable OR finite-cadence sessions prime construction-time marker
+    // evidence (StateFold's first-flush-window contract; the durable
+    // flag keys priming on the same condition the restart guard uses —
+    // see quotaFold)
+    if (durable || flushEvery != Int.MaxValue)
       StateFold.primeMarkerEvidence(spark, targetPath,
         cardDf(spark, Map.empty, k).schema)
     var applied = Upsert.appliedBatches(targetPath)
@@ -304,7 +307,8 @@ object CardStream {
     val fold = cardFold(spark, targetPath, weights, k,
       flushEvery =
         if (checkpointDir.isEmpty) Int.MaxValue
-        else StateFold.DefaultFlushEvery)
+        else StateFold.DefaultFlushEvery,
+      durable = checkpointDir.nonEmpty)
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)

@@ -37,6 +37,15 @@ import graft.operators.{Fs, Upsert}
   */
 object QuotaStream {
 
+  /** Hard row cap on the quota fold's per-batch driver-side collect of
+    * the admitted set (the [[graft.operators.Dedup.InBatchPairCap]]
+    * discipline): at or under, the collected probe is the full set and
+    * the write + count fold are pure driver work; over, the fold falls
+    * back to the executor-side write-then-aggregate shape. ~128k
+    * (source, id, rk) rows ≈ a few MB — bounded transfer whatever
+    * capPerSource·|sources| is configured to. */
+  private[graft] val AdmitCollectCap = 131072
+
   /** Landing schema fallback when the dir holds no parquet file yet:
     * the documents shape this stream consumes. */
   val defaultLandingSchema: StructType = StructType(Seq(
@@ -76,13 +85,19 @@ object QuotaStream {
     * contract. */
   def quotaFold(spark: SparkSession, statePath: String, outPath: String,
       capPerSource: Long,
-      flushEvery: Int = Int.MaxValue): StateFold = {
+      flushEvery: Int = Int.MaxValue,
+      durable: Boolean = false,
+      collectCap: Int = AdmitCollectCap): StateFold = {
     Upsert.recoverStagedSwap(statePath)
-    // a finite flushEvery is the durable-checkpoint cadence (see the
-    // runner): prime construction-time marker evidence so a session
-    // that dies before its first flush is detectable — StateFold's
-    // first-flush-window contract
-    if (flushEvery != Int.MaxValue)
+    // durable-checkpoint sessions prime construction-time marker
+    // evidence so a session that dies before its first flush is
+    // detectable (StateFold's first-flush-window contract). The flag is
+    // the SAME condition requireNoLostFolds guards on — keying priming
+    // on flushEvery here let a durable fold with an infinite cadence
+    // skip priming and then fail the restart's guard (the r19 advice
+    // finding); a finite cadence still implies durability for callers
+    // of the old contract.
+    if (durable || flushEvery != Int.MaxValue)
       StateFold.primeMarkerEvidence(spark, statePath, StructType(Seq(
         StructField("source", StringType),
         StructField("admitted", LongType),
@@ -156,30 +171,55 @@ object QuotaStream {
               lit(capPerSource) - coalesce(col("__got"), lit(0L)))
             .withColumn("rk", col("__rn") + coalesce(col("__got"), lit(0L)))
             .select(col("source"), col("doc_id"), col("rk"))
-          // ONE evaluation of the admission window, COLLECTED: the
-          // post-filter set is quota-bounded (≤ remaining budget ≤
-          // capPerSource·|sources| rows however large the batch — a
-          // tighter bound than the state itself), so the bounded-collect
-          // discipline applies and both downstream uses are driver-side:
-          // the per-source delta is a local fold, and the batchId-keyed
-          // subdir (a replayed batch overwrites itself with the
-          // identical set — exactly-once) writes the collected rows
-          // through one trivial local plan instead of re-running the
-          // window plan and reading the file back (two full-plan jobs
-          // per micro-batch of pure driver latency, the composed-ingest
-          // fixed-cost lesson). Sorted canonically so the written file
-          // is deterministic across replays.
-          val rows = admitted.collect()
-            .sortBy(r => (String.valueOf(r.getString(0)), r.getLong(1)))
-          val local: java.util.List[org.apache.spark.sql.Row] =
-            java.util.Arrays.asList(rows: _*)
-          spark.createDataFrame(local, admitted.schema).coalesce(1)
-            .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
-          if (rows.nonEmpty) {
-            counts = rows.groupBy(_.getString(0)).foldLeft(counts) {
-              case (m, (src, rs)) =>
-                m.updated(src, m.getOrElse(src, 0L) + rs.length) }
-            dirty = true
+          // ONE evaluation of the admission window, COLLECTED when the
+          // transfer is provably small: the post-filter set is
+          // quota-bounded (≤ remaining budget ≤ capPerSource·|sources|
+          // rows however large the batch), but that bound is a factor
+          // capPerSource LARGER than the sources-sized state — a big cap
+          // over many sources is a legitimate configuration, so the
+          // collect is guarded by a hard row cap (limit probes cap+1;
+          // at-or-under means the probe IS the full set). Under the cap,
+          // both downstream uses are driver-side: the per-source delta
+          // is a local fold, and the batchId-keyed subdir (a replayed
+          // batch overwrites itself with the identical set —
+          // exactly-once) writes the collected rows through one trivial
+          // local plan instead of re-running the window plan and reading
+          // the file back (two full-plan jobs per micro-batch of pure
+          // driver latency, the composed-ingest fixed-cost lesson).
+          // Sorted canonically so the written file is deterministic
+          // across replays. Past the cap, the pre-r19 executor-side
+          // shape: write the admitted frame (one canonical sorted file),
+          // read the per-source delta back as a sources-bounded
+          // aggregate — two extra jobs, paid only when the admitted set
+          // is genuinely too big to move through the driver.
+          val head = admitted.limit(collectCap + 1).collect()
+          if (head.length <= collectCap) {
+            val rows = head
+              .sortBy(r => (String.valueOf(r.getString(0)), r.getLong(1)))
+            val local: java.util.List[org.apache.spark.sql.Row] =
+              java.util.Arrays.asList(rows: _*)
+            spark.createDataFrame(local, admitted.schema).coalesce(1)
+              .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+            if (rows.nonEmpty) {
+              counts = rows.groupBy(_.getString(0)).foldLeft(counts) {
+                case (m, (src, rs)) =>
+                  m.updated(src, m.getOrElse(src, 0L) + rs.length) }
+              dirty = true
+            }
+          } else {
+            val subdir = s"$outPath/batch-$batchId"
+            admitted.coalesce(1)
+              .sortWithinPartitions(col("source"), col("doc_id"))
+              .write.mode("overwrite").parquet(subdir)
+            val delta = spark.read.parquet(subdir)
+              .groupBy(col("source")).agg(count(lit(1)).as("n"))
+              .collect() // |sources|-bounded
+            if (delta.nonEmpty) {
+              counts = delta.foldLeft(counts) { (m, r) =>
+                val src = r.getString(0)
+                m.updated(src, m.getOrElse(src, 0L) + r.getLong(1)) }
+              dirty = true
+            }
           }
           pending += batchId
           if (pending.size >= flushEvery) doFlush()
@@ -234,7 +274,8 @@ object QuotaStream {
     val fold = quotaFold(spark, statePath, outPath, capPerSource,
       flushEvery =
         if (checkpointDir.isEmpty) Int.MaxValue
-        else StateFold.DefaultFlushEvery)
+        else StateFold.DefaultFlushEvery,
+      durable = checkpointDir.nonEmpty)
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)

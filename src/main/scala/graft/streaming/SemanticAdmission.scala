@@ -196,24 +196,18 @@ object SemanticAdmission {
           .localCheckpoint(true)
         // the two appends are independent projections of the pinned
         // admitted assignments into disjoint dirs — run concurrently
-        // (wall pays max, not sum; recovery unchanged: either missing ⇒
+        // through [[AdmissionStream.runConcurrentWrites]] (wall pays
+        // max, not sum; job group propagated, awaits bounded, both
+        // awaited before rethrow; recovery unchanged: either missing ⇒
         // the batch replays and overwrites both). Fold-back = the SAME
         // assignment rows filtered to admitted ids.
-        val writes = Seq(
+        AdmissionStream.runConcurrentWrites(spark, Seq(
           () => admittedAsg.select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(s"$outPath/batch-$batchId"),
           () => admittedAsg
             .select(col("cell"), col("vec_id"), col("embedding"), col("c_norm"))
             .write.mode("overwrite")
-            .parquet(s"$concrete/stream/batch-$batchId"))
-          .map(w => scala.concurrent.Future(w())(
-            scala.concurrent.ExecutionContext.global))
-        // await BOTH before rethrowing (the AdmissionStream discipline):
-        // no in-flight sibling writer may outlive the batch
-        val outcomes = writes.map(f => scala.util.Try(
-          scala.concurrent.Await.result(f,
-            scala.concurrent.duration.Duration.Inf)))
-        outcomes.foreach(_.get)
+            .parquet(s"$concrete/stream/batch-$batchId")))
         ()
       }
       .start()

@@ -56,11 +56,14 @@ object TopNStream {
     * re-reads the table from disk — see [[StateFold]] for the
     * group-commit durability contract. */
   def boardFold(spark: SparkSession, statePath: String, n: Int,
-      scoreCol: String, flushEvery: Int = Int.MaxValue): StateFold = {
+      scoreCol: String, flushEvery: Int = Int.MaxValue,
+      durable: Boolean = false): StateFold = {
     Upsert.recoverStagedSwap(statePath)
-    // finite flushEvery = the durable cadence: prime construction-time
-    // marker evidence (StateFold's first-flush-window contract)
-    if (flushEvery != Int.MaxValue)
+    // durable OR finite-cadence sessions prime construction-time marker
+    // evidence (StateFold's first-flush-window contract; the durable
+    // flag keys priming on the same condition the restart guard uses —
+    // see quotaFold)
+    if (durable || flushEvery != Int.MaxValue)
       StateFold.primeMarkerEvidence(spark, statePath, StructType(Seq(
         StructField("doc_id", LongType),
         StructField("source", StringType),
@@ -194,7 +197,8 @@ object TopNStream {
     val fold = boardFold(spark, statePath, n, scoreCol,
       flushEvery =
         if (checkpointDir.isEmpty) Int.MaxValue
-        else StateFold.DefaultFlushEvery)
+        else StateFold.DefaultFlushEvery,
+      durable = checkpointDir.nonEmpty)
     val q = reader.parquet(landingDir)
       .writeStream
       .option("checkpointLocation", ckpt.toString)

@@ -450,4 +450,54 @@ class AdmissionStreamSpec extends SparkSpecBase {
       spark.catalog.clearCache()
     }
   }
+
+  test("runConcurrentWrites propagates the caller's job group onto both " +
+      "writers and awaits the sibling before rethrowing a failure") {
+    val root = Files.createTempDirectory("graft_admit_ccw_")
+    val sc = spark.sparkContext
+    val groups = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = js.properties.getProperty("spark.jobGroup.id")
+        if (g != null) groups.add(g)
+        ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      // job group / description are THREAD-locals: without the copy,
+      // jobs submitted from the write futures would carry no group and
+      // q.stop()'s cancelJobGroup could never interrupt them
+      sc.setJobGroup("graft-ccw-spec", "concurrent write spec", true)
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      AdmissionStream.runConcurrentWrites(spark, Seq(
+        () => df.write.mode("overwrite")
+          .parquet(root.resolve("w1").toString),
+        () => df.write.mode("overwrite")
+          .parquet(root.resolve("w2").toString)))
+      sc.clearJobGroup()
+      spark.read.parquet(root.resolve("w1").toString).count() shouldBe 2L
+      spark.read.parquet(root.resolve("w2").toString).count() shouldBe 2L
+      // async listener bus: poll until the group shows up
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!groups.contains("graft-ccw-spec") &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      groups.iterator().asScala.count(_ == "graft-ccw-spec") should be >= 2
+      // a failing writer rethrows — AFTER the sibling completed, so no
+      // in-flight write outlives the batch
+      val boom = intercept[RuntimeException] {
+        AdmissionStream.runConcurrentWrites(spark, Seq(
+          () => throw new RuntimeException("writer down"),
+          () => df.write.mode("overwrite")
+            .parquet(root.resolve("w3").toString)))
+      }
+      boom.getMessage should include("writer down")
+      spark.read.parquet(root.resolve("w3").toString).count() shouldBe 2L
+    } finally {
+      sc.removeSparkListener(listener)
+      graft.operators.Maintenance.rmTree(root.toFile)
+    }
+  }
 }

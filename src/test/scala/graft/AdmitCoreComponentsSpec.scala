@@ -137,4 +137,33 @@ class AdmitCoreComponentsSpec extends SparkSpecBase {
     val newIds = docs.filter(isNew).select("doc_id").as[Long].collect().toSet
     admitted.foreach(id => assert(newIds.contains(id)))
   }
+
+  test("connectedComponentsAuto ≡ star on a mixed graph; StarStats " +
+      "counters fill on the instrumented distributed loop") {
+    // chain + star + singleton-pair mix — the shapes the local≡star pin
+    // already covers, here asserted through the PUBLIC auto entry the
+    // clean pipelines route through
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),           // chain
+      (10L, 11L), (10L, 12L), (10L, 13L),     // star
+      (20L, 21L)).toDF("id_a", "id_b")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "comp").as[(Long, Long)].collect().toSet
+    val auto = norm(Dedup.connectedComponentsAuto(
+      pairs, col("id_a"), col("id_b")))
+    val star = norm(Dedup.connectedComponentsStar(
+      pairs, col("id_a"), col("id_b")))
+    auto shouldBe star
+    auto.groupBy(_._2).keySet shouldBe Set(1L, 10L, 20L)
+    // the probe-only stats hook: input edges, a positive round count,
+    // and a frontier total. null stats (every timed path) must not
+    // change the result — same call, no hook, already asserted above.
+    val st = new Dedup.StarStats
+    val withStats = norm(Dedup.connectedComponentsStar(
+      pairs, col("id_a"), col("id_b"), stats = st))
+    withStats shouldBe star
+    st.inputEdges shouldBe 7L
+    st.rounds should be >= 1
+    st.edgeRows should be >= st.rounds.toLong
+  }
 }

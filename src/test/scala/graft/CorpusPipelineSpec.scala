@@ -121,4 +121,51 @@ class CorpusPipelineSpec extends SparkSpecBase {
     after.exceptAll(cleaned).count() shouldBe 0L
     cleaned.exceptAll(after).count() shouldBe 0L
   }
+
+  test("cleanDecontaminatedScoped ≡ screen-the-raw-corpus-first + " +
+      "cleanWith(scoped policy) — the screen commutes past gate and " +
+      "exact dedup") {
+    // the r19 q164 shape (screen first, second full tokenize pass) vs
+    // the fused chain (gate → dedup → one shared shingle frame →
+    // screen → banding). The screen is a pure function of text, so the
+    // two must select identical survivors — including the exact-dup
+    // group case (a contaminated group drops WHOLE, so the surviving
+    // groups' min-id representatives are unchanged).
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text"))
+    val sw = graft.functions.TextFunctions.DefaultLangMarkers("en")
+    val isBench = col("doc_id") % 97 === 0
+    val nonEmpty = trim(coalesce(col("text"), lit(""))) =!= ""
+    val bench = docs.filter(isBench && nonEmpty)
+    val cand = docs.filter(!isBench)
+    // legacy shape, inlined from the r19 q164
+    val bits = graft.operators.Contamination.bloomBits(bench, col("text"),
+      n = 3, m = 2048, k = 3)
+    val probed = cand.filter(nonEmpty)
+    val suspects = graft.operators.Contamination.bloomNgramOverlap(
+        probed, bits, col("doc_id"), col("text"), n = 3, k = 3)
+      .filter(col("bloom_matched") > 0).select(col("doc_id"))
+    val contaminated = graft.operators.Contamination.ngramOverlap(
+        probed.join(suspects, Seq("doc_id"), "left_semi"),
+        bench, col("doc_id"), col("text"), n = 3, denomFactor = 2)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val scoped: CorpusPipeline.PairPolicy = (df, id, text) =>
+      graft.operators.Dedup.scopedMinhashNearDupPairs(df, id, text,
+        col("source"), shingleN = 3, k = 8, rowsPerBand = 1,
+        threshold = 0.4, maxBandDf = Some(30L))
+        .select(col("id_a"), col("id_b"))
+    val legacy = CorpusPipeline.cleanWith(
+        cand.join(contaminated, Seq("doc_id"), "left_anti"), sw,
+        qualityThreshold = 0.5, pairPolicy = scoped)
+      .select(col("doc_id"), col("source"))
+    val fused = CorpusPipeline.cleanDecontaminatedScoped(
+        cand, bench, sw, qualityThreshold = 0.5, scope = col("source"),
+        shingleN = 3, minhashK = 8, rowsPerBand = 1,
+        jaccardThreshold = 0.4, maxBandDf = Some(30L))
+      .select(col("doc_id"), col("source"))
+    fused.exceptAll(legacy).count() shouldBe 0L
+    legacy.exceptAll(fused).count() shouldBe 0L
+    fused.count() should be > 0L
+    spark.catalog.clearCache()
+  }
 }

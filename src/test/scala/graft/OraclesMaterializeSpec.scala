@@ -55,6 +55,35 @@ class OraclesMaterializeSpec extends AnyFunSuite with Matchers {
     out should include("w2 AS (ORDER BY (x * 2))")
   }
 
+  test("a quoted paren inside a window definition does not desynchronize " +
+      "the walk — the next definition stays excluded") {
+    // an unbalanced '(' inside a string literal would, under a
+    // quote-blind walk, push the paren depth so the walker never closes
+    // the first definition, misses w2's name, and materialize rewrites
+    // it into invalid `w2 AS MATERIALIZED (` window syntax
+    val in =
+      """WITH base AS (SELECT 'a(b' AS x, 1 AS y)
+        |SELECT x, COUNT(*) OVER w1 AS c, SUM(y) OVER w2 AS s FROM base
+        |WINDOW w1 AS (ORDER BY split_part(x, '(', 1)),
+        |  w2 AS (ORDER BY y)""".stripMargin
+    val out = Oracles.materialize(in)
+    out should include("base AS MATERIALIZED (")
+    out should include("w1 AS (ORDER BY split_part(x, '(', 1))")
+    out should include("w2 AS (ORDER BY y)")
+    (out should not).include("w2 AS MATERIALIZED")
+    // SQL's escaped quote — two adjacent literals — keeps the toggle
+    // aligned: the ')' after 'it''s)' is in-string and must not close
+    // the definition early
+    val esc =
+      """WITH base AS (SELECT 1 AS y)
+        |SELECT y, SUM(y) OVER w1 AS a, MAX(y) OVER w2 AS b FROM base
+        |WINDOW w1 AS (ORDER BY concat('it''s)', y)),
+        |  w2 AS (PARTITION BY y)""".stripMargin
+    val out2 = Oracles.materialize(esc)
+    out2 should include("w2 AS (PARTITION BY y)")
+    (out2 should not).include("w2 AS MATERIALIZED")
+  }
+
   test("a name defined twice (nested WITH shadowing) stays inlined") {
     val in =
       """WITH dup AS (SELECT 1 AS x),

@@ -233,4 +233,103 @@ class StateFoldSpec extends SparkSpecBase {
       ()
     } finally graft.operators.Maintenance.rmTree(root.toFile)
   }
+
+  test("the durable flag primes marker evidence even with an infinite " +
+      "flush cadence — priming and the restart guard key on one condition") {
+    val root = Files.createTempDirectory("graft_sf_durflag_")
+    try {
+      // a durable fold with flushEvery = MaxValue (flush only at session
+      // end) used to skip priming — keyed on the cadence, not the
+      // durability — so a clean empty session left no table and the
+      // restart's requireNoLostFolds read its committed ids as loss
+      val q = root.resolve("q").toString
+      QuotaStream.quotaFold(spark, q, root.resolve("qo").toString,
+        capPerSource = 2L, flushEvery = Int.MaxValue, durable = true)
+      graft.operators.Fs.exists(q) shouldBe true
+      spark.read.parquet(q).count() shouldBe 0L
+      val b = root.resolve("b").toString
+      graft.streaming.TopNStream.boardFold(spark, b, n = 3,
+        scoreCol = "score", flushEvery = Int.MaxValue, durable = true)
+      graft.operators.Fs.exists(b) shouldBe true
+      val c = root.resolve("c").toString
+      CardStream.cardFold(spark, c, SparkEntry.q130Weights, k = 8,
+        flushEvery = Int.MaxValue, durable = true)
+      graft.operators.Fs.exists(c) shouldBe true
+      // non-durable scratch folds still never prime (a restart replays
+      // everything; the write would be pure fixed cost)
+      val s = root.resolve("s").toString
+      QuotaStream.quotaFold(spark, s, root.resolve("so").toString,
+        capPerSource = 2L)
+      graft.operators.Fs.exists(s) shouldBe false
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
+  test("acknowledgeEmptyLegacySession migrates a pre-prime empty-session " +
+      "checkpoint; refuses to forge markers onto an existing table") {
+    val root = Files.createTempDirectory("graft_sf_legacy_")
+    try {
+      val state = root.resolve("state").toString
+      val ckpt = root.resolve("ckpt")
+      Files.createDirectories(ckpt.resolve("commits"))
+      Seq("0", "1").foreach(n =>
+        Files.writeString(ckpt.resolve("commits").resolve(n), "{}"))
+      // the legacy layout: committed batches, no table (a pre-prime
+      // session whose batches all folded nothing ended cleanly)
+      val e = intercept[IllegalArgumentException] {
+        StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+      }
+      e.getMessage should include("acknowledgeEmptyLegacySession")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("admitted",
+          org.apache.spark.sql.types.LongType)))
+      StateFold.acknowledgeEmptyLegacySession(spark, state,
+        ckpt.toString, schema)
+      // the migration wrote the committed ids as applied markers over a
+      // zero-row table — the restart guard now accepts the continuation
+      graft.operators.Upsert.appliedBatches(state) shouldBe Set(0L, 1L)
+      spark.read.parquet(state).count() shouldBe 0L
+      StateFold.requireNoLostFolds(state, ckpt.toString, "quota")
+      // an existing table's markers are real evidence — never rewritten
+      val e2 = intercept[IllegalArgumentException] {
+        StateFold.acknowledgeEmptyLegacySession(spark, state,
+          ckpt.toString, schema)
+      }
+      e2.getMessage should include("exists")
+    } finally graft.operators.Maintenance.rmTree(root.toFile)
+  }
+
+  test("quota fold past the collect cap: the executor-side fallback " +
+      "writes the identical admitted set and state") {
+    val batches = Seq(
+      Seq((1L, "s1"), (2L, "s1"), (5L, "s2")).toDF("doc_id", "source"),
+      Seq((3L, "s1"), (6L, "s2"), (7L, "s2")).toDF("doc_id", "source"))
+    def run(root: java.nio.file.Path, cap: Int)
+        : (Map[String, Long], Set[(String, Long, Long)]) = {
+      val state = root.resolve("state").toString
+      val out = root.resolve("out").toString
+      val fold = QuotaStream.quotaFold(spark, state, out,
+        capPerSource = 2L, collectCap = cap)
+      batches.zipWithIndex.foreach { case (b, i) => fold(b, i.toLong) }
+      fold.flush()
+      val counts = spark.read.parquet(state)
+        .select("source", "admitted").as[(String, Long)].collect().toMap
+      val rows = spark.read.option("recursiveFileLookup", "true")
+        .parquet(out).select("source", "doc_id", "rk")
+        .as[(String, Long, Long)].collect().toSet
+      (counts, rows)
+    }
+    val r1 = Files.createTempDirectory("graft_sf_cap_hi_")
+    val r2 = Files.createTempDirectory("graft_sf_cap_lo_")
+    try {
+      val collected = run(r1, QuotaStream.AdmitCollectCap)
+      val fallback = run(r2, 0) // every non-empty batch exceeds cap 0
+      fallback shouldBe collected
+      collected._1 shouldBe Map("s1" -> 2L, "s2" -> 2L)
+    } finally {
+      graft.operators.Maintenance.rmTree(r1.toFile)
+      graft.operators.Maintenance.rmTree(r2.toFile)
+    }
+  }
 }
