@@ -129,6 +129,17 @@ object ScalePairsProbe {
       val rounds = 2L
       (n, cells, n * rounds, n * cells * rounds)
     }
+    // q151's work units: the co-moment pass scans every embedding row
+    // once (scan_rows — the ONLY corpus-sized quantity) and shuffles one
+    // partial moment frame of ≤ partitions·(d²+d+2) rows whose size is
+    // CORPUS-INDEPENDENT — counted here through the same momentRows
+    // entry the timed query folds, proving the d²-bounded-shuffle claim
+    // by measurement rather than design assertion
+    def q151Counts(dir: String): (Long, Long) = {
+      val e = sources.Tables.embeddings(spark, dir)
+      (e.count(),
+        operators.Pca.momentRows(e, col("embedding"), 1e6).count())
+    }
 
     val (c23b, v23b) = q23Counts(sfDir)
     val (c23s, v23s) = q23Counts(scaledRoot.toString)
@@ -142,6 +153,8 @@ object ScalePairsProbe {
     val (e51s, r51s, f51s) = q51Counts(scaledRoot.toString)
     val (n129b, k129b, a129b, fo129b) = q129Counts(sfDir)
     val (n129s, k129s, a129s, fo129s) = q129Counts(scaledRoot.toString)
+    val (s151b, m151b) = q151Counts(sfDir)
+    val (s151s, m151s) = q151Counts(scaledRoot.toString)
     // Locale.ROOT + a null for a zero denominator: NaN and comma
     // decimals are both invalid JSON
     def r(a: Long, b: Long): String =
@@ -154,8 +167,10 @@ object ScalePairsProbe {
       s""""q51":{"input_edges_base":$e51b,"input_edges_scaled":$e51s,"input_edges_ratio":${r(e51s, e51b)},"rounds_base":$r51b,"rounds_scaled":$r51s,"frontier_rows_base":$f51b,"frontier_rows_scaled":$f51s,"frontier_rows_ratio":${r(f51s, f51b)}}"""
     val q129Block =
       s""""q129":{"rows_base":$n129b,"rows_scaled":$n129s,"cells_base":$k129b,"cells_scaled":$k129s,"assign_rows_base":$a129b,"assign_rows_scaled":$a129s,"assign_rows_ratio":${r(a129s, a129b)},"fanout_rows_base":$fo129b,"fanout_rows_scaled":$fo129s,"fanout_rows_ratio":${r(fo129s, fo129b)}}"""
+    val q151Block =
+      s""""q151":{"scan_rows_base":$s151b,"scan_rows_scaled":$s151s,"scan_rows_ratio":${r(s151s, s151b)},"moment_rows_base":$m151b,"moment_rows_scaled":$m151s,"moment_rows_ratio":${r(m151s, m151b)}}"""
     println(
-      s"""{"metric":"pairs_decomposition","replicas":$replicas,"base":"$sfDir",${pairBlock("q23", c23b, c23s, v23b, v23s)},${pairBlock("q97", c97b, c97s, v97b, v97s)},${pairBlock("q152", c152b, c152s, v152b, v152s)},${pairBlock("q115", c115b, c115s, v115b, v115s)},$q51Block,$q129Block}""")
+      s"""{"metric":"pairs_decomposition","replicas":$replicas,"base":"$sfDir",${pairBlock("q23", c23b, c23s, v23b, v23s)},${pairBlock("q97", c97b, c97s, v97b, v97s)},${pairBlock("q152", c152b, c152s, v152b, v152s)},${pairBlock("q115", c115b, c115s, v115b, v115s)},$q51Block,$q129Block,$q151Block}""")
     graft.operators.Maintenance.rmTree(scaledRoot.toFile)
     spark.stop()
   }

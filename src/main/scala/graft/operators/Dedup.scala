@@ -615,23 +615,59 @@ object Dedup {
     * (cap exceeded) still gets the distributed loop. The returned
     * frame is broadcast-hinted on the fast path, so the survivor label
     * join never shuffles for it. */
+  /** [[connectedComponentsAuto]]'s edge budget — larger than the
+    * admission loop's [[InBatchPairCap]] because a BATCH clean's
+    * components collect happens once per pipeline run, not once per
+    * micro-batch: 2²⁰ (id, id) rows ≈ 16 MB through the driver, and the
+    * union-find on them is milliseconds. Sized so a fixture-scale
+    * verified near-dup graph (df-ceiling-bounded) stays on the fast
+    * path while a genuinely corpus-scale graph still falls back to the
+    * distributed star loop. */
+  private[graft] val BatchCleanPairCap = 1 << 20
+
   def connectedComponentsAuto(pairs: DataFrame, idA: Column,
       idB: Column): DataFrame =
-    boundedComponents(pairs, idA, idB)
+    boundedComponents(pairs, idA, idB, materializeEdges = true,
+      cap = BatchCleanPairCap)
 
+  /** `materializeEdges` trades one checkpoint job for a
+    * single-evaluation guarantee on the pair-generation chain:
+    *
+    *  - `true` (the batch clean pipelines, via
+    *    [[connectedComponentsAuto]]): the deduped edge set is
+    *    localCheckpoint'd FIRST — the star loop's own first step — so
+    *    the cap probe and a past-cap star fallback both read the
+    *    checkpoint instead of re-running candidate generation + verify.
+    *    Probing the raw frame and handing `pairs` to the fallback
+    *    measured a FULL second generation pass on a 10× winnowing clean
+    *    (r20 scale stress: +22% scaled wall). A corpus-scale clean's
+    *    graph routinely exceeds the cap, so the checkpoint is the
+    *    scale-correct default there; under-cap cleans pay one trivial
+    *    checkpoint-read job.
+    *  - `false` (the admission loop): an in-batch survivor graph is
+    *    micro-batch-bounded by construction — it essentially never
+    *    exceeds the cap, its generation chain is batch-sized, and the
+    *    composed-ingest benches showed per-batch JOB COUNT is the
+    *    floor — so the probe collects straight off the raw frame, one
+    *    job, exactly the r19-optimized shape. */
   private def boundedComponents(pairs: DataFrame, idA: Column,
-      idB: Column): DataFrame = {
+      idB: Column, materializeEdges: Boolean = false,
+      cap: Int = InBatchPairCap): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select(idA.as("u"), idB.as("v"))
     val integral = p.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
     if (!integral) return connectedComponentsStar(pairs, idA, idB)
-    val head = p.limit(InBatchPairCap + 1)
+    val probeSrc =
+      if (materializeEdges)
+        p.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      else p
+    val head = probeSrc.limit(cap + 1)
       .collect().map(r => (r.getAs[Number](0).longValue,
         r.getAs[Number](1).longValue))
-    if (head.length > InBatchPairCap)
-      return connectedComponentsStar(pairs, idA, idB) // unbounded: stay distributed
+    if (head.length > cap)
+      return connectedComponentsStar(probeSrc, col("u"), col("v")) // unbounded: stay distributed
     val comp = localMinLabelComponents(head)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
