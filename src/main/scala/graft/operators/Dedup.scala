@@ -626,9 +626,9 @@ object Dedup {
   private[graft] val BatchCleanPairCap = 1 << 20
 
   def connectedComponentsAuto(pairs: DataFrame, idA: Column,
-      idB: Column): DataFrame =
+      idB: Column, maxIter: Int = 25): DataFrame =
     boundedComponents(pairs, idA, idB, materializeEdges = true,
-      cap = BatchCleanPairCap)
+      cap = BatchCleanPairCap, maxIter = maxIter)
 
   /** `materializeEdges` trades one checkpoint job for a
     * single-evaluation guarantee on the pair-generation chain:
@@ -652,13 +652,13 @@ object Dedup {
     *    job, exactly the r19-optimized shape. */
   private def boundedComponents(pairs: DataFrame, idA: Column,
       idB: Column, materializeEdges: Boolean = false,
-      cap: Int = InBatchPairCap): DataFrame = {
+      cap: Int = InBatchPairCap, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select(idA.as("u"), idB.as("v"))
     val integral = p.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (!integral) return connectedComponentsStar(pairs, idA, idB)
+    if (!integral) return connectedComponentsStar(pairs, idA, idB, maxIter)
     val probeSrc =
       if (materializeEdges)
         p.filter(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -667,7 +667,8 @@ object Dedup {
       .collect().map(r => (r.getAs[Number](0).longValue,
         r.getAs[Number](1).longValue))
     if (head.length > cap)
-      return connectedComponentsStar(probeSrc, col("u"), col("v")) // unbounded: stay distributed
+      return connectedComponentsStar(probeSrc, col("u"), col("v"),
+        maxIter) // unbounded: stay distributed
     val comp = localMinLabelComponents(head)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
@@ -1159,8 +1160,13 @@ object Dedup {
     * (comp, keep_id, score) — one row per cluster. */
   def bestRepresentative(docs: DataFrame, pairs: DataFrame, id: Column,
       score: Column, maxIter: Int = 25): DataFrame =
+    // components are plumbing here (the representative POLICY is the
+    // operator): micro graphs take the bounded union-find, larger ones
+    // the star loop — label-identical either way (q43/q51 keep the two
+    // distributed loops pinned as operators in their own right)
     bestRepresentativeIn(docs,
-      connectedComponentsStar(pairs, col("id_a"), col("id_b"), maxIter), id, score)
+      connectedComponentsAuto(pairs, col("id_a"), col("id_b"), maxIter),
+      id, score)
 
   /** As [[bestRepresentative]], over an ALREADY-COMPUTED (id, comp)
     * labeling. Callers that also need the membership frame itself (e.g.
